@@ -1,0 +1,128 @@
+"""Declarative job configuration.
+
+Same JSON surface as the reference's ``job.json`` (reference:
+spark-job/job.json:1-39, loader at spark-job/read.py:283-296): a ``spark``
+conf map, an ``input_config`` (source type/format/options), and an
+``output_config`` (target table, mode, schema contract, merge SQL).
+
+Files (job JSON, ``.avsc`` schema, merge ``.sql``) load from the local
+filesystem or, when an ``s3://`` URI is given and boto3 is importable,
+from S3 (reference: spark-job/read.py:104-108, 162-171). boto3 is not a
+hard dependency — cloud loading is gated behind an import-try.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _read_text(path_or_uri: str) -> str:
+    if path_or_uri.startswith(("s3://", "s3a://")):
+        try:
+            import boto3  # noqa: PLC0415
+        except ImportError as exc:  # pragma: no cover - cloud-only path
+            raise RuntimeError(
+                f"boto3 is required to load {path_or_uri!r} from S3"
+            ) from exc
+        rest = path_or_uri.split("://", 1)[1]
+        bucket, key = rest.split("/", 1)
+        obj = boto3.client("s3").get_object(Bucket=bucket, Key=key)
+        return obj["Body"].read().decode("utf-8")
+    with open(path_or_uri, encoding="utf-8") as fh:
+        return fh.read()
+
+
+@dataclass
+class InputConfig:
+    """Source half of the job spec (reference: spark-job/job.json:13-26)."""
+
+    type: str = "files"  # "files" | "sqs" | "stream"
+    format: str = "csv"
+    path: str | None = None
+    queue_url: str | None = None
+    poll_interval: int = 60
+    batch_size: int = 10
+    commit_checkpoint: bool = True
+    options: dict[str, str] = field(default_factory=dict)  # csv_options etc.
+    schema_file: str | None = None  # explicit source schema (streaming needs one)
+    transform_query: str = ""  # pre-sink SQL over view `batch` (wires job.json:19)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "InputConfig":
+        opts = d.get("options") or d.get("csv_options") or {}
+        return cls(
+            type=d.get("type", "files"),
+            format=d.get("format", "csv"),
+            path=d.get("path"),
+            queue_url=d.get("queue_url"),
+            poll_interval=int(d.get("poll_interval", 60)),
+            batch_size=int(d.get("batch_size", 10)),
+            commit_checkpoint=bool(d.get("commit_checkpoint", True)),
+            options={str(k): str(v) for k, v in opts.items()},
+            schema_file=d.get("schema_file"),
+            transform_query=d.get("transform_query", "") or "",
+        )
+
+
+@dataclass
+class OutputConfig:
+    """Sink half of the job spec (reference: spark-job/job.json:28-39)."""
+
+    table_path: str = ""
+    mode: str = "merge"  # append | overwrite | merge
+    schema: str | None = None  # .avsc path (target contract)
+    merge_query: str | None = None  # .sql path for merge mode
+    table_type: str = "COW"  # COW | MOR (MOR accepted, executed as COW)
+    compression: str = "zstd"  # honored (reference read it but never applied)
+    partition: list[str] = field(default_factory=list)
+    key_columns: list[str] = field(default_factory=list)
+    order_column: str | None = None  # recency column for dedup/latest-wins
+    merge_policy: str = "unconditional"  # "unconditional" | "latest_wins"
+    table_properties: dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "OutputConfig":
+        part = d.get("partition") or []
+        if isinstance(part, str):
+            part = [p for p in (part,) if p]
+        return cls(
+            table_path=d.get("table_path") or d.get("table") or "",
+            mode=d.get("mode", "merge"),
+            schema=d.get("schema"),
+            merge_query=d.get("merge_query"),
+            table_type=d.get("table_type", "COW"),
+            compression=d.get("compression", "zstd"),
+            partition=list(part),
+            key_columns=list(d.get("key_columns") or []),
+            order_column=d.get("order_column"),
+            merge_policy=d.get("merge_policy", "unconditional"),
+            table_properties={
+                str(k): str(v) for k, v in (d.get("table_properties") or {}).items()
+            },
+        )
+
+
+@dataclass
+class JobConfig:
+    spark: dict[str, str] = field(default_factory=dict)
+    input_config: InputConfig = field(default_factory=InputConfig)
+    output_config: OutputConfig = field(default_factory=OutputConfig)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "JobConfig":
+        return cls(
+            spark={str(k): str(v) for k, v in (d.get("spark") or {}).items()},
+            input_config=InputConfig.from_dict(d.get("input_config") or {}),
+            output_config=OutputConfig.from_dict(d.get("output_config") or {}),
+        )
+
+    @classmethod
+    def load(cls, path_or_uri: str) -> "JobConfig":
+        return cls.from_dict(json.loads(_read_text(path_or_uri)))
+
+
+def load_text(path_or_uri: str) -> str:
+    """Public helper for .sql / .avsc artifacts (local or S3)."""
+    return _read_text(path_or_uri)

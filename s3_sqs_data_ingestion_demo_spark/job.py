@@ -1,0 +1,104 @@
+"""Job orchestration: config → session → source → transform → sink.
+
+Re-expresses the reference's main loop (reference:
+spark-job/read.py:298-350) as composable pieces.  The batch path
+(``run_batch`` / ``run_sqs_loop``) keeps the reference's semantics with
+the documented fixes; the streaming path lives in
+``streaming/ingest.py``.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import JobConfig, load_text
+from .plans import apply_transform_query
+from .schema import avro_to_spark_schema
+from .sources.files import read_batch, with_lineage
+from .sources.sqs import SqsFileSource
+from .table import ManagedTable
+
+log = logging.getLogger(__name__)
+
+
+def build_spark(config: JobConfig, app_name: str = "s3-sqs-ingestion-spark") -> SparkSession:
+    from .session import build_session  # noqa: PLC0415
+
+    protocol = "s3a" if (config.input_config.path or "").startswith(("s3:", "s3a:")) else "local"
+    return build_session(app_name=app_name, conf=config.spark, protocol=protocol)
+
+
+def ensure_target(spark: SparkSession, config: JobConfig) -> ManagedTable:
+    """Bootstrap the target table from the Avro contract if absent
+    (reference: spark-job/read.py:199-228)."""
+    out = config.output_config
+    if ManagedTable.exists(out.table_path):
+        return ManagedTable.load(spark, out.table_path)
+    if not out.schema:
+        raise ValueError("creating a new table requires output_config.schema (.avsc)")
+    schema = avro_to_spark_schema(load_text(out.schema))
+    return ManagedTable.create(
+        spark,
+        out.table_path,
+        schema,
+        partition_cols=out.partition,
+        key_cols=out.key_columns,
+        order_column=out.order_column,
+        merge_policy=out.merge_policy,
+        table_type=out.table_type,
+        compression=out.compression,
+        properties=out.table_properties,
+    )
+
+
+def process_files(
+    spark: SparkSession,
+    config: JobConfig,
+    files: list[str],
+    lineage: bool = False,
+) -> int:
+    """One micro-batch: read files → optional transform/merge SQL →
+    write in the configured mode (reference: spark-job/read.py:251-281).
+    Returns the committed snapshot version."""
+    inp, out = config.input_config, config.output_config
+    schema = avro_to_spark_schema(load_text(inp.schema_file)) if inp.schema_file else None
+    df = read_batch(spark, files, inp.format, inp.options, schema)
+    if lineage:
+        df = with_lineage(df)
+    df = apply_transform_query(spark, df, inp.transform_query)
+    if out.mode == "merge" and out.merge_query:
+        df = apply_transform_query(spark, df, load_text(out.merge_query))
+    table = ensure_target(spark, config)
+    return table.write(df, out.mode)
+
+
+def run_sqs_loop(
+    spark: SparkSession,
+    config: JobConfig,
+    source: SqsFileSource | None = None,
+    max_polls: int | None = None,
+) -> int:
+    """Queue-notification ingest loop (reference:
+    spark-job/read.py:330-350), with the T5 per-batch commit fix.
+    ``max_polls`` bounds the loop for tests; ``None`` runs forever."""
+    inp = config.input_config
+    if source is None:
+        source = SqsFileSource(inp.queue_url or "", batch_size=inp.batch_size)
+    polls = 0
+    while max_polls is None or polls < max_polls:
+        polls += 1
+        batch = source.poll()
+        if batch.files:
+            try:
+                process_files(spark, config, batch.files)
+            except Exception:
+                log.exception("batch failed; not committing %d messages", len(batch.receipt_handles))
+                continue  # messages redeliver after visibility timeout
+            if inp.commit_checkpoint:
+                source.commit(batch)
+        if max_polls is None or polls < max_polls:
+            time.sleep(inp.poll_interval if batch.files == [] else 0)
+    return polls

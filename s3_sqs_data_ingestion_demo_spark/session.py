@@ -1,0 +1,80 @@
+"""SparkSession factory.
+
+Mirrors the reference's session construction (reference:
+spark-job/read.py:65-81): a base conf dict of sensible defaults is merged
+with the job config's ``spark`` map (job conf wins), then ``getOrCreate``.
+The reference's defaults are s3a filesystem wiring; ours add the local
+performance conf that matters at scale (AQE, shuffle partitioning,
+Arrow).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Perf defaults — every one of these is safe on a real cluster and
+# load-bearing at scale: AQE re-plans joins/partitions at runtime,
+# coalesce + skew-join fix the two most common shuffle pathologies,
+# Arrow makes any pandas-UDF path vectorized.
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+}
+
+# s3a defaults for cloud runs — parity with reference: spark-job/read.py:68-77.
+# Only merged when the job asks for the s3a protocol; harmless strings
+# otherwise (hadoop-aws jars are not bundled locally).
+S3A_CONF: dict[str, str] = {
+    "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    "spark.hadoop.fs.s3a.aws.credentials.provider": (
+        "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
+    ),
+    "spark.hadoop.fs.s3a.fast.upload": "true",
+    "spark.hadoop.fs.s3a.connection.maximum": "100",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def build_session(
+    app_name: str = "s3-sqs-ingestion-spark",
+    conf: dict[str, str] | None = None,
+    master: str | None = None,
+    protocol: str = "local",
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``conf`` is the job's ``spark`` map and overrides the defaults,
+    exactly as the reference merges job conf over its hadoop defaults
+    (reference: spark-job/read.py:79-80).
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    merged = dict(DEFAULT_CONF)
+    merged.setdefault("spark.sql.shuffle.partitions", str(cpus))
+    merged.setdefault("spark.default.parallelism", str(cpus))
+    if protocol in ("s3", "s3a"):
+        merged.update(S3A_CONF)
+    if conf:
+        merged.update({str(k): str(v) for k, v in conf.items()})
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def get_test_session() -> SparkSession:
+    """Session for tests/bench: local[N], small shuffle width."""
+    return build_session(app_name="s3-sqs-ingestion-spark-test")

@@ -1,0 +1,339 @@
+"""``ManagedTable`` — a parquet-backed snapshot table with upsert.
+
+Stands in for the reference's Iceberg v2 target table (reference:
+spark-job/read.py:195-246).  No Iceberg/Delta runtime jar is bundled in
+this environment, so instead of ``MERGE INTO`` on a V2 catalog the same
+semantics are implemented as a versioned-snapshot layout over plain
+parquet plus DataFrame programs:
+
+```
+<table_path>/
+    _meta.json                  table contract: schema, partition cols,
+                                key cols, merge policy, properties
+    _snapshots/v00000001.json   manifest: list of (data root, partition
+                                subdirs) pairs that make up the version
+    _current                    pointer file -> committed version
+    data/v00000001/...          immutable parquet data, hive-partitioned
+```
+
+Commit protocol: data and manifest are written first, then the
+``_current`` pointer is swapped with an atomic rename — readers always
+see a complete snapshot (single-writer; the reference is also a
+single-writer loop, spark-job/read.py:330-350).
+
+Scale design (the part that matters at 100 TB):
+
+- **Partition-aware copy-on-write merge.** A merge only reads and
+  rewrites the hive partitions that the source batch actually touches;
+  untouched partition directories are carried over into the new
+  manifest by reference.  With a CDC batch touching k of N partitions,
+  a merge costs O(size of k partitions), not O(table).  This is the
+  same pruning Iceberg does with manifests, expressed with parquet
+  directory partitioning.
+- **One shuffle per merge.**  The upsert itself is an anti-join + union
+  (or union + window for ``latest_wins``) hash-partitioned on the key
+  columns — Spark's canonical upsert plan.  Small CDC batches broadcast
+  automatically under AQE.
+- **No driver data paths.**  Only distinct partition *values* of the
+  incoming batch are collected (bounded by partition cardinality by
+  construction); rows never move through the driver.
+
+Local-FS note: partition-directory discovery uses ``glob``; on an
+object store this listing would go through the Hadoop FileSystem API —
+the manifest format is unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators.merge import dedup_latest, merge_upsert
+
+_META = "_meta.json"
+_CURRENT = "_current"
+_SNAPDIR = "_snapshots"
+
+
+@dataclass
+class TableMeta:
+    schema_json: str
+    partition_cols: list[str] = field(default_factory=list)
+    key_cols: list[str] = field(default_factory=list)
+    order_column: str | None = None
+    merge_policy: str = "unconditional"
+    table_type: str = "COW"  # accepted for parity; executed as COW
+    compression: str = "zstd"
+    properties: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+
+def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project/cast ``df`` onto ``schema`` (explicit align-and-cast step;
+    the reference relied on implicit MERGE analyzer casts, SURVEY §1.3)."""
+    cols = []
+    for f in schema.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif f.nullable:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(f"source is missing non-nullable column {f.name!r}")
+    return df.select(*cols)
+
+
+class ManagedTable:
+    """Parquet snapshot table with append / overwrite / merge modes
+    (reference write-mode dispatch: spark-job/read.py:229-246)."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: TableMeta):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    # ------------------------------------------------------------- DDL
+    @staticmethod
+    def exists(path: str) -> bool:
+        """Catalog existence probe (reference: spark-job/read.py:199)."""
+        return os.path.exists(os.path.join(path, _META))
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        partition_cols: Sequence[str] = (),
+        key_cols: Sequence[str] = (),
+        order_column: str | None = None,
+        merge_policy: str = "unconditional",
+        table_type: str = "COW",
+        compression: str = "zstd",
+        properties: dict[str, str] | None = None,
+    ) -> "ManagedTable":
+        """Create an empty table from a schema contract (reference DDL
+        path: spark-job/read.py:199-228; unlike the reference, the
+        configured compression codec is actually honored)."""
+        if cls.exists(path):
+            raise FileExistsError(f"table already exists at {path}")
+        for c in partition_cols:
+            if c not in schema.fieldNames():
+                raise ValueError(f"partition column {c!r} not in schema")
+        meta = TableMeta(
+            schema_json=json.dumps(schema.jsonValue()),
+            partition_cols=list(partition_cols),
+            key_cols=list(key_cols),
+            order_column=order_column,
+            merge_policy=merge_policy,
+            table_type=table_type,
+            compression=compression,
+            properties=dict(properties or {}),
+        )
+        os.makedirs(os.path.join(path, _SNAPDIR), exist_ok=True)
+        with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
+            json.dump(meta.__dict__, fh, indent=2)
+        table = cls(spark, path, meta)
+        table._commit_snapshot([])  # v1 = empty table
+        return table
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "ManagedTable":
+        with open(os.path.join(path, _META), encoding="utf-8") as fh:
+            return cls(spark, path, TableMeta(**json.load(fh)))
+
+    @classmethod
+    def create_if_absent(cls, spark: SparkSession, path: str, schema: T.StructType, **kw):
+        if cls.exists(path):
+            return cls.load(spark, path)
+        return cls.create(spark, path, schema, **kw)
+
+    # -------------------------------------------------------- snapshots
+    def _current_version(self) -> int:
+        with open(os.path.join(self.path, _CURRENT), encoding="utf-8") as fh:
+            return int(fh.read().strip().lstrip("v"))
+
+    def _read_manifest(self) -> list[dict]:
+        v = self._current_version()
+        with open(
+            os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json"), encoding="utf-8"
+        ) as fh:
+            return json.load(fh)["entries"]
+
+    def _commit_snapshot(self, entries: list[dict]) -> int:
+        prev = self._current_version() if os.path.exists(
+            os.path.join(self.path, _CURRENT)
+        ) else 0
+        v = prev + 1
+        snap = os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json")
+        with open(snap, "w", encoding="utf-8") as fh:
+            json.dump({"version": v, "entries": entries}, fh, indent=2)
+        tmp = os.path.join(self.path, f"{_CURRENT}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(f"v{v:08d}")
+        os.replace(tmp, os.path.join(self.path, _CURRENT))  # atomic commit
+        return v
+
+    def _new_root(self) -> str:
+        return os.path.join(self.path, "data", f"v{self._current_version() + 1:08d}")
+
+    # ------------------------------------------------------------ read
+    def _read_entry(self, entry: dict) -> DataFrame:
+        root = os.path.join(self.path, entry["root"])
+        if entry.get("parts"):
+            paths = [os.path.join(root, p) for p in entry["parts"]]
+            df = self.spark.read.option("basePath", root).parquet(*paths)
+        else:
+            df = self.spark.read.parquet(root)
+        return align_to_schema(df, self.meta.schema)
+
+    def read(self) -> DataFrame:
+        entries = self._read_manifest()
+        if not entries:
+            return self.spark.createDataFrame([], self.meta.schema)
+        dfs = [self._read_entry(e) for e in entries]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # ----------------------------------------------------------- write
+    def _write_data(self, df: DataFrame, root: str) -> dict:
+        writer = df.write.option("compression", self.meta.compression)
+        if self.meta.partition_cols:
+            writer = writer.partitionBy(*self.meta.partition_cols)
+        writer.parquet(root, mode="errorifexists")
+        return {
+            "root": os.path.relpath(root, self.path),
+            "parts": self._list_parts(root) if self.meta.partition_cols else None,
+        }
+
+    def _list_parts(self, root: str) -> list[str]:
+        pattern = os.path.join(root, *["*=*"] * len(self.meta.partition_cols))
+        return sorted(os.path.relpath(p, root) for p in glob.glob(pattern))
+
+    def append(self, df: DataFrame) -> int:
+        """Append sink (reference: spark-job/read.py:231-233)."""
+        entry = self._write_data(align_to_schema(df, self.meta.schema), self._new_root())
+        return self._commit_snapshot(self._read_manifest() + [entry])
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Full-table overwrite sink (reference: spark-job/read.py:234-236)."""
+        entry = self._write_data(align_to_schema(df, self.meta.schema), self._new_root())
+        return self._commit_snapshot([entry])
+
+    # ----------------------------------------------------------- merge
+    def merge(
+        self,
+        source: DataFrame,
+        key_cols: Sequence[str] | None = None,
+        order_column: str | None = None,
+        policy: str | None = None,
+    ) -> int:
+        """Upsert ``source`` into the table (reference merge sink:
+        spark-job/read.py:237-239 + spark-job/mergeSQL.sql).
+
+        Dedup-by-recency is applied within the batch when an order
+        column is available (reference: spark-job/mergeSQL.sql:14-21);
+        then matched keys are replaced per the merge policy.  Only the
+        hive partitions present in ``source`` are read and rewritten.
+        """
+        keys = list(key_cols or self.meta.key_cols)
+        if not keys:
+            raise ValueError("merge requires key columns")
+        order_col = order_column or self.meta.order_column
+        policy = policy or self.meta.merge_policy
+
+        if order_col and order_col in source.columns:
+            source = dedup_latest(source, keys, order_col)
+        src = align_to_schema(source, self.meta.schema)
+        merge_order = order_col if (policy == "latest_wins") else None
+        if merge_order and merge_order not in self.meta.schema.fieldNames():
+            raise ValueError(
+                f"latest_wins merge needs order column {merge_order!r} in the table schema"
+            )
+
+        entries = self._read_manifest()
+        parts_cols = self.meta.partition_cols
+        if not parts_cols:
+            merged = merge_upsert(self.read(), src, keys, merge_order, policy)
+            entry = self._write_data(merged, self._new_root())
+            return self._commit_snapshot([entry])
+
+        # Partition-pruned COW: collect only the distinct partition
+        # VALUES of the batch (bounded, low-cardinality by design).
+        def _dirval(v) -> str:
+            return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+
+        affected = {
+            "/".join(f"{c}={_dirval(r[c])}" for c in parts_cols)
+            for r in src.select(*parts_cols).distinct().collect()
+        }
+        kept_entries: list[dict] = []
+        affected_paths: list[tuple[str, str]] = []  # (root, part)
+        for e in entries:
+            parts = e.get("parts") or []
+            hit = [p for p in parts if p in affected]
+            kept = [p for p in parts if p not in affected]
+            if kept:
+                kept_entries.append({"root": e["root"], "parts": kept})
+            for p in hit:
+                affected_paths.append((os.path.join(self.path, e["root"]), p))
+
+        if affected_paths:
+            roots = {}
+            for root, p in affected_paths:
+                roots.setdefault(root, []).append(p)
+            dfs = []
+            for root, ps in roots.items():
+                d = self.spark.read.option("basePath", root).parquet(
+                    *[os.path.join(root, p) for p in ps]
+                )
+                dfs.append(align_to_schema(d, self.meta.schema))
+            target_affected = dfs[0]
+            for d in dfs[1:]:
+                target_affected = target_affected.unionByName(d)
+        else:
+            target_affected = self.spark.createDataFrame([], self.meta.schema)
+
+        merged = merge_upsert(target_affected, src, keys, merge_order, policy)
+        new_entry = self._write_data(merged, self._new_root())
+        return self._commit_snapshot(kept_entries + [new_entry])
+
+    # ------------------------------------------------------------ misc
+    def write(self, df: DataFrame, mode: str) -> int:
+        """Mode dispatch (reference: spark-job/read.py:229-246) —
+        fails loudly on unknown modes."""
+        if mode == "append":
+            return self.append(df)
+        if mode == "overwrite":
+            return self.overwrite(df)
+        if mode == "merge":
+            return self.merge(df)
+        raise ValueError(f"unknown write mode: {mode!r}")
+
+    def history(self) -> list[int]:
+        snaps = glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json"))
+        return sorted(int(os.path.basename(s)[1:-5]) for s in snaps)
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel to an earlier snapshot."""
+        with open(
+            os.path.join(self.path, _SNAPDIR, f"v{version:08d}.json"), encoding="utf-8"
+        ) as fh:
+            entries = json.load(fh)["entries"]
+        if not entries:
+            return self.spark.createDataFrame([], self.meta.schema)
+        out = self._read_entry(entries[0])
+        for e in entries[1:]:
+            out = out.unionByName(self._read_entry(e))
+        return out

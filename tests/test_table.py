@@ -1,0 +1,142 @@
+"""ManagedTable: append / overwrite / merge, partition-aware COW,
+snapshot isolation, time travel."""
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from s3_sqs_data_ingestion_demo_spark.table import ManagedTable, align_to_schema
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("part", T.StringType(), False),
+        T.StructField("val", T.DoubleType(), True),
+        T.StructField("ts", T.LongType(), True),
+    ]
+)
+
+
+def rows_of(df):
+    return sorted((r.id, r.part, r.val, r.ts) for r in df.collect())
+
+
+def make(spark, tmp_path, partitioned=True, policy="unconditional"):
+    return ManagedTable.create(
+        spark,
+        os.path.join(tmp_path, "tbl"),
+        SCHEMA,
+        partition_cols=["part"] if partitioned else [],
+        key_cols=["id"],
+        order_column="ts",
+        merge_policy=policy,
+    )
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_create_read_empty(spark, tmp_path):
+    t = make(spark, str(tmp_path))
+    assert t.read().count() == 0
+    assert t.read().schema == SCHEMA
+    assert ManagedTable.exists(t.path)
+
+
+def test_create_twice_fails(spark, tmp_path):
+    make(spark, str(tmp_path))
+    with pytest.raises(FileExistsError):
+        make(spark, str(tmp_path))
+
+
+def test_append_accumulates(spark, tmp_path):
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    t.append(df_of(spark, [(2, "b", 2.0, 1)]))
+    assert rows_of(t.read()) == [(1, "a", 1.0, 1), (2, "b", 2.0, 1)]
+
+
+def test_overwrite_replaces(spark, tmp_path):
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    t.overwrite(df_of(spark, [(9, "z", 9.0, 1)]))
+    assert rows_of(t.read()) == [(9, "z", 9.0, 1)]
+
+
+def test_merge_upsert_unconditional(spark, tmp_path):
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a", 1.0, 1), (2, "a", 2.0, 1), (3, "b", 3.0, 1)]))
+    # batch: update id=2 (twice — within-batch dedup picks ts=5), insert id=4
+    t.merge(df_of(spark, [(2, "a", 20.0, 5), (2, "a", 21.0, 4), (4, "b", 4.0, 2)]))
+    assert rows_of(t.read()) == [
+        (1, "a", 1.0, 1), (2, "a", 20.0, 5), (3, "b", 3.0, 1), (4, "b", 4.0, 2),
+    ]
+
+
+def test_merge_partition_pruning_rewrites_only_affected(spark, tmp_path):
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a", 1.0, 1), (3, "b", 3.0, 1), (5, "c", 5.0, 1)]))
+    v_before = t._current_version()
+    t.merge(df_of(spark, [(1, "a", 10.0, 2)]))  # touches only part=a
+    manifest = t._read_manifest()
+    # untouched partitions b,c must be carried over from the old root
+    carried = [e for e in manifest if e["root"].endswith(f"v{v_before:08d}")]
+    assert carried and sorted(carried[0]["parts"]) == ["part=b", "part=c"]
+    new = [e for e in manifest if not e["root"].endswith(f"v{v_before:08d}")]
+    assert new and new[0]["parts"] == ["part=a"]
+    assert rows_of(t.read()) == [(1, "a", 10.0, 2), (3, "b", 3.0, 1), (5, "c", 5.0, 1)]
+
+
+def test_merge_latest_wins_rejects_stale(spark, tmp_path):
+    t = make(spark, str(tmp_path), policy="latest_wins")
+    t.append(df_of(spark, [(1, "a", 1.0, 10)]))
+    t.merge(df_of(spark, [(1, "a", 99.0, 5)]))  # stale update: older ts
+    assert rows_of(t.read()) == [(1, "a", 1.0, 10)]
+    t.merge(df_of(spark, [(1, "a", 2.0, 11)]))  # fresh update wins
+    assert rows_of(t.read()) == [(1, "a", 2.0, 11)]
+
+
+def test_merge_unconditional_is_reference_bug_compatible(spark, tmp_path):
+    """SURVEY §2.4 T4: the reference's WHEN MATCHED updates with no
+    timestamp guard, so a late stale batch regresses the row."""
+    t = make(spark, str(tmp_path), policy="unconditional")
+    t.append(df_of(spark, [(1, "a", 1.0, 10)]))
+    t.merge(df_of(spark, [(1, "a", 99.0, 5)]))
+    assert rows_of(t.read()) == [(1, "a", 99.0, 5)]
+
+
+def test_merge_idempotent_redelivery(spark, tmp_path):
+    t = make(spark, str(tmp_path))
+    batch = [(1, "a", 1.0, 1), (2, "b", 2.0, 1)]
+    t.merge(df_of(spark, batch))
+    t.merge(df_of(spark, batch))  # redelivered
+    assert rows_of(t.read()) == sorted(batch)
+
+
+def test_unpartitioned_merge(spark, tmp_path):
+    t = make(spark, str(tmp_path), partitioned=False)
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    t.merge(df_of(spark, [(1, "a", 2.0, 2), (2, "b", 1.0, 1)]))
+    assert rows_of(t.read()) == [(1, "a", 2.0, 2), (2, "b", 1.0, 1)]
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    v2 = t._current_version()
+    t.merge(df_of(spark, [(1, "a", 2.0, 2)]))
+    assert rows_of(t.read_version(v2)) == [(1, "a", 1.0, 1)]
+    assert rows_of(t.read()) == [(1, "a", 2.0, 2)]
+    assert t.history() == [1, 2, 3]
+
+
+def test_align_to_schema_casts_and_fills():
+    import pyspark.sql.functions as F  # noqa: F401
+
+
+def test_write_mode_dispatch_fails_loudly(spark, tmp_path):
+    t = make(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="unknown write mode"):
+        t.write(df_of(spark, [(1, "a", 1.0, 1)]), "upsert")
