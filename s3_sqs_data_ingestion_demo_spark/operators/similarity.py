@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random-hyperplane / SimHash-for-vectors) variant as the scale path.
+
+Everything is built-in ``pyspark.sql.functions`` — the dot product is
+``aggregate(zip_with(...))`` over double-cast arrays, JVM-side, no
+Python in the loop.  Embedding math is done in float64 on both engines
+so oracle comparisons agree to rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dvec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Plan: broadcast the (small) query set, one pass over the corpus
+    computing cosine, then per-query top-k via window.  Cost is
+    O(|corpus| × |queries| × dim) FLOPs with NO shuffle of the corpus —
+    the only shuffle is the per-query top-k over |q|×|corpus| rows.
+    The ranking uses (rounded cosine, neighbor id) so the selected set
+    is deterministic across engines.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (pure Python LCG so the
+    planes are reproducible without numpy's global state)."""
+    planes: list[list[float]] = []
+    state = seed & 0x7FFFFFFF or 1
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            v.append(state / float(1 << 31) * 2.0 - 1.0)
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket(vec_col: str | Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane.
+
+    Vectors in the same bucket are likely neighbors (cosine LSH);
+    bucketing before the join turns all-pairs O(n²) into
+    sum-over-buckets O(Σ b²).
+    """
+    v = _dvec(vec_col)
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs via LSH-bucketed self-join.
+
+    Exact within buckets: pairs that land in the same sign-pattern
+    bucket are verified with full cosine.  (Single-table variant; for
+    recall-critical use, union over several plane seeds.)
+    Returns (id_a, id_b, cosine_sim >= threshold), id_a < id_b.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        _dvec(vec_col).alias("v"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
+    left = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    right = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

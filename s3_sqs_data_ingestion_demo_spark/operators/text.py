@@ -1,0 +1,125 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All column builders are pure ``pyspark.sql.functions`` expressions —
+JVM-side, whole-stage-codegen'd, no Python in the row loop — so they
+cost one narrow projection over the scan at any scale.
+
+Operators: tokenization / token stats, quality scoring
+(length / punctuation / stopword ratios), marker-word language ID,
+and content fingerprinting (normalized-text hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker-word sets for the language-ID heuristic.  Deliberately tiny
+# and deterministic: the operator contract is "argmax of marker-word
+# hits with a fixed tie order", which an oracle can replicate exactly.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"),
+}
+LANG_ORDER = tuple(LANG_MARKERS)  # tie-break preference order
+
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be",
+)
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization; empty text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    # counts WITH multiplicity (filter, not intersect) so the score is
+    # a real frequency signal
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach quality-scoring feature columns.
+
+    - ``n_tokens``, ``avg_token_len``
+    - ``punct_ratio``  — non-alphanumeric-non-space chars / chars
+    - ``digit_ratio``  — digit chars / chars
+    - ``stopword_ratio`` — stopword tokens / tokens
+    - ``quality_score`` — a simple monotone combination in [0, 1]
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    nz_chars = F.greatest(n_chars, F.lit(1))
+    nz_tokens = F.greatest(n_tokens, F.lit(1))
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    stop = _count_in(toks, STOPWORDS)
+    avg_tok = (n_chars - (n_tokens - 1)) / nz_tokens
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", F.round(avg_tok, 4))
+        .withColumn("punct_ratio", F.round(punct / nz_chars, 4))
+        .withColumn("digit_ratio", F.round(digits / nz_chars, 4))
+        .withColumn("stopword_ratio", F.round(stop / nz_tokens, 4))
+        .withColumn(
+            "quality_score",
+            F.round(
+                length_score
+                * (1 - F.least(punct / nz_chars * 4, F.lit(1.0)))
+                * (1 - F.least(digits / nz_chars * 4, F.lit(1.0))),
+                4,
+            ),
+        )
+    )
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    toks = tokens(col)
+    return {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(col: str | Column) -> Column:
+    """Marker-word language ID: argmax of per-language marker hits,
+    ties broken by ``LANG_ORDER``; zero hits everywhere → ``und``.
+
+    Expressed as a chained CASE so the plan is pure codegen and an SQL
+    oracle can replicate it verbatim.
+    """
+    scores = lang_scores(col)
+    expr = F.lit("und")
+    # build the CASE back-to-front so earlier langs win ties
+    for lang in reversed(LANG_ORDER):
+        others = [scores[o] for o in LANG_ORDER if o != lang]
+        cond = (scores[lang] > 0) & (scores[lang] >= F.greatest(*others))
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Content fingerprint: md5 of the normalized text.  Identical
+    logical content (modulo case/punct/whitespace) → identical
+    fingerprint; the exact-dedup key for noisy corpora."""
+    return F.md5(normalize_text(col))

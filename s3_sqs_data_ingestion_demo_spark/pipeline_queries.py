@@ -1,0 +1,269 @@
+"""Training-data-pipeline operators as driver-checkable queries.
+
+Each entry pairs the Spark operator (operators/text.py, dedup.py,
+similarity.py) with a DuckDB oracle.  Where the operator depends on
+shared constants (marker-word lists, stopwords, hash seeds), the
+oracle SQL is GENERATED from the same Python constants so the two
+sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as X
+from .queries import QuerySpec, REGISTRY, query, t
+
+# ---------------------------------------------------------------- SQL
+# fragments reused by the generated oracles
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_SHINGLE_CTE = """
+WITH tok AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shs
+  FROM tok
+), sh AS (
+  SELECT DISTINCT id, shingle
+  FROM (SELECT doc_id AS id, unnest(shs) AS shingle FROM sh0)
+), sizes AS (
+  SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+)""".format(toks=_TOKS)
+
+
+# --------------------------------------------------------------------
+# Exact dedup + fingerprinting
+# --------------------------------------------------------------------
+
+@query(
+    "dedup_exact_documents",
+    f"""
+    SELECT md5({_NORM}) AS text_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact (normalized-content-hash) dedup — one hash aggregate;
+    the shuffle carries (hash, id), never document payloads."""
+    return D.exact_dedup_keys(t(spark, sf, "documents"))
+
+
+@query(
+    "fingerprint_documents",
+    f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+)
+def fingerprint_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document content fingerprint (normalize → md5); pure
+    projection, zero shuffle."""
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", X.fingerprint("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------
+
+def _quality_oracle() -> str:
+    stop = _in_list(X.STOPWORDS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars_raw,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+             len(list_filter({_TOKS}, x -> x IN ({stop}))) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND((n_chars_raw - (n_tokens - 1)) * 1.0 / greatest(n_tokens, 1), 4) AS avg_token_len,
+           ROUND(punct * 1.0 / greatest(n_chars_raw, 1), 4) AS punct_ratio,
+           ROUND(digits * 1.0 / greatest(n_chars_raw, 1), 4) AS digit_ratio,
+           ROUND(stop_hits * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio,
+           ROUND(least(n_tokens / 100.0, 1.0)
+                 * (1 - least(punct * 4.0 / greatest(n_chars_raw, 1), 1.0))
+                 * (1 - least(digits * 4.0 / greatest(n_chars_raw, 1), 1.0)), 4) AS quality_score
+    FROM base
+    """
+
+
+@query("text_quality_documents", _quality_oracle())
+def text_quality_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-scoring features: one codegen'd projection per doc."""
+    d = t(spark, sf, "documents")
+    return X.quality_features(d).select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+        "digit_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: f"len(list_filter({_TOKS}, x -> x IN ({_in_list(words)})))"
+        for lang, words in X.LANG_MARKERS.items()
+    }
+    cases = []
+    for lang in X.LANG_ORDER:
+        others = ", ".join(score[o] for o in X.LANG_ORDER if o != lang)
+        cases.append(
+            f"WHEN {score[lang]} > 0 AND {score[lang]} >= greatest({others}) THEN '{lang}'"
+        )
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"SELECT doc_id, {case_sql} AS lang_pred FROM documents"
+
+
+@query("lang_id_documents", _langid_oracle())
+def lang_id_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-word language ID (argmax with fixed tie order); the
+    oracle CASE is generated from the same marker table."""
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", X.lang_id("text").alias("lang_pred"))
+
+
+# --------------------------------------------------------------------
+# Near-duplicate detection
+# --------------------------------------------------------------------
+
+_JACCARD_TAIL = """
+, freq_ok AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_freq}
+), shf AS (
+  SELECT sh.id, sh.shingle FROM sh JOIN freq_ok USING (shingle)
+), common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a AS doc_id_a, id_b AS doc_id_b,
+       ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes na ON na.id = id_a
+JOIN sizes nb ON nb.id = id_b
+WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= {threshold}
+"""
+
+
+@query(
+    "jaccard_near_dup_documents",
+    _SHINGLE_CTE + _JACCARD_TAIL.format(max_freq=100, threshold=0.12),
+)
+def jaccard_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """3-gram-shingle Jaccard near-dup: co-shingle bucket join (LSH-lite
+    candidate generation) + exact verification; stop-shingle frequency
+    cap bounds hot buckets."""
+    return D.jaccard_near_dup_pairs(
+        t(spark, sf, "documents"), threshold=0.12, max_shingle_freq=100
+    )
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.12) -> str:
+    rows = num_hashes // bands
+    return _SHINGLE_CTE + f"""
+, sigs AS (
+  SELECT id, s.s AS s, MIN(md5(s.s || ':' || shingle)) AS h
+  FROM sh, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS s) s
+  GROUP BY id, s.s
+), bands AS (
+  SELECT id, s // {rows} AS band, string_agg(h, '|' ORDER BY s) AS key
+  FROM sigs GROUP BY id, s // {rows}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a AS doc_id_a, id_b AS doc_id_b,
+       ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
+FROM common
+JOIN sizes na ON na.id = id_a
+JOIN sizes nb ON nb.id = id_b
+WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= {threshold}
+"""
+
+
+@query("minhash_lsh_near_dup_documents", _minhash_oracle())
+def minhash_lsh_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) near-dup: constant-size signatures →
+    band-key join → exact-Jaccard verification of candidates only.
+    md5 is the seeded hash family, so the oracle replicates it."""
+    return D.minhash_dedup_pairs(
+        t(spark, sf, "documents"), num_hashes=16, bands=4, threshold=0.12
+    )
+
+
+# --------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   4) AS cosine_sim
+      FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast the
+    query set, one corpus pass, per-query window top-k.  The exact
+    baseline that the LSH variant is measured against."""
+    e = t(spark, sf, "embeddings")
+    return S.cosine_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+@query("lsh_cosine_near_dup", None)  # rows-only: bucket boundaries are float-sign sensitive
+def lsh_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup over embeddings: 8 sign bits →
+    bucket self-join → exact cosine verify.  Rows-only check (bucket
+    membership flips on float-sign boundaries across engines)."""
+    return S.lsh_cosine_pairs(
+        t(spark, sf, "embeddings"), n_planes=8, dim=64, threshold=0.5
+    )
+
+
+__all__ = ["REGISTRY", "QuerySpec"]

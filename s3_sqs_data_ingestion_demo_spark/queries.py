@@ -1,0 +1,645 @@
+"""The engine's query surface, exercised over the driver test tables.
+
+The reference exposes the full Spark SQL operator surface through its
+``transform_query`` hook (reference: spark-job/job.json:19, SURVEY §2
+R-T) and its merge SQL (reference: spark-job/mergeSQL.sql).  This module
+is that surface made concrete: every relational operator family —
+scans, filters, projections, aggregations, all join types, windows,
+set ops, rollup, JSON extraction, CDC dedup-by-recency — implemented
+DataFrame-first, each paired with an ANSI-SQL oracle that DuckDB runs
+on the same parquet for the driver's correctness gate.
+
+Conventions (driver contract):
+- every computed column is aliased identically in Spark and oracle SQL
+- floating aggregates are ROUNDed (2 for money, 4 for ratios) on both
+  sides so value-hashes match across engines
+- DuckDB integer sums are cast to BIGINT to match Spark's LongType
+- date/timestamp outputs are formatted to strings on both sides
+- top-k queries carry a unique-key tiebreak so the selected SET is
+  deterministic across engines
+
+Scale notes are in each query's docstring: what shuffles, what
+broadcasts, what prunes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos
+    # (see session.py nanosAsLong conf); convert to a real timestamp.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+    return deco
+
+
+def _r2(c):
+    return F.round(c, 2)
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------
+# Relational surface: aggregation
+# --------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary.
+
+    Scale: single scan, map-side partial aggregation into 6 groups —
+    the shuffle moves only partial aggregates, never rows.  The
+    shipdate filter pushes down to the parquet scan.
+    """
+    l = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _r2(F.sum("l_quantity")).alias("sum_qty"),
+        _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+        _r2(F.sum(disc_price)).alias("sum_disc_price"),
+        _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+        _r4(F.avg("l_quantity")).alias("avg_qty"),
+        _r4(F.avg("l_extendedprice")).alias("avg_price"),
+        _r4(F.avg("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT)                    AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + global aggregate; all predicates
+    push down to the scan, no shuffle beyond the final 1-row combine."""
+    l = t(spark, sf, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Relational surface: joins
+# --------------------------------------------------------------------
+
+@query(
+    "q03_top_unshipped_orders",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter → fact joins → top-k.
+
+    Scale: ``customer`` filtered to one segment is broadcast, so the
+    orders⨝customer join is shuffle-free; only orders⨝lineitem
+    shuffles on orderkey.  Top-k with a key tiebreak is a
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    )
+    l = t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01 00:00:00"))
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_region_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q05_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join.
+
+    Scale: region/nation/supplier/filtered-customer are all dims →
+    broadcast; the only big shuffle is orders⨝lineitem on orderkey.
+    """
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf, "nation")
+    c = t(spark, sf, "customer")
+    s = t(spark, sf, "supplier")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    l = t(spark, sf, "lineitem")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@query(
+    "q04_late_shipments",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS via left-semi join.
+
+    Scale: semi join shuffles both sides on orderkey but the probe
+    side short-circuits on first match; no duplicate explosion.
+    """
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    l = t(spark, sf, "lineitem")
+    sem = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(MAX(c_acctbal), 2)                          AS acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report; broadcast nation dim,
+    one orderkey shuffle, top-20 with key tiebreak."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-07-01 00:00:00")))
+    )
+    l = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            _r2(F.max("c_acctbal")).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_lines",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation over a fact join."""
+    o = t(spark, sf, "orders")
+    l = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14-style: part dim broadcast; single-row ratio output."""
+    p = t(spark, sf, "part")
+    l = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-03-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01 00:00:00")))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(_r4(F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_share"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')   AS orderdate,
+           ROUND(o_totalprice, 2)              AS totalprice,
+           ROUND(SUM(l_quantity), 2)           AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING SUM(l_quantity) > 150
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18-style HAVING over a join; the quantity pre-aggregation
+    happens on the already-orderkey-partitioned side, so the HAVING
+    filter runs before the customer broadcast join."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    l = t(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 150)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _r2(F.col("o_totalprice")).alias("totalprice"),
+            _r2(F.col("_qty")).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_customers_without_orders",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)      AS n_customers,
+           ROUND(SUM(c_acctbal), 2)      AS total_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT EXISTS via left-anti join, then a tiny aggregation."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r2(F.sum("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Relational surface: windows, rollup, set ops
+# --------------------------------------------------------------------
+
+@query(
+    "q_top3_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(o_totalprice, 2) AS totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_top3_orders_per_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k-per-group — the same window pattern as the reference's
+    dedup subquery (reference: spark-job/mergeSQL.sql:14-21), ranked
+    on value with a key tiebreak for cross-engine determinism."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            _r2(F.col("o_totalprice")).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "q_rollup_customer_geo",
+    """
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_customer_geo(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r2(F.sum("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_building_big_spenders_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def q_building_big_spenders_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT set op (physical plan: aggregate + semi join)."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.intersect(o)
+
+
+@query(
+    "q_machinery_never_urgent_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_machinery_never_urgent_except(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT set op (physical plan: aggregate + anti join)."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    o = (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+# --------------------------------------------------------------------
+# Events: time-series / CDC / JSON surface
+# --------------------------------------------------------------------
+
+@query(
+    "q_events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS sum_value,
+           ROUND(AVG(value), 4)      AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming
+    windowed agg; the streaming variant lives in streaming/)."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("sum_value"),
+            _r4(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "q_events_latest_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           ROUND(value, 2) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_events_latest_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC dedup-by-recency — exactly the reference's merge dedup
+    semantics (reference: spark-job/mergeSQL.sql:14-21) applied to the
+    events stream: latest row per key."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            _r2(F.col("value")).alias("value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        )
+    )
+
+
+@query(
+    "q_events_json_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2)     AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON path extraction from the string ``props`` column —
+    JVM-side ``get_json_object``, no Python in the loop."""
+    e = t(spark, sf, "events")
+    return (
+        e.withColumn(
+            "k_bucket", (F.get_json_object("props", "$.k").cast("int") % 10)
+        )
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), _r2(F.sum("value")).alias("sum_value"))
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all driver tables and register them as temp views (the
+    SQL-side mirror of this module's DataFrame surface)."""
+    out = {}
+    for name in TABLES:
+        df = t(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

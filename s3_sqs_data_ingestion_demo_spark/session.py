@@ -27,6 +27,9 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no
+    # nanosecond timestamp type); accessors convert ns → timestamp.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 # s3a defaults for cloud runs — parity with reference: spark-job/read.py:68-77.

@@ -1,0 +1,81 @@
+"""Local mirror of the driver's correctness gate: run every registered
+query on Spark AND its DuckDB oracle on the same parquet, compare
+row counts, column names, and order-insensitive values.
+
+Runs at sf0.001 for speed (the driver uses sf0.01).
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF}/{name}.parquet'"
+        )
+    return con
+
+
+def normalize(rows):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(round(v, 6))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+ORACLES = oracle_sql()
+ALL = queries()
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = ALL[name](spark, SF)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        assert len(spark_rows) >= 0  # rows-only check, driver parity
+        return
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    # align column order by name before comparing values
+    sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    didx = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s_norm = normalize([tuple(r[i] for i in sidx) for r in spark_rows])
+    d_norm = normalize([tuple(r[i] for i in didx) for r in duck_rows])
+    assert len(s_norm) == len(d_norm), f"{name}: {len(s_norm)} vs {len(d_norm)} rows"
+    mism = [
+        (a, b) for a, b in zip(s_norm, d_norm) if a != b
+    ]
+    assert not mism, f"{name}: first mismatches {mism[:3]}"
