@@ -47,19 +47,34 @@ def exact_dedup_keys(
 
 
 def shingles(col: str | Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (built-ins only:
-    split → sequence → transform → concat_ws)."""
+    """Word n-gram shingles as an array column.
+
+    Built as ``zip_with`` over the token array and its suffix slices —
+    O(n) evaluations of the tokenizer per row.  (A per-index
+    ``transform`` + ``element_at`` formulation re-evaluates the
+    ``split`` inside every lambda element — O(tokens²) per row — and
+    was 10× slower; higher-order-function lambdas don't get common
+    subexpression elimination.)
+
+    Positions past ``len - n`` null-propagate through ``concat`` and
+    are filtered, so short/empty texts yield empty arrays.
+    """
     toks = tokens(col)
-    k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
-    return F.when(k < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
-    )
+    cur = toks
+    for j in range(1, n):
+        suffix = F.slice(toks, j + 1, F.greatest(F.size(toks), F.lit(1)))
+        cur = F.zip_with(cur, suffix, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(cur, lambda x: x.isNotNull())
+
+
+def _shingle_base(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shs: distinct shingle array, n_sh) — computed in one
+    projection so set size travels with the rows and never needs a
+    separate aggregation/join."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, n)).alias("shs"),
+    ).withColumn("n_sh", F.size("shs"))
 
 
 def jaccard_near_dup_pairs(
@@ -70,44 +85,46 @@ def jaccard_near_dup_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int = 100,
 ) -> DataFrame:
-    """Candidate pairs by co-shingle join, verified by exact Jaccard.
+    """Candidate pairs by co-shingle bucketing, verified by exact
+    Jaccard.
 
-    Scale levers:
-    - candidates only form inside a shingle bucket (join on shingle);
-    - shingles appearing in more than ``max_shingle_freq`` docs are
-      dropped before the join (stop-shingle cap — they generate
-      O(freq²) pairs and carry no signal);
-    - the pair aggregation counts common shingles per pair, so the
-      shuffle carries (id, id, 1) triples, not shingle text.
+    Plan (2 shuffles total, single scan):
+    1. project (id, distinct shingles, n_sh) — set size rides along,
+       no separate sizes aggregation;
+    2. explode and group by shingle, collecting the member list —
+       ONE shuffle; buckets larger than ``max_shingle_freq`` are
+       dropped whole (stop-shingle cap: hot shingles generate O(freq²)
+       pairs and carry no signal);
+    3. pairs generated locally inside each bucket (double explode of
+       the collected member array — no self-join);
+    4. per-pair common-shingle count — second shuffle on (id_a, id_b),
+       carrying only ids and the piggybacked set sizes.
 
     Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b and
     jaccard >= threshold, rounded to 4 for cross-engine comparison.
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle"))
-        .distinct()
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    freq_ok = (
+    base = _shingle_base(df, text_col, id_col, n)
+    sh = base.select("id", "n_sh", F.explode("shs").alias("shingle"))
+    buckets = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") <= max_shingle_freq)
-        .select("shingle")
+        .agg(F.collect_list(F.struct("id", "n_sh")).alias("members"))
+        .filter(F.size("members") <= max_shingle_freq)
+        .filter(F.size("members") >= 2)
     )
-    sh_f = sh.join(freq_ok, "shingle")
-    a = sh_f.select(F.col("id").alias("id_a"), "shingle")
-    b = sh_f.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    pairs = (
+        buckets.select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        pairs.groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
             "jaccard",
             F.round(
@@ -139,16 +156,18 @@ def minhash_signatures(
 
     Output: (id, h0..h{num_hashes-1}).  Signature size is constant, so
     at scale this replaces O(doc_len) shingle sets with O(num_hashes)
-    per doc before any join.
+    per doc before any join.  Computed with array expressions over the
+    per-row shingle array — ZERO shuffles; signatures fall out of the
+    scan projection.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
-    ).distinct()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+    base = _shingle_base(df, text_col, id_col, n)
+    cols = [
+        F.array_min(
+            F.transform(F.col("shs"), lambda x: F.md5(F.concat(F.lit(f"{s}:"), x)))
+        ).alias(f"h{s}")
         for s in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return base.filter(F.col("n_sh") > 0).select("id", *cols)
 
 
 def minhash_lsh_candidates(
@@ -157,8 +176,10 @@ def minhash_lsh_candidates(
     """Band the signature and self-join on (band_idx, band_key).
 
     Docs agreeing on all rows of any band become a candidate pair —
-    the classic LSH S-curve.  The join key is a constant-width string,
-    so the shuffle is signature-sized regardless of document size.
+    the classic LSH S-curve.  Pairs are generated inside each
+    (band, key) bucket after ONE group-by shuffle (no self-join); the
+    bucket key is a constant-width string, so shuffle volume is
+    signature-sized regardless of document size.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     rows = num_hashes // bands
@@ -171,12 +192,15 @@ def minhash_lsh_candidates(
     banded = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col("id").alias("id_a"), "band", "key")
-    b = banded.select(F.col("id").alias("id_b"), "band", "key")
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("id").alias("members"))
+        .filter(F.size("members") >= 2)
+    )
     return (
-        a.join(b, ["band", "key"])
+        buckets.select(F.explode("members").alias("id_a"), F.col("members"))
+        .select("id_a", F.explode("members").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -193,27 +217,26 @@ def minhash_dedup_pairs(
     """End-to-end MinHash-LSH near-dup: signatures → banded candidates
     → exact-Jaccard verification of candidates only.
 
-    The verification join re-touches only candidate docs' shingle
-    sets; at scale that is a tiny fraction of the corpus.
+    Verification joins the (id, shingle-array) base onto the candidate
+    pairs and computes ``array_intersect`` per pair — the exact common
+    count with no explode and no per-shingle shuffle.  At scale the
+    candidate set is a tiny fraction of the corpus and the two joins
+    broadcast it.
     Returns (doc_id_a, doc_id_b, jaccard >= threshold).
     """
+    base = _shingle_base(df, text_col, id_col, n)
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("shingle")
-    ).distinct()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("n_b")
     )
     return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
