@@ -11,6 +11,8 @@ Arrow).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -75,7 +77,42 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Python-UDF/``mapInPandas`` closures pickle references to this
+    package; executors unpickle them in their own interpreter, which
+    does not inherit the driver script's ``sys.path``.  Shipping a zip
+    is the same mechanism a real multi-node cluster needs, so local
+    behavior matches cluster behavior.
+    """
+    try:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        newest = max(
+            os.path.getmtime(os.path.join(root, f))
+            for root, _, files in os.walk(pkg_dir)
+            for f in files
+            if f.endswith(".py")
+        )
+        zip_path = os.path.join(tempfile.gettempdir(), f"{pkg_name}_pyfiles.zip")
+        if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+            tmp = zip_path + ".tmp"
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for root, _, files in os.walk(pkg_dir):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                            zf.write(full, rel)
+            os.replace(tmp, zip_path)
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # best-effort; in-repo runs work without it
+        pass
 
 
 def get_test_session() -> SparkSession:
