@@ -12,7 +12,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# importing pipeline_queries also fills the registry from queries.py
+# importing these modules fills the registry in queries.py
+from s3_sqs_data_ingestion_demo_spark import extended_queries  # noqa: F401
 from s3_sqs_data_ingestion_demo_spark import pipeline_queries  # noqa: F401
 from s3_sqs_data_ingestion_demo_spark.queries import REGISTRY
 

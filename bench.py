@@ -26,6 +26,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
 
+    from s3_sqs_data_ingestion_demo_spark import extended_queries  # noqa: F401
     from s3_sqs_data_ingestion_demo_spark import pipeline_queries  # noqa: F401
     from s3_sqs_data_ingestion_demo_spark.queries import REGISTRY
     from s3_sqs_data_ingestion_demo_spark.session import build_session

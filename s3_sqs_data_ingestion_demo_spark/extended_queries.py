@@ -1,0 +1,308 @@
+"""Extended operator coverage: as-of / range joins, pivot, cube,
+distinct counts, nation-pair trade, embedding centroids, token
+histograms, batch sessionization.
+
+Same driver-contract conventions as ``queries.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.asof import asof_join, range_join
+from .operators.text import token_count
+from .queries import query, t
+from .streaming.windows import sessionize
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# --------------------------------------------------------------------
+# As-of & range joins (events)
+# --------------------------------------------------------------------
+
+@query(
+    "q_asof_click_before_purchase",
+    f"""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.user_id, p.event_id,
+           strftime(p.ts, '{_TS_FMT_DUCK}') AS ts_str,
+           c.click_event_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts_str
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_click_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase annotated with the user's most recent
+    click at-or-before it.  Union-trick plan: ONE shuffle on user_id,
+    window carry-forward — no non-equi join explosion (operator:
+    operators/asof.py; DuckDB verifies with its native ASOF JOIN)."""
+    e = t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["click_event_id"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_str"),
+        F.col("click_event_id_asof").alias("click_event_id"),
+        F.date_format("ts_asof", _TS_FMT_SPARK).alias("click_ts_str"),
+    )
+
+
+@query(
+    "q_range_clicks_after_purchase",
+    """
+    SELECT p.event_id, p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks_10m
+    FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_range_clicks_after_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (bounded-interval) join: clicks within 10 minutes after
+    each purchase; equi-key hash join + interval filter, no cartesian
+    blow-up beyond key groups (operator: operators/asof.py)."""
+    e = t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = range_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower="0 seconds", upper="10 minutes",
+    )
+    return (
+        j.groupBy(F.col("l.event_id").alias("event_id"), F.col("l.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_clicks_10m"))
+    )
+
+
+# --------------------------------------------------------------------
+# Pivot / cube / distinct
+# --------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "q_pivot_daily_event_counts",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           {", ".join(
+               f"CAST(COUNT(CASE WHEN event_type = '{et}' THEN 1 END) AS BIGINT) AS n_{et}"
+               for et in _EVENT_TYPES
+           )}
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_daily_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: daily event counts, one column per event type."""
+    e = t(spark, sf, "events")
+    piv = (
+        e.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(et), F.lit(0)).cast("long").alias(f"n_{et}") for et in _EVENT_TYPES],
+    )
+
+
+@query(
+    "q_cube_order_stats",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets in one shuffle)."""
+    o = t(spark, sf, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "q_distinct_parts_suppliers",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT)                  AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_parts_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi distinct-aggregate (Spark plans expand + two-phase agg)."""
+    l = t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q07_nation_trade",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name
+    """,
+)
+def q07_nation_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7-style bilateral trade: two aliases of the same dim
+    (self-alias join diversity); all dims broadcast."""
+    l = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(
+            F.col("supp_nation").isin("NATION_1", "NATION_2")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------
+# Embeddings & documents
+# --------------------------------------------------------------------
+
+@query(
+    "embedding_centroids",
+    """
+    SELECT label, i AS dim,
+           ROUND(AVG(embedding[i]::DOUBLE), 4) + 0.0 AS centroid_val
+    FROM embeddings
+    CROSS JOIN generate_series(1, 64) AS g(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid of the embedding space (posexplode +
+    two-key aggregate); the building block for IVF-style coarse
+    quantization."""
+    e = t(spark, sf, "embeddings")
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        # + 0.0 normalizes IEEE negative zero: -0.0 and 0.0 are
+        # numerically equal but stringify/hash differently across
+        # engines, which breaks value-hash comparison
+        .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("centroid_val"))
+    )
+
+
+@query(
+    "q_token_count_histogram",
+    """
+    SELECT CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END // 10) * 10
+                AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_token_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-count distribution in buckets of 10 (uses the text
+    operator's tokenizer)."""
+    d = t(spark, sf, "documents")
+    return (
+        d.withColumn("bucket", (F.floor(token_count("text") / 10) * 10).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "q_sessionize_events",
+    f"""
+    WITH m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 5 MINUTE
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 5 MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization via native session_window (batch form
+    of the streaming operator); oracle replicates with lag + running
+    sum session ids."""
+    e = t(spark, sf, "events")
+    s = sessionize(e, gap="5 minutes", watermark=None)
+    return s.select(
+        "user_id",
+        F.date_format("session_start", _TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", _TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )

@@ -44,7 +44,7 @@ def normalize(rows):
                 if math.isnan(v):
                     vals.append("NaN")
                 else:
-                    vals.append(round(v, 6))
+                    vals.append(round(v, 6) + 0.0)  # -0.0 -> 0.0
             else:
                 vals.append(v)
         out.append(tuple(vals))
