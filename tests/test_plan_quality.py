@@ -1,0 +1,106 @@
+"""Physical-plan quality gates — the properties that matter at 100 TB.
+
+These tests pin the plan shapes, not just results: filters reach the
+parquet scan, projections prune the read schema, dim joins broadcast,
+aggregations are partial (map-side), no query falls back to Python
+row-at-a-time evaluation, and no accidental cartesian products.
+"""
+
+import pytest
+
+from s3_sqs_data_ingestion_demo_spark import (  # noqa: F401
+    extended_queries,
+    pipeline_queries,
+)
+from s3_sqs_data_ingestion_demo_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    jdf = df._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_q01_pushdown_and_partial_agg(spark):
+    p = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "partial_sum" in p  # map-side combine before the exchange
+    # column pruning: orderkey/partkey/suppkey never read
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q06_all_predicates_pushed(spark):
+    p = plan_of(spark, "q06_forecast_revenue")
+    pushed = p.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q03_broadcasts_filtered_dim(spark):
+    p = plan_of(spark, "q03_top_unshipped_orders")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # top-k with limit must not globally sort-materialize
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q05_single_fact_shuffle(spark):
+    p = plan_of(spark, "q05_region_revenue")
+    # all four dims broadcast; the only sort-merge-eligible join is
+    # orders x lineitem
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_asof_is_single_window_pass(spark):
+    p = plan_of(spark, "q_asof_click_before_purchase")
+    # union-trick as-of: window over user_id, NO join of any kind
+    assert "Window" in p
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in p, f"asof plan unexpectedly contains {bad}"
+
+
+def test_ann_broadcasts_queries_not_corpus(spark):
+    p = plan_of(spark, "ann_cosine_topk")
+    # the small query side broadcasts (nested-loop broadcast is the
+    # cross-join plan); corpus is never shuffled before scoring
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_fingerprint_no_shuffle(spark):
+    p = plan_of(spark, "fingerprint_documents")
+    assert "Exchange" not in p  # pure projection
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators.dedup import minhash_signatures
+
+    df = minhash_signatures(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = df._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in p  # signatures fall out of the scan projection
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in sorted(REGISTRY) if not n.startswith(("lsh_",))],
+)
+def test_no_python_eval_in_queries(spark, name):
+    """Every registered query must stay JVM-side: no row-at-a-time
+    Python UDF evaluation in the physical plan."""
+    p = plan_of(spark, name)
+    assert "BatchEvalPython" not in p, f"{name} fell back to Python UDF"
+    assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def test_events_scan_prunes_props(spark):
+    """q_events_hourly must not read the wide props JSON column."""
+    p = plan_of(spark, "q_events_hourly")
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema
