@@ -50,7 +50,14 @@ def read_batch(
     if schema is not None:
         reader = reader.schema(schema)
     if fmt == "avro":
-        return reader.format("avro").load(paths)
+        try:
+            return reader.format("avro").load(paths)
+        except Exception as exc:  # AnalysisException: avro source not loaded
+            raise RuntimeError(
+                "the avro container format needs the spark-avro package on "
+                "the session (--packages org.apache.spark:spark-avro_2.13); "
+                "it is not bundled in this environment"
+            ) from exc
     return getattr(reader, fmt)(paths)
 
 

@@ -337,3 +337,50 @@ class ManagedTable:
         for e in entries[1:]:
             out = out.unionByName(self._read_entry(e))
         return out
+
+    # ----------------------------------------------------- maintenance
+    def compact(self, target_partitions: int | None = None) -> int:
+        """Rewrite the current snapshot into one fresh data root
+        (bin-packing small files) — the small-files compaction every
+        long-running ingest table needs.  Readers are unaffected: the
+        rewrite lands as a new snapshot via the same atomic commit.
+        """
+        df = self.read()
+        if target_partitions:
+            df = df.repartition(target_partitions, *(self.meta.partition_cols or []))
+        elif self.meta.partition_cols:
+            # cluster rows by partition so each hive dir gets few files
+            df = df.repartition(*self.meta.partition_cols)
+        else:
+            df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
+        entry = self._write_data(df, self._new_root())
+        return self._commit_snapshot([entry])
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Delete snapshot manifests older than the newest
+        ``keep_last`` and garbage-collect data roots no longer
+        referenced by any surviving snapshot.  Returns expired
+        versions.  (Same contract as Iceberg's expire_snapshots —
+        time travel to expired versions stops working.)"""
+        import shutil
+
+        versions = self.history()
+        keep = set(versions[-max(1, keep_last):])
+        keep.add(self._current_version())
+        referenced: set[str] = set()
+        for v in keep:
+            with open(
+                os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json"), encoding="utf-8"
+            ) as fh:
+                for e in json.load(fh)["entries"]:
+                    referenced.add(e["root"])
+        expired = [v for v in versions if v not in keep]
+        for v in expired:
+            os.remove(os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json"))
+        data_dir = os.path.join(self.path, "data")
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                rel = os.path.join("data", d)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+        return expired
