@@ -272,6 +272,83 @@ def q_token_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT)             AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery (per-part average
+    quantity threshold), decorrelated by hand into a pre-aggregate +
+    broadcast-joined threshold — the plan Catalyst's decorrelation
+    produces, written explicitly so the shuffle story is visible:
+    one partkey aggregation, then a broadcast of the tiny (part
+    filtered) side."""
+    l = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier_revenue",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           ROUND(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15-style: CTE reuse + scalar subquery against the same
+    derived relation.  The revenue aggregate is computed once and
+    joined against its own max via a broadcast scalar — no second scan
+    of lineitem."""
+    l = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01 00:00:00")))
+    )
+    s = t(spark, sf, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        )
+    )
+
+
+@query(
     "q_sessionize_events",
     f"""
     WITH m AS (

@@ -76,6 +76,104 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cell_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the scale path past
+    brute force.
+
+    Index side: every corpus vector is assigned to its nearest
+    centroid cell (one broadcast pass — centroids are small by
+    construction).  Query side: each query probes its ``nprobe``
+    nearest cells and scores ONLY vectors in those cells.
+
+    Cost drops from O(|corpus|·|queries|) to
+    O(|corpus|·nprobe/|cells| · |queries|) FLOPs; the corpus is
+    scanned once for assignment (cacheable/materializable as an index
+    table) and the scoring join is an equi-join on cell_id — plain
+    hash partitioning, no custom infrastructure.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank) — same shape as
+    ``cosine_topk`` so recall is directly measurable against it.
+    """
+    cent = centroids.select(
+        F.col(centroid_id_col).alias("cell_id"), _dvec(centroid_vec_col).alias("_cent")
+    )
+
+    def nearest_cells(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col(idc),
+            F.col(vc),
+            "cell_id",
+            cosine(F.col(vc), F.col("_cent")).alias("_cs"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("_cs").desc(), F.col("cell_id"))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n)
+            .drop("_rk", "_cs")
+        )
+
+    c_assigned = nearest_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("_cv")),
+        "neighbor_id", "_cv", 1,
+    )
+    q_probes = nearest_cells(
+        queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("_qv")),
+        "query_id", "_qv", nprobe,
+    )
+    scored = (
+        q_probes.join(c_assigned, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("cosine_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))  # dedup multi-probe hits
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def label_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer centroids from a labeled corpus (stand-in for
+    a k-means step): per-label mean vector, computed with posexplode +
+    two-key aggregate and re-assembled with array_agg ordered by dim."""
+    dims = (
+        corpus.select(
+            F.col(label_col).alias("cell_id"),
+            F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+                "pos", "v"
+            ),
+        )
+        .groupBy("cell_id", "pos")
+        .agg(F.avg("v").alias("m"))
+    )
+    return (
+        dims.groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cell_id", F.transform("pm", lambda s: s["m"]).alias("centroid")
+        )
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (pure Python LCG so the
     planes are reproducible without numpy's global state)."""
