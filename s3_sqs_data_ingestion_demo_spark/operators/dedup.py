@@ -252,3 +252,100 @@ def dedup_keep_first(
     """Generic 'keep lowest id per duplicate-group' filter."""
     w = Window.partitionBy(key).orderBy(F.col(id_col))
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit long
+SIMHASH_BANDS = 4  # 4 x 15-bit bands for candidate generation
+
+
+def _token_hash(col: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5, base-16
+    decoded.  Engine-agnostic (any SQL engine reproduces it), unlike
+    xxhash64/hash() which differ per engine."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash signature per document: for each of the 60 bits, sum
+    +1/-1 over token hashes (with multiplicity); the sign vector packs
+    into one long.
+
+    Plan: explode tokens → ONE groupBy(id) with 60 conditional sums
+    (map-side partial aggregation makes the shuffle carry 60 ints per
+    doc, not tokens).  Similar documents differ in few bits — hamming
+    distance approximates cosine distance of the bag-of-words.
+    Returns (id, simhash).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", _token_hash(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup: band the 60-bit signature into 4×15-bit keys,
+    bucket-join candidates (pairs agreeing on ANY band), verify by
+    exact hamming distance (``bit_count(xor)``).
+
+    A pair within hamming distance h collides on at least one band
+    whenever its differing bits avoid one band — high recall for
+    h ≤ 3·15/4; constant-size signatures make the whole pipeline
+    shuffle signature-width data only.
+    Returns (doc_id_a, doc_id_b, hamming ≤ max_hamming), id_a < id_b.
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * (SIMHASH_BITS // SIMHASH_BANDS))
+            .bitwiseAND(F.lit((1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1))
+            .alias("key"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    banded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("id").alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    cand = (
+        buckets.select(F.explode("members").alias("id_a"), F.col("members"))
+        .select("id_a", F.explode("members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("_sa"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b"), "hamming")
+    )

@@ -220,6 +220,55 @@ def minhash_lsh_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    from .operators.dedup import SIMHASH_BANDS, SIMHASH_BITS
+
+    rows = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << rows) - 1
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), tk AS (
+      SELECT doc_id AS id, unnest(toks) AS tok FROM tok
+    ), th AS (
+      SELECT id, ('0x' || substring(md5(tok), 1, 15))::UBIGINT AS h FROM tk
+    ), sums AS (
+      SELECT id, {bit_sums} FROM th GROUP BY id
+    ), sig AS (
+      SELECT id, CAST({sig_expr} AS BIGINT) AS simhash FROM sums
+    ), bands AS (
+      SELECT id, g.b AS band, (simhash >> (g.b * {rows})) & {mask} AS key
+      FROM sig, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS b) g
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT id_a AS doc_id_a, id_b AS doc_id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.id = id_a
+    JOIN sig sb ON sb.id = id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+    """
+
+
+@query("simhash_near_dup_documents", _simhash_oracle(8))
+def simhash_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup: 60-bit sign-vector signatures (portable
+    md5-derived token hashes), 4×15-bit band candidate buckets, exact
+    hamming verification — constant-size state per doc, oracle-
+    replicable bit-for-bit."""
+    return D.simhash_near_dup_pairs(t(spark, sf, "documents"), max_hamming=8)
+
+
 # --------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------

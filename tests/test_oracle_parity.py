@@ -63,6 +63,17 @@ def test_query_matches_oracle(spark, duck, name):
     if name not in ORACLES:
         assert len(spark_rows) >= 0  # rows-only check, driver parity
         return
+    # guard against trivially-passing empty comparisons (a wrong
+    # constant can empty both sides identically)
+    # legitimately-empty queries on this synthetic data (anti-join
+    # finds no order-less customers; nation-pair empty at sf0.001)
+    may_be_empty = (
+        "q_machinery_never_urgent_except",
+        "q07_nation_trade",
+        "q_customers_without_orders",
+    )
+    if name not in may_be_empty:
+        assert len(spark_rows) > 0, f"{name}: suspicious empty result"
     res = duck.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
