@@ -45,6 +45,20 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+# non-space symbols — the shape GPT-style byte-pair pretokenization
+# produces before merges; a cheap, portable token-budget estimator.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Count BPE-ish pre-tokens (letter runs / digit runs / symbols) —
+    a deterministic stand-in for tokenizer-based token budgeting,
+    computed JVM-side with ``regexp_count``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
 def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
     # counts WITH multiplicity (filter, not intersect) so the score is
     # a real frequency signal

@@ -305,6 +305,55 @@ def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return S.cosine_topk(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
+@query(
+    "token_budget_documents",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN}')) AS INTEGER)
+               AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_budget_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Token budgeting: whitespace tokens vs BPE-ish pre-tokens
+    (letter/digit runs + symbols) per document — pure projection."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("ws_tokens"),
+        X.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "embedding_cosine_near_dup",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 4) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact embedding near-dup: all pairs with cosine >= threshold,
+    computed as blocked GEMM (hash tiles → one BLAS matmul per block
+    pair via applyInPandas).  The exact baseline the LSH variant
+    approximates — and the one deliberate Arrow/numpy operator in the
+    suite: expression-level pairwise dots are interpreted per element
+    and ~20× slower at O(n²) pair volume."""
+    return S.blocked_cosine_pairs(
+        t(spark, sf, "embeddings"), threshold=0.35, n_blocks=4
+    )
+
+
 @query("lsh_cosine_near_dup", None)  # rows-only: bucket boundaries are float-sign sensitive
 def lsh_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH near-dup over embeddings: 8 sign bits →
