@@ -349,6 +349,72 @@ def q15_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q_quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           CAST(COUNT(*) AS BIGINT)        AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantity_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles.  Deliberately dyadic quantiles
+    (1/4, 1/2, 3/4 are binary-exact) over integer-valued quantities so
+    interpolation is bit-identical across engines — a non-dyadic
+    quantile of cent-valued prices lands on half-cent boundaries and
+    the two engines' last-ulp differences flip the rounding (observed:
+    52724.24 vs 52724.25).  At 100 TB you'd switch to
+    ``percentile_approx`` (mergeable sketch); kept exact here so the
+    oracle can check it."""
+    l = t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        *[
+            F.expr(f"percentile(l_quantity, {q})").alias(name)
+            for name, q in [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_moving_window_user_value",
+    f"""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER w4, 4)  AS mavg_4,
+           ROUND(SUM(value) OVER wc, 2)  AS running_sum,
+           CAST(ROW_NUMBER() OVER wo AS INTEGER) AS seq
+    FROM events
+    WHERE user_id < 50
+    WINDOW
+      w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+      wc AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_moving_window_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Window frames: 4-row moving average + running cumulative sum +
+    sequence number per user (one shuffle on user_id serves all three
+    frames — same window spec, shared sort)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf, "events").filter(F.col("user_id") < 50)
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(base.rowsBetween(-3, 0)), 4).alias("mavg_4"),
+        F.round(F.sum("value").over(base.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_sum"
+        ),
+        F.row_number().over(base).alias("seq"),
+    )
+
+
+@query(
     "q_sessionize_events",
     f"""
     WITH m AS (

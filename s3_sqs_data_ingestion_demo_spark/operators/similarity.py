@@ -155,6 +155,69 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means producing IVF coarse-quantizer
+    centroids.
+
+    Per iteration: broadcast the k centroids (always tiny — k×dim),
+    assign every vector to its nearest centroid in one scan, recompute
+    means with a posexplode + (cell, dim) aggregation.  Only the k
+    centroids ever reach the driver; the corpus is scanned ``iters``
+    times and never shuffled except the (cell, dim) partial-agg
+    exchange.  Deterministic: init = first k vectors by id.
+
+    Returns (cell_id, centroid: array<double>).
+    """
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+    init = [
+        [float(x) for x in r.v]
+        for r in base.orderBy("id").limit(k).collect()
+    ]
+    if not init:
+        raise ValueError("kmeans_fit requires a non-empty corpus")
+    cents = init[:k]
+    k = len(cents)  # corpus smaller than k: fit what exists
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cell_id int, centroid array<double>"
+        )
+        assigned = _assign_cells(base, cent_df)
+        new = (
+            assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell_id", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        updated = dict((r.cell_id, [float(x) for x in r.centroid]) for r in new)
+        cents = [updated.get(i, cents[i]) for i in range(k)]  # keep empty cells
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell_id int, centroid array<double>"
+    )
+
+
+def _assign_cells(base: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (cosine) in one broadcast pass."""
+    scored = base.crossJoin(F.broadcast(cent_df)).select(
+        "id", "v", "cell_id", cosine(F.col("v"), F.col("centroid")).alias("_cs")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("_cs").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id", "v", "cell_id")
+    )
+
+
 def label_centroids(
     corpus: DataFrame,
     label_col: str = "label",

@@ -32,6 +32,9 @@ DEFAULT_CONF: dict[str, str] = {
     # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no
     # nanosecond timestamp type); accessors convert ns → timestamp.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # catalog tables (bucketed writes) land outside the repo; override
+    # per-job for real deployments
+    "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
 }
 
 # s3a defaults for cloud runs — parity with reference: spark-job/read.py:68-77.
