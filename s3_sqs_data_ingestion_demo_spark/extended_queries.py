@@ -349,6 +349,88 @@ def q15_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 5 AND 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 20 AND 40)
+       OR (p_type = 'ECONOMY' AND l_discount >= 0.05)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive multi-attribute predicate across
+    both join sides — the OR-of-ANDs shape that exercises Catalyst's
+    predicate normalization (common factors push into the scans, the
+    residual evaluates post-join)."""
+    l = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(5, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+        | ((F.col("p_type") == "ECONOMY") & (F.col("l_discount") >= 0.05))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q22_inactive_rich_customers",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT substring(c_name, 9, 2) AS name_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY 1
+    """,
+)
+def q22_inactive_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22-style: scalar aggregate subquery (broadcast one-row
+    cross join), substring bucketing, anti join on a filtered stream —
+    three operator families in one plan."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1999-01-01 00:00:00"))
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 9, 2).alias("name_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "q_quantity_percentiles",
     """
     SELECT l_returnflag,

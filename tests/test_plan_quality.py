@@ -99,6 +99,36 @@ def test_no_python_eval_in_queries(spark, name):
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
 
 
+def test_managed_table_read_prunes_partitions(spark, tmp_path):
+    """A partition-column filter over ManagedTable.read() must reach
+    the scan as a PartitionFilter (directory pruning, the same
+    metadata pruning Iceberg gives via manifests)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("part", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "tbl"), sch,
+        partition_cols=["part"], key_cols=["id"],
+    )
+    t.append(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], sch))
+    df = t.read().filter(F.col("part") == "a")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = df._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters: [isnotnull(part" in p and "part#" in p
+    assert "(part#" in p.split("PartitionFilters:")[1].splitlines()[0]
+
+
 def test_events_scan_prunes_props(spark):
     """q_events_hourly must not read the wide props JSON column."""
     p = plan_of(spark, "q_events_hourly")
