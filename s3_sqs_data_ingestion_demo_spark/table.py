@@ -196,15 +196,53 @@ class ManagedTable:
             df = self.spark.read.parquet(root)
         return align_to_schema(df, self.meta.schema)
 
-    def read(self) -> DataFrame:
-        entries = self._read_manifest()
+    def _assemble(self, entries: list[dict]) -> DataFrame:
+        """Union the manifest's entries; when delta entries are present
+        (MOR tables), resolve row versions at read time.
+
+        Resolution: one window over the key columns ordered by
+        (order_column desc when latest_wins,) commit seq desc — the
+        standard merge-on-read trade: merges are O(batch) appends,
+        reads pay one key-shuffle of the live data until ``compact()``
+        rewrites deltas into the base.
+        """
         if not entries:
             return self.spark.createDataFrame([], self.meta.schema)
-        dfs = [self._read_entry(e) for e in entries]
+        has_delta = any(e.get("kind") == "delta" for e in entries)
+        if not has_delta:
+            dfs = [self._read_entry(e) for e in entries]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+
+        dfs = [
+            self._read_entry(e).withColumn("_sg_seq", F.lit(int(e.get("seq", 0))))
+            for e in entries
+        ]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
-        return out
+        keys = self.meta.key_cols
+        order_exprs = []
+        if (
+            self.meta.merge_policy == "latest_wins"
+            and self.meta.order_column
+            and self.meta.order_column in self.meta.schema.fieldNames()
+        ):
+            order_exprs.append(F.col(self.meta.order_column).desc())
+        order_exprs.append(F.col("_sg_seq").desc())
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        w = Window.partitionBy(*keys).orderBy(*order_exprs)
+        return (
+            out.withColumn("_sg_rn", F.row_number().over(w))
+            .filter(F.col("_sg_rn") == 1)
+            .drop("_sg_rn", "_sg_seq")
+        )
+
+    def read(self) -> DataFrame:
+        return self._assemble(self._read_manifest())
 
     # ----------------------------------------------------------- write
     def _write_data(self, df: DataFrame, root: str) -> dict:
@@ -263,6 +301,17 @@ class ManagedTable:
             )
 
         entries = self._read_manifest()
+
+        # Merge-on-read (reference table_type MOR, spark-job/read.py:
+        # 208-216): the merge is an O(batch) delta append tagged with
+        # the commit sequence; reads resolve, compact() folds deltas
+        # into the base.  Copy-on-write pays at write time instead.
+        if self.meta.table_type.upper() == "MOR":
+            entry = self._write_data(src, self._new_root())
+            entry["kind"] = "delta"
+            entry["seq"] = self._current_version() + 1
+            return self._commit_snapshot(entries + [entry])
+
         parts_cols = self.meta.partition_cols
         if not parts_cols:
             merged = merge_upsert(self.read(), src, keys, merge_order, policy)
@@ -331,12 +380,30 @@ class ManagedTable:
             os.path.join(self.path, _SNAPDIR, f"v{version:08d}.json"), encoding="utf-8"
         ) as fh:
             entries = json.load(fh)["entries"]
-        if not entries:
-            return self.spark.createDataFrame([], self.meta.schema)
-        out = self._read_entry(entries[0])
-        for e in entries[1:]:
-            out = out.unionByName(self._read_entry(e))
-        return out
+        return self._assemble(entries)
+
+    # ------------------------------------------------ schema evolution
+    def add_columns(self, new_fields: Sequence[T.StructField]) -> None:
+        """Additive schema evolution: append nullable columns to the
+        contract.  Existing data files are never rewritten — reads
+        align every file onto the current schema and fill missing
+        columns with nulls (``align_to_schema``), which is exactly how
+        Iceberg serves add-column evolution from old manifests."""
+        schema = self.meta.schema
+        names = set(schema.fieldNames())
+        for f in new_fields:
+            if f.name in names:
+                raise ValueError(f"column {f.name!r} already exists")
+            if not f.nullable:
+                raise ValueError(
+                    f"new column {f.name!r} must be nullable (old files have no values)"
+                )
+        new_schema = T.StructType(list(schema.fields) + list(new_fields))
+        self.meta.schema_json = json.dumps(new_schema.jsonValue())
+        tmp = os.path.join(self.path, f"{_META}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(self.meta.__dict__, fh, indent=2)
+        os.replace(tmp, os.path.join(self.path, _META))
 
     # ----------------------------------------------------- maintenance
     def compact(self, target_partitions: int | None = None) -> int:
