@@ -349,6 +349,86 @@ def q15_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q11_important_stock",
+    """
+    WITH vol AS (
+      SELECT l_suppkey, SUM(l_extendedprice * l_quantity) AS supp_value
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, ROUND(supp_value, 2) AS supp_value
+    FROM vol
+    WHERE supp_value > (SELECT SUM(supp_value) * 0.001 FROM vol)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11-style: aggregate reused both as rows and as a scalar
+    threshold (fraction of its own total) — one shuffle computes the
+    per-supplier values; the global total is a broadcast one-row
+    cross join, not a second scan of lineitem."""
+    l = t(spark, sf, "lineitem")
+    vol = l.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("supp_value")
+    )
+    total = vol.agg((F.sum("supp_value") * 0.001).alias("_thr"))
+    return (
+        vol.crossJoin(F.broadcast(total))
+        .filter(F.col("supp_value") > F.col("_thr"))
+        .select("l_suppkey", F.round("supp_value", 2).alias("supp_value"))
+    )
+
+
+@query(
+    "q21_multi_supplier_orders",
+    """
+    SELECT s.l_suppkey,
+           CAST(COUNT(DISTINCT s.l_orderkey) AS BIGINT) AS n_shared_orders
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem o
+        WHERE o.l_orderkey = s.l_orderkey AND o.l_suppkey <> s.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem r
+        WHERE r.l_orderkey = s.l_orderkey AND r.l_suppkey <> s.l_suppkey
+          AND r.l_returnflag = 'R'
+      )
+    GROUP BY s.l_suppkey
+    ORDER BY n_shared_orders DESC, s.l_suppkey
+    LIMIT 20
+    """,
+)
+def q21_multi_supplier_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21-style EXISTS + NOT EXISTS against the same fact with
+    different residuals: semi join then anti join, both hash-
+    partitioned on orderkey so the two probes reuse one shuffle
+    layout."""
+    l = t(spark, sf, "lineitem")
+    s = l.select("l_orderkey", "l_suppkey").distinct()
+    other = l.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    other_r = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
+    )
+    sem = s.join(
+        other,
+        (F.col("o_ok") == F.col("l_orderkey")) & (F.col("o_sk") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    anti = sem.join(
+        other_r,
+        (F.col("r_ok") == F.col("l_orderkey")) & (F.col("r_sk") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        anti.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_shared_orders"))
+        .orderBy(F.col("n_shared_orders").desc(), F.col("l_suppkey"))
+        .limit(20)
+    )
+
+
+@query(
     "q19_disjunctive_revenue",
     """
     SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
