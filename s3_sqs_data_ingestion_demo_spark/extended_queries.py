@@ -349,6 +349,111 @@ def q15_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q02_cheapest_supplier_per_part",
+    """
+    SELECT l_partkey, l_suppkey, ROUND(l_extendedprice, 2) AS best_price
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q02_cheapest_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2-style correlated MIN subquery, decorrelated into a
+    per-part minimum joined back on (partkey, price) — one partkey
+    aggregation plus one equi-join, no per-row subquery execution."""
+    l = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(F.col("p_brand") == "Brand#3")
+    mins = l.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("m_price")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            mins,
+            (F.col("m_partkey") == F.col("l_partkey"))
+            & (F.col("m_price") == F.col("l_extendedprice")),
+        )
+        .select(
+            "l_partkey", "l_suppkey", F.round("l_extendedprice", 2).alias("best_price")
+        )
+    )
+
+
+@query(
+    "q16_suppliers_excluding_returns",
+    """
+    SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 20
+      AND l_suppkey NOT IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity > 49
+          AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY p_brand
+    """,
+)
+def q16_suppliers_excluding_returns(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16-style NOT IN over a non-null key — planned as a
+    left-anti join against the (small, distinct) excluded set, then a
+    distinct-count aggregate."""
+    l = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(F.col("p_size") <= 20)
+    excluded = (
+        l.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") > 49)
+            & (F.col("l_shipdate") >= F.to_timestamp(F.lit("2000-01-01 00:00:00")))
+        )
+        .select(F.col("l_suppkey").alias("x_suppkey"))
+        .distinct()
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(excluded, F.col("x_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_bulk_economy_suppliers",
+    """
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'ECONOMY'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 100
+    )
+    """,
+)
+def q20_bulk_economy_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20-style IN over an aggregated subquery: the HAVING
+    aggregate runs first (fact side), then a left-semi join filters the
+    dim — the subquery result is the broadcast side."""
+    l = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    s = t(spark, sf, "supplier")
+    bulk = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 100)
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(bulk), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+
+
+@query(
     "q11_important_stock",
     """
     WITH vol AS (
