@@ -220,6 +220,49 @@ def minhash_lsh_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q_top_bigrams",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), bg0 AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1]) END AS bgs
+      FROM tok
+    ), bg AS (
+      SELECT doc_id, unnest(bgs) AS bigram FROM bg0
+    )
+    SELECT bigram,
+           CAST(COUNT(*) AS BIGINT)                 AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT)   AS n_docs
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 25
+    """,
+)
+def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram frequency profile (top 25): shingle explode →
+    count + per-doc distinct count — the n-gram statistics pass every
+    corpus-analysis pipeline runs; deterministic tiebreak on the
+    bigram string."""
+    d = t(spark, sf, "documents")
+    bg = d.select(
+        "doc_id", F.explode(D.shingles("text", 2)).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
+        .limit(25)
+    )
+
+
 def _simhash_oracle(max_hamming: int = 8) -> str:
     from .operators.dedup import SIMHASH_BANDS, SIMHASH_BITS
 

@@ -19,6 +19,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def running_user_stats_tws(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cumulative per-key stats on Spark 4's ``transformWithState``
+    API — typed value state with optional TTL (the state-store-native
+    eviction knob ``applyInPandasWithState`` lacks).  Functionally
+    identical to ``running_user_stats``; kept side-by-side so both
+    custom-stateful APIs are covered.
+
+    Runtime requirement: the TWS driver worker imports
+    ``google.protobuf`` (its state-server protocol) — present on real
+    clusters, absent in this container, so the test for this operator
+    skips when protobuf is missing and ``running_user_stats`` is the
+    locally-exercised path.
+    """
+    try:  # fail loudly at plan time, not inside the streaming worker
+        import google.protobuf.descriptor  # noqa: F401, PLC0415
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "package (not bundled in this environment); use "
+            "running_user_stats (applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "n long, s double", ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = self._state.get() if self._state.exists() else (0, 0.0)
+            n, s = cur
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=f"{key_col} long, n_events long, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_user_stats(df: DataFrame, key_col: str = "user_id", value_col: str = "value") -> DataFrame:
     """Cumulative per-key (count, sum) maintained across micro-batches.
 

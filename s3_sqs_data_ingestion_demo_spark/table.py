@@ -61,6 +61,27 @@ _META = "_meta.json"
 _CURRENT = "_current"
 _SNAPDIR = "_snapshots"
 
+# Characters Spark/Hive escape in partition directory names
+# (ExternalCatalogUtils.charToEscape): ASCII control chars plus these.
+_ESCAPED_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_part_value(v) -> str:
+    """Render a partition value exactly as Spark names the hive
+    directory (escaping parity is what lets the merge match a batch's
+    partition values against written subdirs — a raw ``str()`` here
+    silently misses dirs for values like ``a:b`` or ``50%``)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(v)
+    out = []
+    for ch in s:
+        if ch in _ESCAPED_CHARS or ord(ch) < 0x20:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
 
 @dataclass
 class TableMeta:
@@ -320,11 +341,8 @@ class ManagedTable:
 
         # Partition-pruned COW: collect only the distinct partition
         # VALUES of the batch (bounded, low-cardinality by design).
-        def _dirval(v) -> str:
-            return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
-
         affected = {
-            "/".join(f"{c}={_dirval(r[c])}" for c in parts_cols)
+            "/".join(f"{c}={_escape_part_value(r[c])}" for c in parts_cols)
             for r in src.select(*parts_cols).distinct().collect()
         }
         kept_entries: list[dict] = []

@@ -99,3 +99,60 @@ def test_expire_snapshots_gc(spark, tmp_path):
     assert [tuple(r) for r in t.read().collect()] == [(2, "b", 9.0, 2)]
     data_roots_after = set(os.listdir(os.path.join(t.path, "data")))
     assert data_roots_after < data_roots_before
+
+
+def _has_protobuf():
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+import pytest
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason="transformWithState needs google.protobuf (absent here)")
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """Same cumulative semantics on the Spark 4 transformWithState API,
+    including checkpoint recovery across restarts."""
+    from s3_sqs_data_ingestion_demo_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    land = str(tmp_path / "in"); os.makedirs(land)
+    out = str(tmp_path / "out"); ck = str(tmp_path / "ck")
+
+    _feed(spark, land, "b1", [(1, 1.0), (1, 2.0), (2, 5.0)])
+    _run_stateful(spark, land, out, ck, running_user_stats_tws)
+    r1 = {r.user_id: r for r in spark.read.parquet(out).collect()}
+    assert (r1[1].n_events, r1[1].sum_value) == (2, 3.0)
+
+    _feed(spark, land, "b2", [(1, 10.0)])
+    _run_stateful(spark, land, out, ck, running_user_stats_tws)
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    assert (latest[1].n_events, latest[1].sum_value) == (3, 13.0)
+    assert (latest[2].n_events, latest[2].sum_value) == (1, 5.0)
+
+
+def test_transform_with_state_fails_loudly_without_protobuf(spark):
+    """In environments without protobuf the operator must fail at plan
+    time with a clear message, not crash the streaming worker."""
+    if _has_protobuf():
+        return  # covered by the full test above
+    from s3_sqs_data_ingestion_demo_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    import os as _os
+    land = "/tmp/sg_tws_probe"; _os.makedirs(land, exist_ok=True)
+    df = spark.readStream.schema("user_id long, value double").parquet(land)
+    try:
+        running_user_stats_tws(df)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "protobuf" in str(e)

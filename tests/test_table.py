@@ -140,3 +140,19 @@ def test_write_mode_dispatch_fails_loudly(spark, tmp_path):
     t = make(spark, str(tmp_path))
     with pytest.raises(ValueError, match="unknown write mode"):
         t.write(df_of(spark, [(1, "a", 1.0, 1)]), "upsert")
+
+
+def test_merge_prunes_partitions_with_special_chars(spark, tmp_path):
+    """Partition values needing hive escaping (:, %, #, /) must still
+    match their written directories during partition-pruned merge —
+    raw str() matching silently rewrites nothing and duplicates rows."""
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a:b", 1.0, 1), (2, "50%", 2.0, 1), (3, "x/y", 3.0, 1)]))
+    t.merge(df_of(spark, [(1, "a:b", 10.0, 2), (2, "50%", 20.0, 2)]))
+    assert rows_of(t.read()) == [
+        (1, "a:b", 10.0, 2), (2, "50%", 20.0, 2), (3, "x/y", 3.0, 1),
+    ]
+    # untouched partition carried over, affected ones rewritten once
+    manifest = t._read_manifest()
+    all_parts = sorted(p for e in manifest for p in (e.get("parts") or []))
+    assert all_parts == ["part=50%25", "part=a%3Ab", "part=x%2Fy"]
