@@ -21,6 +21,44 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _bench_cdc_merge(spark, sf_dir: str) -> float:
+    """The reference's core operation end-to-end: bootstrap a keyed
+    table from `events`, then upsert a 10% CDC batch (5% updates + 5%
+    inserts) through the partition-pruned merge path."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from s3_sqs_data_ingestion_demo_spark.queries import t as read_table
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="sg_bench_merge_")
+    try:
+        ev = read_table(spark, sf_dir, "events").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        table = ManagedTable.create(
+            spark, f"{d}/t", ev.schema,
+            partition_cols=["day"], key_cols=["event_id"], order_column="ts",
+        )
+        table.append(ev)
+        updates = ev.filter(F.col("event_id") % 20 == 0).withColumn(
+            "value", F.col("value") + 1.0
+        )
+        inserts = ev.filter(F.col("event_id") % 20 == 1).withColumn(
+            "event_id", F.col("event_id") + 100_000_000
+        )
+        batch = updates.unionByName(inserts)
+        start = _time.perf_counter()
+        table.merge(batch)
+        elapsed = round(_time.perf_counter() - start, 3)
+        return elapsed
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -49,6 +87,8 @@ def main() -> None:
         start = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+
+    timings["ingest_cdc_merge"] = _bench_cdc_merge(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -59,15 +59,19 @@ def process_files(
     config: JobConfig,
     files: list[str],
     lineage: bool = False,
+    debug_show: bool = False,
 ) -> int:
     """One micro-batch: read files → optional transform/merge SQL →
     write in the configured mode (reference: spark-job/read.py:251-281).
-    Returns the committed snapshot version."""
+    ``debug_show`` prints the batch (reference console sink S10,
+    spark-job/read.py:275).  Returns the committed snapshot version."""
     inp, out = config.input_config, config.output_config
     schema = avro_to_spark_schema(load_text(inp.schema_file)) if inp.schema_file else None
     df = read_batch(spark, files, inp.format, inp.options, schema)
     if lineage:
         df = with_lineage(df)
+    if debug_show:
+        df.show()
     df = apply_transform_query(spark, df, inp.transform_query)
     if out.mode == "merge" and out.merge_query:
         df = apply_transform_query(spark, df, load_text(out.merge_query))

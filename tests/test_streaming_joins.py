@@ -90,3 +90,43 @@ def test_dedup_within_watermark_drops_dupes_across_batches(spark, tmp_path):
     run()
     rows = sorted((r.user_id, r.kind) for r in spark.read.parquet(out).collect())
     assert rows == [(1, "click"), (2, "view"), (3, "click")]
+
+
+def test_stream_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer interval join: a purchase with no click in-window is
+    emitted NULL-padded once the watermark passes its interval."""
+    l_dir = str(tmp_path / "lo_l"); r_dir = str(tmp_path / "lo_r")
+    os.makedirs(l_dir); os.makedirs(r_dir)
+    _feed(spark, l_dir, "p", [
+        (1, "2024-01-01 10:00:00", "purchase", 100.0),   # will have no click
+        (9, "2024-01-01 18:00:00", "purchase", 1.0),     # watermark pusher
+    ])
+    _feed(spark, r_dir, "c", [
+        (9, "2024-01-01 18:01:00", "click", 1.0),
+    ])
+    left = spark.readStream.schema(SCHEMA).parquet(l_dir)
+    right = spark.readStream.schema(SCHEMA).parquet(r_dir)
+    joined = stream_interval_join(
+        left, right, "user_id", "ts", "ts", watermark="1 minute", how="leftOuter"
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("p_ts"),
+        F.col("r.ts").alias("c_ts"),
+    )
+    out = str(tmp_path / "lo_out")
+
+    def run():
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "lo_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(); run()  # second tick finalizes lefts behind the watermark
+    rows = {r.user_id: r.c_ts for r in spark.read.parquet(out).collect()}
+    assert rows[9] is not None          # matched pair
+    assert 1 in rows and rows[1] is None  # unmatched left emitted with NULL
