@@ -349,6 +349,68 @@ def q15_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q_scalar_function_surface",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority)                       AS prio_upper,
+           lower(o_orderstatus)                         AS status_lower,
+           substring(o_orderpriority, 1, 1)             AS prio_code,
+           CAST(length(o_orderpriority) AS INTEGER)     AS prio_len,
+           concat(o_orderstatus, '-', o_orderpriority)  AS status_prio,
+           replace(o_orderpriority, '-', '_')           AS prio_snake,
+           ROUND(abs(o_totalprice - 100000.0), 2)       AS dist_100k,
+           CAST(floor(o_totalprice / 1000) AS BIGINT)   AS price_k_floor,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT)    AS price_k_ceil,
+           ROUND(sqrt(o_totalprice), 4)                 AS price_sqrt,
+           CAST(year(o_orderdate) AS INTEGER)           AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)          AS order_month,
+           CAST(day(o_orderdate) AS INTEGER)            AS order_day,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           greatest(o_custkey, o_orderkey)              AS max_key,
+           least(o_custkey, o_orderkey)                 AS min_key,
+           CASE WHEN o_totalprice > 150000 THEN 'big'
+                WHEN o_totalprice > 50000  THEN 'mid'
+                ELSE 'small' END                        AS size_bucket
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_scalar_function_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-function surface demo: string, math, date-part, and
+    conditional/null functions in one projection (the reference's SQL
+    uses NO scalar functions at all — SURVEY §2.3; this engine exposes
+    the full Spark SQL function library through transform_query)."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_snake"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("dist_100k"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_k_floor"),
+        F.ceil(F.col("o_totalprice") / 1000).alias("price_k_ceil"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.greatest("o_custkey", "o_orderkey").alias("max_key"),
+        F.least("o_custkey", "o_orderkey").alias("min_key"),
+        F.when(F.col("o_totalprice") > 150000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("size_bucket"),
+    )
+
+
+@query(
     "q02_cheapest_supplier_per_part",
     """
     SELECT l_partkey, l_suppkey, ROUND(l_extendedprice, 2) AS best_price
