@@ -221,6 +221,40 @@ def minhash_lsh_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q_array_function_surface",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER)                      AS n_toks,
+           CAST(len(list_distinct(toks)) AS INTEGER)       AS n_uniq,
+           list_contains(toks, 'spark')                    AS has_spark,
+           array_to_string(toks[1:3], ' ')                 AS first3,
+           list_sort(list_distinct(toks))[1]               AS first_alpha,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS INTEGER) AS n_long,
+           array_to_string(list_reverse_sort(list_distinct(toks))[1:2], '|') AS top2_rev
+    FROM tok
+    """,
+)
+def q_array_function_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """Collection-function surface: size, distinct, contains, slice,
+    sort, lambda filter, reverse sort — Spark array functions matched
+    against DuckDB list functions on the token arrays."""
+    d = t(spark, sf, "documents")
+    toks = X.tokens("text")
+    uniq = F.array_distinct(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(uniq).alias("n_uniq"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
+        F.element_at(F.array_sort(uniq), 1).alias("first_alpha"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.concat_ws("|", F.slice(F.sort_array(uniq, asc=False), 1, 2)).alias("top2_rev"),
+    )
+
+
+@query(
     "q_top_bigrams",
     f"""
     WITH tok AS (
