@@ -348,6 +348,21 @@ def q15_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("q_approx_distinct_sketch", None)  # rows-only: HLL sketches are engine-specific
+def q_approx_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++): the mergeable
+    sketch you run at 100 TB where exact COUNT(DISTINCT) would shuffle
+    every key.  Rows-only driver check (sketch estimates are
+    engine-specific); the pytest suite bounds its error against the
+    exact count instead."""
+    l = t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 @query(
     "q_scalar_function_surface",
     """

@@ -88,3 +88,27 @@ def test_ivf_recall_against_brute_force(spark):
     for r in probed:
         if (r.query_id, r.neighbor_id) in exact_scores:
             assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cosine_sim) < 1e-9
+
+
+def test_approx_distinct_bounded_error(spark):
+    """HLL estimates must land within ~3x the configured rsd of exact."""
+    from s3_sqs_data_ingestion_demo_spark.extended_queries import (
+        q_approx_distinct_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    approx = {r.l_returnflag: r for r in q_approx_distinct_sketch(spark, SF).collect()}
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.approx_parts - e.parts) / e.parts < 0.06
+        assert abs(a.approx_orders - e.orders) / e.orders < 0.06
