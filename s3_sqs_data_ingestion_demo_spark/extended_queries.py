@@ -188,7 +188,8 @@ def q_distinct_parts_suppliers(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q07_nation_trade(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7-style bilateral trade: two aliases of the same dim
-    (self-alias join diversity); all dims broadcast."""
+    (self-alias join diversity); bounded nation aliases hinted
+    broadcast, supplier/customer left to AQE."""
     l = t(spark, sf, "lineitem")
     s = t(spark, sf, "supplier")
     o = t(spark, sf, "orders")
@@ -198,8 +199,8 @@ def q07_nation_trade(spark: SparkSession, sf: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     return (
         l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
         .filter(
@@ -298,7 +299,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -341,7 +342,7 @@ def q15_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
         )
@@ -448,7 +449,7 @@ def q02_cheapest_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
         F.min("l_extendedprice").alias("m_price")
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(
             mins,
             (F.col("m_partkey") == F.col("l_partkey"))
@@ -490,7 +491,7 @@ def q16_suppliers_excluding_returns(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(excluded, F.col("x_suppkey") == F.col("l_suppkey"), "left_anti")
         .groupBy("p_brand")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -519,14 +520,14 @@ def q20_bulk_economy_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     p = t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
     s = t(spark, sf, "supplier")
     bulk = (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .filter(F.col("_q") > 100)
         .select("l_suppkey")
     )
     return s.join(
-        F.broadcast(bulk), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        bulk, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
 
 
@@ -644,7 +645,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
         | ((F.col("p_type") == "ECONOMY") & (F.col("l_discount") >= 0.05))
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

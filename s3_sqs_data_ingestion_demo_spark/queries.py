@@ -167,10 +167,11 @@ def q06_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
 def q03_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3-style: selective dim filter → fact joins → top-k.
 
-    Scale: ``customer`` filtered to one segment is broadcast, so the
-    orders⨝customer join is shuffle-free; only orders⨝lineitem
-    shuffles on orderkey.  Top-k with a key tiebreak is a
-    TakeOrderedAndProject — no global sort materialization.
+    Scale: no broadcast HINT on customer — it grows with SF, so the
+    hint would OOM at 100 TB; AQE broadcasts it at small scale from
+    runtime stats and falls back to shuffle join when it is big.
+    Top-k with a key tiebreak is a TakeOrderedAndProject — no global
+    sort materialization.
     """
     c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf, "orders").filter(
@@ -180,7 +181,7 @@ def q03_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01 00:00:00"))
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
@@ -214,8 +215,10 @@ def q03_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
 def q05_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5-style 6-way join.
 
-    Scale: region/nation/supplier/filtered-customer are all dims →
-    broadcast; the only big shuffle is orders⨝lineitem on orderkey.
+    Scale: only the bounded dims (region, nation) carry broadcast
+    hints; customer/supplier grow with SF, so AQE decides their join
+    strategy from runtime sizes.  The big shuffle is orders⨝lineitem
+    on orderkey.
     """
     r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n = t(spark, sf, "nation")
@@ -228,9 +231,9 @@ def q05_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     l = t(spark, sf, "lineitem")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -295,8 +298,9 @@ def q04_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q10-style returned-item report; broadcast nation dim,
-    one orderkey shuffle, top-20 with key tiebreak."""
+    """TPC-H Q10-style returned-item report; bounded nation dim
+    hinted broadcast, customer left to AQE, one orderkey shuffle,
+    top-20 with key tiebreak."""
     c = t(spark, sf, "customer")
     n = t(spark, sf, "nation")
     o = t(spark, sf, "orders").filter(
@@ -306,7 +310,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     l = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -363,7 +367,8 @@ def q12_priority_lines(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q14-style: part dim broadcast; single-row ratio output."""
+    """TPC-H Q14-style single-row ratio; part join strategy left to
+    AQE (part grows with SF)."""
     p = t(spark, sf, "part")
     l = t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-03-01 00:00:00")))
@@ -372,7 +377,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(_r4(F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_share"))
     )
 
@@ -405,7 +410,7 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
