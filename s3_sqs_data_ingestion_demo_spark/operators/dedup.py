@@ -171,7 +171,10 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_band_freq: int = 10_000,
 ) -> DataFrame:
     """Band the signature and self-join on (band_idx, band_key).
 
@@ -195,8 +198,13 @@ def minhash_lsh_candidates(
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.collect_list("id").alias("members"))
-        .filter(F.size("members") >= 2)
+        .filter(F.size("members").between(2, max_band_freq))
     )
+    # max_band_freq drops degenerate hot buckets (e.g. near-empty docs
+    # sharing a signature): an uncapped bucket collects O(bucket) ids
+    # on one reducer and generates O(bucket²) pairs — at corpus scale
+    # that is an OOM, and pairs from a megabucket carry no dedup
+    # signal anyway (mirrored in the SQL oracle).
     return (
         buckets.select(F.explode("members").alias("id_a"), F.col("members"))
         .select("id_a", F.explode("members").alias("id_b"))
@@ -321,6 +329,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    max_band_freq: int = 10_000,
 ) -> DataFrame:
     """SimHash near-dup: band the 60-bit signature into 4×15-bit keys,
     bucket-join candidates (pairs agreeing on ANY band), verify by
@@ -348,7 +357,7 @@ def simhash_near_dup_pairs(
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.collect_list("id").alias("members"))
-        .filter(F.size("members") >= 2)
+        .filter(F.size("members").between(2, max_band_freq))
     )
     cand = (
         buckets.select(F.explode("members").alias("id_a"), F.col("members"))

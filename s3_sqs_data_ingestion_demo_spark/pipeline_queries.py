@@ -181,7 +181,7 @@ def jaccard_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.12) -> str:
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.12, max_band_freq: int = 10_000) -> str:
     rows = num_hashes // bands
     return _SHINGLE_CTE + f"""
 , sigs AS (
@@ -191,9 +191,14 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.1
 ), bands AS (
   SELECT id, s // {rows} AS band, string_agg(h, '|' ORDER BY s) AS key
   FROM sigs GROUP BY id, s // {rows}
+), band_ok AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING COUNT(*) BETWEEN 2 AND {max_band_freq}
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+  FROM bands a
+  JOIN band_ok USING (band, key)
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
 ), common AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS n_common
   FROM cand c
@@ -297,7 +302,7 @@ def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _simhash_oracle(max_hamming: int = 8) -> str:
+def _simhash_oracle(max_hamming: int = 8, max_band_freq: int = 10_000) -> str:
     from .operators.dedup import SIMHASH_BANDS, SIMHASH_BITS
 
     rows = SIMHASH_BITS // SIMHASH_BANDS
@@ -323,10 +328,14 @@ def _simhash_oracle(max_hamming: int = 8) -> str:
     ), bands AS (
       SELECT id, g.b AS band, (simhash >> (g.b * {rows})) & {mask} AS key
       FROM sig, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS b) g
+    ), band_ok AS (
+      SELECT band, key FROM bands GROUP BY band, key
+      HAVING COUNT(*) BETWEEN 2 AND {max_band_freq}
     ), cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+      FROM bands a
+      JOIN band_ok USING (band, key)
+      JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
     )
     SELECT id_a AS doc_id_a, id_b AS doc_id_b,
            CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
