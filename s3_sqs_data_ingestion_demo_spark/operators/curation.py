@@ -1,0 +1,97 @@
+"""Corpus curation: the training-data pipeline composed end-to-end.
+
+quality filter → exact dedup → near-dup removal → token budget —
+each stage is one of this package's operators; the composition is the
+standard LLM-data curation recipe, expressed as a single lazy
+DataFrame program (one pipeline, no intermediate materialization
+except the near-dup candidate pass).
+
+Scale shape: quality scoring is a projection; exact dedup is one
+hash-window; near-dup removal reuses the MinHash-LSH pass and demotes
+to an id-set anti join — the corpus payloads are only shuffled once
+(exact-dedup window).  Greedy canonicalization keeps the lowest id of
+every near-dup pair (drop-the-b-side), the deterministic approximation
+of connected-component dedup that large pipelines use.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import minhash_dedup_pairs
+from .text import bpe_ish_token_count, fingerprint, quality_features
+
+
+@dataclass
+class CurationReport:
+    n_input: int
+    n_after_quality: int
+    n_after_exact: int
+    n_after_near_dup: int
+    total_tokens_kept: int
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.2,
+    min_tokens: int = 5,
+    near_dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Return the curated corpus (lazy; no driver data movement).
+
+    Stages:
+    1. quality gate: ``quality_score >= min_quality`` and
+       ``n_tokens >= min_tokens``;
+    2. exact dedup: keep the lowest id per content fingerprint;
+    3. near-dup removal: MinHash-LSH pairs at ``near_dup_threshold``,
+       drop the higher id of each surviving pair (greedy canonical);
+    4. annotate the survivors with ``bpe_ish_tokens`` for budgeting.
+    """
+    scored = quality_features(docs, text_col).filter(
+        (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pairs = minhash_dedup_pairs(
+        exact, text_col=text_col, id_col=id_col, threshold=near_dup_threshold
+    )
+    losers = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
+    kept = exact.join(losers, id_col, "left_anti")
+    return kept.withColumn("bpe_ish_tokens", bpe_ish_token_count(text_col))
+
+
+def curate_with_report(
+    docs: DataFrame, **kwargs
+) -> tuple[DataFrame, CurationReport]:
+    """Curate and count each stage (four actions; use in audits, not
+    in the hot path)."""
+    text_col = kwargs.get("text_col", "text")
+    id_col = kwargs.get("id_col", "doc_id")
+    scored = quality_features(docs, text_col).filter(
+        (F.col("quality_score") >= kwargs.get("min_quality", 0.2))
+        & (F.col("n_tokens") >= kwargs.get("min_tokens", 5))
+    )
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept = curate_corpus(docs, **kwargs)
+    report = CurationReport(
+        n_input=docs.count(),
+        n_after_quality=scored.count(),
+        n_after_exact=exact.count(),
+        n_after_near_dup=kept.count(),
+        total_tokens_kept=kept.agg(F.sum("bpe_ish_tokens")).first()[0] or 0,
+    )
+    return kept, report
