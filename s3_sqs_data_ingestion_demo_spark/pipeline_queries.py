@@ -451,3 +451,102 @@ def lsh_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 __all__ = ["REGISTRY", "QuerySpec"]
+
+
+# --------------------------------------------------------------------
+# End-to-end curation pipeline as a checked query
+# --------------------------------------------------------------------
+
+def _curation_oracle(
+    min_quality: float = 0.1,
+    min_tokens: int = 5,
+    threshold: float = 0.3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_band_freq: int = 10_000,
+) -> str:
+    """Compose the quality / fingerprint-dedup / minhash oracle
+    fragments into the full curation chain, re-sourced onto the
+    intermediate CTEs (generated from the same constants as the
+    operators, like every other oracle here)."""
+    rows = num_hashes // bands
+    shingle_chain = (
+        _SHINGLE_CTE.replace("WITH tok AS (", ", tok AS (")
+        .replace("FROM documents", "FROM exact_docs")
+    )
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars_raw,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, CAST(n_tokens AS INTEGER) AS n_tokens,
+             ROUND(least(n_tokens / 100.0, 1.0)
+                   * (1 - least(punct * 4.0 / greatest(n_chars_raw, 1), 1.0))
+                   * (1 - least(digits * 4.0 / greatest(n_chars_raw, 1), 1.0)), 4)
+               AS quality_score
+      FROM feats
+      WHERE ROUND(least(n_tokens / 100.0, 1.0)
+                  * (1 - least(punct * 4.0 / greatest(n_chars_raw, 1), 1.0))
+                  * (1 - least(digits * 4.0 / greatest(n_chars_raw, 1), 1.0)), 4)
+            >= {min_quality}
+        AND n_tokens >= {min_tokens}
+    ), exact_docs AS (
+      SELECT doc_id, text, n_tokens, quality_score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ){shingle_chain}, sigs AS (
+      SELECT id, s.s AS s, MIN(md5(s.s || ':' || shingle)) AS h
+      FROM sh, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS s) s
+      GROUP BY id, s.s
+    ), bands AS (
+      SELECT id, s // {rows} AS band, string_agg(h, '|' ORDER BY s) AS key
+      FROM sigs GROUP BY id, s // {rows}
+    ), band_ok AS (
+      SELECT band, key FROM bands GROUP BY band, key
+      HAVING COUNT(*) BETWEEN 2 AND {max_band_freq}
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a
+      JOIN band_ok USING (band, key)
+      JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ), common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ), losers AS (
+      SELECT DISTINCT id_b
+      FROM common
+      JOIN sizes na ON na.id = id_a
+      JOIN sizes nb ON nb.id = id_b
+      WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= {threshold}
+    )
+    SELECT doc_id, n_tokens, quality_score,
+           CAST(len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN}')) AS INTEGER)
+             AS bpe_ish_tokens
+    FROM exact_docs
+    WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
+
+
+@query("curated_documents", _curation_oracle())
+def curated_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The full curation pipeline as one checked query: quality gate ->
+    fingerprint exact dedup -> MinHash-LSH near-dup removal -> token
+    budget (operators/curation.py); the oracle composes the same
+    fragment chain over intermediate CTEs."""
+    from .operators.curation import curate_corpus  # noqa: PLC0415
+
+    kept = curate_corpus(
+        t(spark, sf, "documents"), min_quality=0.1, min_tokens=5,
+        near_dup_threshold=0.3,
+    )
+    return kept.select("doc_id", "n_tokens", "quality_score", "bpe_ish_tokens")
