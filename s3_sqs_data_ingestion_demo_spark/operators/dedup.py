@@ -122,22 +122,18 @@ def jaccard_near_dup_pairs(
             F.col("b.n_sh").alias("n_b"),
         )
     )
+    raw = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         pairs.groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        # filter on the RAW jaccard (like the SQL oracles); rounding
+        # before filtering admits pairs just under the threshold
+        # (0.29996 rounds to 0.3) and flips borderline results
+        .filter(raw >= threshold)
         .select(
             F.col("id_a").alias("doc_id_a"),
             F.col("id_b").alias("doc_id_b"),
-            "jaccard",
+            F.round(raw, 4).alias("jaccard"),
         )
     )
 
@@ -259,16 +255,17 @@ def minhash_dedup_pairs(
     b = base.select(
         F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("n_b")
     )
+    raw = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        .filter(raw >= threshold)  # raw-value filter, oracle-aligned
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            F.round(raw, 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b"), "jaccard")
     )
 
 

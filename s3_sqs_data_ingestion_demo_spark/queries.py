@@ -82,8 +82,8 @@ def _r4(c):
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*) + 1e-9, 4)       AS avg_price,
+           ROUND(ROUND(SUM(l_discount), 2) / COUNT(*) + 1e-9, 4)            AS avg_disc,
            CAST(COUNT(*) AS BIGINT)                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -106,9 +106,11 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
         _r2(F.sum(disc_price)).alias("sum_disc_price"),
         _r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-        _r4(F.avg("l_quantity")).alias("avg_qty"),
-        _r4(F.avg("l_extendedprice")).alias("avg_price"),
-        _r4(F.avg("l_discount")).alias("avg_disc"),
+        _r4(F.avg("l_quantity")).alias("avg_qty"),  # integer-valued: exact sums
+        # 2-decimal-granular data: snap sums before dividing (see
+        # q_events_hourly note)
+        _r4(_r2(F.sum("l_extendedprice")) / F.count(F.lit(1)) + F.lit(1e-9)).alias("avg_price"),
+        _r4(_r2(F.sum("l_discount")) / F.count(F.lit(1)) + F.lit(1e-9)).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -562,7 +564,7 @@ def q_machinery_never_urgent_except(spark: SparkSession, sf: str) -> DataFrame:
            event_type,
            CAST(COUNT(*) AS BIGINT)  AS n_events,
            ROUND(SUM(value), 2)      AS sum_value,
-           ROUND(AVG(value), 4)      AS avg_value
+           ROUND(ROUND(SUM(value), 2) / COUNT(*) + 1e-9, 4) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -579,7 +581,13 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             _r2(F.sum("value")).alias("sum_value"),
-            _r4(F.avg("value")).alias("avg_value"),
+            # snap the sum to the data's 2-decimal granularity BEFORE
+            # dividing (makes both engines divide identical doubles),
+            # then nudge by 1e-9: quotients of decimal data land
+            # exactly on .xxxx5 round-4 ties (1236.27/24=51.51125) and
+            # engines disagree on tie direction; the nudge resolves
+            # every tie upward identically on both
+            _r4(_r2(F.sum("value")) / F.count(F.lit(1)) + F.lit(1e-9)).alias("avg_value"),
         )
     )
 
