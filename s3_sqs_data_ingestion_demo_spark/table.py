@@ -210,11 +210,17 @@ class ManagedTable:
     # ------------------------------------------------------------ read
     def _read_entry(self, entry: dict) -> DataFrame:
         root = os.path.join(self.path, entry["root"])
+        # Always read with the table contract's schema: files written
+        # before an add-column evolution resolve their missing columns
+        # to null, and a rootless/empty entry (e.g. a historical commit
+        # of an empty batch) resolves to an empty DataFrame instead of
+        # UNABLE_TO_INFER_SCHEMA.
+        reader = self.spark.read.schema(self.meta.schema)
         if entry.get("parts"):
             paths = [os.path.join(root, p) for p in entry["parts"]]
-            df = self.spark.read.option("basePath", root).parquet(*paths)
+            df = reader.option("basePath", root).parquet(*paths)
         else:
-            df = self.spark.read.parquet(root)
+            df = reader.parquet(root)
         return align_to_schema(df, self.meta.schema)
 
     def _assemble(self, entries: list[dict]) -> DataFrame:
@@ -281,8 +287,15 @@ class ManagedTable:
         return sorted(os.path.relpath(p, root) for p in glob.glob(pattern))
 
     def append(self, df: DataFrame) -> int:
-        """Append sink (reference: spark-job/read.py:231-233)."""
-        entry = self._write_data(align_to_schema(df, self.meta.schema), self._new_root())
+        """Append sink (reference: spark-job/read.py:231-233).
+
+        An empty batch is a no-op returning the current version: a
+        partitioned write of zero rows would commit a rootless entry
+        (no hive subdirs), and version churn for nothing."""
+        src = align_to_schema(df, self.meta.schema)
+        if src.isEmpty():
+            return self._current_version()
+        entry = self._write_data(src, self._new_root())
         return self._commit_snapshot(self._read_manifest() + [entry])
 
     def overwrite(self, df: DataFrame) -> int:
@@ -315,6 +328,10 @@ class ManagedTable:
         if order_col and order_col in source.columns:
             source = dedup_latest(source, keys, order_col)
         src = align_to_schema(source, self.meta.schema)
+        # Empty CDC batch (header-only files, transform_query filtering
+        # everything) → no-op; never commit a rowless snapshot.
+        if src.isEmpty():
+            return self._current_version()
         merge_order = order_col if (policy == "latest_wins") else None
         if merge_order and merge_order not in self.meta.schema.fieldNames():
             raise ValueError(

@@ -156,3 +156,33 @@ def test_merge_prunes_partitions_with_special_chars(spark, tmp_path):
     manifest = t._read_manifest()
     all_parts = sorted(p for e in manifest for p in (e.get("parts") or []))
     assert all_parts == ["part=50%25", "part=a%3Ab", "part=x%2Fy"]
+
+
+def test_empty_merge_and_append_are_noops(spark, tmp_path):
+    """An empty CDC batch must never corrupt the table (ADVICE r01:
+    a rowless partitioned commit used to leave a rootless entry that
+    made every later read raise UNABLE_TO_INFER_SCHEMA)."""
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    v = t._current_version()
+    empty = df_of(spark, []).filter("id < 0")
+    assert t.merge(empty) == v
+    assert t.append(empty) == v
+    # table still fully readable and mergeable afterwards
+    assert rows_of(t.read()) == [(1, "a", 1.0, 1)]
+    t.merge(df_of(spark, [(1, "a", 2.0, 2)]))
+    assert rows_of(t.read()) == [(1, "a", 2.0, 2)]
+    assert t.compact() > v
+
+
+def test_read_entry_tolerates_historical_empty_commit(spark, tmp_path):
+    """Snapshots written before the empty-batch guard may carry
+    rootless entries; schema-aware reads must resolve them to empty."""
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    # simulate a legacy rowless commit: entry whose root has no files
+    root = t._new_root()
+    os.makedirs(root, exist_ok=True)
+    entry = {"root": os.path.relpath(root, t.path), "parts": None}
+    t._commit_snapshot(t._read_manifest() + [entry])
+    assert rows_of(t.read()) == [(1, "a", 1.0, 1)]
