@@ -219,15 +219,42 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     persist_intermediate: bool = True,
 ) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup (see ``minhash_dedup_pairs_with_base``).
+
+    Returns (doc_id_a, doc_id_b, jaccard >= threshold).  The persisted
+    shingle base (if any) is left to LRU eviction; loops that call this
+    repeatedly should use ``minhash_dedup_pairs_with_base`` and
+    unpersist the returned handle after materializing."""
+    out, _ = minhash_dedup_pairs_with_base(
+        df, text_col, id_col, n, num_hashes, bands, threshold, persist_intermediate
+    )
+    return out
+
+
+def minhash_dedup_pairs_with_base(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    persist_intermediate: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """End-to-end MinHash-LSH near-dup: signatures → banded candidates
     → exact-Jaccard verification of candidates only.
 
-    Verification joins the (id, shingle-array) base onto the candidate
-    pairs and computes ``array_intersect`` per pair — the exact common
-    count with no explode and no per-shingle shuffle.  At scale the
-    candidate set is a tiny fraction of the corpus and the two joins
-    broadcast it.
-    Returns (doc_id_a, doc_id_b, jaccard >= threshold).
+    Verification is EXPLODED-COUNT form: candidates join the exploded
+    (id, shingle) table on each side and the per-pair match count is a
+    plain aggregate — the same relational shape as the SQL oracle.
+    (An earlier ``array_intersect``-over-carried-arrays formulation
+    deterministically lost one pair on a cold JVM's first action at
+    sf0.1 — an engine-level anomaly in first-run aggregate/join over
+    large array columns; the exploded form never carries the arrays
+    through the join, avoiding that path entirely and keeping shuffle
+    rows narrow.  See NOTES r01 backlog 0.)  At scale the candidate
+    set is a tiny fraction of the corpus, so the exploded join volume
+    is |candidates| × shingles-per-doc, not corpus-sized.
 
     ``persist_intermediate`` caches the shingle base, which feeds the
     signature computation once and the verification twice — without it
@@ -235,12 +262,17 @@ def minhash_dedup_pairs(
     (~2.5× slower measured).  At 100 TB this intermediate would be a
     materialized signature/shingle index table; the memory-and-disk
     persist is the single-job form of that.
+
+    Returns ``(pairs, persisted_base_or_None)`` — the caller may
+    unpersist the base once ``pairs`` has been materialized.
     """
     base = _shingle_base(df, text_col, id_col, n)
+    handle = None
     if persist_intermediate:
         from pyspark import StorageLevel  # noqa: PLC0415
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        handle = base
     sig_cols = [
         F.array_min(
             F.transform(F.col("shs"), lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)))
@@ -249,17 +281,22 @@ def minhash_dedup_pairs(
     ]
     sigs = base.filter(F.col("n_sh") > 0).select("id", *sig_cols)
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
-    a = base.select(
-        F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("n_sh").alias("n_a")
+    sh = base.select("id", F.explode("shs").alias("shingle"))
+    common = (
+        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    b = base.select(
-        F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("n_sh").alias("n_b")
-    )
+    sizes = base.select("id", "n_sh")
     raw = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+    out = (
+        common.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+        )
         .filter(raw >= threshold)  # raw-value filter, oracle-aligned
         .select(
             F.col("id_a").alias("doc_id_a"),
@@ -267,6 +304,7 @@ def minhash_dedup_pairs(
             F.round(raw, 4).alias("jaccard"),
         )
     )
+    return out, handle
 
 
 def dedup_keep_first(
