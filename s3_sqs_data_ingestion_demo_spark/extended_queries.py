@@ -249,6 +249,8 @@ def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q_token_count_histogram",
+    # pytest/bench only: token counting is driver-verified via
+    # token_budget_documents; demoted to fit the driver's 50-row budget.
     """
     SELECT CAST((CASE WHEN length(trim(text)) = 0 THEN 0
                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END // 10) * 10
@@ -257,6 +259,7 @@ def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1
     """,
+    driver=False,
 )
 def q_token_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """Token-count distribution in buckets of 10 (uses the text
@@ -349,18 +352,46 @@ def q15_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct_sketch", None)  # rows-only: HLL sketches are engine-specific
+@query(
+    "q_approx_distinct_sketch",
+    # HLL estimates are engine-specific, so the CHECKED columns are the
+    # exact counts plus within-10%-tolerance flags (rsd=0.02 → 5σ).  The
+    # oracle asserts the flags are TRUE: a broken sketch goes red.
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(COUNT(*) AS BIGINT)                   AS n_lines,
+           TRUE AS parts_sketch_ok,
+           TRUE AS orders_sketch_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate distinct counting (HyperLogLog++): the mergeable
     sketch you run at 100 TB where exact COUNT(DISTINCT) would shuffle
-    every key.  Rows-only driver check (sketch estimates are
-    engine-specific); the pytest suite bounds its error against the
-    exact count instead."""
+    every key.  Output carries the exact counts plus sketch-within-
+    tolerance flags so the check is oracle-exact while still exercising
+    the sketch path."""
     l = t(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    agg = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.count(F.lit(1)).alias("n_lines"),
+    )
+    tol = 0.10
+    return agg.select(
+        "l_returnflag", "exact_parts", "exact_orders", "n_lines",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= tol * F.col("exact_parts")
+        ).alias("parts_sketch_ok"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= tol * F.col("exact_orders")
+        ).alias("orders_sketch_ok"),
     )
 
 

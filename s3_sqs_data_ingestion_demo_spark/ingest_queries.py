@@ -1,0 +1,181 @@
+"""The reference's core operation — CDC upsert through the managed
+table — as driver-checkable queries.
+
+The reference's ONLY real query is its MERGE INTO with a
+dedup-by-recency subquery (reference: spark-job/mergeSQL.sql:1-43,
+executed at spark-job/read.py:173-180).  These two entries run that
+scenario end-to-end at driver-gate time: create a partitioned
+``ManagedTable``, merge a bootstrap batch, merge a CDC batch (with
+intra-batch duplicate keys for ``unconditional``; with stale rows for
+``latest_wins``), then read the final snapshot back.  The DuckDB
+oracle re-derives the same final state relationally (windowed batch
+dedup + anti-join ∪ upsert), so the whole write→commit→read path is
+value-checked, not just the pure DataFrame operator.
+
+Determinism notes: batches are arithmetic slices of ``orders`` (no
+randomness); ``change_seq`` values are distinct within every key so
+the recency windows have no ties; partition values (o_orderstatus)
+are stable per key, satisfying the partition-pruned COW invariant.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .queries import query, t
+from .table import ManagedTable
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("price", T.DoubleType(), True),
+        T.StructField("change_seq", T.LongType(), True),
+    ]
+)
+
+# Shared bootstrap batch: 2/3 of orders at seq 1.
+_B1_SQL = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+           CAST(1 AS BIGINT) AS change_seq
+    FROM orders WHERE o_orderkey % 3 <> 0
+"""
+
+
+def _bootstrap(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.lit(1).cast("long").alias("change_seq"),
+    )
+
+
+def _run_cdc_scenario(
+    spark: SparkSession, sf: str, policy: str, batch2: DataFrame
+) -> DataFrame:
+    """create → merge(bootstrap) → merge(batch2) → read."""
+    path = f"/tmp/sg_driver_merge_{policy}_{os.path.basename(sf.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    table = ManagedTable.create(
+        spark,
+        path,
+        _SCHEMA,
+        partition_cols=["o_orderstatus"],
+        key_cols=["o_orderkey"],
+        order_column="change_seq",
+        merge_policy=policy,
+    )
+    table.merge(_bootstrap(spark, sf))
+    table.merge(batch2)
+    out = table.read()
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.round(F.col("price"), 2) + F.lit(0.0)).alias("price"),
+        "change_seq",
+    )
+
+
+@query(
+    "merge_upsert_unconditional",
+    f"""
+    WITH b1 AS ({_B1_SQL}),
+    b2raw AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS price,
+             CAST(2 AS BIGINT) AS change_seq
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 200.0, CAST(3 AS BIGINT)
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, o_orderstatus, price, change_seq FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_orderkey ORDER BY change_seq DESC) AS rn
+        FROM b2raw
+      ) WHERE rn = 1
+    ),
+    final AS (
+      SELECT * FROM b1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL
+      SELECT * FROM b2
+    )
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(price, 2) + 0.0 AS price, change_seq
+    FROM final
+    """,
+    rank=10,
+)
+def merge_upsert_unconditional(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-batch CDC upsert, reference semantics (WHEN MATCHED THEN
+    UPDATE with no recency guard, mergeSQL.sql:24-32): the CDC batch
+    carries duplicate keys at different ``change_seq`` so the
+    dedup-by-recency subquery (mergeSQL.sql:14-21) is exercised, then
+    matched keys take the batch row unconditionally.
+
+    Scale: the merge reads only the hive partitions present in the
+    batch and shuffles once on the key (table.py merge)."""
+    o = t(spark, sf, "orders")
+    seq2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice") + 100.0).cast("double").alias("price"),
+        F.lit(2).cast("long").alias("change_seq"),
+    )
+    seq3 = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice") + 200.0).cast("double").alias("price"),
+        F.lit(3).cast("long").alias("change_seq"),
+    )
+    return _run_cdc_scenario(
+        spark, sf, "unconditional", seq2.unionByName(seq3)
+    )
+
+
+@query(
+    "merge_upsert_latest_wins",
+    f"""
+    WITH b1 AS ({_B1_SQL}),
+    b2 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS price,
+             CAST(CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE 2 END AS BIGINT)
+               AS change_seq
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    final AS (
+      SELECT o_orderkey, o_orderstatus, price, change_seq FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_orderkey ORDER BY change_seq DESC) AS rn
+        FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      ) WHERE rn = 1
+    )
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(price, 2) + 0.0 AS price, change_seq
+    FROM final
+    """,
+    rank=10,
+)
+def merge_upsert_latest_wins(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-batch CDC upsert under ``latest_wins`` (the redelivery-safe
+    mode, SURVEY §2.4 T4): 1/5 of the CDC batch arrives with a STALE
+    ``change_seq`` (0 < the table's 1) and must NOT overwrite the
+    bootstrap row; fresh rows (seq 2) and brand-new keys land."""
+    o = t(spark, sf, "orders")
+    batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice") + 100.0).cast("double").alias("price"),
+        F.when(F.col("o_orderkey") % 5 == 0, 0)
+        .otherwise(2)
+        .cast("long")
+        .alias("change_seq"),
+    )
+    return _run_cdc_scenario(spark, sf, "latest_wins", batch)

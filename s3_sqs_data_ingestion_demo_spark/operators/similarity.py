@@ -245,50 +245,18 @@ def label_centroids(
     )
 
 
-def blocked_cosine_pairs(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.9,
-    n_blocks: int = 4,
-) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold via blocked GEMM.
+# Default rows per GEMM tile side: a 4096×4096 float64 similarity
+# matrix is ~134 MB — comfortably inside one executor task.
+TARGET_TILE_ROWS = 4096
 
-    The expression-level pairwise dot (``aggregate(zip_with(...))``)
-    is interpreted per element — O(n²·dim) lambda evaluations.  This
-    operator instead tiles the corpus into ``n_blocks`` hash blocks,
-    routes every block PAIR to one ``applyInPandas`` group, and
-    computes the block-by-block similarity matrix with one BLAS
-    ``matmul`` per tile — the standard distributed exact-similarity
-    design: each vector is replicated ``n_blocks`` times (not n²), and
-    all FLOPs run vectorized in numpy.
+_TILE_SCHEMA = "id_a long, id_b long, cosine_sim double"
 
-    Returns (id_a, id_b, cosine_sim ≥ threshold), id_a < id_b.
-    """
+
+def _make_tile(threshold: float):
+    """Build the per-group BLAS tile function shared by the exact
+    blocked-GEMM operator and the LSH in-bucket verifier."""
     import numpy as np
     import pandas as pd
-
-    base = df.select(
-        F.col(id_col).alias("id"),
-        _dvec(vec_col).alias("v"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
-    )
-    # each row joins every block-pair group (bi, bj) that involves its
-    # own block; groups are unordered pairs bi <= bj
-    pairs = F.array(
-        *[
-            F.struct(
-                F.least(F.col("_blk"), F.lit(j)).alias("bi"),
-                F.greatest(F.col("_blk"), F.lit(j)).alias("bj"),
-            )
-            for j in range(n_blocks)
-        ]
-    )
-    routed = (
-        base.select("id", "v", "_blk", F.explode(pairs).alias("g"))
-        .select("id", "v", "_blk", F.col("g.bi").alias("bi"), F.col("g.bj").alias("bj"))
-        .dropDuplicates(["id", "bi", "bj"])
-    )
 
     def tile(pdf: pd.DataFrame) -> pd.DataFrame:
         bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
@@ -320,8 +288,76 @@ def blocked_cosine_pairs(
             {"id_a": id_a, "id_b": id_b, "cosine_sim": np.round(vals, 4)}
         )
 
+    return tile
+
+
+def _route_block_pairs(base: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """Route every row of ``base`` (columns: id, v, _nsub [+extras])
+    to each of its block-pair groups (bi <= bj).
+
+    ``_nsub`` may vary per row (per-bucket sub-blocking), so the
+    routing array is built with ``sequence`` + ``transform`` —
+    ``array_distinct`` (not a shuffling dropDuplicates) removes the
+    one duplicate the diagonal entry produces.  Each row is
+    replicated ``_nsub`` times, never n².
+    """
+    blk = F.pmod(F.xxhash64(F.col("id")), F.col("_nsub"))
+    pairs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.col("_nsub") - 1),
+            lambda j: F.struct(
+                F.least(blk, j).alias("bi"), F.greatest(blk, j).alias("bj")
+            ),
+        )
+    )
+    return (
+        base.select(*extra_cols, "id", "v", blk.alias("_blk"), F.explode(pairs).alias("g"))
+        .select(
+            *extra_cols, "id", "v", "_blk",
+            F.col("g.bi").alias("bi"), F.col("g.bj").alias("bj"),
+        )
+    )
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_blocks: int | None = None,
+    target_tile_rows: int = TARGET_TILE_ROWS,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked GEMM.
+
+    The expression-level pairwise dot (``aggregate(zip_with(...))``)
+    is interpreted per element — O(n²·dim) lambda evaluations.  This
+    operator instead tiles the corpus into hash blocks, routes every
+    block PAIR to one ``applyInPandas`` group, and computes the
+    block-by-block similarity matrix with one BLAS ``matmul`` per
+    tile — the standard distributed exact-similarity design: each
+    vector is replicated ``n_blocks`` times (not n²), and all FLOPs
+    run vectorized in numpy.
+
+    ``n_blocks`` defaults to ``ceil(count / target_tile_rows)`` so a
+    tile's memory footprint is bounded regardless of corpus size (a
+    fixed block count would OOM an executor at 100× the data).  This
+    costs one cheap ``count()`` action; pass ``n_blocks`` explicitly
+    to skip it.  Exact all-pairs is inherently O(n²) FLOPs — past
+    ~10⁶ rows use the LSH/IVF paths instead.
+
+    Returns (id_a, id_b, cosine_sim ≥ threshold), id_a < id_b.
+    """
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = max(1, -(-n // max(1, target_tile_rows)))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _dvec(vec_col).alias("v"),
+        F.lit(int(n_blocks)).alias("_nsub"),
+    )
+    routed = _route_block_pairs(base, [])
     return routed.groupBy("bi", "bj").applyInPandas(
-        tile, schema="id_a long, id_b long, cosine_sim double"
+        _make_tile(threshold), schema=_TILE_SCHEMA
     )
 
 
@@ -365,29 +401,85 @@ def lsh_cosine_pairs(
     dim: int = 64,
     threshold: float = 0.9,
     seed: int = 42,
+    n_tables: int = 1,
+    target_tile_rows: int = TARGET_TILE_ROWS,
 ) -> DataFrame:
-    """Near-duplicate vector pairs via LSH-bucketed self-join.
+    """Near-duplicate vector pairs via multi-table LSH bucketing +
+    in-bucket blocked-GEMM verification.
 
-    Exact within buckets: pairs that land in the same sign-pattern
-    bucket are verified with full cosine.  (Single-table variant; for
-    recall-critical use, union over several plane seeds.)
+    Recall comes from OR-ing ``n_tables`` independent hash tables of
+    ``n_planes`` sign bits each (classic (k, L) cosine LSH): a pair
+    collides when it agrees on ALL planes of ANY table, so recall at
+    angle θ is 1 − (1 − (1 − θ/π)^k)^L — tune k down / L up for
+    lower similarity thresholds.  Verification is exact within
+    buckets, so precision is always exact; only recall is approximate.
+
+    A bucket's verification is sub-blocked into tiles of at most
+    ``target_tile_rows`` rows, so a degenerate corpus (every vector
+    near-identical → one bucket per table) costs bounded memory per
+    task instead of an O(n²)-row self-join blowup — the same
+    hot-bucket discipline minhash/simhash get from ``max_band_freq``,
+    but without silently dropping the bucket (for embedding near-dup
+    the hot bucket IS the signal).  Each vector is replicated
+    ``Σ_tables ceil(bucket_size / target_tile_rows)`` times; FLOPs
+    remain Σ b² per table by construction of LSH.  Pairs colliding in
+    several tables are deduped by a final (id_a, id_b) aggregate over
+    verified pairs only.
+
     Returns (id_a, id_b, cosine_sim >= threshold), id_a < id_b.
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
-    b = df.select(
-        F.col(id_col).alias("id"),
-        _dvec(vec_col).alias("v"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
+    import numpy as np
+    import pandas as pd
+
+    # All L×k sign bits in ONE vectorized pass: (n, d) @ (d, L·k) GEMM
+    # per Arrow batch, then pack k bits per table.  (Per-plane
+    # ``aggregate(zip_with(...))`` HOFs are interpreted — 32 lambda
+    # dot products per row was ~10× slower — and a union-of-tables
+    # formulation scans the corpus L times instead of once.)
+    P = np.array(
+        [random_hyperplanes(dim, n_planes, seed + 1000 * ti) for ti in range(n_tables)],
+        dtype=np.float64,
+    )  # (L, k, d)
+    pm = P.reshape(n_tables * n_planes, dim).T.copy()  # (d, L·k)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            bits = (v @ pm) >= 0  # (n, L·k)
+            bkt = (
+                bits.reshape(len(pdf), n_tables, n_planes) * weights
+            ).sum(axis=2)  # (n, L)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "v": pdf["v"], "buckets": list(bkt)}
+            )
+
+    b = (
+        df.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+        .mapInPandas(bucketize, "id long, v array<double>, buckets array<long>")
+        .select("id", "v", F.posexplode("buckets").alias("tbl", "bucket"))
     )
-    left = b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    right = b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    return (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+    # per-(table, bucket) occupancy via window count — one shuffle, no
+    # sizes join; singleton buckets can't pair
+    w = Window.partitionBy("tbl", "bucket")
+    base = (
+        b.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") >= 2)
+        .withColumn(
+            "_nsub",
+            F.ceil(F.col("_bn") / F.lit(max(1, target_tile_rows))).cast("int"),
         )
-        .filter(F.col("cosine_sim") >= threshold)
+    )
+    routed = _route_block_pairs(base, ["tbl", "bucket"])
+    verified = routed.groupBy("tbl", "bucket", "bi", "bj").applyInPandas(
+        _make_tile(threshold), schema=_TILE_SCHEMA
+    )
+    if n_tables == 1:
+        # a pair shares exactly one bucket (bucket is a function of
+        # the vector) — no dedup needed
+        return verified
+    return verified.groupBy("id_a", "id_b").agg(
+        F.max("cosine_sim").alias("cosine_sim")
     )

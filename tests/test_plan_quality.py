@@ -72,7 +72,11 @@ def test_ann_broadcasts_queries_not_corpus(spark):
 
 
 def test_fingerprint_no_shuffle(spark):
-    p = plan_of(spark, "fingerprint_documents")
+    # standalone fingerprint projection (driver-verified inside the
+    # combined text_quality_documents entry)
+    df = pipeline_queries.fingerprint_documents(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = df._jdf.queryExecution().explainString(mode)
     assert "Exchange" not in p  # pure projection
 
 
@@ -89,7 +93,9 @@ def test_minhash_signatures_no_shuffle(spark):
 
 @pytest.mark.parametrize(
     "name",
-    [n for n in sorted(REGISTRY) if not n.startswith(("lsh_",))],
+    # merge_upsert_* are end-to-end table-write scenarios, not pure
+    # queries; their operator (merge_upsert) is plan-checked elsewhere
+    [n for n in sorted(REGISTRY) if not n.startswith(("lsh_", "merge_upsert_"))],
 )
 def test_no_python_eval_in_queries(spark, name):
     """Every registered query must stay JVM-side: no row-at-a-time
