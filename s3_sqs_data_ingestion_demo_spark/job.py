@@ -15,7 +15,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 from .config import JobConfig, load_text
-from .plans import apply_transform_query
+from .plans import apply_transform_query, execute_merge_into, is_merge_into
 from .schema import avro_to_spark_schema
 from .sources.files import read_batch, with_lineage
 from .sources.sqs import SqsFileSource
@@ -74,7 +74,13 @@ def process_files(
         df.show()
     df = apply_transform_query(spark, df, inp.transform_query)
     if out.mode == "merge" and out.merge_query:
-        df = apply_transform_query(spark, df, load_text(out.merge_query))
+        text = load_text(out.merge_query)
+        if is_merge_into(text):
+            # the reference's verbatim MERGE INTO statement (reference:
+            # spark-job/mergeSQL.sql) — translate onto ManagedTable.merge
+            table = ensure_target(spark, config)
+            return execute_merge_into(spark, table, df, text)
+        df = apply_transform_query(spark, df, text)
     table = ensure_target(spark, config)
     return table.write(df, out.mode)
 
@@ -101,6 +107,17 @@ def run_sqs_loop(
             except Exception:
                 log.exception("batch failed; not committing %d messages", len(batch.receipt_handles))
                 continue  # messages redeliver after visibility timeout
+            if inp.commit_checkpoint:
+                source.commit(batch)
+        elif batch.receipt_handles:
+            # Poison/noise messages (s3:TestEvent, malformed bodies,
+            # non-S3 notifications) parse to zero file URIs.  Nothing
+            # was processed, so deleting them is safe — without this
+            # they redeliver forever after every visibility timeout.
+            log.warning(
+                "committing %d messages that yielded no file URIs",
+                len(batch.receipt_handles),
+            )
             if inp.commit_checkpoint:
                 source.commit(batch)
         if max_polls is None or polls < max_polls:

@@ -80,3 +80,30 @@ def test_sqs_loop_end_to_end(spark, tmp_path):
     assert rows[(40994, 67)].category == "market####"
     # failed batch's handle must NOT be deleted (redelivery possible)
     assert sorted(fake.deleted) == ["h1", "h2"]
+
+
+def test_poison_messages_committed_not_redelivered(spark, tmp_path):
+    """Messages whose bodies parse to zero file URIs (s3:TestEvent,
+    malformed JSON, non-S3 notifications) must still be deleted —
+    nothing was processed, so deletion is safe, and without it they
+    redeliver forever after every visibility timeout."""
+    d = str(tmp_path)
+    cfg = JobConfig.from_dict(
+        {
+            "input_config": {"type": "sqs", "format": "csv", "poll_interval": 0},
+            "output_config": {
+                "table_path": os.path.join(d, "wh", "orders"),
+                "mode": "merge",
+                "key_columns": ["invoiceid", "itemid"],
+            },
+        }
+    )
+    fake = FakeSqs(
+        [
+            [("{\"Event\": \"s3:TestEvent\"}", "h_test"), ("not json", "h_junk")],
+            [],  # empty poll: no messages at all -> nothing to commit
+        ]
+    )
+    src = SqsFileSource("q", client=fake)
+    run_sqs_loop(spark, cfg, source=src, max_polls=2)
+    assert sorted(fake.deleted) == ["h_junk", "h_test"]
