@@ -463,14 +463,21 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT)      AS n_customers,
            ROUND(SUM(c_acctbal), 2)      AS total_acctbal
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_mktsegment
     """,
 )
 def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """NOT EXISTS via left-anti join, then a tiny aggregation."""
+    """NOT EXISTS via left-anti join on a filtered stream, then a tiny
+    aggregation.  The date cutoff keeps the anti-join non-degenerate:
+    every customer has SOME order in this data, so the unfiltered form
+    returned an empty result — which hash-matches an empty oracle
+    trivially and verifies nothing."""
     c = t(spark, sf, "customer")
-    o = t(spark, sf, "orders")
+    o = t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01 00:00:00"))
+    )
     return (
         c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("c_mktsegment")
