@@ -282,9 +282,16 @@ def minhash_dedup_pairs_with_base(
     sigs = base.filter(F.col("n_sh") > 0).select("id", *sig_cols)
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
     sh = base.select("id", F.explode("shs").alias("shingle"))
+    # Restrict each exploded side to ids that actually appear in a
+    # candidate pair BEFORE the (id, shingle) equi-join — the
+    # candidate set is a tiny fraction of the corpus, so this turns a
+    # full-corpus exploded-shingle shuffle into two joins against
+    # candidate-sized inputs (semi joins that AQE broadcasts).
+    sh_a = sh.join(cand.select(F.col("id_a").alias("id")), "id", "left_semi")
+    sh_b = sh.join(cand.select(F.col("id_b").alias("id")), "id", "left_semi")
     common = (
-        cand.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        cand.join(sh_a.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh_b.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -274,6 +274,16 @@ class ManagedTable:
     # ----------------------------------------------------------- write
     def _write_data(self, df: DataFrame, root: str) -> dict:
         writer = df.write.option("compression", self.meta.compression)
+        # File-size targeting (table property "write.target-file-rows"):
+        # caps rows per parquet file so snapshots land as evenly-sized
+        # files — the knob that prevents the two 100 TB failure modes,
+        # multi-GB single files (no read parallelism, executor OOM on
+        # row-group decode) and millions of tiny files (listing +
+        # footer overhead dominates).  Spark splits at the row count
+        # without an extra shuffle.
+        target_rows = self.meta.properties.get("write.target-file-rows")
+        if target_rows:
+            writer = writer.option("maxRecordsPerFile", int(target_rows))
         if self.meta.partition_cols:
             writer = writer.partitionBy(*self.meta.partition_cols)
         writer.parquet(root, mode="errorifexists")

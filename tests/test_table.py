@@ -186,3 +186,23 @@ def test_read_entry_tolerates_historical_empty_commit(spark, tmp_path):
     entry = {"root": os.path.relpath(root, t.path), "parts": None}
     t._commit_snapshot(t._read_manifest() + [entry])
     assert rows_of(t.read()) == [(1, "a", 1.0, 1)]
+
+
+def test_target_file_rows_splits_output_files(spark, tmp_path):
+    """write.target-file-rows caps rows per parquet file so snapshot
+    files stay evenly sized (the anti-giant-file / anti-tiny-file
+    knob at scale); reads are unaffected."""
+    import glob as _glob
+
+    t = ManagedTable.create(
+        spark,
+        os.path.join(str(tmp_path), "tbl"),
+        SCHEMA,
+        key_cols=["id"],
+        properties={"write.target-file-rows": "10"},
+    )
+    rows = [(i, "p", float(i), i) for i in range(100)]
+    t.append(df_of(spark, rows).repartition(1))
+    files = _glob.glob(os.path.join(t.path, "data", "*", "*.parquet"))
+    assert len(files) >= 10  # 100 rows / 10-per-file
+    assert rows_of(t.read()) == sorted(rows)
