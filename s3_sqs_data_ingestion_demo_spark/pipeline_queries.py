@@ -453,6 +453,23 @@ def lsh_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("pq_ann_topk", None, driver=False)  # rows-only: float-argmin codes are engine-specific
+def pq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN: train codebooks on a bounded sample,
+    encode the corpus to m small codes (one Arrow scan, ~16x smaller
+    than the raw embeddings), answer top-k by ADC table lookups —
+    the compressed-index path you run at 100 TB when even IVF's raw
+    vectors don't fit the cache tier.  Recall vs exact cosine is
+    pinned by tests/test_pq.py; bench + pytest coverage (the driver
+    view is budget-capped and PQ codes aren't SQL-expressible)."""
+    from .operators import pq as PQ  # noqa: PLC0415
+
+    emb = t(spark, sf, "embeddings")
+    cb = PQ.pq_train(emb, m=16, ksub=64)
+    codes = PQ.pq_encode(emb, cb)
+    return PQ.pq_topk(emb.filter(F.col("vec_id") < 10), codes, cb, k=5)
+
+
 __all__ = ["REGISTRY", "QuerySpec"]
 
 
