@@ -150,6 +150,44 @@ def q_cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q_unpivot_lineitem_charges",
+    # pytest/bench coverage (driver view is budget-capped): wide-to-long
+    # reshape via stack(), the UNPIVOT operator
+    """
+    SELECT measure,
+           ROUND(SUM(value), 2) + 0.0 AS total,
+           CAST(COUNT(*) AS BIGINT)   AS n
+    FROM (
+      SELECT 'extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    ) GROUP BY measure
+    """,
+    driver=False,
+)
+def q_unpivot_lineitem_charges(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (wide → long) via ``stack``: one generator projection,
+    no join/union re-scan of the fact table — the reshape stays a
+    single pass however many measures are unpivoted (the UNION ALL
+    formulation the oracle uses would scan lineitem once per
+    measure)."""
+    l = t(spark, sf, "lineitem")
+    return (
+        l.select(
+            F.expr(
+                "stack(3, 'extendedprice', l_extendedprice,"
+                " 'discount', l_discount, 'tax', l_tax) as (measure, value)"
+            )
+        )
+        .groupBy("measure")
+        .agg(
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
     "q_distinct_parts_suppliers",
     """
     SELECT l_returnflag,

@@ -196,3 +196,176 @@ def pq_topk(
         F.col("adc_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------ IVF-PQ
+# Composition of the IVF coarse quantizer (operators/similarity.py)
+# with PQ residual codes — the canonical billion-scale index layout:
+# probe a few cells, ADC-score only their members, on codes ~32x
+# smaller than raw vectors.  With L2-normalized vectors and v = c + r
+# (cell centroid + residual), <q, v> = <q, c> + <q, r>: the first term
+# is an exact per-(query, cell) constant, the second an ADC lookup sum
+# against codebooks trained on residuals (one shared codebook set, as
+# in Jégou et al. 2011 §IV).
+
+def _collect_centroids(centroids: DataFrame):
+    import numpy as np
+
+    rows = centroids.orderBy("cell_id").collect()
+    if not rows:
+        raise ValueError("empty centroid set")
+    ids = np.array([r.cell_id for r in rows], dtype=np.int64)
+    mat = np.array([r.centroid for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def ivfpq_train(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 16,
+    ksub: int = 64,
+    iters: int = 8,
+    sample: int = 4096,
+):
+    """Train PQ codebooks on cell RESIDUALS of a bounded sample.
+    Returns (m, ksub, dim//m) ndarray; centroids come from
+    ``kmeans_fit``/``label_centroids`` and stay tiny by construction."""
+    import numpy as np
+
+    cids, cmat = _collect_centroids(centroids)
+    rows = (
+        df.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ivfpq_train requires a non-empty corpus")
+    x = _normalize(np.array([r.v for r in rows], dtype=np.float64))
+    nearest = (x @ cmat.T).argmax(axis=1)  # cosine cell assignment
+    resid = x - cmat[nearest]
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [_kmeans_1sub(resid[:, j * dsub : (j + 1) * dsub], ksub, iters) for j in range(m)]
+    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest cell and PQ-encode the
+    residual in the same Arrow batch: one scan, no shuffle.
+    Returns (id, cell_id, codes) — the persistent IVF-PQ index."""
+    import numpy as np
+    import pandas as pd
+
+    cids, cmat = _collect_centroids(centroids)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = cb.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = _normalize(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+            nearest = (v @ cmat.T).argmax(axis=1)
+            resid = v - cmat[nearest]
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                sub = resid[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * (sub @ cb[j].T) + (cb[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "cell_id": cids[nearest], "codes": list(codes)}
+            )
+
+    return (
+        df.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+        .mapInPandas(encode, "id long, cell_id long, codes array<long>")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe each query's ``nprobe`` nearest cells and ADC-score only
+    their members: score = <q, cell centroid> (exact bias, computed
+    driver-side on the tiny probe table) + Σ residual-LUT lookups.
+
+    The probe table (queries × nprobe rows) broadcasts onto the index
+    equi-join on cell_id — the corpus codes never shuffle; the only
+    exchange is the per-query top-k window.  Returns
+    (query_id, neighbor_id, adc_sim, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    cids, cmat = _collect_centroids(centroids)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    qrows = (
+        queries.select(F.col(id_col).alias("qid"), _dvec(vec_col).alias("v"))
+        .orderBy("qid")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("ivfpq_topk requires a non-empty query set")
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    qv = _normalize(np.array([r.v for r in qrows], dtype=np.float64))
+    lut = np.stack(
+        [qv[:, j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)], axis=1
+    )  # (q, m, ksub)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    cell_sims = qv @ cmat.T  # (q, n_cells) exact biases
+    order = np.argsort(-cell_sims, axis=1)[:, :nprobe]
+    spark = queries.sparkSession
+    probes = spark.createDataFrame(
+        [
+            (int(qids[qi]), int(cids[ci]), float(cell_sims[qi, ci]))
+            for qi in range(len(qids))
+            for ci in order[qi]
+        ],
+        "query_id long, cell_id long, bias double",
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qi = pdf["query_id"].map(qpos).to_numpy()
+            sims = pdf["bias"].to_numpy().astype(np.float64).copy()
+            for j in range(m):
+                sims += lut[qi, j, c[:, j]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["id"],
+                    "adc_sim": np.round(sims, 4),
+                }
+            )
+
+    joined = index.join(F.broadcast(probes), "cell_id")
+    scored = joined.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_sim double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

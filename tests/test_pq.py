@@ -89,3 +89,54 @@ def test_topk_shape_and_rank_contract(emb, codebooks):
         assert sorted(r.rank for r in rs) == [1, 2, 3, 4]
         sims = [r.adc_sim for r in sorted(rs, key=lambda r: r.rank)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivfpq_recall_and_nprobe_monotone(spark, emb):
+    """IVF-PQ: residual codes + cell probing.  Recall grows with
+    nprobe; full probe matches plain-PQ-grade recall (residual
+    encoding can only help vs raw-vector PQ at equal bits)."""
+    from s3_sqs_data_ingestion_demo_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+    from s3_sqs_data_ingestion_demo_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    cents = label_centroids(emb)
+    n_cells = cents.count()
+    cb = ivfpq_train(emb, cents, m=16, ksub=64)
+    index = ivfpq_encode(emb, cents, cb)
+    assert index.count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    recalls = []
+    for nprobe in (1, 3, n_cells):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_topk(queries, index, cents, cb, k=5, nprobe=nprobe).collect()
+        }
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone in nprobe: {recalls}"
+    assert recalls[-1] > 0.4, recalls
+
+
+def test_ivfpq_index_schema_and_cells(spark, emb):
+    from s3_sqs_data_ingestion_demo_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+    from s3_sqs_data_ingestion_demo_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    cents = label_centroids(emb)
+    cb = ivfpq_train(emb, cents, m=8, ksub=16)
+    rows = ivfpq_encode(emb, cents, cb).collect()
+    cell_ids = {r.cell_id for r in cents.collect()}
+    assert {r.cell_id for r in rows} <= cell_ids
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in rows)
