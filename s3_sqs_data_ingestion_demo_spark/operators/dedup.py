@@ -138,6 +138,28 @@ def jaccard_near_dup_pairs(
     )
 
 
+def _minhash_sig_col(s: int) -> Column:
+    """Min-over-shingles of the seeded hash family, for seed ``s``.
+
+    The inner lambda MUST be arity-1: ``transform`` also accepts an
+    (element, index) binary form, and a second (even defaulted)
+    parameter makes PySpark bind THAT form — rebinding the captured
+    seed to the index Column, whose generated variable name then gets
+    f-string-ified into the hash seed.  That produced seeds that vary
+    with the session's lambda-variable counter: near-dup pairs near
+    the LSH banding boundary appeared and disappeared across
+    otherwise-identical runs (the r01 "cold-JVM first-action row
+    loss" was this, not an engine defect — a fresh session's counter
+    state differs from every warm state).  The plain closure over
+    ``s`` is safe because ``transform`` invokes the Python callable
+    immediately, at expression-build time.
+    Regression: tests/test_dedup_determinism.py.
+    """
+    return F.array_min(
+        F.transform(F.col("shs"), lambda x: F.md5(F.concat(F.lit(f"{s}:"), x)))
+    ).alias(f"h{s}")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -157,12 +179,7 @@ def minhash_signatures(
     scan projection.
     """
     base = _shingle_base(df, text_col, id_col, n)
-    cols = [
-        F.array_min(
-            F.transform(F.col("shs"), lambda x: F.md5(F.concat(F.lit(f"{s}:"), x)))
-        ).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
+    cols = [_minhash_sig_col(s) for s in range(num_hashes)]
     return base.filter(F.col("n_sh") > 0).select("id", *cols)
 
 
@@ -246,15 +263,14 @@ def minhash_dedup_pairs_with_base(
 
     Verification is EXPLODED-COUNT form: candidates join the exploded
     (id, shingle) table on each side and the per-pair match count is a
-    plain aggregate — the same relational shape as the SQL oracle.
-    (An earlier ``array_intersect``-over-carried-arrays formulation
-    deterministically lost one pair on a cold JVM's first action at
-    sf0.1 — an engine-level anomaly in first-run aggregate/join over
-    large array columns; the exploded form never carries the arrays
-    through the join, avoiding that path entirely and keeping shuffle
-    rows narrow.  See NOTES r01 backlog 0.)  At scale the candidate
-    set is a tiny fraction of the corpus, so the exploded join volume
-    is |candidates| × shingles-per-doc, not corpus-sized.
+    plain aggregate — the same relational shape as the SQL oracle, and
+    shuffle rows stay narrow (no shingle arrays ever cross a join).
+    At scale the candidate set is a tiny fraction of the corpus, so
+    the exploded join volume is |candidates| × shingles-per-doc, not
+    corpus-sized.  (The r01 "cold-JVM first-action row loss" once
+    blamed on the previous array_intersect formulation was actually
+    the seed bug documented on ``_minhash_sig_col`` — candidate
+    generation, not verification.)
 
     ``persist_intermediate`` caches the shingle base, which feeds the
     signature computation once and the verification twice — without it
@@ -266,20 +282,19 @@ def minhash_dedup_pairs_with_base(
     Returns ``(pairs, persisted_base_or_None)`` — the caller may
     unpersist the base once ``pairs`` has been materialized.
     """
-    base = _shingle_base(df, text_col, id_col, n)
+    # Signature columns ride in the same projection as the base, so
+    # the persisted relation serves signatures, exploded shingles, and
+    # set sizes alike — one cached intermediate, zero recompute.
+    base = _shingle_base(df, text_col, id_col, n).select(
+        "id", "shs", "n_sh", *[_minhash_sig_col(s) for s in range(num_hashes)]
+    )
     handle = None
     if persist_intermediate:
         from pyspark import StorageLevel  # noqa: PLC0415
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
         handle = base
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("shs"), lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)))
-        ).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    sigs = base.filter(F.col("n_sh") > 0).select("id", *sig_cols)
+    sigs = base.filter(F.col("n_sh") > 0).select("id", *[f"h{s}" for s in range(num_hashes)])
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
     sh = base.select("id", F.explode("shs").alias("shingle"))
     # Restrict each exploded side to ids that actually appear in a
