@@ -1,14 +1,16 @@
 """Cold-JVM first-action regression for the sf0.1 minhash anomaly.
 
-Round 1 found that the array-carrying verification plan
-(``array_intersect`` over collected shingle arrays) deterministically
-lost one pair on a COLD JVM's very first action at sf0.1 — an
-engine-level first-run aggregate/join path over large array columns
-(NOTES r01 backlog 0).  The verification was restructured to
-exploded-count form (operators/dedup.py), which never carries arrays
-through a join.  This test pins the fix where it actually manifested:
-a fresh subprocess (fresh JVM), first action is the full minhash plan
-at sf0.1, and the pair count must equal DuckDB's on the same data.
+Round 1 observed the full minhash plan losing one pair on a COLD
+JVM's very first action at sf0.1, with every warm run correct.  Root
+cause (found in round 2): the signature seeds were built with a
+two-parameter transform() lambda, which PySpark binds as the
+(element, index) form — the seed became the stringified index
+Column, so the hash family varied with the session's lambda-variable
+counter, and a fresh session's counter state differs from every warm
+state (see ``_minhash_sig_col`` in operators/dedup.py and
+tests/test_dedup_determinism.py).  This test pins the contract where
+the bug manifested: fresh subprocess, first action is the full
+minhash plan at sf0.1, pair count must equal DuckDB's.
 """
 
 import os
