@@ -183,6 +183,24 @@ def minhash_signatures(
     return base.filter(F.col("n_sh") > 0).select("id", *cols)
 
 
+def band_keys(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, key): one constant-width bucket key per signature
+    band — the LSH unit both the batch candidate generator and the
+    streaming index join on."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("key"))
+        )
+    return signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     num_hashes: int = 16,
@@ -198,16 +216,7 @@ def minhash_lsh_candidates(
     signature-sized regardless of document size.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    rows = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("key"))
-        )
-    banded = signatures.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = band_keys(signatures, num_hashes, bands)
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.collect_list("id").alias("members"))
@@ -296,14 +305,17 @@ def minhash_dedup_pairs_with_base(
         handle = base
     sigs = base.filter(F.col("n_sh") > 0).select("id", *[f"h{s}" for s in range(num_hashes)])
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
-    sh = base.select("id", F.explode("shs").alias("shingle"))
-    # Restrict each exploded side to ids that actually appear in a
-    # candidate pair BEFORE the (id, shingle) equi-join — the
-    # candidate set is a tiny fraction of the corpus, so this turns a
-    # full-corpus exploded-shingle shuffle into two joins against
-    # candidate-sized inputs (semi joins that AQE broadcasts).
-    sh_a = sh.join(cand.select(F.col("id_a").alias("id")), "id", "left_semi")
-    sh_b = sh.join(cand.select(F.col("id_b").alias("id")), "id", "left_semi")
+    # Restrict each side to ids that actually appear in a candidate
+    # pair BEFORE exploding — the candidate set is a tiny fraction of
+    # the corpus, so the explode produces candidate-sized row counts
+    # (semi-join first, then explode; exploding the full corpus and
+    # filtering after cost ~2× the whole verification at sf0.1).
+    sh_a = base.join(cand.select(F.col("id_a").alias("id")), "id", "left_semi").select(
+        "id", F.explode("shs").alias("shingle")
+    )
+    sh_b = base.join(cand.select(F.col("id_b").alias("id")), "id", "left_semi").select(
+        "id", F.explode("shs").alias("shingle")
+    )
     common = (
         cand.join(sh_a.withColumnRenamed("id", "id_a"), "id_a")
         .join(sh_b.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])

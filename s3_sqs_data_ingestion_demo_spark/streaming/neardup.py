@@ -1,0 +1,172 @@
+"""Streaming near-duplicate detection: MinHash against a growing index.
+
+The batch near-dup operators (operators/dedup.py) answer "which pairs
+in THIS corpus are near-dups"; a streaming ingest pipeline needs
+"which incoming documents duplicate ANYTHING seen so far".  The
+Spark-native shape for that is not per-key operator state (signatures
+don't shard by a join key a priori) but a **stream-static pattern**:
+each micro-batch computes its shingle/signature base, equi-joins its
+LSH band keys against the accumulated signature index table, verifies
+candidates exactly, then appends its own signatures to the index —
+the index is a plain parquet table, so it is shared, restartable, and
+compactable like any other.
+
+Incremental cost shape: per batch, banding touches |batch| × bands
+keys; the index side of the join is pruned to colliding band keys
+(hash equi-join, no scan-all-pairs); verification is exploded-count
+over candidates only.  Band-key frequency capping bounds degenerate
+hot buckets exactly like the batch operator.
+
+Delivery: foreachBatch + checkpoint gives at-least-once appends on
+failure/retry — pair emission is deduplicated by construction only
+within a batch, so downstream consumers of ``pairs_path`` should read
+with ``dropDuplicates(["doc_id_a", "doc_id_b"])`` (documented, same
+contract as the reference's idempotent upserts, SURVEY §2.4 T3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import _minhash_sig_col, _shingle_base, band_keys
+
+_NUM_HASHES = 16
+_BANDS = 4
+
+
+def _index_schema(num_hashes: int) -> T.StructType:
+    fields = [
+        T.StructField("id", T.LongType()),
+        T.StructField("shs", T.ArrayType(T.StringType())),
+        T.StructField("n_sh", T.IntegerType()),
+    ]
+    fields += [T.StructField(f"h{s}", T.StringType()) for s in range(num_hashes)]
+    return T.StructType(fields)
+
+
+def _read_index(spark: SparkSession, path: str, num_hashes: int) -> DataFrame:
+    # schema-explicit read so a not-yet-created index resolves to empty
+    return spark.read.schema(_index_schema(num_hashes)).parquet(path)
+
+
+def process_near_dup_batch(
+    batch: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = _NUM_HASHES,
+    bands: int = _BANDS,
+    threshold: float = 0.5,
+    max_band_freq: int = 10_000,
+) -> DataFrame:
+    """One micro-batch step: emit (doc_id_a, doc_id_b, jaccard) pairs
+    where doc_id_b is IN THIS BATCH and doc_id_a is any earlier doc
+    (or an earlier row of the same batch), then append the batch's
+    signatures to the index.  Returns the verified pairs DataFrame
+    (already materialized — the index append is a side effect that
+    must happen after pair computation reads the PREVIOUS index)."""
+    spark = batch.sparkSession
+    os.makedirs(index_path, exist_ok=True)
+    new = _shingle_base(batch, text_col, id_col, n).select(
+        "id", "shs", F.col("n_sh").cast("int").alias("n_sh"),
+        *[_minhash_sig_col(s) for s in range(num_hashes)],
+    )
+    new = new.localCheckpoint(eager=True)  # one computation; also frees
+    # the plan from the source stream so the index append can't rescan it
+    old = _read_index(spark, index_path, num_hashes)
+
+    sig_names = [f"h{s}" for s in range(num_hashes)]
+    bk_new = band_keys(new.filter(F.col("n_sh") > 0).select("id", *sig_names),
+                       num_hashes, bands)
+    bk_old = band_keys(old.filter(F.col("n_sh") > 0).select("id", *sig_names),
+                       num_hashes, bands)
+    bk_all = bk_old.unionByName(bk_new)
+    # hot-bucket cap over the FULL key population (old ∪ new), so a
+    # degenerate key that grew hot over the stream's lifetime stops
+    # generating O(bucket²) work
+    hot = (
+        bk_all.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") > max_band_freq)
+        .select("band", "key")
+    )
+    bk_all_ok = bk_all.join(hot, ["band", "key"], "left_anti")
+    bk_new_ok = bk_new.join(hot, ["band", "key"], "left_anti")
+    cand = (
+        bk_new_ok.select("band", "key", F.col("id").alias("id_b"))
+        .join(bk_all_ok.select("band", "key", F.col("id").alias("id_a")), ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    both = old.select("id", "shs", "n_sh").unionByName(new.select("id", "shs", "n_sh"))
+    # semi-filter to candidate ids BEFORE exploding (candidate-sized
+    # explode, not index-sized — same ordering as the batch operator)
+    sh_a = both.join(cand.select(F.col("id_a").alias("id")), "id", "left_semi").select(
+        "id", F.explode("shs").alias("shingle")
+    )
+    sh_b = both.join(cand.select(F.col("id_b").alias("id")), "id", "left_semi").select(
+        "id", F.explode("shs").alias("shingle")
+    )
+    common = (
+        cand.join(sh_a.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh_b.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = both.select("id", "n_sh")
+    raw = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    pairs = (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .filter(raw >= threshold)
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            F.round(raw, 4).alias("jaccard"),
+        )
+        .localCheckpoint(eager=True)  # materialize BEFORE mutating the index
+    )
+    new.write.mode("append").parquet(index_path)
+    return pairs
+
+
+def start_streaming_near_dup(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    fmt: str = "json",
+    options: dict[str, str] | None = None,
+    available_now: bool = False,
+    poll_interval: int | None = None,
+    **near_dup_kwargs,
+) -> StreamingQuery:
+    """File-landing stream → per-batch near-dup against the growing
+    index → verified pairs appended to ``pairs_path``."""
+    reader = spark.readStream.schema(schema).options(**(options or {}))
+    stream = reader.format(fmt).load(landing_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = process_near_dup_batch(batch_df, index_path, **near_dup_kwargs)
+        pairs.write.mode("append").parquet(pairs_path)
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append").option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif poll_interval:
+        writer = writer.trigger(processingTime=f"{poll_interval} seconds")
+    return writer.start()

@@ -1,0 +1,72 @@
+"""Streaming near-dup: minhash pairs against the growing signature
+index, across micro-batches and restarts."""
+
+import json
+import os
+
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import types as T
+
+from s3_sqs_data_ingestion_demo_spark.streaming.neardup import (
+    process_near_dup_batch,
+    start_streaming_near_dup,
+)
+
+LONG_A = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+LONG_A_NEAR = LONG_A.replace("today", "tonight")
+LONG_B = "spark engines shuffle partitioned data across executors while catalyst optimizes query plans"
+
+SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+
+def _write_batch(d, name, rows):
+    with open(os.path.join(d, name), "w") as fh:
+        for doc_id, text in rows:
+            fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def test_process_batch_cross_batch_pairs(spark, tmp_path):
+    idx = os.path.join(str(tmp_path), "index")
+    b1 = spark.createDataFrame([(1, LONG_A), (4, LONG_B)], SCHEMA)
+    p1 = process_near_dup_batch(b1, idx, threshold=0.4)
+    assert p1.count() == 0  # nothing similar within batch 1
+
+    # batch 2: near-dup of doc 1 (seen in batch 1) + exact dup within batch
+    b2 = spark.createDataFrame([(7, LONG_A_NEAR), (8, LONG_A_NEAR)], SCHEMA)
+    p2 = {(r.doc_id_a, r.doc_id_b) for r in process_near_dup_batch(b2, idx, threshold=0.4).collect()}
+    assert (1, 7) in p2  # cross-batch: new doc vs indexed doc
+    assert (7, 8) in p2  # intra-batch pair still found
+    assert all(a < b for a, b in p2)
+
+    # batch 3: unrelated doc adds nothing
+    b3 = spark.createDataFrame([(9, "completely different words entirely")], SCHEMA)
+    assert process_near_dup_batch(b3, idx, threshold=0.4).count() == 0
+
+
+def test_streaming_near_dup_with_restart(spark, tmp_path):
+    d = str(tmp_path)
+    land = os.path.join(d, "landing"); os.makedirs(land)
+    idx, pairs, ck = (os.path.join(d, x) for x in ("index", "pairs", "ck"))
+
+    _write_batch(land, "b1.json", [(1, LONG_A), (4, LONG_B)])
+    q = start_streaming_near_dup(
+        spark, land, SCHEMA, idx, pairs, ck, available_now=True, threshold=0.4
+    )
+    q.awaitTermination(120)
+
+    # restart with new arrivals: checkpoint replays nothing, index grows
+    _write_batch(land, "b2.json", [(7, LONG_A_NEAR)])
+    q = start_streaming_near_dup(
+        spark, land, SCHEMA, idx, pairs, ck, available_now=True, threshold=0.4
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in spark.read.parquet(pairs).dropDuplicates(["doc_id_a", "doc_id_b"]).collect()
+    }
+    assert got == {(1, 7)}
+    # index holds every doc's signatures exactly once
+    assert spark.read.parquet(idx).select("id").distinct().count() == 3
