@@ -72,26 +72,56 @@ def curate_corpus(
 def curate_with_report(
     docs: DataFrame, **kwargs
 ) -> tuple[DataFrame, CurationReport]:
-    """Curate and count each stage (four actions; use in audits, not
-    in the hot path)."""
+    """Curate and count every stage in ONE action.
+
+    Per-stage counts ride the final aggregation as ``Observation``
+    metrics — observed nodes sit inside the executed plan, so Spark
+    collects them during the same job instead of four separate
+    corpus scans (what an audit loop at 100 TB cannot afford).
+    The returned DataFrame is the plain ``curate_corpus`` output
+    recomputed lazily (its plan is identical minus observe nodes).
+    """
+    from pyspark.sql import Observation  # noqa: PLC0415
+
     text_col = kwargs.get("text_col", "text")
     id_col = kwargs.get("id_col", "doc_id")
-    scored = quality_features(docs, text_col).filter(
-        (F.col("quality_score") >= kwargs.get("min_quality", 0.2))
-        & (F.col("n_tokens") >= kwargs.get("min_tokens", 5))
+    obs_in, obs_q, obs_x = Observation(), Observation(), Observation()
+    scored = (
+        quality_features(
+            docs.observe(obs_in, F.count(F.lit(1)).alias("n")), text_col
+        )
+        .filter(
+            (F.col("quality_score") >= kwargs.get("min_quality", 0.2))
+            & (F.col("n_tokens") >= kwargs.get("min_tokens", 5))
+        )
+        .observe(obs_q, F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col))
     exact = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .observe(obs_x, F.count(F.lit(1)).alias("n"))
     )
-    kept = curate_corpus(docs, **kwargs)
+    pairs = minhash_dedup_pairs(
+        exact,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=kwargs.get("near_dup_threshold", 0.5),
+    )
+    losers = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
+    kept = exact.join(losers, id_col, "left_anti").withColumn(
+        "bpe_ish_tokens", bpe_ish_token_count(text_col)
+    )
+    final = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("bpe_ish_tokens").alias("tokens"),
+    ).first()
     report = CurationReport(
-        n_input=docs.count(),
-        n_after_quality=scored.count(),
-        n_after_exact=exact.count(),
-        n_after_near_dup=kept.count(),
-        total_tokens_kept=kept.agg(F.sum("bpe_ish_tokens")).first()[0] or 0,
+        n_input=int(obs_in.get["n"]),
+        n_after_quality=int(obs_q.get["n"]),
+        n_after_exact=int(obs_x.get["n"]),
+        n_after_near_dup=int(final.n_kept),
+        total_tokens_kept=int(final.tokens or 0),
     )
-    return kept, report
+    return curate_corpus(docs, **kwargs), report

@@ -410,7 +410,14 @@ def simhash_near_dup_pairs(
     shuffle signature-width data only.
     Returns (doc_id_a, doc_id_b, hamming ≤ max_hamming), id_a < id_b.
     """
-    sigs = simhash_signatures(df, text_col, id_col)
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    # the 60-conditional-sum signature aggregation feeds banding AND
+    # both verification sides — persist so it computes once, not 3×
+    # (rows are (id, 60-bit long): signature-width, tiny)
+    sigs = simhash_signatures(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
