@@ -21,10 +21,62 @@ operator here is oracle-checkable in any SQL engine.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, tokens
+
+# Session-scoped cache of persisted dedup intermediates (shingle bases,
+# signature tables), keyed by (session, logical-plan semantic hash,
+# params).  The near-dup family recomputes the same scan → tokenize →
+# shingle projection per operator; within one session (a bench sweep,
+# the driver's query loop, a curation audit) the plan is identical, so
+# the persisted relation is shared instead of rebuilt — the single-job
+# form of the materialized signature index a 100 TB deployment would
+# keep as a table.  Bounded LRU: evicted entries are unpersisted, so a
+# long-lived session holds at most _DEDUP_CACHE_MAX cached relations
+# (fixes the grow-forever persist leak of per-call persists).
+_DEDUP_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_DEDUP_CACHE_MAX = 4
+
+
+def clear_dedup_cache() -> None:
+    """Unpersist and drop every cached dedup intermediate."""
+    while _DEDUP_CACHE:
+        _, old = _DEDUP_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def _cached_persist(df: DataFrame, key: tuple) -> DataFrame:
+    """Return the cached persisted relation for ``key``, persisting
+    ``df`` (MEMORY_AND_DISK) on first sight; LRU-evict beyond the cap."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    hit = _DEDUP_CACHE.get(key)
+    if hit is not None:
+        _DEDUP_CACHE.move_to_end(key)
+        return hit
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _DEDUP_CACHE[key] = out
+    while len(_DEDUP_CACHE) > _DEDUP_CACHE_MAX:
+        _, old = _DEDUP_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return out
+
+
+def _plan_key(df: DataFrame, *parts) -> tuple:
+    """Cache key: owning session identity + canonicalized logical-plan
+    hash (``semanticHash`` equates separately-built but identical
+    plans, e.g. two reads of the same parquet path) + operator params."""
+    return (id(df.sparkSession), df.semanticHash(), *parts)
 
 
 def exact_dedup_keys(
@@ -77,6 +129,17 @@ def _shingle_base(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     ).withColumn("n_sh", F.size("shs"))
 
 
+def _shingle_base_cached(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """The shared persisted shingle base for (df-plan, cols, n) — every
+    shingle-family operator in a session reuses one relation."""
+    return _cached_persist(
+        _shingle_base(df, text_col, id_col, n),
+        _plan_key(df, "shingle_base", text_col, id_col, n),
+    )
+
+
 def jaccard_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -103,7 +166,7 @@ def jaccard_near_dup_pairs(
     Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b and
     jaccard >= threshold, rounded to 4 for cross-engine comparison.
     """
-    base = _shingle_base(df, text_col, id_col, n)
+    base = _shingle_base_cached(df, text_col, id_col, n)
     sh = base.select("id", "n_sh", F.explode("shs").alias("shingle"))
     buckets = (
         sh.groupBy("shingle")
@@ -178,7 +241,7 @@ def minhash_signatures(
     per-row shingle array — ZERO shuffles; signatures fall out of the
     scan projection.
     """
-    base = _shingle_base(df, text_col, id_col, n)
+    base = _shingle_base_cached(df, text_col, id_col, n)
     cols = [_minhash_sig_col(s) for s in range(num_hashes)]
     return base.filter(F.col("n_sh") > 0).select("id", *cols)
 
@@ -247,10 +310,9 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup (see ``minhash_dedup_pairs_with_base``).
 
-    Returns (doc_id_a, doc_id_b, jaccard >= threshold).  The persisted
-    shingle base (if any) is left to LRU eviction; loops that call this
-    repeatedly should use ``minhash_dedup_pairs_with_base`` and
-    unpersist the returned handle after materializing."""
+    Returns (doc_id_a, doc_id_b, jaccard >= threshold).  Persisted
+    intermediates live in the bounded session cache (``_DEDUP_CACHE``);
+    repeated calls reuse them and ``clear_dedup_cache()`` frees them."""
     out, _ = minhash_dedup_pairs_with_base(
         df, text_col, id_col, n, num_hashes, bands, threshold, persist_intermediate
     )
@@ -281,29 +343,34 @@ def minhash_dedup_pairs_with_base(
     the seed bug documented on ``_minhash_sig_col`` — candidate
     generation, not verification.)
 
-    ``persist_intermediate`` caches the shingle base, which feeds the
+    ``persist_intermediate`` routes the shingle base and the signature
+    table through the bounded session cache: the base feeds the
     signature computation once and the verification twice — without it
     the scan+tokenize+shingle projection re-executes three times
-    (~2.5× slower measured).  At 100 TB this intermediate would be a
-    materialized signature/shingle index table; the memory-and-disk
-    persist is the single-job form of that.
+    (~2.5× slower measured) — and BOTH relations are shared with every
+    other shingle-family operator in the session (jaccard, curation,
+    repeat calls).  At 100 TB these intermediates would be materialized
+    signature/shingle index tables; the cached memory-and-disk persist
+    is the single-job form of that.
 
-    Returns ``(pairs, persisted_base_or_None)`` — the caller may
-    unpersist the base once ``pairs`` has been materialized.
+    Returns ``(pairs, None)`` — intermediate lifecycle is owned by the
+    bounded cache (``clear_dedup_cache()`` frees it); the second slot
+    is kept for API stability.
     """
-    # Signature columns ride in the same projection as the base, so
-    # the persisted relation serves signatures, exploded shingles, and
-    # set sizes alike — one cached intermediate, zero recompute.
-    base = _shingle_base(df, text_col, id_col, n).select(
-        "id", "shs", "n_sh", *[_minhash_sig_col(s) for s in range(num_hashes)]
-    )
-    handle = None
+    sig_cols = [_minhash_sig_col(s) for s in range(num_hashes)]
     if persist_intermediate:
-        from pyspark import StorageLevel  # noqa: PLC0415
-
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-        handle = base
-    sigs = base.filter(F.col("n_sh") > 0).select("id", *[f"h{s}" for s in range(num_hashes)])
+        base = _shingle_base_cached(df, text_col, id_col, n)
+        # (id, h0..hN) only — signature-width rows; the md5 family over
+        # every shingle computes once per session, on top of the
+        # already-persisted base
+        sigs = _cached_persist(
+            base.filter(F.col("n_sh") > 0).select("id", *sig_cols),
+            _plan_key(df, "minhash_sigs", text_col, id_col, n, num_hashes),
+        )
+    else:
+        base = _shingle_base(df, text_col, id_col, n)
+        sigs = base.filter(F.col("n_sh") > 0).select("id", *sig_cols)
+    handle = None
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
     # Restrict each side to ids that actually appear in a candidate
     # pair BEFORE exploding — the candidate set is a tiny fraction of
@@ -410,13 +477,12 @@ def simhash_near_dup_pairs(
     shuffle signature-width data only.
     Returns (doc_id_a, doc_id_b, hamming ≤ max_hamming), id_a < id_b.
     """
-    from pyspark import StorageLevel  # noqa: PLC0415
-
     # the 60-conditional-sum signature aggregation feeds banding AND
-    # both verification sides — persist so it computes once, not 3×
-    # (rows are (id, 60-bit long): signature-width, tiny)
-    sigs = simhash_signatures(df, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # both verification sides — persist (via the bounded session cache)
+    # so it computes once, not 3× (rows are (id, 60-bit long): tiny)
+    sigs = _cached_persist(
+        simhash_signatures(df, text_col, id_col),
+        _plan_key(df, "simhash_sigs", text_col, id_col),
     )
     band_cols = [
         F.struct(
