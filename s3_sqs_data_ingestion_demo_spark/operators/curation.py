@@ -61,8 +61,13 @@ def curate_corpus(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # superset=docs: the near-dup stage indexes the RAW corpus (cached,
+    # shared session-wide with the standalone near-dup operators) and
+    # semi-joins down to the survivors — the filtered corpus is never
+    # re-shingled
     pairs = minhash_dedup_pairs(
-        exact, text_col=text_col, id_col=id_col, threshold=near_dup_threshold
+        exact, text_col=text_col, id_col=id_col, threshold=near_dup_threshold,
+        superset=docs,
     )
     losers = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
     kept = exact.join(losers, id_col, "left_anti")
@@ -108,6 +113,7 @@ def curate_with_report(
         text_col=text_col,
         id_col=id_col,
         threshold=kwargs.get("near_dup_threshold", 0.5),
+        superset=docs,
     )
     losers = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
     kept = exact.join(losers, id_col, "left_anti").withColumn(

@@ -39,7 +39,7 @@ from .text import normalize_text, tokens
 # long-lived session holds at most _DEDUP_CACHE_MAX cached relations
 # (fixes the grow-forever persist leak of per-call persists).
 _DEDUP_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
-_DEDUP_CACHE_MAX = 4
+_DEDUP_CACHE_MAX = 8
 
 
 def clear_dedup_cache() -> None:
@@ -201,25 +201,57 @@ def jaccard_near_dup_pairs(
     )
 
 
-def _minhash_sig_col(s: int) -> Column:
-    """Min-over-shingles of the seeded hash family, for seed ``s``.
+# Universal-hash minhash family: ONE md5 per shingle (40-bit integer
+# x), then per-seed h_s = (a_s·x + b_s) mod P — integer arithmetic
+# instead of num_hashes separate md5 passes (16× less hashing at every
+# scale; the md5 is the dominant signature cost).  P must be ≤ the
+# 40-bit x range so the multiply actually wraps (a modulus above the
+# product range degenerates to min(a·x+b) = a·min(x)+b, perfectly
+# correlating every seed).  a < 2^20 keeps a·x+b < 2^61: signed-64
+# safe in Spark AND DuckDB, so the oracle reproduces it exactly.
+MINHASH_P = (1 << 40) - 87  # prime
+
+
+def _uh_params(s: int) -> tuple[int, int]:
+    """Deterministic per-seed (a, b): digest-derived, engine-neutral
+    constants baked into both the Spark expression and the oracle SQL."""
+    import hashlib  # noqa: PLC0415
+
+    h = hashlib.md5(f"minhash-seed:{s}".encode()).hexdigest()
+    a = (int(h[:5], 16) | 1) % (1 << 20) | 1  # odd, < 2^20
+    b = int(h[5:15], 16) % MINHASH_P
+    return a, b
+
+
+def _shingle_hash_col(col: Column | str = "shs") -> Column:
+    """40-bit integer hash per shingle (first 10 hex chars of md5) —
+    computed once and shared by every seed of the family."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.conv(F.substring(F.md5(x), 1, 10), 16, 10).cast("long")
+    )
+
+
+def _minhash_sig_col(s: int, xs_col: str = "xs") -> Column:
+    """Min-over-shingles of seed ``s``'s universal hash, over the
+    pre-hashed shingle array ``xs_col``.
 
     The inner lambda MUST be arity-1: ``transform`` also accepts an
     (element, index) binary form, and a second (even defaulted)
     parameter makes PySpark bind THAT form — rebinding the captured
-    seed to the index Column, whose generated variable name then gets
-    f-string-ified into the hash seed.  That produced seeds that vary
-    with the session's lambda-variable counter: near-dup pairs near
-    the LSH banding boundary appeared and disappeared across
-    otherwise-identical runs (the r01 "cold-JVM first-action row
-    loss" was this, not an engine defect — a fresh session's counter
-    state differs from every warm state).  The plain closure over
-    ``s`` is safe because ``transform`` invokes the Python callable
-    immediately, at expression-build time.
+    seed to the index Column.  With the old md5-per-seed family that
+    produced seeds varying with the session's lambda-variable counter
+    (the r01 "cold-JVM first-action row loss").  The plain closure
+    over the constants is safe because ``transform`` invokes the
+    Python callable immediately, at expression-build time.
     Regression: tests/test_dedup_determinism.py.
     """
+    a, b = _uh_params(s)
     return F.array_min(
-        F.transform(F.col("shs"), lambda x: F.md5(F.concat(F.lit(f"{s}:"), x)))
+        F.transform(
+            F.col(xs_col),
+            lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P)),
+        )
     ).alias(f"h{s}")
 
 
@@ -243,7 +275,11 @@ def minhash_signatures(
     """
     base = _shingle_base_cached(df, text_col, id_col, n)
     cols = [_minhash_sig_col(s) for s in range(num_hashes)]
-    return base.filter(F.col("n_sh") > 0).select("id", *cols)
+    return (
+        base.filter(F.col("n_sh") > 0)
+        .withColumn("xs", _shingle_hash_col("shs"))
+        .select("id", *cols)
+    )
 
 
 def band_keys(
@@ -307,6 +343,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     persist_intermediate: bool = True,
+    superset: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup (see ``minhash_dedup_pairs_with_base``).
 
@@ -314,7 +351,8 @@ def minhash_dedup_pairs(
     intermediates live in the bounded session cache (``_DEDUP_CACHE``);
     repeated calls reuse them and ``clear_dedup_cache()`` frees them."""
     out, _ = minhash_dedup_pairs_with_base(
-        df, text_col, id_col, n, num_hashes, bands, threshold, persist_intermediate
+        df, text_col, id_col, n, num_hashes, bands, threshold,
+        persist_intermediate, superset,
     )
     return out
 
@@ -328,6 +366,7 @@ def minhash_dedup_pairs_with_base(
     bands: int = 4,
     threshold: float = 0.5,
     persist_intermediate: bool = True,
+    superset: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """End-to-end MinHash-LSH near-dup: signatures → banded candidates
     → exact-Jaccard verification of candidates only.
@@ -353,23 +392,59 @@ def minhash_dedup_pairs_with_base(
     signature/shingle index tables; the cached memory-and-disk persist
     is the single-job form of that.
 
+    ``superset`` (optional): a corpus whose (id → text) mapping is a
+    SUPERSET of ``df``'s — e.g. the raw corpus when ``df`` is its
+    quality-filtered/exact-deduped survivor set.  Shingle bases and
+    signatures are per-row computations, so the subset's index is
+    exactly the superset's index semi-joined to the subset's ids; the
+    cached SUPERSET relations (shared with every other operator that
+    reads the same corpus) are reused instead of re-shingling the
+    filtered corpus from scratch.  This is how a 100 TB curation
+    pipeline behaves: one signature index over the raw corpus serves
+    every downstream stage, however the corpus is filtered.
+
     Returns ``(pairs, None)`` — intermediate lifecycle is owned by the
     bounded cache (``clear_dedup_cache()`` frees it); the second slot
     is kept for API stability.
     """
     sig_cols = [_minhash_sig_col(s) for s in range(num_hashes)]
-    if persist_intermediate:
+
+    def _build_sigs(b: DataFrame) -> DataFrame:
+        # xs (one md5 per shingle) is referenced by all num_hashes sig
+        # columns; CollapseProject keeps multiply-referenced aliases in
+        # their own projection, so it evaluates once per row
+        return (
+            b.filter(F.col("n_sh") > 0)
+            .withColumn("xs", _shingle_hash_col("shs"))
+            .select("id", *sig_cols)
+        )
+
+    if persist_intermediate and superset is not None:
+        ids = df.select(F.col(id_col).alias("id"))
+        base = _shingle_base_cached(superset, text_col, id_col, n)
+        sigs_full = _cached_persist(
+            _build_sigs(base),
+            _plan_key(superset, "minhash_sigs", text_col, id_col, n, num_hashes),
+        )
+        # ONLY the signatures are restricted to df's ids (one semi
+        # join, one evaluation of df's id set).  Everything downstream
+        # of the superset base — candidate shingles, set sizes — joins
+        # by candidate id, and candidates can only come from the
+        # restricted signatures, so the base needs no semi join of its
+        # own (which would re-evaluate df's possibly-expensive plan).
+        sigs = sigs_full.join(ids, "id", "left_semi")
+    elif persist_intermediate:
         base = _shingle_base_cached(df, text_col, id_col, n)
-        # (id, h0..hN) only — signature-width rows; the md5 family over
-        # every shingle computes once per session, on top of the
+        # (id, h0..hN) only — signature-width rows; the hash family
+        # over every shingle computes once per session, on top of the
         # already-persisted base
         sigs = _cached_persist(
-            base.filter(F.col("n_sh") > 0).select("id", *sig_cols),
+            _build_sigs(base),
             _plan_key(df, "minhash_sigs", text_col, id_col, n, num_hashes),
         )
     else:
         base = _shingle_base(df, text_col, id_col, n)
-        sigs = base.filter(F.col("n_sh") > 0).select("id", *sig_cols)
+        sigs = _build_sigs(base)
     handle = None
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
     # Restrict each side to ids that actually appear in a candidate

@@ -180,15 +180,35 @@ def jaccard_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _uh_sigs_cte(num_hashes: int, src: str = "sh") -> str:
+    """Signature CTE mirroring the engine's universal-hash minhash
+    family (operators/dedup.py ``_uh_params``/``_minhash_sig_col``):
+    one 40-bit md5-derived integer per shingle, then per-seed
+    (a·x + b) mod P minima — identical constants on both engines, all
+    values < 2^61 so signed BIGINT arithmetic agrees exactly."""
+    seeds = ", ".join(
+        f"({s}, {a}, {b})"
+        for s, (a, b) in ((s, D._uh_params(s)) for s in range(num_hashes))
+    )
+    return f"""
+, shx AS (
+  SELECT id,
+         CAST(('0x' || substring(md5(shingle), 1, 10))::UBIGINT AS BIGINT) AS x
+  FROM {src}
+), seeds(s, a, b) AS (
+  VALUES {seeds}
+), sigs AS (
+  SELECT id, seeds.s AS s, MIN((seeds.a * x + seeds.b) % {D.MINHASH_P}) AS h
+  FROM shx, seeds GROUP BY id, seeds.s
+)"""
+
+
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.12, max_band_freq: int = 10_000) -> str:
     rows = num_hashes // bands
-    return _SHINGLE_CTE + f"""
-, sigs AS (
-  SELECT id, s.s AS s, MIN(md5(s.s || ':' || shingle)) AS h
-  FROM sh, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS s) s
-  GROUP BY id, s.s
-), bands AS (
-  SELECT id, s // {rows} AS band, string_agg(h, '|' ORDER BY s) AS key
+    return _SHINGLE_CTE + _uh_sigs_cte(num_hashes) + f"""
+, bands AS (
+  SELECT id, s // {rows} AS band,
+         string_agg(h::VARCHAR, '|' ORDER BY s) AS key
   FROM sigs GROUP BY id, s // {rows}
 ), band_ok AS (
   SELECT band, key FROM bands GROUP BY band, key
@@ -521,12 +541,9 @@ def _curation_oracle(
           PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
         FROM scored
       ) WHERE rn = 1
-    ){shingle_chain}, sigs AS (
-      SELECT id, s.s AS s, MIN(md5(s.s || ':' || shingle)) AS h
-      FROM sh, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS s) s
-      GROUP BY id, s.s
-    ), bands AS (
-      SELECT id, s // {rows} AS band, string_agg(h, '|' ORDER BY s) AS key
+    ){shingle_chain}{_uh_sigs_cte(num_hashes)}, bands AS (
+      SELECT id, s // {rows} AS band,
+             string_agg(h::VARCHAR, '|' ORDER BY s) AS key
       FROM sigs GROUP BY id, s // {rows}
     ), band_ok AS (
       SELECT band, key FROM bands GROUP BY band, key

@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.dedup import _minhash_sig_col, _shingle_base, band_keys
+from ..operators.dedup import (
+    _minhash_sig_col,
+    _shingle_base,
+    _shingle_hash_col,
+    band_keys,
+)
 
 _NUM_HASHES = 16
 _BANDS = 4
@@ -45,7 +50,7 @@ def _index_schema(num_hashes: int) -> T.StructType:
         T.StructField("shs", T.ArrayType(T.StringType())),
         T.StructField("n_sh", T.IntegerType()),
     ]
-    fields += [T.StructField(f"h{s}", T.StringType()) for s in range(num_hashes)]
+    fields += [T.StructField(f"h{s}", T.LongType()) for s in range(num_hashes)]
     return T.StructType(fields)
 
 
@@ -73,9 +78,13 @@ def process_near_dup_batch(
     must happen after pair computation reads the PREVIOUS index)."""
     spark = batch.sparkSession
     os.makedirs(index_path, exist_ok=True)
-    new = _shingle_base(batch, text_col, id_col, n).select(
-        "id", "shs", F.col("n_sh").cast("int").alias("n_sh"),
-        *[_minhash_sig_col(s) for s in range(num_hashes)],
+    new = (
+        _shingle_base(batch, text_col, id_col, n)
+        .withColumn("xs", _shingle_hash_col("shs"))
+        .select(
+            "id", "shs", F.col("n_sh").cast("int").alias("n_sh"),
+            *[_minhash_sig_col(s) for s in range(num_hashes)],
+        )
     )
     new = new.localCheckpoint(eager=True)  # one computation; also frees
     # the plan from the source stream so the index append can't rescan it
