@@ -95,6 +95,10 @@ def main() -> None:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    # warm the merge path's plan shapes once at the smallest SF (same
+    # policy as the q01 warmup above: measure execution, not first-touch
+    # codegen/setup), then measure at the target SF
+    _bench_cdc_merge(spark, "/root/testdata/sf0.001")
     timings["ingest_cdc_merge"] = _bench_cdc_merge(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
