@@ -889,3 +889,189 @@ def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# --------------------------------------------------------------------
+# TPC-H shapes 8 / 9 / 13 (adapted: the synthetic tables carry no
+# partsupp or comment columns, so Q9's supplycost uses the part's
+# retail price and Q13's comment filter uses order priority — the
+# join/aggregation SHAPES are the originals')
+# --------------------------------------------------------------------
+
+@query(
+    "q08_market_share",
+    """
+    WITH all_sales AS (
+      SELECT EXTRACT(year FROM o_orderdate)::INTEGER AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) + 0.0 AS mkt_share
+    FROM all_sales GROUP BY o_year
+    """,
+    driver=False,
+)
+def q08_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8-style national market share: 7-table join tree, share
+    computed as conditional-sum / sum inside ONE aggregation (no
+    second pass).  nation/region broadcast (bounded dims); part,
+    supplier, customer, orders shuffle on their keys and AQE picks
+    build sides; the p_type filter prunes part before its join."""
+    l, p, s = t(spark, sf, "lineitem"), t(spark, sf, "part"), t(spark, sf, "supplier")
+    o, c, n = t(spark, sf, "orders"), t(spark, sf, "customer"), t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p.filter(F.col("p_type") == "PROMO"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("r_regionkey") == F.col("n2_rkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.round(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+                    / F.sum(vol),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q09_profit_by_nation_year",
+    """
+    SELECT n_name AS nation,
+           EXTRACT(year FROM o_orderdate)::INTEGER AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)
+                     - 0.8 * p_retailprice * l_quantity) + 1e-6, 2) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)::INTEGER
+    """,
+    driver=False,
+)
+def q09_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9-style profit rollup (no partsupp table exists, so
+    supply cost is modeled as 80% of the part's retail price —
+    the 5-table join + two-key agg shape is Q9's).  The p_name
+    LIKE filter pushes into the part scan; nation broadcasts.
+
+    The 1e-6 stabilizer inside ROUND (both engines) keeps sums that
+    land exactly on a .005 boundary from flipping with float
+    accumulation order — far below 2dp significance, identical on
+    both sides."""
+    l, p, s = t(spark, sf, "lineitem"), t(spark, sf, "part"), t(spark, sf, "supplier")
+    o, n = t(spark, sf, "orders"), t(spark, sf, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(p.filter(F.col("p_name").contains("a")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit) + F.lit(1e-6), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                       AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    driver=False,
+)
+def q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count histogram: LEFT OUTER join
+    with an ON-clause predicate (kept out of WHERE so customers with
+    zero qualifying orders survive with count 0), then a second
+    aggregation over the first's result — the canonical two-level
+    agg.  Count of a nullable key skips nulls on both engines."""
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_hll_user_rollup",
+    """
+    SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)          AS exact_users,
+           TRUE AS union_est_within_5pct
+    FROM events
+    """,
+    driver=False,
+)
+def q_hll_user_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rollup (operators/sketches.py): per-day HLL
+    user sketches union-merged to a grand total WITHOUT re-scanning
+    events — the pre-aggregation algebra COUNT(DISTINCT) lacks.  The
+    oracle checks the verifiable facts exactly (day count, exact
+    users) and the estimate as a tolerance flag; each input is its
+    own two-phase aggregate (never two COUNT DISTINCTs in one agg —
+    that triggers Expand row replication) joined as 1-row broadcasts.
+    """
+    from .operators.sketches import distinct_sketches, rollup_estimate
+
+    e = t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    daily = distinct_sketches(e, ["day"], "user_id")
+    est = rollup_estimate(daily, []).select(
+        F.col("approx_distinct").alias("est_users")
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        n_days.crossJoin(exact)
+        .crossJoin(est)
+        .select(
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("union_est_within_5pct"),
+        )
+    )
