@@ -59,12 +59,20 @@ def cosine_topk(
     is deterministic across engines.
 
     Returns (query_id, neighbor_id, cosine_sim, rank).
+
+    Vectors are L2-normalized ONCE in each side's projection (per row,
+    before the join), so the per-pair work is a single dot product —
+    the higher-order-function dot/norm expressions are interpreted
+    (no codegen/CSE), and recomputing both norms per pair made the
+    pair stage 3 array-folds instead of 1 (~3× the measured cost).
+    The oracle normalizes in its CTEs the same way so the float
+    operation order agrees exactly.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), unit(_dvec(vec_col)).alias("_qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), unit(_dvec(vec_col)).alias("_cv")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -72,7 +80,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("cosine_sim"),
+            F.round(dot(F.col("_qv"), F.col("_cv")), 4).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -112,8 +120,12 @@ def ivf_topk(
     Returns (query_id, neighbor_id, cosine_sim, rank) — same shape as
     ``cosine_topk`` so recall is directly measurable against it.
     """
+    # normalize every side once per row (cosine ranking is invariant
+    # to scaling, and dot-of-units avoids per-pair norm recompute in
+    # the interpreted HOF expressions — see cosine_topk)
     cent = centroids.select(
-        F.col(centroid_id_col).alias("cell_id"), _dvec(centroid_vec_col).alias("_cent")
+        F.col(centroid_id_col).alias("cell_id"),
+        unit(_dvec(centroid_vec_col)).alias("_cent"),
     )
 
     def nearest_cells(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
@@ -121,7 +133,7 @@ def ivf_topk(
             F.col(idc),
             F.col(vc),
             "cell_id",
-            cosine(F.col(vc), F.col("_cent")).alias("_cs"),
+            dot(F.col(vc), F.col("_cent")).alias("_cs"),
         )
         w = Window.partitionBy(idc).orderBy(F.col("_cs").desc(), F.col("cell_id"))
         return (
@@ -131,11 +143,15 @@ def ivf_topk(
         )
 
     c_assigned = nearest_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("_cv")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), unit(_dvec(vec_col)).alias("_cv")
+        ),
         "neighbor_id", "_cv", 1,
     )
     q_probes = nearest_cells(
-        queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("_qv")),
+        queries.select(
+            F.col(id_col).alias("query_id"), unit(_dvec(vec_col)).alias("_qv")
+        ),
         "query_id", "_qv", nprobe,
     )
     scored = (
@@ -144,7 +160,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 4).alias("cosine_sim"),
+            F.round(dot(F.col("_qv"), F.col("_cv")), 4).alias("cosine_sim"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine_sim").alias("cosine_sim"))  # dedup multi-probe hits

@@ -381,16 +381,22 @@ def simhash_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "ann_cosine_topk",
     """
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    WITH qr AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
       FROM embeddings WHERE vec_id < 10
+    ), q AS (  -- unit-normalize once per row, mirroring the engine
+      SELECT query_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv
+      FROM qr
+    ), cr AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings
     ), c AS (
-      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+      SELECT neighbor_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+      FROM cr
     ), s AS (
       SELECT query_id, neighbor_id,
-             ROUND(list_dot_product(qv, cv)
-                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
-                   4) AS cosine_sim
+             ROUND(list_dot_product(qv, cv), 4) AS cosine_sim
       FROM q, c WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, cosine_sim,
