@@ -419,13 +419,52 @@ class ManagedTable:
         snaps = glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json"))
         return sorted(int(os.path.basename(s)[1:-5]) for s in snaps)
 
-    def read_version(self, version: int) -> DataFrame:
-        """Time travel to an earlier snapshot."""
+    def _manifest_at(self, version: int) -> list[dict]:
         with open(
             os.path.join(self.path, _SNAPDIR, f"v{version:08d}.json"), encoding="utf-8"
         ) as fh:
-            entries = json.load(fh)["entries"]
-        return self._assemble(entries)
+            return json.load(fh)["entries"]
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel to an earlier snapshot."""
+        return self._assemble(self._manifest_at(version))
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental consumption: the rows added or updated after
+        ``from_version`` up to ``to_version`` (default: current) — what
+        a downstream pipeline tails instead of re-reading the table.
+
+        Fast path (file-level, cost O(new files)): when every entry of
+        the older manifest survives verbatim in the newer one — appends
+        and MOR delta merges — the change set is exactly the data in
+        the NEW entries, resolved among themselves by the usual MOR
+        rules (a key upserted twice in the window emits its latest
+        state once).  No diff computation touches the base.
+
+        Fallback (row-level): copy-on-write merges and overwrites
+        rewrite entries, so the delta is computed as
+        ``to EXCEPT ALL from`` — updated rows differ, inserts appear,
+        and unchanged rows in rewritten partitions cancel out.  This
+        pays a full-diff shuffle; tables that need cheap change feeds
+        should be MOR (the same trade every lakehouse format makes).
+        """
+        to_version = (
+            self._current_version() if to_version is None else to_version
+        )
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} is newer than {to_version}"
+            )
+        if from_version == to_version:
+            return self.spark.createDataFrame([], self.meta.schema)
+        old = self._manifest_at(from_version)
+        new = self._manifest_at(to_version)
+        if all(e in new for e in old):
+            added = [e for e in new if e not in old]
+            return self._assemble(added)
+        return self._assemble(new).exceptAll(self._assemble(old))
 
     # ------------------------------------------------ schema evolution
     def add_columns(self, new_fields: Sequence[T.StructField]) -> None:
