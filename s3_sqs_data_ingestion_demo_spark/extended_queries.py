@@ -196,6 +196,7 @@ def q_unpivot_lineitem_charges(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT)                  AS n_lines
     FROM lineitem GROUP BY l_returnflag
     """,
+    driver=False,  # r03: rotated out (long-green; still in pytest parity + bench)
 )
 def q_distinct_parts_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """Multi distinct-aggregate (Spark plans expand + two-phase agg)."""
@@ -480,6 +481,7 @@ def q_approx_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
     FROM orders
     WHERE o_orderkey % 10 = 0
     """,
+    driver=False,  # r03: rotated out (long-green; still in pytest parity + bench)
 )
 def q_scalar_function_surface(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar-function surface demo: string, math, date-part, and
@@ -920,7 +922,7 @@ def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
                  / SUM(volume), 4) + 0.0 AS mkt_share
     FROM all_sales GROUP BY o_year
     """,
-    driver=False,
+    rank=30,  # r03: rotated into the driver view (VERDICT r02 #4)
 )
 def q08_market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8-style national market share: 7-table join tree, share
@@ -972,7 +974,7 @@ def q08_market_share(spark: SparkSession, sf: str) -> DataFrame:
     WHERE p_name LIKE '%a%'
     GROUP BY n_name, EXTRACT(year FROM o_orderdate)::INTEGER
     """,
-    driver=False,
+    rank=30,  # r03: rotated into the driver view (VERDICT r02 #4)
 )
 def q09_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9-style profit rollup (no partsupp table exists, so
@@ -1014,7 +1016,7 @@ def q09_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS custdist
     FROM c_orders GROUP BY c_count
     """,
-    driver=False,
+    rank=30,  # r03: rotated into the driver view (VERDICT r02 #4)
 )
 def q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q13-style customer order-count histogram: LEFT OUTER join
@@ -1043,7 +1045,7 @@ def q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
            TRUE AS union_est_within_5pct
     FROM events
     """,
-    driver=False,
+    rank=30,  # r03: rotated into the driver view (VERDICT r02 #4)
 )
 def q_hll_user_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable-sketch rollup (operators/sketches.py): per-day HLL

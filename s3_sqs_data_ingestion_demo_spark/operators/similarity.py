@@ -35,9 +35,16 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def unit(a: Column) -> Column:
-    """L2-normalize once in the projection so pairwise cosine becomes a
-    single dot product — at O(n²) pair volume, recomputing norms per
-    pair triples the FLOPs and dominates the runtime."""
+    """L2-normalize an array column.
+
+    WARNING (measured, r02→r03): the ``norm(a)`` sub-expression sits
+    INSIDE the per-element ``transform`` lambda; HOF lambdas are
+    interpreted with no CSE, so this costs O(dim²) per row — fine for
+    tiny relations (centroid tables), wrong for corpus-sized ones.
+    For per-row normalization at corpus scale, project the norm as a
+    SEPARATE column and divide the pair dot by the two norm scalars
+    (see ``cosine_topk``): a join between the projections stops
+    Catalyst from re-inlining the norm into the per-pair expression."""
     n = norm(a)
     return F.transform(a, lambda x: x / n)
 
@@ -60,27 +67,34 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, cosine_sim, rank).
 
-    Vectors are L2-normalized ONCE in each side's projection (per row,
-    before the join), so the per-pair work is a single dot product —
-    the higher-order-function dot/norm expressions are interpreted
-    (no codegen/CSE), and recomputing both norms per pair made the
-    pair stage 3 array-folds instead of 1 (~3× the measured cost).
-    The oracle normalizes in its CTEs the same way so the float
-    operation order agrees exactly.
+    Each side's projection carries the RAW vector plus its L2 norm as
+    a separate column, and the per-pair expression is
+    ``dot(q, c) / (qn * cn)`` — one interpreted array fold per pair
+    plus two scalar ops, and one fold per row for the norm.  This is
+    the only shape that is cheap on BOTH axes: r01 recomputed both
+    norms inside every pair (3 folds/pair), r02 normalized per row
+    with ``unit()`` whose norm sits inside the per-element transform
+    lambda (interpreted, no CSE → O(dim²) per corpus row — measured
+    +41% on this query at 10-query scale).  The join between the
+    projections keeps Catalyst from inlining the norm back into the
+    per-pair expression.  The oracle divides by CTE norm columns the
+    same way so the float operation order agrees exactly.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), unit(_dvec(vec_col)).alias("_qv")
-    )
+        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("_qv")
+    ).withColumn("_qn", norm(F.col("_qv")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), unit(_dvec(vec_col)).alias("_cv")
-    )
+        F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("_cv")
+    ).withColumn("_cn", norm(F.col("_cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("_qv"), F.col("_cv")), 4).alias("cosine_sim"),
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -120,18 +134,21 @@ def ivf_topk(
     Returns (query_id, neighbor_id, cosine_sim, rank) — same shape as
     ``cosine_topk`` so recall is directly measurable against it.
     """
-    # normalize every side once per row (cosine ranking is invariant
-    # to scaling, and dot-of-units avoids per-pair norm recompute in
-    # the interpreted HOF expressions — see cosine_topk)
+    # The centroid table is tiny by construction, so unit() (O(dim²)
+    # per row, see its docstring) is fine HERE — and cell ranking
+    # against unit centroids is scale-invariant, so the corpus/query
+    # vectors themselves stay raw with a norm COLUMN for final
+    # scoring (the cosine_topk shape: one fold per row + one per pair).
     cent = centroids.select(
         F.col(centroid_id_col).alias("cell_id"),
         unit(_dvec(centroid_vec_col)).alias("_cent"),
     )
 
-    def nearest_cells(df: DataFrame, idc: str, vc: str, n: int) -> DataFrame:
+    def nearest_cells(df: DataFrame, idc: str, vc: str, nc: str, n: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cent)).select(
             F.col(idc),
             F.col(vc),
+            F.col(nc),
             "cell_id",
             dot(F.col(vc), F.col("_cent")).alias("_cs"),
         )
@@ -144,15 +161,15 @@ def ivf_topk(
 
     c_assigned = nearest_cells(
         corpus.select(
-            F.col(id_col).alias("neighbor_id"), unit(_dvec(vec_col)).alias("_cv")
-        ),
-        "neighbor_id", "_cv", 1,
+            F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("_cv")
+        ).withColumn("_cn", norm(F.col("_cv"))),
+        "neighbor_id", "_cv", "_cn", 1,
     )
     q_probes = nearest_cells(
         queries.select(
-            F.col(id_col).alias("query_id"), unit(_dvec(vec_col)).alias("_qv")
-        ),
-        "query_id", "_qv", nprobe,
+            F.col(id_col).alias("query_id"), _dvec(vec_col).alias("_qv")
+        ).withColumn("_qn", norm(F.col("_qv"))),
+        "query_id", "_qv", "_qn", nprobe,
     )
     scored = (
         q_probes.join(c_assigned, "cell_id")
@@ -160,7 +177,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("_qv"), F.col("_cv")), 4).alias("cosine_sim"),
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4
+            ).alias("cosine_sim"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine_sim").alias("cosine_sim"))  # dedup multi-probe hits

@@ -467,6 +467,7 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
                       AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_mktsegment
     """,
+    driver=False,  # r03: rotated out (long-green; still in pytest parity + bench)
 )
 def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
     """NOT EXISTS via left-anti join on a filtered stream, then a tiny
@@ -672,6 +673,7 @@ def q_events_latest_per_user(spark: SparkSession, sf: str) -> DataFrame:
     FROM events
     GROUP BY 1
     """,
+    driver=False,  # r03: rotated out (long-green; still in pytest parity + bench)
 )
 def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     """JSON path extraction from the string ``props`` column —

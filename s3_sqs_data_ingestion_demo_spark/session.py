@@ -54,6 +54,39 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def default_driver_memory() -> str:
+    """Driver-JVM heap for local runs.
+
+    Spark's default is 1 GiB, which a local[32] session doing 32-task
+    shuffle writes exhausts (in local mode the "driver" JVM hosts every
+    executor thread).  This must be decided BEFORE the JVM launches —
+    ``spark.driver.memory`` is not runtime-settable — so the factory
+    bakes a default into the pre-launch conf: 1/4 of physical RAM,
+    clamped to [2g, 16g].  ``SPARK_GRAFT_DRIVER_MEM`` overrides.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total_gib = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // (1 << 30)
+        )
+        return f"{max(2, min(16, total_gib // 4))}g"
+    except (ValueError, OSError):
+        return "4g"
+
+
+def session_is_alive(spark: SparkSession | None) -> bool:
+    """True iff ``spark`` has a live, non-stopped SparkContext."""
+    if spark is None:
+        return False
+    try:
+        sc = spark.sparkContext
+        return sc._jsc is not None and not sc._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
 def build_session(
     app_name: str = "s3-sqs-ingestion-spark",
     conf: dict[str, str] | None = None,
@@ -72,6 +105,12 @@ def build_session(
     merged = dict(DEFAULT_CONF)
     merged.setdefault("spark.sql.shuffle.partitions", str(cpus))
     merged.setdefault("spark.default.parallelism", str(cpus))
+    # Pre-JVM-launch conf: PySpark's launch_gateway forwards builder conf
+    # as spark-submit --conf, so this sizes the heap iff we are the
+    # process that launches the JVM (getOrCreate on a live session keeps
+    # that session's heap — callers needing a different size must stop it
+    # first).
+    merged.setdefault("spark.driver.memory", default_driver_memory())
     if protocol in ("s3", "s3a"):
         merged.update(S3A_CONF)
     if conf:
