@@ -59,6 +59,38 @@ def _bench_cdc_merge(spark, sf_dir: str) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _bench_streaming_neardup(spark, sf_dir: str) -> float:
+    """Streaming near-dup path end-to-end: land the documents corpus as
+    micro-batch files, run the stream-static minhash pipeline with
+    maxFilesPerTrigger=1 so each batch joins against the index grown by
+    the previous ones (the shape a 100 TB ingest stream runs forever)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from s3_sqs_data_ingestion_demo_spark.queries import t as read_table
+    from s3_sqs_data_ingestion_demo_spark.streaming.neardup import (
+        start_streaming_near_dup,
+    )
+
+    d = tempfile.mkdtemp(prefix="sg_bench_stream_")
+    try:
+        land = os.path.join(d, "landing")
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(4).write.json(land)
+        idx, pairs, ck = (os.path.join(d, x) for x in ("index", "pairs", "ck"))
+        start = _time.perf_counter()
+        q = start_streaming_near_dup(
+            spark, land, docs.schema, idx, pairs, ck,
+            available_now=True, options={"maxFilesPerTrigger": "1"},
+            threshold=0.5,
+        )
+        q.awaitTermination()
+        return round(_time.perf_counter() - start, 3)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -100,6 +132,9 @@ def main() -> None:
     # codegen/setup), then measure at the target SF
     _bench_cdc_merge(spark, "/root/testdata/sf0.001")
     timings["ingest_cdc_merge"] = _bench_cdc_merge(spark, sf_dir)
+
+    _bench_streaming_neardup(spark, "/root/testdata/sf0.001")
+    timings["ingest_streaming_neardup"] = _bench_streaming_neardup(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,7 +62,16 @@ def _run_cdc_scenario(
     spark: SparkSession, sf: str, policy: str, batch2: DataFrame
 ) -> DataFrame:
     """create → merge(bootstrap) → merge(batch2) → read."""
-    path = f"/tmp/sg_driver_merge_{policy}_{os.path.basename(sf.rstrip('/'))}"
+    # Path is namespaced by the Spark applicationId: two concurrent
+    # sessions running the same query (driver gate + pytest parity or
+    # bench) would otherwise race on one fixed /tmp table — one rmtrees
+    # while the other is mid-merge.  Within a session, reruns reuse and
+    # clean the same path.
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_merge_{app_id}_{policy}_{os.path.basename(sf.rstrip('/'))}",
+    )
     shutil.rmtree(path, ignore_errors=True)
     table = ManagedTable.create(
         spark,

@@ -21,6 +21,7 @@ operator here is oracle-checkable in any SQL engine.
 
 from __future__ import annotations
 
+import uuid
 from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame, Window
@@ -54,13 +55,29 @@ def clear_dedup_cache() -> None:
 
 def _cached_persist(df: DataFrame, key: tuple) -> DataFrame:
     """Return the cached persisted relation for ``key``, persisting
-    ``df`` (MEMORY_AND_DISK) on first sight; LRU-evict beyond the cap."""
+    ``df`` (MEMORY_AND_DISK) on first sight; LRU-evict beyond the cap.
+
+    ``semanticHash`` in the key is only 32-bit, so a hit is confirmed
+    with an exact canonicalized-plan comparison (``sameSemantics``)
+    before the cached relation is served — a collision between two
+    different corpora recomputes instead of silently returning the
+    wrong data."""
     from pyspark import StorageLevel  # noqa: PLC0415
 
     hit = _DEDUP_CACHE.get(key)
     if hit is not None:
-        _DEDUP_CACHE.move_to_end(key)
-        return hit
+        try:
+            same = hit.sameSemantics(df)
+        except Exception:  # dead session behind the cached relation
+            same = False
+        if same:
+            _DEDUP_CACHE.move_to_end(key)
+            return hit
+        _DEDUP_CACHE.pop(key, None)
+        try:
+            hit.unpersist()
+        except Exception:
+            pass
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     _DEDUP_CACHE[key] = out
     while len(_DEDUP_CACHE) > _DEDUP_CACHE_MAX:
@@ -72,11 +89,25 @@ def _cached_persist(df: DataFrame, key: tuple) -> DataFrame:
     return out
 
 
+def _session_token(spark) -> str:
+    """Stable per-session cache namespace.  ``id(session)`` is unsafe —
+    CPython reuses addresses, so a stopped session's id can alias a new
+    session onto stale cache entries; a lazily-attached uuid cannot."""
+    tok = getattr(spark, "_sg_dedup_cache_token", None)
+    if tok is None:
+        tok = uuid.uuid4().hex
+        spark._sg_dedup_cache_token = tok
+    return tok
+
+
 def _plan_key(df: DataFrame, *parts) -> tuple:
-    """Cache key: owning session identity + canonicalized logical-plan
+    """Cache key: owning-session token + canonicalized logical-plan
     hash (``semanticHash`` equates separately-built but identical
-    plans, e.g. two reads of the same parquet path) + operator params."""
-    return (id(df.sparkSession), df.semanticHash(), *parts)
+    plans, e.g. two reads of the same parquet path) + the relation's
+    schema fingerprint + operator params.  Hits are additionally
+    plan-verified in ``_cached_persist``."""
+    schema_fp = tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    return (_session_token(df.sparkSession), df.semanticHash(), *parts, schema_fp)
 
 
 def exact_dedup_keys(

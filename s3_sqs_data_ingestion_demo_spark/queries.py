@@ -38,16 +38,25 @@ TABLES = (
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects
-        # unless nanos are surfaced as long.  The conf is runtime-settable,
-        # and query functions must work on a vanilla session (the driver
-        # harness builds its own), so set it here rather than relying on
-        # build_session (session.py).
+        # events.ts is TIMESTAMP(NANOS) parquet.  Older Sparks reject it
+        # unless nanos are surfaced as long (runtime-settable legacy
+        # conf); Spark 4.1+ ignores that conf and reads it natively as
+        # TIMESTAMP_NTZ.  Query functions must work on a vanilla session
+        # (the driver harness builds its own), so both are handled here,
+        # and the session timezone is pinned so the NTZ→LTZ reinterpret
+        # below is deterministic.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # convert the surfaced long nanos to a real timestamp.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # surfaced long nanos → real timestamp
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # same instant, but typed TIMESTAMP so event-time operators
+            # (watermarks, window()) accept it
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

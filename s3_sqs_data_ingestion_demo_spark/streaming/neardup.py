@@ -17,11 +17,20 @@ keys; the index side of the join is pruned to colliding band keys
 over candidates only.  Band-key frequency capping bounds degenerate
 hot buckets exactly like the batch operator.
 
-Delivery: foreachBatch + checkpoint gives at-least-once appends on
-failure/retry — pair emission is deduplicated by construction only
+Delivery: foreachBatch + checkpoint gives at-least-once PAIR appends
+on failure/retry — pair emission is deduplicated by construction only
 within a batch, so downstream consumers of ``pairs_path`` should read
 with ``dropDuplicates(["doc_id_a", "doc_id_b"])`` (documented, same
 contract as the reference's idempotent upserts, SURVEY §2.4 T3).
+The INDEX append, by contrast, is exactly-once: each micro-batch
+writes its signatures under a deterministic ``b<batch_id>`` subdir
+with overwrite semantics, so a foreachBatch retry replaces its own
+prior (possibly partial) output instead of double-appending —
+duplicate index rows would double a doc's exploded shingles in every
+future batch and permanently inflate jaccard.  As a second layer, ids
+present in the current batch are excluded from the index read, so a
+retry after a successful append (or a re-sent document) can never
+join a doc against its own stale signatures.
 """
 
 from __future__ import annotations
@@ -55,8 +64,14 @@ def _index_schema(num_hashes: int) -> T.StructType:
 
 
 def _read_index(spark: SparkSession, path: str, num_hashes: int) -> DataFrame:
-    # schema-explicit read so a not-yet-created index resolves to empty
-    return spark.read.schema(_index_schema(num_hashes)).parquet(path)
+    # schema-explicit read so a not-yet-created index resolves to empty;
+    # recursive so per-batch `b<id>` subdirs (and legacy top-level files)
+    # are both picked up without partition-column inference
+    return (
+        spark.read.schema(_index_schema(num_hashes))
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
 
 
 def process_near_dup_batch(
@@ -69,13 +84,19 @@ def process_near_dup_batch(
     bands: int = _BANDS,
     threshold: float = 0.5,
     max_band_freq: int = 10_000,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """One micro-batch step: emit (doc_id_a, doc_id_b, jaccard) pairs
     where doc_id_b is IN THIS BATCH and doc_id_a is any earlier doc
     (or an earlier row of the same batch), then append the batch's
     signatures to the index.  Returns the verified pairs DataFrame
     (already materialized — the index append is a side effect that
-    must happen after pair computation reads the PREVIOUS index)."""
+    must happen after pair computation reads the PREVIOUS index).
+
+    ``batch_id`` (set by the streaming sink) keys the index append to a
+    deterministic subdir so a retried batch overwrites its own prior
+    output instead of appending a second copy; ad-hoc batch callers may
+    omit it and get a plain top-level append."""
     spark = batch.sparkSession
     os.makedirs(index_path, exist_ok=True)
     new = (
@@ -89,6 +110,10 @@ def process_near_dup_batch(
     new = new.localCheckpoint(eager=True)  # one computation; also frees
     # the plan from the source stream so the index append can't rescan it
     old = _read_index(spark, index_path, num_hashes)
+    # A batch id already present in the index (retry after a successful
+    # append, or a document re-sent in a later batch) must not be joined
+    # against its own stale signatures — the batch's row is authoritative.
+    old = old.join(new.select("id"), "id", "left_anti")
 
     sig_names = [f"h{s}" for s in range(num_hashes)]
     bk_new = band_keys(new.filter(F.col("n_sh") > 0).select("id", *sig_names),
@@ -143,7 +168,14 @@ def process_near_dup_batch(
         )
         .localCheckpoint(eager=True)  # materialize BEFORE mutating the index
     )
-    new.write.mode("append").parquet(index_path)
+    if batch_id is None:
+        new.write.mode("append").parquet(index_path)
+    else:
+        # exactly-once index write: deterministic per-batch subdir,
+        # overwrite replaces any partial/duplicate output from a retry
+        new.write.mode("overwrite").parquet(
+            os.path.join(index_path, f"b{batch_id:020d}")
+        )
     return pairs
 
 
@@ -168,7 +200,9 @@ def start_streaming_near_dup(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        pairs = process_near_dup_batch(batch_df, index_path, **near_dup_kwargs)
+        pairs = process_near_dup_batch(
+            batch_df, index_path, batch_id=batch_id, **near_dup_kwargs
+        )
         pairs.write.mode("append").parquet(pairs_path)
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append").option(

@@ -367,10 +367,23 @@ class ManagedTable:
             return self._commit_snapshot([entry])
 
         # Partition-pruned COW: collect only the distinct partition
-        # VALUES of the batch (bounded, low-cardinality by design).
+        # VALUES of the batch.  The collect is capped (table property
+        # "merge.max-affected-partitions") and fetched via limit(cap+1)
+        # so an unexpectedly high-cardinality partition column can never
+        # grow driver memory: past the cap, pruning buys nothing — the
+        # batch touches most of the table anyway — so the merge degrades
+        # to a full-table COW rewrite that never collects values.
+        cap = int(
+            self.meta.properties.get("merge.max-affected-partitions", 10_000)
+        )
+        part_rows = src.select(*parts_cols).distinct().limit(cap + 1).collect()
+        if len(part_rows) > cap:
+            merged = merge_upsert(self.read(), src, keys, merge_order, policy)
+            entry = self._write_data(merged, self._new_root())
+            return self._commit_snapshot([entry])
         affected = {
             "/".join(f"{c}={_escape_part_value(r[c])}" for c in parts_cols)
-            for r in src.select(*parts_cols).distinct().collect()
+            for r in part_rows
         }
         kept_entries: list[dict] = []
         affected_paths: list[tuple[str, str]] = []  # (root, part)

@@ -1,13 +1,16 @@
 """Warm-session determinism of the minhash near-dup operator.
 
-Under ``MEMORY_AND_DISK`` persistence of the shingle/signature base,
-plans with several concurrent consumers of the cached relation read
-corrupted values out of the in-memory columnar cache: near-dup pairs
-randomly appeared AND disappeared across identical warm-session runs
-(~25% of runs on this corpus; the r01 cold-JVM sf0.1 first-action row
-loss was the same defect).  Three formulations are stable —
-``DISK_ONLY`` persist, ``localCheckpoint``, and no persist; the
-operator uses DISK_ONLY plus an explicit materializing count().
+The historical nondeterminism here (near-dup pairs randomly appearing
+and disappearing across identical warm runs; the r01 cold-JVM sf0.1
+first-action row loss was the same defect) was a lambda-arity bug, not
+a caching one: the signature seeds were built with ``lambda x, s=s``
+inside ``F.transform``, which PySpark binds as the (element, index)
+TWO-ARG form — the defaulted ``s`` was rebound to the index Column,
+whose generated name leaked into the seed, so the hash family varied
+with the session's lambda-variable counter.  Fixed by the arity-1
+closure helper ``_minhash_sig_col`` (see also
+tests/test_cold_jvm_minhash.py); persistence level was never the
+defect — ``_cached_persist`` uses MEMORY_AND_DISK.
 
 This test pins the user-visible contract: repeated calls in one warm
 session return the identical pair set, which must also equal the

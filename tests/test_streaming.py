@@ -80,10 +80,14 @@ def test_ingest_exactly_once_across_restarts(spark, tmp_path):
 def test_streaming_window_agg_matches_batch(spark, tmp_path):
     """The same windowed_event_stats over a stream (availableNow) and
     over the batch frame must agree — one operator, two engines."""
+    from s3_sqs_data_ingestion_demo_spark.queries import t
+
     sf = "/root/testdata/sf0.001"
-    batch = spark.read.parquet(f"{sf}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    # t() adapts to how this Spark surfaces TIMESTAMP(NANOS): older
+    # versions honor nanosAsLong (bigint → timestamp_micros), 4.1+
+    # reads it as TIMESTAMP_NTZ directly — a raw read with an
+    # unconditional `ts div 1000` breaks on the latter.
+    batch = t(spark, sf, "events")
     expected = sorted(
         tuple(r) for r in windowed_event_stats(batch, watermark=None).collect()
     )

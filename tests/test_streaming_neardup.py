@@ -45,6 +45,29 @@ def test_process_batch_cross_batch_pairs(spark, tmp_path):
     assert process_near_dup_batch(b3, idx, threshold=0.4).count() == 0
 
 
+def test_process_batch_retry_is_idempotent(spark, tmp_path):
+    """A foreachBatch retry (same batch_id) must not double the batch's
+    signatures in the index: duplicate rows would double the exploded
+    shingles of those docs in every later batch, inflating n_common so
+    jaccard overshoots (can exceed 1.0) and spurious pairs emit forever."""
+    idx = os.path.join(str(tmp_path), "index")
+    b1 = spark.createDataFrame([(1, LONG_A), (4, LONG_B)], SCHEMA)
+    process_near_dup_batch(b1, idx, threshold=0.4, batch_id=0)
+    # retry of the SAME batch: index rows must not duplicate, and the
+    # recomputation must not pair the batch's docs against their own
+    # previously-appended signatures
+    p_retry = process_near_dup_batch(b1, idx, threshold=0.4, batch_id=0)
+    assert p_retry.count() == 0
+    index = spark.read.option("recursiveFileLookup", "true").parquet(idx)
+    assert index.count() == 2  # one signature row per doc, not two
+
+    # a later batch sees correct (non-inflated) jaccard against doc 1
+    b2 = spark.createDataFrame([(7, LONG_A_NEAR)], SCHEMA)
+    rows = process_near_dup_batch(b2, idx, threshold=0.4, batch_id=1).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in rows} == {(1, 7)}
+    assert all(0.0 < r.jaccard <= 1.0 for r in rows)
+
+
 def test_streaming_near_dup_with_restart(spark, tmp_path):
     d = str(tmp_path)
     land = os.path.join(d, "landing"); os.makedirs(land)
@@ -69,4 +92,6 @@ def test_streaming_near_dup_with_restart(spark, tmp_path):
     }
     assert got == {(1, 7)}
     # index holds every doc's signatures exactly once
-    assert spark.read.parquet(idx).select("id").distinct().count() == 3
+    index = spark.read.option("recursiveFileLookup", "true").parquet(idx)
+    assert index.select("id").distinct().count() == 3
+    assert index.count() == 3

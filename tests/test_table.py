@@ -89,6 +89,40 @@ def test_merge_partition_pruning_rewrites_only_affected(spark, tmp_path):
     assert rows_of(t.read()) == [(1, "a", 10.0, 2), (3, "b", 3.0, 1), (5, "c", 5.0, 1)]
 
 
+def test_merge_partition_collect_cap_falls_back_to_full_rewrite(spark, tmp_path):
+    """A CDC batch whose partition-value cardinality exceeds
+    merge.max-affected-partitions must never collect all values to the
+    driver: the merge degrades to a full-table COW rewrite (at that
+    breadth pruning saves nothing) and results stay identical."""
+    t = ManagedTable.create(
+        spark,
+        os.path.join(str(tmp_path), "tbl"),
+        SCHEMA,
+        partition_cols=["part"],
+        key_cols=["id"],
+        order_column="ts",
+        properties={"merge.max-affected-partitions": "3"},
+    )
+    base = [(i, f"p{i}", float(i), 1) for i in range(8)]  # 8 partitions
+    t.append(df_of(spark, base))
+    v_before = t._current_version()
+    # batch touches 6 partitions (> cap=3): update evens, insert 100/101
+    batch = [(i, f"p{i}", float(i) + 10, 2) for i in (0, 2, 4, 6)] + [
+        (100, "p100", 100.0, 2), (101, "p101", 101.0, 2),
+    ]
+    t.merge(df_of(spark, batch))
+    expected = sorted(
+        [(i, f"p{i}", float(i), 1) for i in (1, 3, 5, 7)]
+        + [(i, f"p{i}", float(i) + 10.0, 2) for i in (0, 2, 4, 6)]
+        + [(100, "p100", 100.0, 2), (101, "p101", 101.0, 2)]
+    )
+    assert rows_of(t.read()) == expected
+    # full rewrite: nothing carried over from the pre-merge root
+    manifest = t._read_manifest()
+    assert len(manifest) == 1
+    assert not manifest[0]["root"].endswith(f"v{v_before:08d}")
+
+
 def test_merge_latest_wins_rejects_stale(spark, tmp_path):
     t = make(spark, str(tmp_path), policy="latest_wins")
     t.append(df_of(spark, [(1, "a", 1.0, 10)]))
