@@ -21,93 +21,19 @@ operator here is oracle-checkable in any SQL engine.
 
 from __future__ import annotations
 
-import uuid
-from collections import OrderedDict
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# The dedup family's shingle/signature bases share the session-scoped
+# bounded plan cache (operators/plan_cache.py) with the similarity and
+# PQ families; the historical dedup-local names are kept as aliases
+# (clear_dedup_cache clears the WHOLE shared cache).
+from .plan_cache import CACHE as _DEDUP_CACHE  # noqa: F401 (test introspection)
+from .plan_cache import CACHE_MAX as _DEDUP_CACHE_MAX  # noqa: F401
+from .plan_cache import cached_persist as _cached_persist
+from .plan_cache import clear as clear_dedup_cache  # noqa: F401 (public API)
+from .plan_cache import plan_key as _plan_key
 from .text import normalize_text, tokens
-
-# Session-scoped cache of persisted dedup intermediates (shingle bases,
-# signature tables), keyed by (session, logical-plan semantic hash,
-# params).  The near-dup family recomputes the same scan → tokenize →
-# shingle projection per operator; within one session (a bench sweep,
-# the driver's query loop, a curation audit) the plan is identical, so
-# the persisted relation is shared instead of rebuilt — the single-job
-# form of the materialized signature index a 100 TB deployment would
-# keep as a table.  Bounded LRU: evicted entries are unpersisted, so a
-# long-lived session holds at most _DEDUP_CACHE_MAX cached relations
-# (fixes the grow-forever persist leak of per-call persists).
-_DEDUP_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
-_DEDUP_CACHE_MAX = 8
-
-
-def clear_dedup_cache() -> None:
-    """Unpersist and drop every cached dedup intermediate."""
-    while _DEDUP_CACHE:
-        _, old = _DEDUP_CACHE.popitem(last=False)
-        try:
-            old.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
-
-
-def _cached_persist(df: DataFrame, key: tuple) -> DataFrame:
-    """Return the cached persisted relation for ``key``, persisting
-    ``df`` (MEMORY_AND_DISK) on first sight; LRU-evict beyond the cap.
-
-    ``semanticHash`` in the key is only 32-bit, so a hit is confirmed
-    with an exact canonicalized-plan comparison (``sameSemantics``)
-    before the cached relation is served — a collision between two
-    different corpora recomputes instead of silently returning the
-    wrong data."""
-    from pyspark import StorageLevel  # noqa: PLC0415
-
-    hit = _DEDUP_CACHE.get(key)
-    if hit is not None:
-        try:
-            same = hit.sameSemantics(df)
-        except Exception:  # dead session behind the cached relation
-            same = False
-        if same:
-            _DEDUP_CACHE.move_to_end(key)
-            return hit
-        _DEDUP_CACHE.pop(key, None)
-        try:
-            hit.unpersist()
-        except Exception:
-            pass
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _DEDUP_CACHE[key] = out
-    while len(_DEDUP_CACHE) > _DEDUP_CACHE_MAX:
-        _, old = _DEDUP_CACHE.popitem(last=False)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    return out
-
-
-def _session_token(spark) -> str:
-    """Stable per-session cache namespace.  ``id(session)`` is unsafe —
-    CPython reuses addresses, so a stopped session's id can alias a new
-    session onto stale cache entries; a lazily-attached uuid cannot."""
-    tok = getattr(spark, "_sg_dedup_cache_token", None)
-    if tok is None:
-        tok = uuid.uuid4().hex
-        spark._sg_dedup_cache_token = tok
-    return tok
-
-
-def _plan_key(df: DataFrame, *parts) -> tuple:
-    """Cache key: owning-session token + canonicalized logical-plan
-    hash (``semanticHash`` equates separately-built but identical
-    plans, e.g. two reads of the same parquet path) + the relation's
-    schema fingerprint + operator params.  Hits are additionally
-    plan-verified in ``_cached_persist``."""
-    schema_fp = tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields)
-    return (_session_token(df.sparkSession), df.semanticHash(), *parts, schema_fp)
 
 
 def exact_dedup_keys(

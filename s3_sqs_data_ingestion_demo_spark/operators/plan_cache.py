@@ -1,0 +1,96 @@
+"""Bounded session-scoped cache of persisted intermediate relations.
+
+Several operator families recompute the same expensive intermediate
+when more than one query in a session needs it — the dedup family's
+shingle/signature bases, the similarity family's exact GEMM pair set
+(the baseline both the LSH near-dup query and its recall-check
+companion score against), the IVF-PQ index build.  Within one session
+(a bench sweep, the driver's query loop, a curation audit) those
+plans are identical, so the persisted relation is shared instead of
+rebuilt — the single-job form of the materialized signature index a
+100 TB deployment would keep as a table.
+
+Bounded LRU: evicted entries are unpersisted, so a long-lived session
+holds at most ``CACHE_MAX`` cached relations (no grow-forever persist
+leak).  Keys combine a per-session token, the source plan's
+``semanticHash``, its schema fingerprint, and operator params; because
+``semanticHash`` is only 32-bit, hits are additionally confirmed with
+an exact canonicalized-plan comparison before being served.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame
+
+CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+CACHE_MAX = 12
+
+
+def clear() -> None:
+    """Unpersist and drop every cached intermediate."""
+    while CACHE:
+        _, old = CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
+def cached_persist(df: DataFrame, key: tuple) -> DataFrame:
+    """Return the cached persisted relation for ``key``, persisting
+    ``df`` (MEMORY_AND_DISK) on first sight; LRU-evict beyond the cap.
+
+    ``semanticHash`` in the key is only 32-bit, so a hit is confirmed
+    with an exact canonicalized-plan comparison (``sameSemantics``)
+    before the cached relation is served — a collision between two
+    different corpora recomputes instead of silently returning the
+    wrong data."""
+    from pyspark import StorageLevel  # noqa: PLC0415
+
+    hit = CACHE.get(key)
+    if hit is not None:
+        try:
+            same = hit.sameSemantics(df)
+        except Exception:  # dead session behind the cached relation
+            same = False
+        if same:
+            CACHE.move_to_end(key)
+            return hit
+        CACHE.pop(key, None)
+        try:
+            hit.unpersist()
+        except Exception:
+            pass
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    CACHE[key] = out
+    while len(CACHE) > CACHE_MAX:
+        _, old = CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return out
+
+
+def session_token(spark) -> str:
+    """Stable per-session cache namespace.  ``id(session)`` is unsafe —
+    CPython reuses addresses, so a stopped session's id can alias a new
+    session onto stale cache entries; a lazily-attached uuid cannot."""
+    tok = getattr(spark, "_sg_plan_cache_token", None)
+    if tok is None:
+        tok = uuid.uuid4().hex
+        spark._sg_plan_cache_token = tok
+    return tok
+
+
+def plan_key(df: DataFrame, *parts) -> tuple:
+    """Cache key: owning-session token + canonicalized logical-plan
+    hash (``semanticHash`` equates separately-built but identical
+    plans, e.g. two reads of the same parquet path) + operator params
+    + the relation's schema fingerprint.  Hits are additionally
+    plan-verified in ``cached_persist``."""
+    schema_fp = tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    return (session_token(df.sparkSession), df.semanticHash(), *parts, schema_fp)

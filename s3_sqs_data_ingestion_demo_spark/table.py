@@ -503,14 +503,41 @@ class ManagedTable:
         os.replace(tmp, os.path.join(self.path, _META))
 
     # ----------------------------------------------------- maintenance
-    def compact(self, target_partitions: int | None = None) -> int:
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        zorder_by: Sequence[str] | None = None,
+        zorder_bits: int = 8,
+    ) -> int:
         """Rewrite the current snapshot into one fresh data root
         (bin-packing small files) — the small-files compaction every
         long-running ingest table needs.  Readers are unaffected: the
         rewrite lands as a new snapshot via the same atomic commit.
+
+        ``zorder_by`` additionally clusters the rewrite on the Morton
+        curve of those columns (operators/layout.py) — the maintenance
+        form of ``OPTIMIZE ... ZORDER BY``: one range shuffle instead of
+        the plain repartition, after which parquet min/max stats are
+        tight on EVERY clustered column, so selective reads skip most
+        files however the table is queried.  Hive partition columns (if
+        any) lead the range key, so each hive dir still receives whole
+        output tasks and files within it own compact Morton ranges.
         """
         df = self.read()
-        if target_partitions:
+        if zorder_by:
+            from .operators.layout import zorder_key  # noqa: PLC0415
+
+            keyed, key = zorder_key(df, list(zorder_by), bits=zorder_bits)
+            n = target_partitions or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            lead = list(self.meta.partition_cols or [])
+            df = (
+                keyed.repartitionByRange(n, *lead, key)
+                .sortWithinPartitions(*lead, key)
+                .drop(key)
+            )
+        elif target_partitions:
             df = df.repartition(target_partitions, *(self.meta.partition_cols or []))
         elif self.meta.partition_cols:
             # cluster rows by partition so each hive dir gets few files

@@ -80,6 +80,49 @@ def test_zorder_preserves_rows_and_schema(spark, tmp_path):
     assert abs(a - b) / abs(a) < 1e-9
 
 
+def test_compact_zorder_clusters_table_files(spark, tmp_path):
+    """ManagedTable.compact(zorder_by=...) — the OPTIMIZE ZORDER BY
+    maintenance path: the rewritten snapshot's files must carry tight
+    min/max footer spans on BOTH clustered columns, and the table's
+    contents must be unchanged."""
+    import os
+
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate", "l_extendedprice"
+    )
+    t = ManagedTable.create(
+        spark, str(tmp_path / "tbl"), li.schema, key_cols=["l_orderkey"]
+    )
+    t.append(li)
+    n_before = t.read().count()
+    sum_before = t.read().agg(F.sum("l_extendedprice")).first()[0]
+
+    t.compact(target_partitions=N_FILES, zorder_by=["l_shipdate", "l_partkey"])
+
+    assert t.read().count() == n_before
+    sum_after = t.read().agg(F.sum("l_extendedprice")).first()[0]
+    assert abs(sum_after - sum_before) / abs(sum_before) < 1e-9
+
+    entries = t._read_manifest()
+    assert len(entries) == 1  # one fresh root, deltas folded
+    root = os.path.join(t.path, entries[0]["root"])
+    gl = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min(F.unix_timestamp("l_shipdate")), F.max(F.unix_timestamp("l_shipdate")),
+    ).first()
+    pk_lo, pk_hi, sd_lo, sd_hi = gl
+    assert _mean_span_fraction(root, "l_partkey", pk_lo, pk_hi) < 0.5
+
+    def _secs(v):
+        return v.timestamp() if hasattr(v, "timestamp") else float(v)
+
+    spans = file_stat_spans(root, "l_shipdate")
+    z_sd = sum((_secs(b) - _secs(a)) / (sd_hi - sd_lo) for a, b in spans) / len(spans)
+    assert z_sd < 0.5, z_sd
+
+
 def test_zorder_key_is_deterministic_and_bounded(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     keyed, key = zorder_key(li, ["l_partkey", "l_quantity"], bits=4)
