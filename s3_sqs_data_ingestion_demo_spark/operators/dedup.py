@@ -97,6 +97,57 @@ def _shingle_base_cached(
     )
 
 
+def benchmark_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram overlap with a
+    benchmark/eval corpus, flagging documents whose shingle set is
+    mostly covered by benchmark text (train/test leakage).
+
+    Returns (doc_id, n_shingles, n_overlap, overlap_ratio,
+    contaminated) for every document with at least one shingle.
+
+    Scale shape: the corpus side reuses the session's cached shingle
+    base (one scan shared with the whole near-dup family); the
+    benchmark's DISTINCT shingle set is the other join side — benchmark
+    suites are orders of magnitude smaller than training corpora, so
+    AQE broadcasts it at runtime (no forced broadcast: an unexpectedly
+    huge benchmark degrades to a shuffle join instead of an OOM).  The
+    join carries (id, shingle) pairs only — never document payloads.
+    """
+    base = _shingle_base_cached(df, text_col, id_col, n)
+    sized = base.filter(F.col("n_sh") > 0)
+    bench_sh = (
+        _shingle_base(benchmark, text_col, id_col, n)
+        .select(F.explode("shs").alias("shingle"))
+        .distinct()
+    )
+    doc_sh = sized.select("id", F.explode("shs").alias("shingle"))
+    hits = (
+        doc_sh.join(bench_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    ratio = F.col("n_overlap") / F.col("n_sh")
+    return (
+        sized.select("id", "n_sh")
+        .join(hits, "id", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_sh").cast("int").alias("n_shingles"),
+            F.col("n_overlap").cast("int").alias("n_overlap"),
+            (F.round(ratio, 4) + F.lit(0.0)).alias("overlap_ratio"),
+            (ratio >= F.lit(threshold)).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def jaccard_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

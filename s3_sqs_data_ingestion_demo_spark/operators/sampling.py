@@ -1,0 +1,170 @@
+"""Deterministic sampling, splitting, and mixing for training-data
+pipelines.
+
+Every operator here derives its randomness from a salted md5 of the
+row's id, NOT from an RNG: the same (corpus, salt) always selects the
+same rows, on any cluster size, any partitioning, any engine.  That
+reproducibility is the property training pipelines actually need —
+``df.sample()`` changes with partition layout, which silently changes
+the training set between runs — and it makes every operator exactly
+oracle-checkable in any SQL engine with md5.
+
+Scale shape: ``hash_split`` and ``stratified_sample`` are pure
+projections/filters (zero shuffle at any corpus size).  ``domain_mix``
+ranks rows within each domain — one shuffle on the domain key, the
+minimum possible for exact per-domain quotas; its per-domain counts
+aggregate is sketch-sized and broadcast back.
+
+Portable hash (shared with the dedup family, NOTES.md): Spark
+``conv(substr(md5(x),1,15),16,10)`` equals DuckDB
+``('0x'||substring(md5(x),1,15))::UBIGINT`` — 60 bits, inside BIGINT;
+dividing by 2**60 (a power of two) is exact in binary floating point,
+so the uniform variate is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_BITS = 60
+_HASH_DENOM = float(1 << _HASH_BITS)
+
+
+def uniform_hash(col: str | Column, salt: str = "sg") -> Column:
+    """Deterministic uniform [0, 1) variate from a salted md5 of
+    ``col`` — the engine-portable substitute for rand()."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(":" + salt))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(_HASH_DENOM)
+
+
+def uniform_hash_sql(expr: str, salt: str = "sg") -> str:
+    """The DuckDB-equivalent SQL fragment of ``uniform_hash`` — oracle
+    generators embed this so both sides share one definition."""
+    return (
+        f"(('0x' || substring(md5(CAST({expr} AS VARCHAR) || ':{salt}'), 1, 15))"
+        f"::UBIGINT / {1 << _HASH_BITS}.0)"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "sg",
+) -> DataFrame:
+    """Assign each row a split label ('train'/'val'/'test'/...) by
+    cumulative weight thresholds over the uniform hash — a pure
+    projection: no shuffle, no RNG, stable under any repartitioning,
+    and a row's split never changes when OTHER rows are added or
+    removed (the property a growing corpus needs).
+
+    ``weights`` must sum to 1 (validated); label order follows the
+    dict's insertion order, so the caller controls which labels absorb
+    the hash-space boundaries."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = uniform_hash(id_col, salt)
+    expr: Column | None = None
+    acc = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        acc += w
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = labels[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "sg",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (the
+    reproducible form of ``df.sampleBy``): a row survives iff its
+    uniform hash is below its stratum's fraction.  Projection +
+    filter — zero shuffle at any scale."""
+    u = uniform_hash(id_col, salt)
+    frac: Column = F.lit(default_fraction)
+    for value, f in fractions.items():
+        frac = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac)
+    return df.filter(u < frac)
+
+
+def domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    target_shares: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "sg",
+) -> DataFrame:
+    """Select the largest corpus achieving EXACT per-domain proportions
+    (data mixing for training runs: e.g. 70% web / 20% code / 10%
+    academic).  The achievable total is limited by the scarcest domain
+    (N = min over domains of available/share); each domain contributes
+    its quota floor(share * N), chosen deterministically as the
+    lowest-hash rows so the selection is stable and engine-checkable.
+
+    Cost: one small aggregate for per-domain counts (broadcast back)
+    and one window rank partitioned by domain — a single shuffle on
+    the domain key.  Domains absent from ``target_shares`` are
+    dropped."""
+    total_share = sum(target_shares.values())
+    if abs(total_share - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {total_share}")
+    shares = F.create_map(
+        *[x for kv in target_shares.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    in_scope = df.filter(F.col(domain_col).isin(list(target_shares)))
+    counts = (
+        in_scope.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n_avail"))
+        .withColumn("_share", shares[F.col(domain_col)])
+        .withColumn("_capacity", F.col("_n_avail") / F.col("_share"))
+    )
+    # the binding domain caps the total; quotas derive from that total
+    quotas = counts.crossJoin(
+        F.broadcast(counts.agg(F.floor(F.min("_capacity")).alias("_total")))
+    ).select(
+        domain_col,
+        F.floor(F.col("_share") * F.col("_total")).cast("long").alias("_quota"),
+    )
+    u = uniform_hash(id_col, salt)
+    w = Window.partitionBy(domain_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        in_scope.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(quotas), domain_col)
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )
+
+
+def export_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "sg",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training export: order rows by
+    their salted hash (a reproducible permutation), range-partitioned
+    so output files are evenly sized and the order is total across
+    files.  One range shuffle — the same cost as any global sort."""
+    u = uniform_hash(id_col, salt).alias("_ord")
+    keyed = df.withColumn("_ord", u)
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        keyed.repartitionByRange(n, F.col("_ord"), F.col(id_col))
+        .sortWithinPartitions("_ord", id_col)
+        .drop("_ord")
+    )

@@ -677,6 +677,139 @@ def ivfpq_recall_check(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# Deterministic sampling / splitting / mixing + decontamination
+# (operators/sampling.py, dedup.benchmark_contamination) — the corpus-
+# assembly operators of a training run, all hash-deterministic and
+# therefore exactly oracle-checkable.  driver=False: the 50-row driver
+# view is full; full-registry parity (tests/test_oracle_parity.py) and
+# bench cover them.
+# --------------------------------------------------------------------
+
+from .operators import sampling as SA  # noqa: E402
+
+
+_U_DOC = SA.uniform_hash_sql("doc_id")
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _split_case_sql(weights: dict[str, float]) -> str:
+    """CASE expression with thresholds accumulated in PYTHON floats and
+    embedded via repr, so the oracle compares against the bit-identical
+    doubles the Spark operator uses (0.9 + 0.05 is 0.9500000000000001
+    in IEEE — a literal 0.95 in SQL would be a different double)."""
+    items = list(weights.items())
+    acc, cases = 0.0, []
+    for name, w in items[:-1]:
+        acc += w
+        cases.append(f"WHEN u < CAST({acc!r} AS DOUBLE) THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{items[-1][0]}' END"
+
+
+@query(
+    "hash_split_documents",
+    f"""
+    SELECT doc_id, {_split_case_sql(_SPLIT_WEIGHTS)} AS split
+    FROM (SELECT doc_id, {_U_DOC} AS u FROM documents)
+    """,
+    driver=False,
+)
+def hash_split_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment: salted-hash thresholds,
+    pure projection (no RNG, no shuffle; a row's split is stable under
+    repartitioning and corpus growth)."""
+    d = t(spark, sf, "documents")
+    return SA.hash_split(d, _SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+@query(
+    "stratified_sample_documents",
+    f"""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang, {_U_DOC} AS u FROM documents)
+    WHERE u < CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                        WHEN 'de' THEN CAST(1.0 AS DOUBLE)
+                        WHEN 'zh' THEN CAST(0.25 AS DOUBLE)
+                        ELSE CAST(0.125 AS DOUBLE) END
+    """,
+    driver=False,
+)
+def stratified_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language downsampling (the reproducible form
+    of sampleBy): keep-fractions are exact binary doubles so the
+    threshold comparison is bit-identical in any engine."""
+    d = t(spark, sf, "documents")
+    return SA.stratified_sample(
+        d, "lang", {"en": 0.5, "de": 1.0, "zh": 0.25}, default_fraction=0.125
+    ).select("doc_id", "lang")
+
+
+@query(
+    "domain_mix_documents",
+    f"""
+    WITH scoped AS (
+      SELECT doc_id, source, {_U_DOC} AS u
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ), counts AS (
+      SELECT source, COUNT(*) AS n_avail,
+             CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                         WHEN 'src1' THEN CAST(0.25 AS DOUBLE)
+                         ELSE CAST(0.25 AS DOUBLE) END AS share
+      FROM scoped GROUP BY source
+    ), tot AS (
+      SELECT FLOOR(MIN(n_avail / share)) AS total FROM counts
+    ), quotas AS (
+      SELECT source, CAST(FLOOR(share * (SELECT total FROM tot)) AS BIGINT) AS quota
+      FROM counts
+    ), ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rk
+      FROM scoped
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quotas q USING (source) WHERE r.rk <= q.quota
+    """,
+    driver=False,
+)
+def domain_mix_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-proportion domain mixing (50/25/25 over three sources):
+    the scarcest domain caps the total, each domain contributes its
+    quota as its lowest-hash rows — deterministic, one shuffle."""
+    d = t(spark, sf, "documents")
+    return SA.domain_mix(
+        d, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    ).select("doc_id", "source")
+
+
+@query(
+    "contamination_check_documents",
+    f"""
+    {_SHINGLE_CTE}
+    , bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 50 = 0)
+    , hits AS (
+      SELECT s.id, COUNT(*) AS n_overlap
+      FROM sh s JOIN bench b USING (shingle) GROUP BY s.id
+    )
+    SELECT z.id AS doc_id,
+           CAST(z.n_sh AS INTEGER) AS n_shingles,
+           CAST(COALESCE(h.n_overlap, 0) AS INTEGER) AS n_overlap,
+           ROUND(COALESCE(h.n_overlap, 0) * 1.0 / z.n_sh, 4) + 0.0 AS overlap_ratio,
+           CAST(COALESCE(h.n_overlap, 0) * 1.0 / z.n_sh >= 0.5 AS INTEGER)
+               AS contaminated
+    FROM sizes z LEFT JOIN hits h ON z.id = h.id
+    """,
+    driver=False,
+)
+def contamination_check_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: per-document shingle overlap against
+    a benchmark slice (every 50th doc stands in for an eval suite).
+    The benchmark docs themselves score overlap 1.0, so the flag's
+    positive path is always exercised."""
+    d = t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return D.benchmark_contamination(d, bench, threshold=0.5)
+
+
 __all__ = ["REGISTRY", "QuerySpec"]
 
 

@@ -1,0 +1,110 @@
+"""Deterministic sampling / splitting / mixing (operators/sampling.py)
+and benchmark decontamination (dedup.benchmark_contamination).
+
+The contract under test everywhere: selection is a pure function of
+(row id, salt) — identical across runs, partitionings, and engines —
+and proportions land where the parameters say.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_sqs_data_ingestion_demo_spark.operators import sampling as SA
+from s3_sqs_data_ingestion_demo_spark.operators.dedup import (
+    benchmark_contamination,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_split_is_deterministic_and_partition_invariant(spark, docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in SA.hash_split(docs, w).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in SA.hash_split(docs.repartition(13), w).collect()
+    }
+    assert a == b  # layout-independent
+    n = len(a)
+    counts = {s: sum(1 for v in a.values() if v == s) for s in w}
+    assert sum(counts.values()) == n  # total function: every row labeled
+    # 500 docs: binomial(500, 0.8) is within ±5pp of 0.8 at ~6 sigma
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    assert counts["val"] > 0 and counts["test"] > 0
+
+
+def test_hash_split_stable_under_corpus_growth(spark, docs):
+    """A row's split must not change when other rows appear — the
+    property per-row hashing has and any rank/RNG scheme lacks."""
+    w = {"train": 0.9, "val": 0.1}
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full = {r.doc_id: r.split for r in SA.hash_split(docs, w).collect()}
+    part = {r.doc_id: r.split for r in SA.hash_split(half, w).collect()}
+    assert part == {k: v for k, v in full.items() if k % 2 == 0}
+
+
+def test_hash_split_weights_must_sum_to_one(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        SA.hash_split(docs, {"a": 0.5, "b": 0.2})
+
+
+def test_stratified_sample_respects_fractions(spark, docs):
+    out = SA.stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 1.0}, default_fraction=0.0
+    )
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in got}
+    n_de = docs.filter(F.col("lang") == "de").count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert set(by_lang) == {"en", "de"}  # default 0 drops other strata
+    assert by_lang["de"] == n_de  # fraction 1.0 keeps everything
+    assert abs(by_lang["en"] / n_en - 0.5) < 0.15
+    # deterministic: same call, same rows
+    again = SA.stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 1.0}, default_fraction=0.0
+    )
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_domain_mix_exact_quotas(spark, docs):
+    shares = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    out = SA.domain_mix(docs, "source", shares)
+    by_src = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    # 25 docs per source at sf0.01: binding domain src0 → total 50
+    assert by_src == {"src0": 25, "src1": 12, "src2": 12}
+    # achieved mix is exact to the floor: every share within 1/total
+    total = sum(by_src.values())
+    for s, p in shares.items():
+        assert abs(by_src[s] / total - p) <= 1.0 / total + 1e-9
+    # deterministic
+    again = SA.domain_mix(docs, "source", shares)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_export_order_is_a_stable_permutation(spark, docs):
+    a = [r.doc_id for r in SA.export_order(docs, n_partitions=4).select("doc_id").collect()]
+    b = [r.doc_id for r in SA.export_order(docs.repartition(7), n_partitions=4).select("doc_id").collect()]
+    assert a == b  # same total order regardless of input layout
+    assert sorted(a) == [r.doc_id for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    assert a != sorted(a)  # actually permuted, not id order
+
+
+def test_contamination_flags_benchmark_members(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = benchmark_contamination(docs, bench, threshold=0.5)
+    rows = {r.doc_id: r for r in out.collect()}
+    bench_ids = [r.doc_id for r in bench.select("doc_id").collect()]
+    flagged = [i for i in bench_ids if i in rows]
+    assert flagged, "benchmark docs with shingles must appear"
+    # a benchmark member overlaps itself completely
+    for i in flagged:
+        assert rows[i].overlap_ratio == 1.0
+        assert rows[i].contaminated == 1
+    # every doc with shingles is scored, ratios in [0, 1]
+    assert all(0.0 <= r.overlap_ratio <= 1.0 for r in rows.values())
+    assert any(r.contaminated == 0 for r in rows.values())
