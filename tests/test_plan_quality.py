@@ -105,6 +105,23 @@ def test_no_python_eval_in_queries(spark, name):
     assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
 
 
+def test_hash_split_and_stratified_sample_no_shuffle(spark):
+    """The corpus-assembly projections must stay shuffle-free: split
+    assignment and stratified sampling are pure per-row hash math."""
+    for name in ("hash_split_documents", "stratified_sample_documents"):
+        p = plan_of(spark, name)
+        assert "Exchange" not in p, f"{name} unexpectedly shuffles"
+
+
+def test_domain_mix_single_domain_shuffle(spark):
+    """Exact-quota mixing needs exactly one data shuffle (the window
+    rank on the domain key); quotas join back as a broadcast."""
+    p = plan_of(spark, "domain_mix_documents")
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p  # quota side stays broadcast
+    assert "CartesianProduct" not in p
+
+
 def test_managed_table_read_prunes_partitions(spark, tmp_path):
     """A partition-column filter over ManagedTable.read() must reach
     the scan as a PartitionFilter (directory pruning, the same
