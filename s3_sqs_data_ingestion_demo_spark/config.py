@@ -67,6 +67,44 @@ class InputConfig:
 
 
 @dataclass
+class MaintenanceConfig:
+    """Declarative table maintenance, run inline after ingest commits.
+
+    A long-running CDC ingest accumulates a data root per merge (COW)
+    or delta entry (MOR); without periodic compaction, read
+    amplification grows without bound.  The reference (and raw
+    Iceberg) leaves this to an external scheduler — here the job spec
+    declares it and the ingest loop maintains itself:
+
+    - ``compact_every``: run ``ManagedTable.compact`` whenever the
+      committed version is a multiple of N (0 disables).
+    - ``zorder_by``: cluster the compaction rewrite on the Morton
+      curve of these columns (multi-column stat skipping).
+    - ``target_partitions``: output file count for the rewrite.
+    - ``expire_keep_last``: after compaction, expire all but the K
+      newest snapshots (0 keeps full history / time travel).
+    """
+
+    compact_every: int = 0
+    zorder_by: list[str] = field(default_factory=list)
+    target_partitions: int | None = None
+    expire_keep_last: int = 0
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "MaintenanceConfig":
+        zo = d.get("zorder_by") or []
+        if isinstance(zo, str):
+            zo = [c for c in (zo,) if c]
+        tp = d.get("target_partitions")
+        return cls(
+            compact_every=int(d.get("compact_every", 0)),
+            zorder_by=list(zo),
+            target_partitions=int(tp) if tp is not None else None,
+            expire_keep_last=int(d.get("expire_keep_last", 0)),
+        )
+
+
+@dataclass
 class OutputConfig:
     """Sink half of the job spec (reference: spark-job/job.json:28-39)."""
 
@@ -81,6 +119,7 @@ class OutputConfig:
     order_column: str | None = None  # recency column for dedup/latest-wins
     merge_policy: str = "unconditional"  # "unconditional" | "latest_wins"
     table_properties: dict[str, str] = field(default_factory=dict)
+    maintenance: MaintenanceConfig = field(default_factory=MaintenanceConfig)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "OutputConfig":
@@ -101,6 +140,7 @@ class OutputConfig:
             table_properties={
                 str(k): str(v) for k, v in (d.get("table_properties") or {}).items()
             },
+            maintenance=MaintenanceConfig.from_dict(d.get("maintenance") or {}),
         )
 
 

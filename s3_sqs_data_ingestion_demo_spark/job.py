@@ -79,10 +79,36 @@ def process_files(
             # the reference's verbatim MERGE INTO statement (reference:
             # spark-job/mergeSQL.sql) — translate onto ManagedTable.merge
             table = ensure_target(spark, config)
-            return execute_merge_into(spark, table, df, text)
+            version = execute_merge_into(spark, table, df, text)
+            return _maybe_maintain(table, config) or version
         df = apply_transform_query(spark, df, text)
     table = ensure_target(spark, config)
-    return table.write(df, out.mode)
+    version = table.write(df, out.mode)
+    return _maybe_maintain(table, config) or version
+
+
+def _maybe_maintain(table: ManagedTable, config: JobConfig) -> int | None:
+    """Inline declarative maintenance (output_config.maintenance):
+    compact — optionally Z-order-clustered — every Nth committed
+    version, then optionally expire old snapshots.  Returns the new
+    current version when maintenance ran, else None.
+
+    This is what keeps a forever-running CDC ingest readable at scale
+    without an external scheduler: bounded file counts, tight footer
+    stats on the clustered columns, bounded snapshot history."""
+    m = config.output_config.maintenance
+    if not m.compact_every:
+        return None
+    v = table._current_version()
+    if v == 0 or v % m.compact_every:
+        return None
+    table.compact(
+        target_partitions=m.target_partitions,
+        zorder_by=m.zorder_by or None,
+    )
+    if m.expire_keep_last:
+        table.expire_snapshots(keep_last=m.expire_keep_last)
+    return table._current_version()
 
 
 def run_sqs_loop(

@@ -64,3 +64,26 @@ def test_defaults_and_options_key():
     assert cfg.input_config.options == {"header": "true"}
     assert cfg.output_config.mode == "merge"
     assert cfg.output_config.merge_policy == "unconditional"
+    # maintenance defaults: fully disabled
+    m = cfg.output_config.maintenance
+    assert m.compact_every == 0 and m.zorder_by == [] and m.expire_keep_last == 0
+
+
+def test_maintenance_config_parses():
+    cfg = JobConfig.from_dict(
+        {
+            "output_config": {
+                "maintenance": {
+                    "compact_every": 2,
+                    "zorder_by": "price",  # scalar -> list, like partition
+                    "target_partitions": 4,
+                    "expire_keep_last": 1,
+                }
+            }
+        }
+    )
+    m = cfg.output_config.maintenance
+    assert m.compact_every == 2
+    assert m.zorder_by == ["price"]
+    assert m.target_partitions == 4
+    assert m.expire_keep_last == 1

@@ -148,3 +148,31 @@ def test_unknown_format_fails_loudly(spark, job):
     cfg.input_config.format = "xml"
     with pytest.raises(ValueError, match="unsupported input format"):
         process_files(spark, cfg, [os.path.join(d, "b1.csv")])
+
+
+def test_declarative_maintenance_compacts_and_expires(spark, job):
+    """output_config.maintenance: after the 2nd committed version the
+    ingest self-compacts (Z-ordered on the key columns) and expires
+    history — results identical, one data root, one snapshot."""
+    from s3_sqs_data_ingestion_demo_spark.config import MaintenanceConfig
+
+    d, cfg = job
+    # create commits v1 and each merge commits the next version, so
+    # compact_every=3 fires after the SECOND merge (v3)
+    cfg.output_config.maintenance = MaintenanceConfig(
+        compact_every=3,
+        zorder_by=["invoiceid", "itemid"],
+        target_partitions=2,
+        expire_keep_last=1,
+    )
+    process_files(spark, cfg, [os.path.join(d, "b1.csv")])  # v2: no maintenance
+    t = ManagedTable.load(spark, cfg.output_config.table_path)
+    assert len(t.history()) >= 2  # create + first merge, nothing expired
+    process_files(spark, cfg, [os.path.join(d, "b2.csv")])  # v3 -> compact v4
+    t = ManagedTable.load(spark, cfg.output_config.table_path)
+    rows = _final_rows(spark, cfg)
+    assert len(rows) == 5
+    assert rows[(40994, 67)].category == "market####"
+    assert rows[(83597, 37)].category == "language####"
+    assert len(t.history()) == 1  # expired down to the compacted snapshot
+    assert len(t._read_manifest()) == 1  # one fresh data root
