@@ -112,7 +112,8 @@ class OutputConfig:
     mode: str = "merge"  # append | overwrite | merge
     schema: str | None = None  # .avsc path (target contract)
     merge_query: str | None = None  # .sql path for merge mode
-    table_type: str = "COW"  # COW | MOR (MOR accepted, executed as COW)
+    table_type: str = "COW"  # COW | MOR (MOR = O(batch) delta appends,
+    # read-time resolution, foldable via compaction — table.py)
     compression: str = "zstd"  # honored (reference read it but never applied)
     partition: list[str] = field(default_factory=list)
     key_columns: list[str] = field(default_factory=list)

@@ -94,6 +94,48 @@ def test_export_order_is_a_stable_permutation(spark, docs):
     assert a != sorted(a)  # actually permuted, not id order
 
 
+def test_hash_split_matches_independent_python_model(spark):
+    """Cross-implementation property (hypothesis): for arbitrary weight
+    vectors, every row's label equals an independent Python
+    re-derivation of the salted-md5 threshold walk — pinning the exact
+    hash construction (md5 hex → first 15 digits → /2^60) and the
+    accumulation order the oracle SQL also mirrors."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    @given(ws=st.lists(st.floats(0.05, 1.0), min_size=2, max_size=4))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def run(ws):
+        total = sum(ws)
+        weights = {f"s{i}": w / total for i, w in enumerate(ws)}
+        got = {r.doc_id: r.split for r in SA.hash_split(docs, weights).collect()}
+
+        items = list(weights.items())
+
+        def label(doc_id: int) -> str:
+            u = int(
+                hashlib.md5(f"{doc_id}:sg".encode()).hexdigest()[:15], 16
+            ) / float(1 << 60)
+            acc = 0.0
+            for name, w in items[:-1]:
+                acc += w
+                if u < acc:
+                    return name
+            return items[-1][0]
+
+        assert got == {i: label(i) for i in got}
+
+    run()
+
+
 def test_contamination_flags_benchmark_members(spark, docs):
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     out = benchmark_contamination(docs, bench, threshold=0.5)
