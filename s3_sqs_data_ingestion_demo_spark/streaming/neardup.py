@@ -74,6 +74,23 @@ def _read_index(spark: SparkSession, path: str, num_hashes: int) -> DataFrame:
     )
 
 
+def _batch_signatures(
+    batch: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """The batch's index rows: (id, shs, n_sh, h0..hN), materialized
+    once (localCheckpoint frees the plan from the source stream so the
+    later index mutation can't rescan it)."""
+    new = (
+        _shingle_base(batch, text_col, id_col, n)
+        .withColumn("xs", _shingle_hash_col("shs"))
+        .select(
+            "id", "shs", F.col("n_sh").cast("int").alias("n_sh"),
+            *[_minhash_sig_col(s) for s in range(num_hashes)],
+        )
+    )
+    return new.localCheckpoint(eager=True)
+
+
 def process_near_dup_batch(
     batch: DataFrame,
     index_path: str,
@@ -99,20 +116,64 @@ def process_near_dup_batch(
     omit it and get a plain top-level append."""
     spark = batch.sparkSession
     os.makedirs(index_path, exist_ok=True)
-    new = (
-        _shingle_base(batch, text_col, id_col, n)
-        .withColumn("xs", _shingle_hash_col("shs"))
-        .select(
-            "id", "shs", F.col("n_sh").cast("int").alias("n_sh"),
-            *[_minhash_sig_col(s) for s in range(num_hashes)],
-        )
-    )
-    new = new.localCheckpoint(eager=True)  # one computation; also frees
-    # the plan from the source stream so the index append can't rescan it
+    new = _batch_signatures(batch, text_col, id_col, n, num_hashes)
     old = _read_index(spark, index_path, num_hashes)
-    # A batch id already present in the index (retry after a successful
-    # append, or a document re-sent in a later batch) must not be joined
-    # against its own stale signatures — the batch's row is authoritative.
+    pairs = _near_dup_pairs(new, old, num_hashes, bands, threshold, max_band_freq)
+    if batch_id is None:
+        new.write.mode("append").parquet(index_path)
+    else:
+        # exactly-once index write: deterministic per-batch subdir,
+        # overwrite replaces any partial/duplicate output from a retry
+        new.write.mode("overwrite").parquet(
+            os.path.join(index_path, f"b{batch_id:020d}")
+        )
+    return pairs
+
+
+def process_near_dup_batch_table(
+    batch: DataFrame,
+    table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = _NUM_HASHES,
+    bands: int = _BANDS,
+    threshold: float = 0.5,
+    max_band_freq: int = 10_000,
+) -> DataFrame:
+    """Table-backed variant: the signature index is a keyed MOR
+    ``ManagedTable`` instead of a raw parquet directory — the
+    "signature index a 100 TB deployment keeps as a table", with
+    snapshot atomicity, time travel, change feeds, and foldable
+    deltas.  Idempotency needs no batch_id here: the index append is
+    ``table.merge`` keyed on id, so a retried batch's rows resolve to
+    one row per doc at read time (O(batch) delta append per merge;
+    ``compact()`` folds the deltas — see start_streaming_near_dup's
+    ``compact_every``)."""
+    new = _batch_signatures(batch, text_col, id_col, n, num_hashes)
+    pairs = _near_dup_pairs(
+        new, table.read(), num_hashes, bands, threshold, max_band_freq
+    )
+    table.merge(new)
+    return pairs
+
+
+def _near_dup_pairs(
+    new: DataFrame,
+    old: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_band_freq: int,
+) -> DataFrame:
+    """Core stream-static step: band ``new`` against ``old`` ∪ ``new``,
+    cap hot band keys over the full population, verify candidates with
+    exact exploded-count jaccard.  Returns pairs, materialized BEFORE
+    the caller mutates the index."""
+    # An id already in the index that reappears in this batch (retry
+    # after a successful append, or a re-sent document) must not be
+    # joined against its own stale signatures — the batch's row is
+    # authoritative.
     old = old.join(new.select("id"), "id", "left_anti")
 
     sig_names = [f"h{s}" for s in range(num_hashes)]
@@ -168,14 +229,6 @@ def process_near_dup_batch(
         )
         .localCheckpoint(eager=True)  # materialize BEFORE mutating the index
     )
-    if batch_id is None:
-        new.write.mode("append").parquet(index_path)
-    else:
-        # exactly-once index write: deterministic per-batch subdir,
-        # overwrite replaces any partial/duplicate output from a retry
-        new.write.mode("overwrite").parquet(
-            os.path.join(index_path, f"b{batch_id:020d}")
-        )
     return pairs
 
 
@@ -190,19 +243,50 @@ def start_streaming_near_dup(
     options: dict[str, str] | None = None,
     available_now: bool = False,
     poll_interval: int | None = None,
+    index_mode: str = "dir",
+    compact_every: int = 0,
     **near_dup_kwargs,
 ) -> StreamingQuery:
     """File-landing stream → per-batch near-dup against the growing
-    index → verified pairs appended to ``pairs_path``."""
+    index → verified pairs appended to ``pairs_path``.
+
+    ``index_mode``: ``"dir"`` keeps the index as a raw parquet
+    directory with per-batch_id subdir writes; ``"table"`` keeps it as
+    a keyed MOR ``ManagedTable`` at ``index_path`` — snapshotted,
+    time-travelable, merge-idempotent — with ``compact_every`` folding
+    the accumulated deltas every Nth table version so read cost stays
+    bounded over the stream's lifetime."""
+    if index_mode not in ("dir", "table"):
+        raise ValueError(f"unknown index_mode: {index_mode!r}")
     reader = spark.readStream.schema(schema).options(**(options or {}))
     stream = reader.format(fmt).load(landing_dir)
+
+    table = None
+    if index_mode == "table":
+        from ..table import ManagedTable  # noqa: PLC0415
+
+        num_hashes = near_dup_kwargs.get("num_hashes", _NUM_HASHES)
+        table = ManagedTable.create_if_absent(
+            spark,
+            index_path,
+            _index_schema(num_hashes),
+            key_cols=["id"],
+            table_type="MOR",
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        pairs = process_near_dup_batch(
-            batch_df, index_path, batch_id=batch_id, **near_dup_kwargs
-        )
+        if table is not None:
+            pairs = process_near_dup_batch_table(
+                batch_df, table, **near_dup_kwargs
+            )
+            if compact_every and table._current_version() % compact_every == 0:
+                table.compact()
+        else:
+            pairs = process_near_dup_batch(
+                batch_df, index_path, batch_id=batch_id, **near_dup_kwargs
+            )
         pairs.write.mode("append").parquet(pairs_path)
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append").option(

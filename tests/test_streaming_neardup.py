@@ -8,7 +8,9 @@ from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql import types as T
 
 from s3_sqs_data_ingestion_demo_spark.streaming.neardup import (
+    _index_schema,
     process_near_dup_batch,
+    process_near_dup_batch_table,
     start_streaming_near_dup,
 )
 
@@ -95,3 +97,54 @@ def test_streaming_near_dup_with_restart(spark, tmp_path):
     index = spark.read.option("recursiveFileLookup", "true").parquet(idx)
     assert index.select("id").distinct().count() == 3
     assert index.count() == 3
+
+
+def test_table_backed_index_stream_restart_and_compaction(spark, tmp_path):
+    """index_mode="table": the signature index is a keyed MOR
+    ManagedTable — cross-batch pairs work identically, retried merges
+    resolve to one row per doc, and compact_every folds the deltas so
+    the index stays one data root."""
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    d = str(tmp_path)
+    land = os.path.join(d, "landing"); os.makedirs(land)
+    idx, pairs, ck = (os.path.join(d, x) for x in ("index", "pairs", "ck"))
+
+    _write_batch(land, "b1.json", [(1, LONG_A), (4, LONG_B)])
+    kw = dict(available_now=True, threshold=0.4, index_mode="table", compact_every=2)
+    q = start_streaming_near_dup(spark, land, SCHEMA, idx, pairs, ck, **kw)
+    q.awaitTermination(120)
+
+    _write_batch(land, "b2.json", [(7, LONG_A_NEAR)])
+    q = start_streaming_near_dup(spark, land, SCHEMA, idx, pairs, ck, **kw)
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in spark.read.parquet(pairs).dropDuplicates(["doc_id_a", "doc_id_b"]).collect()
+    }
+    assert got == {(1, 7)}
+    t = ManagedTable.load(spark, idx)
+    assert t.read().count() == 3  # resolved: one signature row per doc
+    assert len(t._read_manifest()) == 1  # compaction folded the deltas
+
+
+def test_table_backed_retry_is_idempotent(spark, tmp_path):
+    """A replayed batch merges the same ids again; MOR key resolution
+    keeps one row per doc and the recomputation pairs nothing against
+    the batch's own stale signatures."""
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "idx"), _index_schema(16),
+        key_cols=["id"], table_type="MOR",
+    )
+    b1 = spark.createDataFrame([(1, LONG_A), (4, LONG_B)], SCHEMA)
+    process_near_dup_batch_table(b1, t, threshold=0.4)
+    assert process_near_dup_batch_table(b1, t, threshold=0.4).count() == 0
+    assert t.read().count() == 2  # one resolved row per doc
+
+    b2 = spark.createDataFrame([(7, LONG_A_NEAR)], SCHEMA)
+    rows = process_near_dup_batch_table(b2, t, threshold=0.4).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in rows} == {(1, 7)}
+    assert all(0.0 < r.jaccard <= 1.0 for r in rows)
