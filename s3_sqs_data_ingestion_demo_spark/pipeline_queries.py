@@ -810,6 +810,36 @@ def contamination_check_documents(spark: SparkSession, sf: str) -> DataFrame:
     return D.benchmark_contamination(d, bench, threshold=0.5)
 
 
+@query(
+    "unigram_nll_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ), total AS (
+      SELECT SUM(c) AS n_total FROM freq
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           ROUND(AVG(-ln(f.c / (SELECT n_total FROM total))), 4) + 0.0 AS avg_nll,
+           CAST(FLOOR(ROUND(AVG(-ln(f.c / (SELECT n_total FROM total))), 4) + 0.0)
+                AS INTEGER) AS nll_bucket
+    FROM tok t JOIN freq f USING (tok)
+    GROUP BY t.doc_id
+    """,
+    driver=False,
+)
+def unigram_nll_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-shaped LM quality filter: per-document pseudo-perplexity
+    (mean negative log-likelihood under the corpus unigram model) with
+    integer quality buckets — train-with-one-agg, score-by-join, the
+    dataflow a real KenLM-backed filter runs at 100 TB."""
+    from .operators import scoring as SC  # noqa: PLC0415
+
+    return SC.unigram_nll_scores(t(spark, sf, "documents"))
+
+
 __all__ = ["REGISTRY", "QuerySpec"]
 
 
