@@ -68,6 +68,58 @@ def q_asof_click_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q_asof_next_click_within_2h",
+    f"""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), j AS (
+      SELECT p.user_id, p.event_id, p.ts, c.click_event_id, c.ts AS click_ts
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS ts_str,
+           CASE WHEN click_ts <= ts + INTERVAL 2 HOUR
+                THEN click_event_id END AS click_event_id,
+           CASE WHEN click_ts <= ts + INTERVAL 2 HOUR
+                THEN strftime(click_ts, '{_TS_FMT_DUCK}') END AS click_ts_str
+    FROM j
+    """,
+    driver=False,
+)
+def q_asof_next_click_within_2h(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance: each purchase annotated
+    with the user's next click at-or-after it, nulled when more than
+    2 hours away — the attribution-window shape.  Same union-trick
+    plan as the backward variant (one shuffle on user_id); DuckDB
+    verifies with its native forward ASOF JOIN plus the tolerance
+    CASE (operator: operators/asof.py direction='forward')."""
+    e = t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["click_event_id"], direction="forward", tolerance="2 hours",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_str"),
+        F.col("click_event_id_asof").alias("click_event_id"),
+        F.date_format("ts_asof", _TS_FMT_SPARK).alias("click_ts_str"),
+    )
+
+
+@query(
     "q_range_clicks_after_purchase",
     """
     SELECT p.event_id, p.user_id,

@@ -37,16 +37,34 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
-    """Left as-of join: annotate each left row with the most recent
-    right row at or before its timestamp, per key.
+    """Left as-of join: annotate each left row with its matching right
+    row per key — the full ``merge_asof`` surface:
+
+    - ``direction="backward"`` (default): most recent right row with
+      ``right.ts <= left.ts``;
+    - ``"forward"``: earliest right row with ``right.ts >= left.ts``;
+    - ``"nearest"``: whichever of the two is closer in time (ties
+      resolve backward).
+    - ``tolerance``: maximum allowed distance — an INTERVAL string
+      (timestamp columns, e.g. ``"2 hours"``) or a number (numeric
+      columns); matches farther away are nulled out.
 
     ``right_cols`` — right attributes to carry (default: all non-key,
     non-ts columns).  Output columns: left.* + ``<col><suffix>`` for
     each carried column + ``<right_ts><suffix>``.
     Ties (equal timestamps) resolve to the right row (it sorts before
     the left row at the same instant).
+
+    Plan shape: one shuffle on the key for every direction.  "nearest"
+    adds a second window over the SAME partitioning with reversed
+    ordering — Catalyst plans one extra in-partition sort, not a
+    second exchange.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     keys = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
@@ -67,22 +85,54 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in carried],
     )
     unioned = lhs.unionByName(rhs)
-    # right rows (_is_left=0) sort before left rows at the same ts, so
-    # a same-instant right row is visible to the left row
-    w = (
+    # right rows (_is_left=0) sort before left rows at the same ts in
+    # BOTH orderings, so a same-instant right row is always visible
+    wb = (
         Window.partitionBy(*keys)
         .orderBy(F.col("_ts"), F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").desc(), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def fill(w) -> dict[str, F.Column]:
+        return {
+            c: F.last(f"_r_{c}", ignorenulls=True).over(w) for c in carried
+        }
+
+    if direction == "backward":
+        fills = fill(wb)
+    elif direction == "forward":
+        fills = fill(wf)
+    else:  # nearest
+        b, f_ = fill(wb), fill(wf)
+        b_ts, f_ts = b[right_ts], f_[right_ts]
+        use_b = f_ts.isNull() | (
+            b_ts.isNotNull() & ((F.col("_ts") - b_ts) <= (f_ts - F.col("_ts")))
+        )
+        fills = {c: F.when(use_b, b[c]).otherwise(f_[c]) for c in carried}
+
+    if tolerance is not None:
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        chosen_ts = fills[right_ts]
+        valid = chosen_ts.isNotNull() & chosen_ts.between(
+            F.col("_ts") - tol, F.col("_ts") + tol
+        )
+        fills = {c: F.when(valid, fills[c]) for c in carried}
+
     filled = unioned.select(
         *keys,
         "_ts",
         "_is_left",
         "_lrow",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in carried
-        ],
+        *[fills[c].alias(f"_f_{c}") for c in carried],
     ).filter(F.col("_is_left") == 1)
     left_payload = [c for c in left.columns if c not in keys]
     return filled.select(
