@@ -148,6 +148,79 @@ def benchmark_contamination(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: connected components by
+    min-label propagation, the step every real dedup pipeline runs
+    after MinHash so each duplicate GROUP keeps exactly one document
+    (transitivity: A~B and B~C dedup together even when A~C was never
+    emitted as a pair).
+
+    Returns (doc_id, component, is_canonical) for every doc appearing
+    in at least one pair: ``component`` is the smallest doc id in the
+    cluster, ``is_canonical`` marks that representative — filtering a
+    corpus is then one semi-join against the canonical ids.
+
+    Algorithm: labels start as own id; each iteration takes the min of
+    a node's label and its neighbors' labels, converging in
+    O(component diameter) iterations.  Near-dup clusters are
+    short-diameter by construction (members overlap a shared core), so
+    the bound is small; a graph that fails to converge inside
+    ``max_iters`` raises rather than returning a silently-wrong
+    clustering.  (At extreme diameters you'd switch to the
+    pointer-doubling large-star/small-star formulation — same
+    DataFrame shape, O(log n) rounds.)
+
+    Scale shape: the edge list is materialized once (localCheckpoint)
+    and reused; each iteration is one edge-sized equi-join + min-agg,
+    with lineage truncated per round so plans stay flat.  The
+    convergence probe is a count() per round — the one driver action
+    an iterative fixpoint needs.
+    """
+    fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        new = (
+            labels.withColumnRenamed("label", "old")
+            .join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("old"), F.coalesce("nbr", F.col("old"))).alias("label"),
+                "old",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("label") != F.col("old")).count()
+        labels = new.drop("old")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("component"),
+        (F.col("label") == F.col("id")).cast("int").alias("is_canonical"),
+    )
+
+
 def jaccard_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -149,7 +149,7 @@ def text_quality_documents(spark: SparkSession, sf: str) -> DataFrame:
 # Near-duplicate detection
 # --------------------------------------------------------------------
 
-_JACCARD_TAIL = """
+_JACCARD_PAIRS_CTE = """
 , freq_ok AS (
   SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_freq}
 ), shf AS (
@@ -158,13 +158,18 @@ _JACCARD_TAIL = """
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
   FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a AS doc_id_a, id_b AS doc_id_b,
+         ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
+  FROM common
+  JOIN sizes na ON na.id = id_a
+  JOIN sizes nb ON nb.id = id_b
+  WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= {threshold}
 )
-SELECT id_a AS doc_id_a, id_b AS doc_id_b,
-       ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
-FROM common
-JOIN sizes na ON na.id = id_a
-JOIN sizes nb ON nb.id = id_b
-WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= {threshold}
+"""
+
+_JACCARD_TAIL = _JACCARD_PAIRS_CTE + """
+SELECT doc_id_a, doc_id_b, jaccard FROM pairs
 """
 
 
@@ -179,6 +184,40 @@ def jaccard_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     return D.jaccard_near_dup_pairs(
         t(spark, sf, "documents"), threshold=0.12, max_shingle_freq=100
     )
+
+
+@query(
+    "near_dup_clusters_documents",
+    _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + _JACCARD_PAIRS_CTE.format(max_freq=100, threshold=0.12)
+    + """
+    , edges AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT re.id, e.d FROM reach re JOIN edges e ON e.s = re.r
+    )
+    SELECT id AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS component,
+           CAST(MIN(r) = id AS INTEGER) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    driver=False,
+)
+def near_dup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate CLUSTERS from the jaccard near-dup pairs: connected
+    components by min-label propagation, each cluster keeping its
+    smallest doc_id as canonical — the transitive-closure step between
+    pair emission and corpus filtering.  DuckDB verifies with a
+    recursive reachability CTE (exact closure; feasible at oracle
+    scale because near-dup components are small)."""
+    prs = D.jaccard_near_dup_pairs(
+        t(spark, sf, "documents"), threshold=0.12, max_shingle_freq=100
+    )
+    return D.connected_components(prs)
 
 
 def _uh_sigs_cte(num_hashes: int, src: str = "sh") -> str:
