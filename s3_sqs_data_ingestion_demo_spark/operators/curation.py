@@ -9,9 +9,10 @@ except the near-dup candidate pass).
 Scale shape: quality scoring is a projection; exact dedup is one
 hash-window; near-dup removal reuses the MinHash-LSH pass and demotes
 to an id-set anti join — the corpus payloads are only shuffled once
-(exact-dedup window).  Greedy canonicalization keeps the lowest id of
-every near-dup pair (drop-the-b-side), the deterministic approximation
-of connected-component dedup that large pipelines use.
+(exact-dedup window).  Near-dup canonicalization offers both standard
+policies: greedy drop-the-b-side (default, fully lazy) and exact
+connected-component clustering (``cluster_dedup=True``, one doc kept
+per transitive duplicate group).
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import minhash_dedup_pairs
+from .dedup import connected_components, minhash_dedup_pairs
 from .text import bpe_ish_token_count, fingerprint, quality_features
 
 
@@ -41,15 +42,23 @@ def curate_corpus(
     min_quality: float = 0.2,
     min_tokens: int = 5,
     near_dup_threshold: float = 0.5,
+    cluster_dedup: bool = False,
 ) -> DataFrame:
-    """Return the curated corpus (lazy; no driver data movement).
+    """Return the curated corpus (lazy; no driver data movement —
+    except with ``cluster_dedup``, see below).
 
     Stages:
     1. quality gate: ``quality_score >= min_quality`` and
        ``n_tokens >= min_tokens``;
     2. exact dedup: keep the lowest id per content fingerprint;
     3. near-dup removal: MinHash-LSH pairs at ``near_dup_threshold``,
-       drop the higher id of each surviving pair (greedy canonical);
+       then EITHER the greedy policy (default: drop the higher id of
+       each pair — keeps any doc that is a local minimum in the pair
+       graph) or ``cluster_dedup=True``: connected-component
+       clustering keeps exactly ONE doc per duplicate GROUP, the
+       transitive-closure policy (A~B, B~C collapse together even
+       though A~C never surfaced as a pair).  Clustering runs the
+       iterative fixpoint, so it is the one eager sub-step;
     4. annotate the survivors with ``bpe_ish_tokens`` for budgeting.
     """
     scored = quality_features(docs, text_col).filter(
@@ -69,7 +78,13 @@ def curate_corpus(
         exact, text_col=text_col, id_col=id_col, threshold=near_dup_threshold,
         superset=docs,
     )
-    losers = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
+    if cluster_dedup:
+        cc = connected_components(pairs, "doc_id_a", "doc_id_b")
+        losers = cc.filter(F.col("is_canonical") == 0).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("doc_id_b").alias(id_col)).distinct()
     kept = exact.join(losers, id_col, "left_anti")
     return kept.withColumn("bpe_ish_tokens", bpe_ish_token_count(text_col))
 

@@ -55,3 +55,60 @@ def test_curation_is_deterministic(spark):
     b = sorted(r.doc_id for r in curate_corpus(corpus(spark), min_quality=0.1,
                                                near_dup_threshold=0.4).collect())
     assert a == b
+
+
+def test_curate_cluster_dedup_star_vs_greedy(spark):
+    """Star shape: docs 5 and 6 are each near-dups of doc 1 but not of
+    each other (single-word edits at opposite ends of a 40-word text;
+    at threshold 0.8 the 5~6 similarity 0.73 is below cut).  Greedy
+    keeps 5 and 6 — they are mutually dissimilar and each only lost to
+    1 as a b-side... which drops them.  Clustering keeps exactly one
+    doc of the whole component."""
+    letters = "abcdefghijklmnopqrst"
+    words = [f"w{letters[i % 20]}{letters[i // 20]}" for i in range(40)]
+    base = " ".join(words)
+    w5 = words.copy(); w5[5] = "changedfive"
+    w35 = words.copy(); w35[35] = "changedthirtyfive"
+    other = " ".join(f"q{letters[i % 20]}{letters[i // 20]}x" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (5, " ".join(w5)), (6, " ".join(w35)), (9, other)],
+        "doc_id long, text string",
+    )
+    greedy = sorted(
+        r.doc_id
+        for r in curate_corpus(
+            docs, min_quality=0.01, near_dup_threshold=0.8
+        ).collect()
+    )
+    clustered = sorted(
+        r.doc_id
+        for r in curate_corpus(
+            docs, min_quality=0.01, near_dup_threshold=0.8, cluster_dedup=True
+        ).collect()
+    )
+    # pairs at 0.8: (1,5) and (1,6) only — both policies drop 5 and 6
+    # here; the policies differ on which SURVIVES when the minimum is
+    # itself a b-side, covered by the chain test below
+    assert greedy == [1, 9]
+    assert clustered == [1, 9]
+
+
+def test_curate_cluster_dedup_transitive_chain(spark):
+    """Chain 1~5~3 where 1~3 never pairs: clustering must still
+    collapse the whole chain to its minimum (transitivity), and the
+    canonical survivor must be doc 1."""
+    letters = "abcdefghijklmnopqrst"
+    words = [f"w{letters[i % 20]}{letters[i // 20]}" for i in range(40)]
+    w_mid = words.copy(); w_mid[5] = "edithere"          # ~ base (0.85)
+    w_far = w_mid.copy(); w_far[35] = "anotheredit"      # ~ mid (0.85), vs base 0.73
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (5, " ".join(w_mid)), (3, " ".join(w_far))],
+        "doc_id long, text string",
+    )
+    clustered = sorted(
+        r.doc_id
+        for r in curate_corpus(
+            docs, min_quality=0.01, near_dup_threshold=0.8, cluster_dedup=True
+        ).collect()
+    )
+    assert clustered == [1]
