@@ -150,6 +150,119 @@ def domain_mix(
     )
 
 
+def pack_sequences_by_offset(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sg",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Concatenation-order sequence packing for training export: lay
+    the corpus out as one deterministic token stream (ordered by the
+    salted hash — the same reproducible permutation ``export_order``
+    uses) and assign each document to the training sequence its START
+    offset falls in (``seq_id = stream_offset // budget``).  A document
+    straddling a boundary stays whole in its starting sequence, so
+    sequences may overflow by at most one document — the concat-then-
+    chunk-at-document-boundaries discipline.  For strict capacity
+    packing see ``pack_sequences_strict``.
+
+    Returns df + (stream_offset, seq_id).
+
+    Scale shape — a GLOBAL running sum without a global window: shards
+    are VALUE ranges of the hash (``floor(u · n_shards)``), so
+    shard-major order IS global order and the result is independent of
+    ``n_shards``; within-shard cumulative sums are one window shuffle,
+    and the n_shards shard totals (a bounded collect) prefix-sum on
+    the driver into per-shard base offsets broadcast back.  All
+    arithmetic is exact: integer token counts, and u·n_shards scales a
+    binade when n_shards is a power of two.
+    """
+    spark = df.sparkSession
+    u = uniform_hash(id_col, salt)
+    d = df.withColumn("_u", u).withColumn(
+        "_shard", F.floor(F.col("_u") * n_shards).cast("int")
+    )
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(F.col("_u").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = d.withColumn("_cum", F.sum(F.col(token_col).cast("long")).over(w))
+    totals = sorted(
+        (r["_shard"], r["_tot"])
+        for r in within.groupBy("_shard").agg(F.max("_cum").alias("_tot")).collect()
+    )
+    bases, acc = [], 0
+    for shard, tot in totals:
+        bases.append((shard, acc))
+        acc += int(tot)
+    base_df = spark.createDataFrame(bases, "_shard int, _base long")
+    offset = F.col("_base") + F.col("_cum") - F.col(token_col).cast("long")
+    return (
+        within.join(F.broadcast(base_df), "_shard")
+        .withColumn("stream_offset", offset)
+        .withColumn("seq_id", F.floor(F.col("stream_offset") / budget).cast("long"))
+        .drop("_u", "_shard", "_cum", "_base")
+    )
+
+
+def pack_sequences_strict(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sg",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Strict greedy packing: documents in deterministic (hash, id)
+    order fill a sequence until the NEXT doc would exceed ``budget``,
+    then a new sequence opens — no sequence exceeds the budget unless
+    a single document alone does.  Greedy fill is inherently
+    sequential, so it runs per shard (an Arrow-batched scan of each
+    shard's sorted rows); sequences are shard-local and ids encode as
+    ``shard * 2^40 + local_seq`` so they never collide across shards.
+
+    Returns df + (seq_id, seq_fill) where ``seq_fill`` is the
+    sequence's running token count after the document."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    u = uniform_hash(id_col, salt)
+    d = df.withColumn("_u", u).withColumn(
+        "_shard", F.floor(F.col("_u") * n_shards).cast("int")
+    )
+    out_schema = T.StructType(
+        list(d.schema.fields)
+        + [T.StructField("seq_id", T.LongType()), T.StructField("seq_fill", T.LongType())]
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_u", id_col]).reset_index(drop=True)
+        shard = int(key[0])
+        seq, fill = 0, 0
+        seqs, fills = [], []
+        for tok in pdf[token_col].astype("int64"):
+            if fill and fill + tok > budget:
+                seq, fill = seq + 1, 0
+            fill += int(tok)
+            seqs.append((shard << 40) + seq)
+            fills.append(fill)
+        return pdf.assign(seq_id=pd.Series(seqs, dtype="int64"),
+                          seq_fill=pd.Series(fills, dtype="int64"))
+
+    return (
+        d.repartition(n_shards, "_shard")
+        .groupBy("_shard")
+        .applyInPandas(pack, out_schema)
+        .drop("_u", "_shard")
+    )
+
+
 def export_order(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -821,6 +821,54 @@ def domain_mix_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             {_U_DOC} AS u
+      FROM documents
+    ), s AS (
+      SELECT *, CAST(FLOOR(u * 32) AS INT) AS shard FROM d
+    ), cum AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    ), tots AS (
+      SELECT shard, MAX(cum) AS tot FROM cum GROUP BY shard
+    ), bases AS (
+      SELECT shard, CAST(COALESCE(SUM(tot) OVER (ORDER BY shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+      FROM tots
+    )
+    SELECT c.doc_id,
+           CAST(c.n_tokens AS INTEGER) AS n_tokens,
+           CAST(b.base + c.cum - c.n_tokens AS BIGINT) AS stream_offset,
+           CAST(FLOOR((b.base + c.cum - c.n_tokens) / 512.0) AS BIGINT) AS seq_id
+    FROM cum c JOIN bases b USING (shard)
+    """,
+    driver=False,
+)
+def pack_sequences_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Concatenation-order sequence packing (training export): each
+    document's offset in the deterministic global token stream and the
+    512-token training sequence its start falls in — the global
+    prefix-sum computed shard-wise (value-range shards, so the result
+    is shard-count-independent)."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", X.token_count("text").alias("n_tokens")
+    )
+    out = SA.pack_sequences_by_offset(d, budget=512, token_col="n_tokens")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "stream_offset",
+        "seq_id",
+    )
+
+
+@query(
     "contamination_check_documents",
     f"""
     {_SHINGLE_CTE}

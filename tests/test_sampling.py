@@ -136,6 +136,57 @@ def test_hash_split_matches_independent_python_model(spark):
     run()
 
 
+def test_pack_offset_is_shard_count_invariant(spark, docs):
+    """Value-range shards make shard-major order equal global hash
+    order, so the packing must be byte-identical for any n_shards."""
+    from pyspark.sql import functions as F2
+
+    from s3_sqs_data_ingestion_demo_spark.operators.text import token_count
+
+    d = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    a = {
+        r.doc_id: (r.stream_offset, r.seq_id)
+        for r in SA.pack_sequences_by_offset(d, 512, "n_tokens", n_shards=4).collect()
+    }
+    b = {
+        r.doc_id: (r.stream_offset, r.seq_id)
+        for r in SA.pack_sequences_by_offset(d, 512, "n_tokens", n_shards=32).collect()
+    }
+    assert a == b
+    # offsets form a contiguous stream: max offset + its tokens == total
+    total = d.agg(F2.sum("n_tokens")).first()[0]
+    last = max(a.items(), key=lambda kv: kv[1][0])
+    last_tokens = {r.doc_id: r.n_tokens for r in d.collect()}[last[0]]
+    assert last[1][0] + last_tokens == total
+    assert min(v[0] for v in a.values()) == 0
+
+
+def test_pack_strict_respects_budget(spark, docs):
+    """Strict greedy packing: no sequence exceeds the budget unless a
+    single oversize document occupies it alone; packing is stable
+    under input repartitioning."""
+    from collections import defaultdict
+
+    from s3_sqs_data_ingestion_demo_spark.operators.text import token_count
+
+    budget = 512
+    d = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    out = SA.pack_sequences_strict(d, budget, "n_tokens").collect()
+    seqs = defaultdict(list)
+    for r in out:
+        seqs[r.seq_id].append(r)
+    for seq_rows in seqs.values():
+        total = sum(r.n_tokens for r in seq_rows)
+        if total > budget:
+            assert len(seq_rows) == 1 and seq_rows[0].n_tokens > budget
+        assert max(r.seq_fill for r in seq_rows) == total
+    # stable under any input partitioning
+    again = SA.pack_sequences_strict(d.repartition(11), budget, "n_tokens").collect()
+    assert sorted((r.doc_id, r.seq_id) for r in out) == sorted(
+        (r.doc_id, r.seq_id) for r in again
+    )
+
+
 def test_contamination_flags_benchmark_members(spark, docs):
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     out = benchmark_contamination(docs, bench, threshold=0.5)
