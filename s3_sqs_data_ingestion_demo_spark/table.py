@@ -61,6 +61,15 @@ _META = "_meta.json"
 _CURRENT = "_current"
 _SNAPDIR = "_snapshots"
 
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same table version concurrently.
+
+    Raised by the optimistic-concurrency commit protocol instead of
+    silently overwriting the winner's snapshot; the standard response
+    is to re-load the table and retry the operation against the new
+    current version."""
+
 # Characters Spark/Hive escape in partition directory names
 # (ExternalCatalogUtils.charToEscape): ASCII control chars plus these.
 _ESCAPED_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
@@ -191,18 +200,60 @@ class ManagedTable:
             return json.load(fh)["entries"]
 
     def _commit_snapshot(self, entries: list[dict]) -> int:
+        """Optimistic-concurrency commit (the same protocol Iceberg
+        runs against a filesystem/catalog): the snapshot manifest is
+        created with O_EXCL, so of two writers that both read version
+        N, exactly one creates ``v{N+1}.json`` and publishes the
+        pointer — the loser raises ``CommitConflictError`` instead of
+        silently clobbering the winner's manifest, and its caller
+        re-loads the table and retries on the new current state.
+        (The data-root namespace is version-keyed and written
+        ``errorifexists``, so a racing loser fails loudly there too,
+        never corrupting the winner's files.)"""
         prev = self._current_version() if os.path.exists(
             os.path.join(self.path, _CURRENT)
         ) else 0
         v = prev + 1
         snap = os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json")
-        with open(snap, "w", encoding="utf-8") as fh:
+        try:
+            fh = open(snap, "x", encoding="utf-8")
+        except FileExistsError:
+            # the loser's freshly-written data roots would block its own
+            # retry (version-keyed names, errorifexists) — drop any of
+            # this commit's roots no committed manifest references
+            self._cleanup_unreferenced(entries)
+            raise CommitConflictError(
+                f"snapshot v{v:08d} already exists at {snap}: another "
+                "writer committed concurrently — re-load the table and "
+                "retry the operation (if the other commit crashed before "
+                "publishing its pointer, delete the orphan manifest)"
+            ) from None
+        with fh:
             json.dump({"version": v, "entries": entries}, fh, indent=2)
         tmp = os.path.join(self.path, f"{_CURRENT}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(f"v{v:08d}")
-        os.replace(tmp, os.path.join(self.path, _CURRENT))  # atomic commit
+        os.replace(tmp, os.path.join(self.path, _CURRENT))  # atomic publish
         return v
+
+    def _cleanup_unreferenced(self, entries: list[dict]) -> None:
+        """Remove data roots among ``entries`` that no committed
+        manifest references (a conflict-losing commit's own output)."""
+        import shutil  # noqa: PLC0415
+
+        referenced: set[str] = set()
+        for m in glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")):
+            try:
+                with open(m, encoding="utf-8") as fh:
+                    for e in json.load(fh)["entries"]:
+                        referenced.add(e["root"])
+            except (OSError, ValueError, KeyError):
+                continue
+        for e in entries:
+            if e.get("root") and e["root"] not in referenced:
+                shutil.rmtree(
+                    os.path.join(self.path, e["root"]), ignore_errors=True
+                )
 
     def _new_root(self) -> str:
         return os.path.join(self.path, "data", f"v{self._current_version() + 1:08d}")

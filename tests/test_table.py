@@ -123,6 +123,31 @@ def test_merge_partition_collect_cap_falls_back_to_full_rewrite(spark, tmp_path)
     assert not manifest[0]["root"].endswith(f"v{v_before:08d}")
 
 
+def test_concurrent_commit_loses_loudly(spark, tmp_path):
+    """Optimistic concurrency: a commit racing an already-written
+    next-version snapshot must raise CommitConflictError, never
+    silently clobber the winner's manifest; after re-loading, the
+    retry succeeds against the new current version."""
+    from s3_sqs_data_ingestion_demo_spark.table import CommitConflictError
+
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    v = t._current_version()
+    # simulate a concurrent winner: the next snapshot already exists
+    winner = os.path.join(t.path, "_snapshots", f"v{v + 1:08d}.json")
+    with open(winner, "w", encoding="utf-8") as fh:
+        fh.write('{"version": %d, "entries": []}' % (v + 1))
+    with pytest.raises(CommitConflictError, match="another"):
+        t.merge(df_of(spark, [(2, "b", 2.0, 1)]))
+    # winner's manifest untouched
+    with open(winner, encoding="utf-8") as fh:
+        assert '"entries": []' in fh.read()
+    # retry path: once the conflict is resolved, committing works
+    os.remove(winner)
+    t.merge(df_of(spark, [(2, "b", 2.0, 1)]))
+    assert rows_of(t.read()) == [(1, "a", 1.0, 1), (2, "b", 2.0, 1)]
+
+
 def test_merge_latest_wins_rejects_stale(spark, tmp_path):
     t = make(spark, str(tmp_path), policy="latest_wins")
     t.append(df_of(spark, [(1, "a", 1.0, 10)]))
