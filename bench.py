@@ -59,11 +59,21 @@ def _bench_cdc_merge(spark, sf_dir: str) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _bench_streaming_neardup(spark, sf_dir: str) -> float:
+def _bench_streaming_neardup(spark, sf_dir: str, **mode_kwargs) -> float:
     """Streaming near-dup path end-to-end: land the documents corpus as
     micro-batch files, run the stream-static minhash pipeline with
     maxFilesPerTrigger=1 so each batch joins against the index grown by
-    the previous ones (the shape a 100 TB ingest stream runs forever)."""
+    the previous ones (the shape a 100 TB ingest stream runs forever).
+    Band keys are persisted with the index (layout v2), so per-batch
+    compute is O(batch + collisions), not O(index).
+
+    Two recorded entries: ``ingest_streaming_neardup`` measures the
+    raw-parquet-dir index (round-over-round comparable); the ``_table``
+    variant measures the PRODUCTION shape — index as a keyed MOR
+    ManagedTable (snapshot-atomic, merge-idempotent, compact_every=4
+    folding deltas), read UNRESOLVED per batch with candidate-sized
+    recency resolution.  The delta vs the dir entry is the snapshot /
+    merge / compaction machinery, not the pair computation."""
     import shutil
     import tempfile
     import time as _time
@@ -83,7 +93,7 @@ def _bench_streaming_neardup(spark, sf_dir: str) -> float:
         q = start_streaming_near_dup(
             spark, land, docs.schema, idx, pairs, ck,
             available_now=True, options={"maxFilesPerTrigger": "1"},
-            threshold=0.5,
+            threshold=0.5, **mode_kwargs,
         )
         q.awaitTermination()
         return round(_time.perf_counter() - start, 3)
@@ -135,6 +145,12 @@ def main() -> None:
 
     _bench_streaming_neardup(spark, "/root/testdata/sf0.001")
     timings["ingest_streaming_neardup"] = _bench_streaming_neardup(spark, sf_dir)
+
+    table_kw = dict(index_mode="table", compact_every=4)
+    _bench_streaming_neardup(spark, "/root/testdata/sf0.001", **table_kw)
+    timings["ingest_streaming_neardup_table"] = _bench_streaming_neardup(
+        spark, sf_dir, **table_kw
+    )
 
     total = round(sum(timings.values()), 3)
     print(

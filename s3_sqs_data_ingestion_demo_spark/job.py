@@ -99,8 +99,9 @@ def _maybe_maintain(table: ManagedTable, config: JobConfig) -> int | None:
     m = config.output_config.maintenance
     if not m.compact_every:
         return None
-    v = table._current_version()
-    if v == 0 or v % m.compact_every:
+    # count data commits since the last compact (not raw versions —
+    # maintenance commits advance the version too, skewing the modulus)
+    if table.data_commits_since_maintenance() < m.compact_every:
         return None
     table.compact(
         target_partitions=m.target_partitions,

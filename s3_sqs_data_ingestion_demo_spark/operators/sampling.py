@@ -119,7 +119,10 @@ def domain_mix(
     Cost: one small aggregate for per-domain counts (broadcast back)
     and one window rank partitioned by domain — a single shuffle on
     the domain key.  Domains absent from ``target_shares`` are
-    dropped."""
+    dropped; a target domain with NO available rows raises at
+    execution time (``raise_error``, kept lazy/distributed) — its
+    absence would silently drop it from the capacity bound and the
+    output proportions would no longer match ``target_shares``."""
     total_share = sum(target_shares.values())
     if abs(total_share - 1.0) > 1e-9:
         raise ValueError(f"target shares must sum to 1, got {total_share}")
@@ -127,11 +130,28 @@ def domain_mix(
         *[x for kv in target_shares.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
     )
     in_scope = df.filter(F.col(domain_col).isin(list(target_shares)))
+    expected = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in target_shares])).alias(domain_col)
+    )
     counts = (
-        in_scope.groupBy(domain_col)
-        .agg(F.count(F.lit(1)).alias("_n_avail"))
+        expected.join(
+            in_scope.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n_avail")),
+            domain_col,
+            "left",
+        )
         .withColumn("_share", shares[F.col(domain_col)])
-        .withColumn("_capacity", F.col("_n_avail") / F.col("_share"))
+        .withColumn(
+            "_capacity",
+            F.when(
+                F.col("_n_avail").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("domain_mix: no rows available for target domain "),
+                        F.col(domain_col),
+                    )
+                ).cast("double"),
+            ).otherwise(F.col("_n_avail") / F.col("_share")),
+        )
     )
     # the binding domain caps the total; quotas derive from that total
     quotas = counts.crossJoin(
@@ -241,7 +261,7 @@ def pack_sequences_strict(
         + [T.StructField("seq_id", T.LongType()), T.StructField("seq_fill", T.LongType())]
     )
 
-    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_u", id_col]).reset_index(drop=True)
         shard = int(key[0])
         seq, fill = 0, 0

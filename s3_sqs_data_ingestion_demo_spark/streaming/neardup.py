@@ -11,11 +11,23 @@ candidates exactly, then appends its own signatures to the index —
 the index is a plain parquet table, so it is shared, restartable, and
 compactable like any other.
 
-Incremental cost shape: per batch, banding touches |batch| × bands
-keys; the index side of the join is pruned to colliding band keys
-(hash equi-join, no scan-all-pairs); verification is exploded-count
-over candidates only.  Band-key frequency capping bounds degenerate
-hot buckets exactly like the batch operator.
+Incremental cost shape: per batch, banding computes |batch| × bands
+keys for the NEW documents only — the index's band keys are
+**persisted with the signatures** (``bk0..bk{bands-1}`` columns,
+index layout v2) so the stored side of the collision join is a
+column-pruned parquet scan of ``(id, n_sh, bk*)`` with zero hash
+recompute, semi-restricted to the batch's own keys before any
+aggregation.  Per-batch *compute* is therefore O(batch + collisions);
+the only O(index) term left is the narrow key-column scan itself,
+which parquet min/max pruning (Z-order the table-backed index by
+``bk0`` via ``compact(zorder_by=...)``) cuts further at scale.
+Verification is exploded-count over candidates only.  Band-key
+frequency capping bounds degenerate hot buckets exactly like the
+batch operator: frequencies are counted only for keys that actually
+collide with the batch (restricting first is exact — a key absent
+from the batch generates no candidates regardless of its frequency,
+and for colliding keys the restricted count equals the full-population
+count).
 
 Delivery: foreachBatch + checkpoint gives at-least-once PAIR appends
 on failure/retry — pair emission is deduplicated by construction only
@@ -46,40 +58,75 @@ from ..operators.dedup import (
     _minhash_sig_col,
     _shingle_base,
     _shingle_hash_col,
-    band_keys,
 )
 
 _NUM_HASHES = 16
 _BANDS = 4
 
 
-def _index_schema(num_hashes: int) -> T.StructType:
+def _index_schema(num_hashes: int, bands: int = _BANDS) -> T.StructType:
+    """Index layout v2: signatures PLUS their precomputed LSH band keys
+    (``bk0..bk{bands-1}``) so later batches never re-derive keys over
+    the historical population.  A v1 index (no ``bk*`` columns) is not
+    readable — rebuild it once by re-ingesting (fail-loud by schema)."""
     fields = [
         T.StructField("id", T.LongType()),
         T.StructField("shs", T.ArrayType(T.StringType())),
         T.StructField("n_sh", T.IntegerType()),
     ]
     fields += [T.StructField(f"h{s}", T.LongType()) for s in range(num_hashes)]
+    fields += [T.StructField(f"bk{b}", T.StringType()) for b in range(bands)]
     return T.StructType(fields)
 
 
-def _read_index(spark: SparkSession, path: str, num_hashes: int) -> DataFrame:
+def _band_key_cols(num_hashes: int, bands: int) -> list:
+    """One constant-width key column per band — the SAME construction
+    as operators.dedup.band_keys (concat_ws over the band's signature
+    rows), computed ONCE at write time and persisted."""
+    rows = num_hashes // bands
+    return [
+        F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+            f"bk{b}"
+        )
+        for b in range(bands)
+    ]
+
+
+def _stored_band_keys(index: DataFrame, bands: int) -> DataFrame:
+    """(id, band, key) rows from the PERSISTED key columns: a
+    column-pruned scan of ``(id, n_sh, bk*)`` — no signature columns
+    read, no hashing recomputed."""
+    return (
+        index.filter(F.col("n_sh") > 0)
+        .select(
+            "id",
+            F.posexplode(F.array(*[F.col(f"bk{b}") for b in range(bands)])).alias(
+                "band", "key"
+            ),
+        )
+    )
+
+
+def _read_index(
+    spark: SparkSession, path: str, num_hashes: int, bands: int = _BANDS
+) -> DataFrame:
     # schema-explicit read so a not-yet-created index resolves to empty;
     # recursive so per-batch `b<id>` subdirs (and legacy top-level files)
     # are both picked up without partition-column inference
     return (
-        spark.read.schema(_index_schema(num_hashes))
+        spark.read.schema(_index_schema(num_hashes, bands))
         .option("recursiveFileLookup", "true")
         .parquet(path)
     )
 
 
 def _batch_signatures(
-    batch: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int
+    batch: DataFrame, text_col: str, id_col: str, n: int, num_hashes: int,
+    bands: int = _BANDS,
 ) -> DataFrame:
-    """The batch's index rows: (id, shs, n_sh, h0..hN), materialized
-    once (localCheckpoint frees the plan from the source stream so the
-    later index mutation can't rescan it)."""
+    """The batch's index rows: (id, shs, n_sh, h0..hN, bk0..bkB),
+    materialized once (localCheckpoint frees the plan from the source
+    stream so the later index mutation can't rescan it)."""
     new = (
         _shingle_base(batch, text_col, id_col, n)
         .withColumn("xs", _shingle_hash_col("shs"))
@@ -87,6 +134,7 @@ def _batch_signatures(
             "id", "shs", F.col("n_sh").cast("int").alias("n_sh"),
             *[_minhash_sig_col(s) for s in range(num_hashes)],
         )
+        .select("*", *_band_key_cols(num_hashes, bands))
     )
     return new.localCheckpoint(eager=True)
 
@@ -116,8 +164,8 @@ def process_near_dup_batch(
     omit it and get a plain top-level append."""
     spark = batch.sparkSession
     os.makedirs(index_path, exist_ok=True)
-    new = _batch_signatures(batch, text_col, id_col, n, num_hashes)
-    old = _read_index(spark, index_path, num_hashes)
+    new = _batch_signatures(batch, text_col, id_col, n, num_hashes, bands)
+    old = _read_index(spark, index_path, num_hashes, bands)
     pairs = _near_dup_pairs(new, old, num_hashes, bands, threshold, max_band_freq)
     if batch_id is None:
         new.write.mode("append").parquet(index_path)
@@ -149,10 +197,18 @@ def process_near_dup_batch_table(
     ``table.merge`` keyed on id, so a retried batch's rows resolve to
     one row per doc at read time (O(batch) delta append per merge;
     ``compact()`` folds the deltas — see start_streaming_near_dup's
-    ``compact_every``)."""
-    new = _batch_signatures(batch, text_col, id_col, n, num_hashes)
+    ``compact_every``).
+
+    The index is read UNRESOLVED (``read_unresolved``): paying the MOR
+    key-resolution window over the whole index every micro-batch would
+    itself be an O(index)-per-batch scale-killer.  Duplicate rows from
+    retried merges only add collision candidates (removed by
+    ``distinct()``), and verification resolves latest-by-commit-seq on
+    the candidate-sized slice."""
+    new = _batch_signatures(batch, text_col, id_col, n, num_hashes, bands)
     pairs = _near_dup_pairs(
-        new, table.read(), num_hashes, bands, threshold, max_band_freq
+        new, table.read_unresolved(with_seq=True),
+        num_hashes, bands, threshold, max_band_freq,
     )
     table.merge(new)
     return pairs
@@ -166,25 +222,46 @@ def _near_dup_pairs(
     threshold: float,
     max_band_freq: int,
 ) -> DataFrame:
-    """Core stream-static step: band ``new`` against ``old`` ∪ ``new``,
-    cap hot band keys over the full population, verify candidates with
-    exact exploded-count jaccard.  Returns pairs, materialized BEFORE
-    the caller mutates the index."""
+    """One eager job per batch: candidate generation and verification
+    compose into a single linear chain (cand → join a-side sigs → join
+    b-side sigs → jaccard), so nothing re-evaluates and pairs
+    materialize BEFORE the caller mutates the index."""
     # An id already in the index that reappears in this batch (retry
     # after a successful append, or a re-sent document) must not be
     # joined against its own stale signatures — the batch's row is
     # authoritative.
     old = old.join(new.select("id"), "id", "left_anti")
+    cand = _collision_candidates(new, old, bands, max_band_freq)
+    return _verify_candidates(new, old, cand, threshold).localCheckpoint(eager=True)
 
-    sig_names = [f"h{s}" for s in range(num_hashes)]
-    bk_new = band_keys(new.filter(F.col("n_sh") > 0).select("id", *sig_names),
-                       num_hashes, bands)
-    bk_old = band_keys(old.filter(F.col("n_sh") > 0).select("id", *sig_names),
-                       num_hashes, bands)
+
+def _collision_candidates(
+    new: DataFrame,
+    old: DataFrame,
+    bands: int,
+    max_band_freq: int,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs: the batch's band keys joined
+    against the index's PERSISTED band keys.  The signature columns
+    (``h*``) of the index are NEVER read — the stored side is a
+    column-pruned ``(id, n_sh, bk*)`` scan, so per-batch compute is
+    O(batch + collisions) however large the index has grown."""
+    bk_new = _stored_band_keys(new, bands)
+    # Semi-restrict the stored keys to the batch's keys BEFORE any
+    # aggregation: a micro-batch's key set is bounded, so it broadcasts
+    # and the index side reduces to a column-pruned scan + hash probe —
+    # no per-batch O(index) key recompute, no O(index) group-by.
+    batch_keys = bk_new.select("band", "key").distinct()
+    bk_old = _stored_band_keys(old, bands).join(
+        F.broadcast(batch_keys), ["band", "key"], "left_semi"
+    )
     bk_all = bk_old.unionByName(bk_new)
-    # hot-bucket cap over the FULL key population (old ∪ new), so a
-    # degenerate key that grew hot over the stream's lifetime stops
-    # generating O(bucket²) work
+    # hot-bucket cap: for every key colliding with the batch, the
+    # restricted count equals the full-population count, so a key that
+    # grew hot over the stream's lifetime still stops generating
+    # O(bucket²) work.  (On an unresolved table read, retried merges
+    # can duplicate key rows, inflating freq — the cap then fires
+    # EARLIER, never later: conservative.)
     hot = (
         bk_all.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -193,7 +270,7 @@ def _near_dup_pairs(
     )
     bk_all_ok = bk_all.join(hot, ["band", "key"], "left_anti")
     bk_new_ok = bk_new.join(hot, ["band", "key"], "left_anti")
-    cand = (
+    return (
         bk_new_ok.select("band", "key", F.col("id").alias("id_b"))
         .join(bk_all_ok.select("band", "key", F.col("id").alias("id_a")), ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -201,35 +278,62 @@ def _near_dup_pairs(
         .distinct()
     )
 
-    both = old.select("id", "shs", "n_sh").unionByName(new.select("id", "shs", "n_sh"))
-    # semi-filter to candidate ids BEFORE exploding (candidate-sized
-    # explode, not index-sized — same ordering as the batch operator)
-    sh_a = both.join(cand.select(F.col("id_a").alias("id")), "id", "left_semi").select(
-        "id", F.explode("shs").alias("shingle")
+
+def _verify_candidates(
+    new: DataFrame,
+    old: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact jaccard over the candidate pairs only, as ONE linear join
+    chain: cand ⋈ a-side sigs ⋈ b-side sigs → ``array_intersect``
+    count.  Candidates are batch-bounded (micro-batch × bands, hot
+    buckets capped), so AQE broadcasts the pair side of both joins —
+    the index's signature columns are scanned (column-pruned) but
+    never shuffled, and no intermediate needs materializing.  (The
+    batch-corpus operator prefers exploded-count jaccard — at corpus
+    scale the array payloads would ride every shuffle — but here the
+    pair side never exceeds a micro-batch's collisions, so the
+    vectorized per-pair intersect wins over 3 extra stages.)"""
+    has_seq = "_sg_seq" in old.columns
+    seq = (F.col("_sg_seq") if has_seq else F.lit(0)).alias("seq")
+    # the batch's own rows are authoritative (max seq)
+    sigs = old.select("id", "shs", "n_sh", seq).unionByName(
+        new.select("id", "shs", "n_sh", F.lit(1 << 62).alias("seq"))
     )
-    sh_b = both.join(cand.select(F.col("id_b").alias("id")), "id", "left_semi").select(
-        "id", F.explode("shs").alias("shingle")
+    sigs_a = sigs.select(
+        F.col("id").alias("id_a"), F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"), F.col("seq").alias("seq_a"),
     )
-    common = (
-        cand.join(sh_a.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sh_b.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sigs_b = sigs.select(
+        F.col("id").alias("id_b"), F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"), F.col("seq").alias("seq_b"),
     )
-    sizes = both.select("id", "n_sh")
+    joined = cand.join(sigs_a, "id_a").join(sigs_b, "id_b")
+    if has_seq:
+        # unresolved table read: duplicate ids from retried/re-sent
+        # merges resolve latest-by-commit-seq HERE, on the candidate-
+        # sized slice, instead of a full-index key window every batch
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        w = Window.partitionBy("id_a", "id_b").orderBy(
+            F.col("seq_a").desc(), F.col("seq_b").desc()
+        )
+        joined = (
+            joined.withColumn("_sg_rn", F.row_number().over(w))
+            .filter(F.col("_sg_rn") == 1)
+        )
+    n_common = F.size(F.array_intersect("shs_a", "shs_b"))
     raw = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    pairs = (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+    return (
+        joined.withColumn("n_common", n_common)
         .filter(raw >= threshold)
         .select(
             F.col("id_a").alias("doc_id_a"),
             F.col("id_b").alias("doc_id_b"),
             F.round(raw, 4).alias("jaccard"),
         )
-        .localCheckpoint(eager=True)  # materialize BEFORE mutating the index
     )
-    return pairs
 
 
 def start_streaming_near_dup(
@@ -281,7 +385,12 @@ def start_streaming_near_dup(
             pairs = process_near_dup_batch_table(
                 batch_df, table, **near_dup_kwargs
             )
-            if compact_every and table._current_version() % compact_every == 0:
+            # cadence counts DATA commits since the last compaction —
+            # raw version modulus would fire after N-1 merges (and at
+            # N=2 after every merge, since each compact realigns parity)
+            if compact_every and (
+                table.data_commits_since_maintenance() >= compact_every
+            ):
                 table.compact()
         else:
             pairs = process_near_dup_batch(

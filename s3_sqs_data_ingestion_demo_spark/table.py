@@ -173,7 +173,7 @@ class ManagedTable:
         with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
             json.dump(meta.__dict__, fh, indent=2)
         table = cls(spark, path, meta)
-        table._commit_snapshot([])  # v1 = empty table
+        table._commit_snapshot([], kind="create")  # v1 = empty table
         return table
 
     @classmethod
@@ -199,7 +199,39 @@ class ManagedTable:
         ) as fh:
             return json.load(fh)["entries"]
 
-    def _commit_snapshot(self, entries: list[dict]) -> int:
+    def _snapshot_kind(self, version: int) -> str:
+        """The commit kind recorded in a snapshot manifest — "data" for
+        append/overwrite/merge, "maintenance" for compact, "create" for
+        the initial empty snapshot.  Pre-kind manifests default to
+        "data" (conservative: cadence may fire one commit early once)."""
+        with open(
+            os.path.join(self.path, _SNAPDIR, f"v{version:08d}.json"),
+            encoding="utf-8",
+        ) as fh:
+            return json.load(fh).get("kind", "data")
+
+    def data_commits_since_maintenance(self) -> int:
+        """Count data commits since the last non-data commit (compact /
+        create) — the correct cadence counter for ``compact_every``:
+        raw version numbers also advance on maintenance commits, so a
+        ``version % N`` check fires after N-1 merges and, at N=2,
+        after EVERY merge (each compact realigns the parity).  Walks
+        manifests newest-first and stops at the first non-data or
+        expired snapshot."""
+        n = 0
+        v = self._current_version()
+        while v > 0:
+            try:
+                kind = self._snapshot_kind(v)
+            except FileNotFoundError:
+                break  # expired history: everything older is unknowable
+            if kind != "data":
+                break
+            n += 1
+            v -= 1
+        return n
+
+    def _commit_snapshot(self, entries: list[dict], kind: str = "data") -> int:
         """Optimistic-concurrency commit (the same protocol Iceberg
         runs against a filesystem/catalog): the snapshot manifest is
         created with O_EXCL, so of two writers that both read version
@@ -229,7 +261,7 @@ class ManagedTable:
                 "publishing its pointer, delete the orphan manifest)"
             ) from None
         with fh:
-            json.dump({"version": v, "entries": entries}, fh, indent=2)
+            json.dump({"version": v, "kind": kind, "entries": entries}, fh, indent=2)
         tmp = os.path.join(self.path, f"{_CURRENT}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(f"v{v:08d}")
@@ -322,6 +354,33 @@ class ManagedTable:
     def read(self) -> DataFrame:
         return self._assemble(self._read_manifest())
 
+    def read_unresolved(self, with_seq: bool = False) -> DataFrame:
+        """Union of all live entries WITHOUT merge-on-read key
+        resolution — O(scan), no key-shuffle window.  For consumers
+        whose downstream logic tolerates (or locally resolves)
+        duplicate keys: e.g. the streaming near-dup index derives LSH
+        collision candidates from the raw union (stale duplicates only
+        add candidates, which exact verification discards) and resolves
+        latest-by-seq on the candidate-sized slice only — instead of
+        paying a full-index window every micro-batch.  ``with_seq``
+        appends the commit-sequence column ``_sg_seq`` (0 for base
+        entries, the commit version for MOR deltas) so callers can
+        resolve recency themselves."""
+        entries = self._read_manifest()
+        if not entries:
+            out = self.spark.createDataFrame([], self.meta.schema)
+            return out.withColumn("_sg_seq", F.lit(0).cast("long")) if with_seq else out
+        dfs = [
+            self._read_entry(e).withColumn("_sg_seq", F.lit(int(e.get("seq", 0))))
+            if with_seq
+            else self._read_entry(e)
+            for e in entries
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     # ----------------------------------------------------------- write
     def _write_data(self, df: DataFrame, root: str) -> dict:
         writer = df.write.option("compression", self.meta.compression)
@@ -337,7 +396,21 @@ class ManagedTable:
             writer = writer.option("maxRecordsPerFile", int(target_rows))
         if self.meta.partition_cols:
             writer = writer.partitionBy(*self.meta.partition_cols)
-        writer.parquet(root, mode="errorifexists")
+        try:
+            writer.parquet(root, mode="errorifexists")
+        except Exception as e:  # noqa: BLE001 — narrowed below
+            # Uniform conflict contract: two racing writers both target
+            # the version-keyed root data/v{N+1}; in most interleavings
+            # the loser fails HERE (path already exists) rather than at
+            # the manifest O_EXCL, so surface the same typed error the
+            # retry protocol documents instead of a raw AnalysisException.
+            if "already exists" in str(e) and os.path.exists(root):
+                raise CommitConflictError(
+                    f"data root {root} already exists: another writer is "
+                    "committing the same version concurrently — re-load "
+                    "the table and retry the operation"
+                ) from e
+            raise
         return {
             "root": os.path.relpath(root, self.path),
             "parts": self._list_parts(root) if self.meta.partition_cols else None,
@@ -596,7 +669,7 @@ class ManagedTable:
         else:
             df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
         entry = self._write_data(df, self._new_root())
-        return self._commit_snapshot([entry])
+        return self._commit_snapshot([entry], kind="maintenance")
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Delete snapshot manifests older than the newest

@@ -157,10 +157,11 @@ def test_declarative_maintenance_compacts_and_expires(spark, job):
     from s3_sqs_data_ingestion_demo_spark.config import MaintenanceConfig
 
     d, cfg = job
-    # create commits v1 and each merge commits the next version, so
-    # compact_every=3 fires after the SECOND merge (v3)
+    # cadence counts DATA commits since the last compact (the create
+    # snapshot and maintenance commits don't count), so compact_every=2
+    # fires after the SECOND merge
     cfg.output_config.maintenance = MaintenanceConfig(
-        compact_every=3,
+        compact_every=2,
         zorder_by=["invoiceid", "itemid"],
         target_partitions=2,
         expire_keep_last=1,

@@ -86,6 +86,20 @@ def test_domain_mix_exact_quotas(spark, docs):
     assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
 
 
+def test_domain_mix_raises_on_empty_target_domain(spark, docs):
+    """A target domain with zero available rows must fail loudly: it
+    would otherwise contribute no capacity bound and no quota, and the
+    output proportions would silently stop matching target_shares."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    out = SA.domain_mix(
+        docs, "source", {"src0": 0.5, "no_such_domain": 0.5}
+    )
+    with pytest.raises(SparkRuntimeException, match="no rows available"):
+        out.count()
+
+
 def test_export_order_is_a_stable_permutation(spark, docs):
     a = [r.doc_id for r in SA.export_order(docs, n_partitions=4).select("doc_id").collect()]
     b = [r.doc_id for r in SA.export_order(docs.repartition(7), n_partitions=4).select("doc_id").collect()]

@@ -84,6 +84,29 @@ def test_compact_preserves_data_and_replaces_roots(spark, tmp_path):
     assert sorted(tuple(r) for r in t.read().collect()) == before
 
 
+def test_compaction_cadence_counts_data_commits_not_versions(spark, tmp_path):
+    """compact_every must count DATA commits since the last compact.
+    Raw-version modulus is off by one: compact itself bumps the
+    version, so with compact_every=2 every single subsequent merge
+    lands on an even version and triggers a full-table rewrite."""
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "tbl"), SCHEMA,
+        partition_cols=[], key_cols=["id"], order_column="ts",
+        table_type="MOR",
+    )
+    assert t.data_commits_since_maintenance() == 0  # create isn't data
+    for i in range(2):
+        t.merge(df_of(spark, [(i, "a", 1.0, 1)]))
+    assert t.data_commits_since_maintenance() == 2
+    t.compact()
+    assert t.data_commits_since_maintenance() == 0  # counter reset
+    t.merge(df_of(spark, [(9, "a", 1.0, 1)]))
+    # one merge after a compact: cadence-2 must NOT be due yet
+    assert t.data_commits_since_maintenance() == 1
+    t.merge(df_of(spark, [(10, "a", 1.0, 1)]))
+    assert t.data_commits_since_maintenance() == 2
+
+
 def test_expire_snapshots_gc(spark, tmp_path):
     t = ManagedTable.create(
         spark, os.path.join(str(tmp_path), "tbl"), SCHEMA,

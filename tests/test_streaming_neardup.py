@@ -8,7 +8,10 @@ from pyspark.sql import functions as F  # noqa: F401
 from pyspark.sql import types as T
 
 from s3_sqs_data_ingestion_demo_spark.streaming.neardup import (
+    _batch_signatures,
+    _collision_candidates,
     _index_schema,
+    _read_index,
     process_near_dup_batch,
     process_near_dup_batch_table,
     start_streaming_near_dup,
@@ -68,6 +71,40 @@ def test_process_batch_retry_is_idempotent(spark, tmp_path):
     rows = process_near_dup_batch(b2, idx, threshold=0.4, batch_id=1).collect()
     assert {(r.doc_id_a, r.doc_id_b) for r in rows} == {(1, 7)}
     assert all(0.0 < r.jaccard <= 1.0 for r in rows)
+
+
+def test_per_batch_plan_never_rebands_the_index(spark, tmp_path):
+    """The scale property that keeps an unbounded stream viable: band
+    keys are PERSISTED with the signatures (index layout v2), so the
+    per-batch pair plan joins the batch's keys against the stored
+    ``bk*`` columns — the index-side file scans read only
+    (id, n_sh, bk*) and NEVER the ``h*`` signature columns.  Before
+    this, every micro-batch recomputed concat_ws band keys over the
+    entire grown index: O(index) compute per batch, forever."""
+    idx = os.path.join(str(tmp_path), "index")
+    b1 = spark.createDataFrame([(1, LONG_A), (4, LONG_B)], SCHEMA)
+    process_near_dup_batch(b1, idx, threshold=0.4, batch_id=0)
+
+    b2 = spark.createDataFrame([(7, LONG_A_NEAR)], SCHEMA)
+    new = _batch_signatures(b2, "text", "doc_id", 3, 16)
+    old = _read_index(spark, idx, 16).join(new.select("id"), "id", "left_anti")
+    plan = _collision_candidates(new, old, 4, 10_000)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = plan._jdf.queryExecution().explainString(mode)
+    # every parquet scan of the index prunes to non-signature columns
+    read_schemas = [
+        line for line in p.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schemas, "expected parquet scans of the index in the plan"
+    for rs in read_schemas:
+        assert "h0:" not in rs and "h15:" not in rs, f"index scan reads signatures: {rs}"
+    # and the stored key columns ARE what the collision join reads
+    assert any("bk0:" in rs for rs in read_schemas)
+    # end-to-end result over the same index is still correct
+    rows = process_near_dup_batch(b2, idx, threshold=0.4, batch_id=1).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in rows} == {(1, 7)}
 
 
 def test_streaming_near_dup_with_restart(spark, tmp_path):
