@@ -88,7 +88,8 @@ def q_asof_click_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
                 THEN strftime(click_ts, '{_TS_FMT_DUCK}') END AS click_ts_str
     FROM j
     """,
-    driver=False,
+    driver=True,
+    rank=20,
 )
 def q_asof_next_click_within_2h(spark: SparkSession, sf: str) -> DataFrame:
     """FORWARD as-of join with a tolerance: each purchase annotated
@@ -191,6 +192,7 @@ def q_pivot_daily_event_counts(spark: SparkSession, sf: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """,
+    driver=False,
 )
 def q_cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over two dimensions (all 4 grouping sets in one shuffle)."""

@@ -205,7 +205,8 @@ def jaccard_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
            CAST(MIN(r) = id AS INTEGER) AS is_canonical
     FROM reach GROUP BY id
     """,
-    driver=False,
+    driver=True,
+    rank=20,
 )
 def near_dup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate CLUSTERS from the jaccard near-dup pairs: connected
@@ -751,7 +752,8 @@ def _split_case_sql(weights: dict[str, float]) -> str:
     SELECT doc_id, {_split_case_sql(_SPLIT_WEIGHTS)} AS split
     FROM (SELECT doc_id, {_U_DOC} AS u FROM documents)
     """,
-    driver=False,
+    driver=True,
+    rank=20,
 )
 def hash_split_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test assignment: salted-hash thresholds,
@@ -771,7 +773,8 @@ def hash_split_documents(spark: SparkSession, sf: str) -> DataFrame:
                         WHEN 'zh' THEN CAST(0.25 AS DOUBLE)
                         ELSE CAST(0.125 AS DOUBLE) END
     """,
-    driver=False,
+    driver=True,
+    rank=20,
 )
 def stratified_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic per-language downsampling (the reproducible form
@@ -808,7 +811,8 @@ def stratified_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
     SELECT r.doc_id, r.source
     FROM ranked r JOIN quotas q USING (source) WHERE r.rk <= q.quota
     """,
-    driver=False,
+    driver=True,
+    rank=20,
 )
 def domain_mix_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-proportion domain mixing (50/25/25 over three sources):
@@ -848,7 +852,8 @@ def domain_mix_documents(spark: SparkSession, sf: str) -> DataFrame:
            CAST(FLOOR((b.base + c.cum - c.n_tokens) / 512.0) AS BIGINT) AS seq_id
     FROM cum c JOIN bases b USING (shard)
     """,
-    driver=False,
+    driver=True,
+    rank=20,
 )
 def pack_sequences_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Concatenation-order sequence packing (training export): each
@@ -885,7 +890,8 @@ def pack_sequences_documents(spark: SparkSession, sf: str) -> DataFrame:
                AS contaminated
     FROM sizes z LEFT JOIN hits h ON z.id = h.id
     """,
-    driver=False,
+    driver=True,
+    rank=20,
 )
 def contamination_check_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: per-document shingle overlap against
@@ -915,7 +921,8 @@ def contamination_check_documents(spark: SparkSession, sf: str) -> DataFrame:
     FROM tok t JOIN freq f USING (tok)
     GROUP BY t.doc_id
     """,
-    driver=False,
+    driver=True,
+    rank=20,
 )
 def unigram_nll_documents(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-shaped LM quality filter: per-document pseudo-perplexity
@@ -1024,3 +1031,87 @@ def curated_documents(spark: SparkSession, sf: str) -> DataFrame:
         near_dup_threshold=0.3,
     )
     return kept.select("doc_id", "n_tokens", "quality_score", "bpe_ish_tokens")
+
+
+# --------------------------------------------------------------------
+# Multimodal plumbing as a driver-checkable query
+# --------------------------------------------------------------------
+
+_MEDIA_ORACLE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         encode(substring(text, 1, 16)) AS payload,
+         CAST((doc_id * 37) % 5000 AS BIGINT) AS duration_ms
+  FROM documents
+), stats AS (
+  SELECT media_id, modality, duration_ms,
+         octet_length(payload) AS payload_bytes,
+         sha256(substring(text, 1, 16)) AS payload_sha256
+  FROM media JOIN documents ON doc_id = media_id
+), dd AS (
+  SELECT payload_sha256, COUNT(*) AS n_copies, MIN(media_id) AS keeper_id
+  FROM stats GROUP BY 1
+)
+SELECT CAST((SELECT COUNT(*) FROM stats) AS BIGINT)                    AS n_media,
+       CAST((SELECT COUNT(*) FROM stats WHERE modality = 'video') AS BIGINT)
+                                                                       AS n_video,
+       CAST((SELECT SUM(payload_bytes) FROM stats) AS BIGINT)          AS total_bytes,
+       CAST((SELECT COUNT(*) FROM dd) AS BIGINT)                       AS n_uniq_payloads,
+       CAST((SELECT SUM(n_copies - 1) FROM dd) AS BIGINT)              AS n_dup_copies,
+       CAST((SELECT SUM(keeper_id) FROM dd) AS BIGINT)                 AS keeper_id_sum,
+       CAST((SELECT SUM(CAST(FLOOR(GREATEST(duration_ms - 1, 0) / 1000) + 1 AS BIGINT))
+             FROM stats WHERE modality = 'video') AS BIGINT)           AS n_video_frames
+"""
+
+
+@query("media_pipeline_documents", _MEDIA_ORACLE, rank=20)
+def media_pipeline_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing (operators/multimodal.py) under the
+    driver gate: synthesize a deterministic media table from
+    ``documents`` (payload = UTF-8 bytes of a 16-char text prefix so
+    exact-duplicate payloads actually occur, modality round-robin by
+    id, metadata struct with a derived duration), then run the REAL
+    operators — ``attach_payload_stats`` (JVM-side byte length +
+    sha256), ``dedup_media_exact`` (hash-group dedup), and
+    ``sample_video_frames`` (metadata-driven frame explode) — and
+    fold everything into one integer-stats row the DuckDB oracle
+    recomputes from first principles (DuckDB ``sha256(VARCHAR)``
+    hashes the same UTF-8 bytes Spark's ``sha2(encode(...))`` does).
+
+    Scale notes: payload bytes never shuffle — stats project scalars,
+    dedup shuffles (hash, id), frames explode from metadata only."""
+    from .operators import multimodal as M  # noqa: PLC0415
+
+    docs = t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.substring(F.col("text"), 1, 16), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("doc_id") * 37 % 5000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    stats = M.attach_payload_stats(media)
+    per_media = stats.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum((F.col("modality") == "video").cast("long")).alias("n_video"),
+        F.sum("payload_bytes").alias("total_bytes"),
+    )
+    dd = M.dedup_media_exact(media).agg(
+        F.count(F.lit(1)).alias("n_uniq_payloads"),
+        F.sum(F.col("n_copies") - 1).alias("n_dup_copies"),
+        F.sum("keeper_id").alias("keeper_id_sum"),
+    )
+    frames = (
+        M.sample_video_frames(media, every_ms=1000)
+        .agg(F.count(F.lit(1)).alias("n_video_frames"))
+    )
+    return per_media.crossJoin(dd).crossJoin(frames)

@@ -250,6 +250,7 @@ def q03_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
       AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY n_name
     """,
+    driver=False,
 )
 def q05_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5-style 6-way join.
@@ -297,6 +298,7 @@ def q05_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
       )
     GROUP BY o_orderpriority
     """,
+    driver=False,
 )
 def q04_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q4-style EXISTS via left-semi join.
@@ -408,6 +410,7 @@ def q12_priority_lines(spark: SparkSession, sf: str) -> DataFrame:
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
     """,
+    driver=False,
 )
 def q14_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q14-style single-row ratio; part join strategy left to
@@ -438,6 +441,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
     HAVING SUM(l_quantity) > 150
     """,
+    driver=False,
 )
 def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q18-style HAVING over a join; the quantity pre-aggregation
@@ -515,6 +519,7 @@ def q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
       FROM orders
     ) WHERE rn <= 3
     """,
+    driver=False,
 )
 def q_top3_orders_per_priority(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k-per-group — the same window pattern as the reference's
@@ -547,6 +552,7 @@ def q_top3_orders_per_priority(spark: SparkSession, sf: str) -> DataFrame:
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
     """,
+    driver=False,
 )
 def q_rollup_customer_geo(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP hierarchy totals (region → nation → grand total)."""
@@ -571,6 +577,7 @@ def q_rollup_customer_geo(spark: SparkSession, sf: str) -> DataFrame:
     INTERSECT
     SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
     """,
+    driver=False,
 )
 def q_building_big_spenders_intersect(spark: SparkSession, sf: str) -> DataFrame:
     """INTERSECT set op (physical plan: aggregate + semi join)."""
@@ -590,6 +597,7 @@ def q_building_big_spenders_intersect(spark: SparkSession, sf: str) -> DataFrame
     EXCEPT
     SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
+    driver=False,
 )
 def q_machinery_never_urgent_except(spark: SparkSession, sf: str) -> DataFrame:
     """EXCEPT set op (physical plan: aggregate + anti join)."""
