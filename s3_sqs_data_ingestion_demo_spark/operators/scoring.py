@@ -12,10 +12,19 @@ model's scores; the dataflow is identical).
 
 Scale shape: one explode + token aggregate builds the frequency table
 (vocabulary-sized, NOT corpus-sized); scoring joins tokens to that
-table by token key and reduces per doc — two shuffles total.  At
-100 TB you would cap the vocabulary to top-K + an OOV bucket and
-broadcast it; here the join is left to AQE, which broadcasts the
-vocab side when it is small.
+table by token key and reduces per doc — two shuffles total.  With
+``top_k_vocab`` set (the 100 TB configuration), the model is capped to
+the K most frequent tokens plus a single OOV bucket holding the
+residual probability mass, and the K-row table is EXPLICITLY broadcast
+— the join side is bounded by construction, so the scoring pass never
+shuffles the corpus on a skewed, unbounded vocabulary key.
+
+Determinism: per-token NLL is quantized to integer micronats
+(round(-ln(p)·1e6)) before aggregation, so the per-document reduction
+is an EXACT integer sum — immune to floating summation order, which
+differs between Spark's partial aggregation and any oracle engine.
+The only float ops left (one division, one round) are on exact
+integers, bit-identical everywhere.
 """
 
 from __future__ import annotations
@@ -25,14 +34,29 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
+_MICRO = 1_000_000.0
+
 
 def unigram_nll_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k_vocab: int | None = None,
 ) -> DataFrame:
     """Per-document mean negative log-likelihood under the corpus's
-    own unigram distribution (MLE — every scored token appears in the
-    table by construction, so no smoothing is needed), plus an integer
-    quality bucket.
+    own unigram distribution, plus an integer quality bucket.
+
+    ``top_k_vocab=None``: full MLE vocabulary (every scored token is
+    in the table by construction — no smoothing needed).  Small-corpus
+    / exploratory mode.
+
+    ``top_k_vocab=K``: the production configuration — the model keeps
+    the K most frequent tokens (ties broken by token, deterministic)
+    and collapses everything else into one OOV bucket whose count is
+    the total residual mass, so probabilities still sum to 1.  The
+    K-row vocab is explicitly ``broadcast()``: at web scale the full
+    vocabulary is unbounded and Zipf-skewed — exactly what must never
+    become a shuffle key.
 
     Returns (doc_id, n_tokens, avg_nll, nll_bucket): low buckets =
     typical text, high buckets = rare-token-heavy documents — the
@@ -40,24 +64,45 @@ def unigram_nll_scores(
     with zero tokens have no likelihood and are omitted, matching the
     oracle's inner explode.
 
-    Determinism: the bucket floors the ROUNDED avg (round-to-4dp
-    first absorbs any last-ulp libm difference in ln()/avg between
-    engines).
+    avg_nll = round(sum(micronats)/n/1e6, 4) where micronats are the
+    per-token quantized NLLs — see the module docstring for why this
+    is exactly engine-portable.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("n_total"))
-    nll = -F.log(F.col("c") / F.col("n_total"))
-    avg_r = F.round(F.avg(nll), 4) + F.lit(0.0)
+
+    if top_k_vocab is None:
+        joined = toks.join(freq, "tok").crossJoin(F.broadcast(total))
+        c_eff = F.col("c")
+    else:
+        # deterministic top-K (count desc, token asc) — planned as
+        # TakeOrderedAndProject, never a full vocab sort
+        vocab = freq.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(
+            top_k_vocab
+        )
+        in_vocab = vocab.agg(F.sum("c").alias("n_in_vocab"))
+        joined = (
+            toks.join(F.broadcast(vocab), "tok", "left")
+            .crossJoin(F.broadcast(total))
+            .crossJoin(F.broadcast(in_vocab))
+        )
+        # OOV tokens share the single residual-mass bucket
+        c_eff = F.coalesce(F.col("c"), F.col("n_total") - F.col("n_in_vocab"))
+
+    nll_micro = F.round(-F.log(c_eff / F.col("n_total")) * F.lit(_MICRO)).cast(
+        "long"
+    )
+    avg = F.round(
+        F.sum(nll_micro).cast("double") / F.count(F.lit(1)) / F.lit(_MICRO), 4
+    ) + F.lit(0.0)
     return (
-        toks.join(freq, "tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
+        joined.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_tokens"),
-            avg_r.alias("avg_nll"),
+            avg.alias("avg_nll"),
         )
         .select(
             "doc_id",

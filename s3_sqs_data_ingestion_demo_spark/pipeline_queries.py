@@ -903,24 +903,42 @@ def contamination_check_documents(spark: SparkSession, sf: str) -> DataFrame:
     return D.benchmark_contamination(d, bench, threshold=0.5)
 
 
-@query(
-    "unigram_nll_documents",
-    f"""
+_NLL_VOCAB_K = 500  # non-default cap: real OOV mass at every test SF
+
+_UNIGRAM_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
     ), freq AS (
       SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
     ), total AS (
       SELECT SUM(c) AS n_total FROM freq
+    ), vocab AS (
+      SELECT tok, c FROM freq ORDER BY c DESC, tok LIMIT {_NLL_VOCAB_K}
+    ), inv AS (
+      SELECT SUM(c) AS n_in_vocab FROM vocab
+    ), micro AS (
+      SELECT t.doc_id,
+             CAST(ROUND(-ln(
+               COALESCE(v.c, (SELECT n_total FROM total)
+                             - (SELECT n_in_vocab FROM inv))
+               * 1.0 / (SELECT n_total FROM total)) * 1000000.0)
+             AS BIGINT) AS nll_micro
+      FROM tok t LEFT JOIN vocab v USING (tok)
     )
-    SELECT t.doc_id,
+    SELECT doc_id,
            CAST(COUNT(*) AS INTEGER) AS n_tokens,
-           ROUND(AVG(-ln(f.c / (SELECT n_total FROM total))), 4) + 0.0 AS avg_nll,
-           CAST(FLOOR(ROUND(AVG(-ln(f.c / (SELECT n_total FROM total))), 4) + 0.0)
-                AS INTEGER) AS nll_bucket
-    FROM tok t JOIN freq f USING (tok)
-    GROUP BY t.doc_id
-    """,
+           ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+             + 0.0 AS avg_nll,
+           CAST(FLOOR(ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*)
+                            / 1000000.0, 4) + 0.0) AS INTEGER) AS nll_bucket
+    FROM micro
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "unigram_nll_documents",
+    _UNIGRAM_ORACLE,
     driver=True,
     rank=20,
 )
@@ -928,10 +946,17 @@ def unigram_nll_documents(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-shaped LM quality filter: per-document pseudo-perplexity
     (mean negative log-likelihood under the corpus unigram model) with
     integer quality buckets — train-with-one-agg, score-by-join, the
-    dataflow a real KenLM-backed filter runs at 100 TB."""
+    dataflow a real KenLM-backed filter runs at 100 TB.  Runs in the
+    PRODUCTION configuration: vocabulary capped to the top
+    {_NLL_VOCAB_K} tokens + an OOV residual-mass bucket, the capped
+    table explicitly broadcast; per-token NLLs quantized to integer
+    micronats so the aggregation is an exact integer sum on both
+    engines (no float-summation-order sensitivity)."""
     from .operators import scoring as SC  # noqa: PLC0415
 
-    return SC.unigram_nll_scores(t(spark, sf, "documents"))
+    return SC.unigram_nll_scores(
+        t(spark, sf, "documents"), top_k_vocab=_NLL_VOCAB_K
+    )
 
 
 __all__ = ["REGISTRY", "QuerySpec"]
