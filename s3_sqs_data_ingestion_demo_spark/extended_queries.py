@@ -168,6 +168,7 @@ _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
            )}
     FROM events GROUP BY 1
     """,
+    driver=False,
 )
 def q_pivot_daily_event_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot: daily event counts, one column per event type."""
@@ -278,6 +279,7 @@ def q_distinct_parts_suppliers(spark: SparkSession, sf: str) -> DataFrame:
       AND n1.n_name <> n2.n_name
     GROUP BY n1.n_name, n2.n_name
     """,
+    driver=False,
 )
 def q07_nation_trade(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7-style bilateral trade: two aliases of the same dim
@@ -657,6 +659,7 @@ def q16_suppliers_excluding_returns(spark: SparkSession, sf: str) -> DataFrame:
       HAVING SUM(l_quantity) > 100
     )
     """,
+    driver=False,
 )
 def q20_bulk_economy_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q20-style IN over an aggregated subquery: the HAVING
@@ -1130,4 +1133,113 @@ def q_hll_user_rollup(spark: SparkSession, sf: str) -> DataFrame:
                 <= 0.05 * F.col("exact_users")
             ).alias("union_est_within_5pct"),
         )
+    )
+
+
+# --------------------------------------------------------------------
+# Time-series gap-fill / resample (events)
+# --------------------------------------------------------------------
+
+@query(
+    "q_resample_user_values",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, value, ts,
+             CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket
+      FROM events WHERE user_id % 10 = 0
+    ), obs AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, bucket
+          ORDER BY ts DESC, value DESC, event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ), spans AS (
+      SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM ev GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS bucket FROM spans
+    )
+    SELECT g.user_id, g.bucket AS bucket_start,
+           ROUND(last_value(o.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0
+             AS value_filled,
+           CAST(o.value IS NULL AS INTEGER) AS is_gap
+    FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    """,
+    driver=True,
+    rank=20,
+)
+def q_resample_user_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style gap-fill resample (operators/timeseries.py):
+    irregular events → regular hourly per-user grid, last observation
+    carried forward across gaps, deterministic in-bucket survivor.
+    Grid rows are generated JVM-side from each key's span (never on
+    the driver); two bounded-width shuffles total."""
+    from .operators.timeseries import resample_last_value  # noqa: PLC0415
+
+    ev = t(spark, sf, "events").filter(F.col("user_id") % 10 == 0)
+    out = resample_last_value(ev, step_seconds=3600)
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("bucket").alias("bucket_start"),
+        (F.round("value_filled", 4) + F.lit(0.0)).alias("value_filled"),
+        "is_gap",
+    )
+
+
+# --------------------------------------------------------------------
+# Analytic window-function surface (orders)
+# --------------------------------------------------------------------
+
+@query(
+    "q_window_function_surface",
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           lag(o_orderkey)  OVER w                                   AS prev_order,
+           lead(o_orderkey) OVER w                                   AS next_order,
+           CAST(ntile(4) OVER w AS INTEGER)                          AS spend_quartile,
+           ROUND(percent_rank() OVER w, 4) + 0.0                     AS pr,
+           ROUND(cume_dist() OVER w, 4) + 0.0                        AS cd,
+           first_value(o_orderkey) OVER w                            AS first_order,
+           nth_value(o_orderkey, 2) OVER w                           AS second_order,
+           CAST(o_totalprice - lag(o_totalprice) OVER w IS NOT NULL
+                AS INTEGER)                                          AS has_prev
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    driver=True,
+    rank=20,
+)
+def q_window_function_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The analytic-window surface in one query: lag/lead, ntile,
+    percent_rank, cume_dist, first/nth value, all over one explicit
+    frame with a deterministic (date, key) order.  One window shuffle;
+    the oracle is the identical ANSI window spec."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    o = t(spark, sf, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(wo).alias("prev_order"),
+        F.lead("o_orderkey").over(wo).alias("next_order"),
+        F.ntile(4).over(wo).cast("int").alias("spend_quartile"),
+        (F.round(F.percent_rank().over(wo), 4) + F.lit(0.0)).alias("pr"),
+        (F.round(F.cume_dist().over(wo), 4) + F.lit(0.0)).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(wo)).isNotNull()
+        .cast("int")
+        .alias("has_prev"),
     )

@@ -137,3 +137,54 @@ def fingerprint(col: str | Column) -> Column:
     logical content (modulo case/punct/whitespace) → identical
     fingerprint; the exact-dedup key for noisy corpora."""
     return F.md5(normalize_text(col))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window chunking for training/RAG export: split each
+    document into chunks of ``chunk_size`` tokens, consecutive chunks
+    overlapping by ``overlap`` tokens (stride = chunk_size − overlap).
+    A document shorter than one chunk emits a single (shorter) chunk;
+    token-free documents emit nothing.
+
+    Returns (doc_id, chunk_id, n_chunk_tokens, chunk_hash) — the hash
+    (md5 of the space-joined chunk) stands in for the chunk text so
+    downstream joins/dedup/driver checks never carry payloads.
+
+    Scale shape: pure projection + generator — tokens are split,
+    chunk starts enumerated with ``sequence``, windows taken with
+    ``slice``, all JVM-side within the scan's partition.  ZERO
+    shuffles at any corpus size; output rows ≈ corpus tokens / stride.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    step = chunk_size - overlap
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    # number of chunks: ceil(max(n - overlap, 1) / step), exact in
+    # integer arithmetic (floor((x + step - 1) / step) on longs)
+    n_eff = F.greatest(F.col("_n") - F.lit(overlap), F.lit(1))
+    n_chunks = F.floor((n_eff + F.lit(step - 1)) / F.lit(step)).cast("int")
+    chunk = F.slice("_toks", F.col("chunk_id") * step + 1, chunk_size)
+    return (
+        base.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            "_toks",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )

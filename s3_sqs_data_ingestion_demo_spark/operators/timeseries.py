@@ -1,0 +1,82 @@
+"""Time-series regularization operators (gap-fill / resample).
+
+The hypertable-style operation every event pipeline eventually needs:
+turn an irregular event stream into a regular per-key time grid
+(dashboards, feature windows, training frames), carrying the last
+observation forward across gaps.
+
+Scale shape: bucketing is a projection; per-(key, bucket) last-value
+is one hash aggregate (window rank over the bucket, partial-agg
+friendly); the grid explodes from each key's (min, max) span — rows
+created JVM-side by ``sequence``, never on the driver; the forward
+fill is one window pass per key ordered by bucket.  Two shuffles
+total (key+bucket agg, key window), each on bounded-width rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_last_value(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Regular per-key grid at ``step_seconds`` resolution from each
+    key's first to last observation, forward-filling the most recent
+    value across empty buckets.
+
+    Within a bucket the surviving observation is deterministic: latest
+    timestamp, then highest value, then highest ``tiebreak_col`` —
+    exactly replicable by any SQL oracle.
+
+    Returns (key, bucket_start unix-seconds, value_filled, is_gap):
+    ``is_gap=1`` marks grid points with no observation in the bucket
+    (their value came from the fill).  The first bucket of every key
+    is observed by construction, so ``value_filled`` is never null.
+    """
+    step = int(step_seconds)
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast("long")
+    ev = df.select(
+        F.col(key_col).alias("key"),
+        bucket.alias("bucket"),
+        F.col(value_col).alias("v"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    w_in = Window.partitionBy("key", "bucket").orderBy(
+        F.col("_ts").desc(), F.col("v").desc(), F.col("_tb").desc()
+    )
+    obs = (
+        ev.withColumn("_rn", F.row_number().over(w_in))
+        .filter(F.col("_rn") == 1)
+        .select("key", "bucket", "v")
+    )
+    span = ev.groupBy("key").agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = span.select(
+        "key",
+        F.explode(F.sequence(F.col("_b0"), F.col("_b1"), F.lit(step))).alias(
+            "bucket"
+        ),
+    )
+    w_fill = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["key", "bucket"], "left")
+        .select(
+            "key",
+            "bucket",
+            F.last("v", ignorenulls=True).over(w_fill).alias("value_filled"),
+            F.col("v").isNull().cast("int").alias("is_gap"),
+        )
+    )

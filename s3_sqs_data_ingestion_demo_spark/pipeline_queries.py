@@ -1140,3 +1140,75 @@ def media_pipeline_documents(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_video_frames"))
     )
     return per_media.crossJoin(dd).crossJoin(frames)
+
+
+# --------------------------------------------------------------------
+# Chunking + model-scoring export operators
+# --------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               CAST((GREATEST(n - {_CHUNK_OVERLAP}, 1) + {_CHUNK_STEP - 1})
+                    // {_CHUNK_STEP} AS INT) - 1)) AS chunk_id
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(toks[chunk_id * {_CHUNK_STEP} + 1 :
+                         chunk_id * {_CHUNK_STEP} + {_CHUNK_SIZE}]) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(toks[chunk_id * {_CHUNK_STEP} + 1 :
+                                    chunk_id * {_CHUNK_STEP} + {_CHUNK_SIZE}], ' '))
+             AS chunk_hash
+    FROM c
+    """
+
+
+@query("chunk_documents", _CHUNK_ORACLE, driver=True, rank=20)
+def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window chunking for training/RAG export
+    (operators/text.py chunk_documents): overlapping fixed-size token
+    windows, emitted as (doc_id, chunk_id, size, md5) so payloads never
+    ride the comparison.  Pure projection + generator — ZERO shuffles
+    at any corpus size."""
+    return X.chunk_documents(
+        t(spark, sf, "documents"), chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+
+
+from .operators.sampling import uniform_hash_sql as _uh_sql  # noqa: E402
+
+_MODEL_SALT = "quality-v0"
+
+_MODEL_ORACLE = f"""
+    SELECT doc_id,
+           ROUND({_uh_sql("COALESCE(text, '')", _MODEL_SALT)}, 4) + 0.0 AS model_score,
+           CAST(FLOOR({_uh_sql("COALESCE(text, '')", _MODEL_SALT)} * 10) AS INT) AS score_bucket
+    FROM documents
+    """
+
+
+@query("model_score_documents", _MODEL_ORACLE, driver=True, rank=20)
+def model_score_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch model-inference plumbing (operators/inference.py): Arrow-
+    batched ``mapInPandas`` scoring pass with the deterministic hash
+    stub standing in for the model forward — the stub is what makes
+    this oracle-checkable; the batching/schema/memory contract is what
+    a real classifier or reward model would run on at 100 TB."""
+    from .operators import inference as I  # noqa: PLC0415
+
+    out = I.model_score(t(spark, sf, "documents"), salt=_MODEL_SALT)
+    return out.select(
+        "doc_id",
+        (F.round("model_score", 4) + F.lit(0.0)).alias("model_score"),
+        "score_bucket",
+    )

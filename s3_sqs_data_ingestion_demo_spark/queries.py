@@ -625,6 +625,7 @@ def q_machinery_never_urgent_except(spark: SparkSession, sf: str) -> DataFrame:
     FROM events
     GROUP BY 1, 2
     """,
+    driver=False,
 )
 def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the streaming

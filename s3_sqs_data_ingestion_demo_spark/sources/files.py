@@ -4,8 +4,8 @@ The reference reads a per-poll list of files as one DataFrame but only
 handles CSV — any other configured format silently skips the batch
 while still deleting the queue messages, i.e. silent data loss
 (reference: spark-job/read.py:272-278).  This engine supports
-csv / json / parquet / avro-container / text and **fails loudly** on
-anything else (documented semantic fix, SURVEY §2 S4).
+csv / json / parquet / orc / avro-container / text and **fails
+loudly** on anything else (documented semantic fix, SURVEY §2 S4).
 
 Lineage columns (the reference imported ``input_file_name`` /
 ``current_timestamp`` but never used them — spark-job/read.py:11):
@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SUPPORTED_FORMATS = ("csv", "json", "parquet", "avro", "text")
+SUPPORTED_FORMATS = ("csv", "json", "parquet", "orc", "avro", "text")
 
 
 def read_batch(
