@@ -383,6 +383,7 @@ def q_token_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
         WHERE l2.l_partkey = lineitem.l_partkey
       )
     """,
+    driver=False,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q17-style correlated scalar subquery (per-part average
@@ -772,6 +773,7 @@ def q21_multi_supplier_orders(spark: SparkSession, sf: str) -> DataFrame:
            AND l_quantity BETWEEN 20 AND 40)
        OR (p_type = 'ECONOMY' AND l_discount >= 0.05)
     """,
+    driver=False,
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q19-style disjunctive multi-attribute predicate across
@@ -1242,4 +1244,65 @@ def q_window_function_surface(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("o_totalprice") - F.lag("o_totalprice").over(wo)).isNotNull()
         .cast("int")
         .alias("has_prev"),
+    )
+
+
+# --------------------------------------------------------------------
+# Declarative data-quality constraint gate (orders / customer)
+# --------------------------------------------------------------------
+
+_OK_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM")
+
+@query(
+    "q_constraint_checks",
+    f"""
+    SELECT 'not_null(o_custkey)' AS rule_id,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'range(o_totalprice)',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0 OR o_totalprice > 300000)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderpriority)',
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                 AND o_orderpriority NOT IN {_OK_PRIORITIES!r}) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key(o_custkey->customer.c_custkey)',
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    """,
+    driver=True,
+    rank=20,
+)
+def q_constraint_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """The declarative ingest validation gate
+    (operators/quality_checks.py): five rule kinds over orders —
+    not-null, key uniqueness, numeric range, accepted values, and a
+    referential-integrity check against customer — evaluated as one
+    conditional-sum scan for the row-local rules plus one hash agg and
+    one anti-join, emitting a complete per-rule violation report (a
+    mix of zero and non-zero counts on this data)."""
+    from .operators.quality_checks import check_constraints  # noqa: PLC0415
+
+    rules = [
+        {"rule": "not_null", "column": "o_custkey"},
+        {"rule": "range", "column": "o_totalprice", "min": 0, "max": 300000},
+        {"rule": "accepted_values", "column": "o_orderpriority",
+         "values": list(_OK_PRIORITIES)},
+        {"rule": "unique", "columns": ["o_orderkey"]},
+        {"rule": "foreign_key", "columns": ["o_custkey"], "ref": "customer",
+         "ref_columns": ["c_custkey"]},
+    ]
+    return check_constraints(
+        t(spark, sf, "orders"), rules, refs={"customer": t(spark, sf, "customer")}
     )

@@ -189,3 +189,67 @@ def merge_upsert_latest_wins(spark: SparkSession, sf: str) -> DataFrame:
         .alias("change_seq"),
     )
     return _run_cdc_scenario(spark, sf, "latest_wins", batch)
+
+
+_ROLLUP_SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("price_cents", T.LongType(), True),
+    ]
+)
+
+
+@query(
+    "incremental_rollup_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    rank=20,
+)
+def incremental_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained aggregate table (operators/rollup.py)
+    end-to-end at driver-gate time: create an append-only source
+    ManagedTable, land orders in two batches, refresh the rollup after
+    each — the SECOND refresh consumes only the second batch via the
+    change feed's file-level fast path (O(new data), never a full
+    re-aggregate) — then read the summary back.  The oracle aggregates
+    the whole orders table from scratch; matching it proves the
+    incremental folds compose to the exact full answer."""
+    from .operators.rollup import create_rollup, refresh_rollup  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_rollup_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"],
+    )
+    # sums maintained in exact integer cents: two incremental folds
+    # plus one full oracle SUM would otherwise disagree at a 2-dp
+    # rounding boundary (float summation-order sensitivity, the repo's
+    # known cross-engine trap)
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    dst = create_rollup(src, os.path.join(base, "rollup"),
+                        ["o_orderstatus"], ["price_cents"])
+    src.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    src.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    return dst.read().select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+    )

@@ -626,6 +626,17 @@ class ManagedTable:
             json.dump(self.meta.__dict__, fh, indent=2)
         os.replace(tmp, os.path.join(self.path, _META))
 
+    def set_properties(self, **kv: str) -> None:
+        """Merge table properties into the persisted metadata (atomic
+        rewrite, same protocol as ``add_columns``) — the small state
+        slot incremental consumers use (e.g. a rollup's last-refreshed
+        source version)."""
+        self.meta.properties.update({k: str(v) for k, v in kv.items()})
+        tmp = os.path.join(self.path, f"{_META}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(self.meta.__dict__, fh, indent=2)
+        os.replace(tmp, os.path.join(self.path, _META))
+
     # ----------------------------------------------------- maintenance
     def compact(
         self,

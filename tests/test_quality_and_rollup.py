@@ -1,0 +1,152 @@
+"""Declarative constraint gate (operators/quality_checks.py) and
+incrementally-maintained rollups (operators/rollup.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from s3_sqs_data_ingestion_demo_spark.operators.quality_checks import (
+    check_constraints,
+)
+from s3_sqs_data_ingestion_demo_spark.operators.rollup import (
+    create_rollup,
+    refresh_rollup,
+)
+from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("grp", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+    ]
+)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SRC_SCHEMA)
+
+
+def test_constraints_full_report(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5),
+            (2, None, 50),   # null grp
+            (3, "a", -1),    # below range
+            (3, "zz", 5),    # duplicate id + unaccepted grp
+        ],
+        SRC_SCHEMA,
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "id long")
+    out = {
+        r.rule_id: r.n_violations
+        for r in check_constraints(
+            df,
+            [
+                {"rule": "not_null", "column": "grp"},
+                {"rule": "range", "column": "v", "min": 0, "max": 10},
+                {"rule": "accepted_values", "column": "grp", "values": ["a", "b"]},
+                {"rule": "unique", "columns": ["id"]},
+                {"rule": "foreign_key", "columns": ["id"], "ref": "r",
+                 "ref_columns": ["id"]},
+            ],
+            refs={"r": ref},
+        ).collect()
+    }
+    assert out == {
+        "not_null(grp)": 1,
+        "range(v)": 2,  # -1 and 50
+        "accepted_values(grp)": 1,  # zz (null is not a violation here)
+        "unique(id)": 1,  # one excess row for id 3
+        "foreign_key(id->r.id)": 2,  # both id-3 rows miss the ref
+    }
+
+
+def test_constraints_fail_loudly_on_unknowns(spark):
+    df = _rows(spark, [(1, "a", 1)])
+    with pytest.raises(ValueError, match="unknown constraint rule"):
+        check_constraints(df, [{"rule": "positive", "column": "v"}])
+    with pytest.raises(ValueError, match="unknown table"):
+        check_constraints(
+            df,
+            [{"rule": "foreign_key", "columns": ["id"], "ref": "nope",
+              "ref_columns": ["id"]}],
+        )
+
+
+def test_row_local_rules_fold_into_one_aggregate(spark):
+    df = _rows(spark, [(1, "a", 1), (2, "b", 2)])
+    out = check_constraints(
+        df,
+        [
+            {"rule": "not_null", "column": "grp"},
+            {"rule": "range", "column": "v", "min": 0},
+            {"rule": "accepted_values", "column": "grp", "values": ["a", "b"]},
+        ],
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    tree = out._jdf.queryExecution().explainString(mode).split("\n\n")[0]
+    # three rules, ONE aggregate pass (partial + final) over one scan
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Scan") == 1
+
+
+def test_rollup_incremental_equals_full_recompute(spark, tmp_path):
+    src = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "src"), SRC_SCHEMA, key_cols=["id"]
+    )
+    dst = create_rollup(src, os.path.join(str(tmp_path), "r"), ["grp"], ["v"])
+
+    src.append(_rows(spark, [(1, "a", 10), (2, "a", 5), (3, "b", 1)]))
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    got1 = {r.grp: (r.n_rows, r.sum_v) for r in dst.read().collect()}
+    assert got1 == {"a": (2, 15.0), "b": (1, 1.0)}
+
+    v_before = src._current_version()
+    src.append(_rows(spark, [(4, "a", 100), (5, "c", 7)]))
+    # the second refresh consumes ONLY the new batch (fast path)
+    assert src.read_changes(v_before).count() == 2
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    got2 = {r.grp: (r.n_rows, r.sum_v) for r in dst.read().collect()}
+    assert got2 == {"a": (3, 115.0), "b": (1, 1.0), "c": (1, 7.0)}
+
+    # idempotent: nothing new -> no-op, same state
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    assert {r.grp: (r.n_rows, r.sum_v) for r in dst.read().collect()} == got2
+
+
+def test_rollup_refuses_update_streams(spark, tmp_path):
+    src = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "src"), SRC_SCHEMA,
+        key_cols=["id"], table_type="MOR",
+    )
+    dst = create_rollup(src, os.path.join(str(tmp_path), "r"), ["grp"], ["v"])
+    src.append(_rows(spark, [(1, "a", 10)]))
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    src.merge(_rows(spark, [(1, "a", 99)]))  # an UPDATE, needs retraction
+    with pytest.raises(ValueError, match="append-only"):
+        refresh_rollup(src, dst, ["grp"], ["v"])
+
+
+def test_rollup_state_survives_reload(spark, tmp_path):
+    """The consumed-version watermark is persisted table metadata, not
+    process state: a reloaded table continues where the last refresh
+    left off."""
+    src = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "src"), SRC_SCHEMA, key_cols=["id"]
+    )
+    dst = create_rollup(src, os.path.join(str(tmp_path), "r"), ["grp"], ["v"])
+    src.append(_rows(spark, [(1, "a", 1)]))
+    refresh_rollup(src, dst, ["grp"], ["v"])
+
+    src2 = ManagedTable.load(spark, src.path)
+    dst2 = ManagedTable.load(spark, dst.path)
+    src2.append(_rows(spark, [(2, "a", 2)]))
+    refresh_rollup(src2, dst2, ["grp"], ["v"])
+    assert {r.grp: (r.n_rows, r.sum_v) for r in dst2.read().collect()} == {
+        "a": (2, 3.0)
+    }
