@@ -729,6 +729,7 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY n_shared_orders DESC, s.l_suppkey
     LIMIT 20
     """,
+    driver=False,
 )
 def q21_multi_supplier_orders(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21-style EXISTS + NOT EXISTS against the same fact with
@@ -1306,3 +1307,87 @@ def q_constraint_checks(spark: SparkSession, sf: str) -> DataFrame:
     return check_constraints(
         t(spark, sf, "orders"), rules, refs={"customer": t(spark, sf, "customer")}
     )
+
+
+# --------------------------------------------------------------------
+# KMV bottom-k sketches (deterministic, mergeable, oracle-exact)
+# --------------------------------------------------------------------
+
+_KMV_K = 64
+
+@query(
+    "q_kmv_user_sketch",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+                  AS BIGINT) AS hv
+      FROM events
+    ), ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), sk AS (
+      SELECT event_type, hv, rn FROM ranked WHERE rn <= {_KMV_K}
+    ), per_est AS (
+      SELECT event_type, COUNT(*) AS cnt, MAX(hv) AS u_k FROM sk GROUP BY 1
+    ), exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS c FROM events GROUP BY 1
+    ), g_ranked AS (
+      SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM h)
+    ), g_est AS (
+      SELECT COUNT(*) AS cnt, MAX(hv) AS u_k FROM g_ranked WHERE rn <= {_KMV_K}
+    )
+    SELECT e.event_type,
+           CAST(e.c AS BIGINT) AS n_exact,
+           ROUND(CASE WHEN p.cnt < {_KMV_K} THEN p.cnt * 1.0
+                      ELSE {_KMV_K - 1} / (p.u_k / {1 << 60}.0) END, 4) + 0.0
+             AS kmv_est
+    FROM exact e JOIN per_est p USING (event_type)
+    UNION ALL
+    SELECT 'ALL',
+           CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT),
+           ROUND(CASE WHEN cnt < {_KMV_K} THEN cnt * 1.0
+                      ELSE {_KMV_K - 1} / (u_k / {1 << 60}.0) END, 4) + 0.0
+    FROM g_est
+    """,
+    driver=True,
+    rank=20,
+)
+def q_kmv_user_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Bottom-k (KMV) distinct sketches (operators/sketches.py): per
+    event type, the k smallest user-id hashes estimate distinct users;
+    the 'ALL' row is estimated from the MERGED per-type sketches (k
+    smallest of the union members — never re-scanning the facts),
+    demonstrating the mergeability a rollup hierarchy runs on.  Unlike
+    HLL, every value here is deterministic given the portable md5
+    construction, so the oracle matches exactly."""
+    from .operators.sketches import kmv_estimate, kmv_sketches  # noqa: PLC0415
+
+    ev = t(spark, sf, "events")
+    k = _KMV_K
+    sk = kmv_sketches(ev, ["event_type"], "user_id", k)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    per = exact.join(sk, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.round(kmv_estimate("kmv", k), 4) + F.lit(0.0)).alias("kmv_est"),
+    )
+    # union across types from the SKETCHES alone (mergeability)
+    members = sk.select(F.explode("kmv").alias("_h")).distinct()
+    union_sk = members.orderBy("_h").limit(k).agg(
+        F.sort_array(F.collect_list("_h")).alias("kmv")
+    )
+    g = (
+        ev.agg(F.count_distinct("user_id").alias("n_exact"))
+        .crossJoin(union_sk)
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.round(kmv_estimate("kmv", k), 4) + F.lit(0.0)).alias("kmv_est"),
+        )
+    )
+    return per.unionByName(g)

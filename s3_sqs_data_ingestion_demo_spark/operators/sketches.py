@@ -45,3 +45,65 @@ def rollup_estimate(
     if keys:
         return sketches.groupBy(*keys).agg(agg)
     return sketches.agg(agg)
+
+
+# --------------------------------------------------------------------
+# KMV (k-minimum-values) sketches — deterministic & mergeable
+# --------------------------------------------------------------------
+#
+# The classic bottom-k sketch: keep the k smallest 60-bit hashes of
+# the distinct values.  Everything about it is DETERMINISTIC given the
+# hash function (the repo's portable md5-prefix construction), which
+# HLL is not across engines — so KMV estimates, unions, and Jaccard
+# overlaps are exactly oracle-checkable while staying mergeable
+# (union = k smallest of the concatenation) and fixed-size.
+# Estimator: with u_k = k-th minimum as a fraction of hash space,
+# distinct ≈ (k-1)/u_k; sketches holding fewer than k values are
+# EXACT (the whole distinct set hashed below capacity).
+
+_KMV_BITS = 60
+_KMV_SPACE = float(1 << _KMV_BITS)
+
+
+def _h60(col) -> F.Column:
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketches(
+    df: DataFrame, keys: list[str], col: str, k: int = 64
+) -> DataFrame:
+    """One bottom-k sketch of ``col`` per ``keys`` group: an ascending
+    array of the k smallest distinct hashes.  One distinct aggregate +
+    one per-group top-k (window rank) — shuffle rows are (group, hash)
+    scalars; the output is ≤ k longs per group."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    hashed = df.select(*keys, _h60(col).alias("_h")).distinct()
+    w = Window.partitionBy(*keys).orderBy(F.col("_h").asc())
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_estimate(sketch_col, k: int = 64) -> F.Column:
+    """Distinct-count estimate from a sketch array: exact when the
+    sketch is under capacity, (k-1)/u_k otherwise."""
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    u_k = F.element_at(c, k) / F.lit(_KMV_SPACE)
+    return F.when(F.size(c) < k, F.size(c).cast("double")).otherwise(
+        F.lit(float(k - 1)) / u_k
+    )
+
+
+def kmv_merge(a, b, k: int = 64) -> F.Column:
+    """Union of two sketches = k smallest of the merged distinct
+    hashes — the mergeability that lets rollup hierarchies combine
+    sketches without re-reading facts."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.slice(F.array_sort(F.array_distinct(F.concat(ca, cb))), 1, k)

@@ -49,3 +49,42 @@ def test_grouped_rollup_from_fine_sketches(spark):
     assert len(joined) > 1
     for r in joined:
         assert abs(r.approx_distinct - r.exact) <= max(1, 0.05 * r.exact)
+
+
+def test_kmv_exact_under_capacity_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from s3_sqs_data_ingestion_demo_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketches,
+    )
+
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 50)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketches(df, ["g"], "v", k=64)
+    est = {r.g: r.e for r in sk.select("g", kmv_estimate("kmv", 64).alias("e")).collect()}
+    # under capacity -> exact
+    assert est == {"a": 30.0, "b": 30.0}
+    # merged sketch of a∪b estimates the true union (50 distinct),
+    # exactly, because 50 < k
+    merged = (
+        sk.groupBy()
+        .pivot("g", ["a", "b"])
+        .agg(F.first("kmv"))
+        .select(kmv_estimate(kmv_merge("a", "b", 64), 64).alias("e"))
+        .collect()[0].e
+    )
+    assert merged == 50.0
+
+
+def test_kmv_estimate_accuracy_over_capacity(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketches,
+    )
+
+    df = spark.range(5000).selectExpr("'g' AS g", "id AS v")
+    sk = kmv_sketches(df, ["g"], "v", k=256)
+    [r] = sk.select(kmv_estimate("kmv", 256).alias("e")).collect()
+    assert abs(r.e - 5000) / 5000 < 0.15  # ~1/sqrt(k) regime
