@@ -823,6 +823,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
                       AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY 1
     """,
+    driver=False,
 )
 def q22_inactive_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q22-style: scalar aggregate subquery (broadcast one-row

@@ -253,3 +253,77 @@ def incremental_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
         "n_rows",
         F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
     )
+
+
+_SCD_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("price_cents", T.LongType(), True),
+        T.StructField("change_seq", T.LongType(), True),
+    ]
+)
+
+
+@query(
+    "scd2_orders_history",
+    """
+    WITH ch AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(1 AS BIGINT) AS change_seq
+      FROM orders WHERE o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) + 500 AS BIGINT),
+             CAST(2 AS BIGINT)
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           change_seq AS valid_from_seq,
+           LEAD(change_seq) OVER (
+             PARTITION BY o_orderkey ORDER BY change_seq) AS valid_to_seq,
+           CAST(LEAD(change_seq) OVER (
+             PARTITION BY o_orderkey ORDER BY change_seq) IS NULL AS INTEGER)
+             AS is_current
+    FROM ch
+    """,
+    rank=20,
+)
+def scd2_orders_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 dimension history from a CDC feed
+    (operators/scd.py), end-to-end through a ManagedTable at
+    driver-gate time: bootstrap versions at seq 1, a second batch of
+    updates at seq 2 folded INCREMENTALLY (only the batch's keys are
+    re-windowed and merged back on (key, valid_from_seq) — closed-out
+    current rows update in place, O(batch) per fold).  The oracle
+    derives the same history with one window over the unioned change
+    log; matching it proves the incremental folds compose exactly."""
+    from .operators.scd import create_scd2_table, scd2_merge  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_scd2_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    o = t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    b1 = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").cast("long"), "o_orderstatus",
+        cents.alias("price_cents"), F.lit(1).cast("long").alias("change_seq"),
+    )
+    b2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("long"), "o_orderstatus",
+        (cents + 500).alias("price_cents"),
+        F.lit(2).cast("long").alias("change_seq"),
+    )
+    hist = create_scd2_table(
+        spark, os.path.join(base, "hist"), b1, ["o_orderkey"], "change_seq"
+    )
+    scd2_merge(hist, b1, ["o_orderkey"], "change_seq")
+    scd2_merge(hist, b2, ["o_orderkey"], "change_seq")
+    return hist.read().select(
+        "o_orderkey", "o_orderstatus", "price_cents",
+        "valid_from_seq", "valid_to_seq", "is_current",
+    )
