@@ -623,6 +623,7 @@ def q02_cheapest_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
       )
     GROUP BY p_brand
     """,
+    driver=False,
 )
 def q16_suppliers_excluding_returns(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q16-style NOT IN over a non-null key — planned as a

@@ -518,3 +518,34 @@ def lsh_cosine_pairs(
     return verified.groupBy("id_a", "id_b").agg(
         F.max("cosine_sim").alias("cosine_sim")
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization for embedding storage:
+    ``code_i = round(x_i / max|x| * 127)``, dequantized as
+    ``code_i * scale`` with ``scale = max|x| / 127`` — the 4× storage
+    cut (and SIMD-int dot products) large ANN deployments run on.
+
+    Pure JVM projection (HOF transform over the array, no shuffle, no
+    Python).  All arithmetic is forced to double so any engine
+    recomputes bit-identical codes from the same floats; an all-zero
+    vector quantizes to zero codes at scale 0.
+
+    Returns (id, n_dims, scale, codes: array<int>).
+    """
+    x = F.col(vec_col)
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    codes = F.transform(
+        x,
+        lambda v: F.when(amax == 0, F.lit(0)).otherwise(
+            F.round(v.cast("double") / amax * F.lit(127.0))
+        ).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(x).cast("int").alias("n_dims"),
+        (amax / F.lit(127.0)).alias("scale"),
+        codes.alias("codes"),
+    )

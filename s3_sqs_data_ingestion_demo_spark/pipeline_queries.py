@@ -1212,3 +1212,51 @@ def model_score_documents(spark: SparkSession, sf: str) -> DataFrame:
         (F.round("model_score", 4) + F.lit(0.0)).alias("model_score"),
         "score_bucket",
     )
+
+
+_QUANT_ORACLE = """
+    WITH q AS (
+      SELECT vec_id,
+             len(embedding) AS n_dims,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS amax,
+             embedding
+      FROM embeddings
+    ), codes AS (
+      SELECT vec_id, n_dims, amax,
+             list_transform(embedding,
+               x -> CASE WHEN amax = 0 THEN 0
+                         ELSE CAST(ROUND(CAST(x AS DOUBLE) / amax * 127.0)
+                                   AS INTEGER) END) AS cs
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(n_dims AS INTEGER) AS n_dims,
+           ROUND(amax / 127.0, 6) + 0.0 AS scale_r,
+           CAST(list_sum(cs) AS BIGINT) AS code_sum,
+           CAST(list_min(cs) AS INTEGER) AS code_min,
+           CAST(list_max(cs) AS INTEGER) AS code_max
+    FROM codes
+    """
+
+
+@query("embedding_quantize_int8", _QUANT_ORACLE, driver=True, rank=20)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (operators/similarity.py quantize_int8) under the driver gate:
+    per-vector scale + integer code statistics (sum/min/max fold the
+    whole code array into exactly-checkable integers).  Zero-shuffle
+    JVM projection; double-forced arithmetic makes DuckDB recompute
+    identical codes from the same floats."""
+    out = S.quantize_int8(t(spark, sf, "embeddings"))
+    code_sum = F.aggregate(
+        "codes", F.lit(0).cast("long"), lambda acc, c: acc + c.cast("long")
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "n_dims",
+        (F.round("scale", 6) + F.lit(0.0)).alias("scale_r"),
+        code_sum.alias("code_sum"),
+        F.array_min("codes").cast("int").alias("code_min"),
+        F.array_max("codes").cast("int").alias("code_max"),
+    )

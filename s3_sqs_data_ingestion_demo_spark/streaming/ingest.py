@@ -72,3 +72,51 @@ def start_file_ingest_stream(
     elif poll_interval:
         writer = writer.trigger(processingTime=f"{poll_interval} seconds")
     return writer.start()
+
+
+def start_streaming_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    src_table: ManagedTable,
+    rollup_table: ManagedTable,
+    group_cols: list[str],
+    sum_cols: list[str],
+    fmt: str = "json",
+    options: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    poll_interval: int | None = None,
+) -> StreamingQuery:
+    """Continuous aggregate: file-landing stream → append to the
+    source ``ManagedTable`` → fold the appended delta into the rollup
+    (operators/rollup.py) — per micro-batch, so the summary table
+    trails the stream by one trigger at O(batch) maintenance cost.
+
+    Restart safety: the source append is stamped with the micro-batch
+    id (``has_commit_tag`` probe), so a batch replayed after a crash
+    between append and checkpoint skips the duplicate append and just
+    re-runs the fold; the fold itself is idempotent via the rollup's
+    persisted consume-watermark.  A retried batch therefore never
+    double-counts on either table."""
+    from ..operators.rollup import refresh_rollup  # noqa: PLC0415
+
+    reader = spark.readStream.schema(schema).options(**(options or {}))
+    stream = reader.format(fmt).load(landing_dir)
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tag = f"rollup-src-b{batch_id:020d}"
+        if not src_table.has_commit_tag(tag):
+            src_table.append(batch_df, tag=tag)
+        refresh_rollup(src_table, rollup_table, group_cols, sum_cols)
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif poll_interval:
+        writer = writer.trigger(processingTime=f"{poll_interval} seconds")
+    return writer.start()

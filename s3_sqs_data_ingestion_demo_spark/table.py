@@ -231,7 +231,24 @@ class ManagedTable:
             v -= 1
         return n
 
-    def _commit_snapshot(self, entries: list[dict], kind: str = "data") -> int:
+    def has_commit_tag(self, tag: str) -> bool:
+        """Whether any live snapshot carries ``tag`` — the idempotency
+        probe for replayed writers (e.g. a streaming micro-batch that
+        crashed between its append and its checkpoint).  Tags only
+        survive as long as their snapshots: keep ``expire_snapshots``'
+        horizon longer than the replay window."""
+        for m in glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")):
+            try:
+                with open(m, encoding="utf-8") as fh:
+                    if json.load(fh).get("tag") == tag:
+                        return True
+            except (OSError, ValueError):
+                continue
+        return False
+
+    def _commit_snapshot(
+        self, entries: list[dict], kind: str = "data", tag: str | None = None
+    ) -> int:
         """Optimistic-concurrency commit (the same protocol Iceberg
         runs against a filesystem/catalog): the snapshot manifest is
         created with O_EXCL, so of two writers that both read version
@@ -261,7 +278,10 @@ class ManagedTable:
                 "publishing its pointer, delete the orphan manifest)"
             ) from None
         with fh:
-            json.dump({"version": v, "kind": kind, "entries": entries}, fh, indent=2)
+            snap_doc = {"version": v, "kind": kind, "entries": entries}
+            if tag is not None:
+                snap_doc["tag"] = tag
+            json.dump(snap_doc, fh, indent=2)
         tmp = os.path.join(self.path, f"{_CURRENT}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(f"v{v:08d}")
@@ -420,17 +440,19 @@ class ManagedTable:
         pattern = os.path.join(root, *["*=*"] * len(self.meta.partition_cols))
         return sorted(os.path.relpath(p, root) for p in glob.glob(pattern))
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, tag: str | None = None) -> int:
         """Append sink (reference: spark-job/read.py:231-233).
 
         An empty batch is a no-op returning the current version: a
         partitioned write of zero rows would commit a rootless entry
-        (no hive subdirs), and version churn for nothing."""
+        (no hive subdirs), and version churn for nothing.  ``tag``
+        stamps the snapshot for ``has_commit_tag`` idempotency probes
+        (replayed streaming batches)."""
         src = align_to_schema(df, self.meta.schema)
         if src.isEmpty():
             return self._current_version()
         entry = self._write_data(src, self._new_root())
-        return self._commit_snapshot(self._read_manifest() + [entry])
+        return self._commit_snapshot(self._read_manifest() + [entry], tag=tag)
 
     def overwrite(self, df: DataFrame) -> int:
         """Full-table overwrite sink (reference: spark-job/read.py:234-236)."""

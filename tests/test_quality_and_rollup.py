@@ -150,3 +150,61 @@ def test_rollup_state_survives_reload(spark, tmp_path):
     assert {r.grp: (r.n_rows, r.sum_v) for r in dst2.read().collect()} == {
         "a": (2, 3.0)
     }
+
+
+def test_streaming_rollup_continuous_aggregate(spark, tmp_path):
+    """File stream -> source table appends -> per-batch rollup folds;
+    a second availableNow run (restart) picks up only new files, and
+    the summary equals a full recompute."""
+    import json as _json
+
+    from s3_sqs_data_ingestion_demo_spark.operators.rollup import create_rollup
+    from s3_sqs_data_ingestion_demo_spark.streaming.ingest import (
+        start_streaming_rollup,
+    )
+
+    d = str(tmp_path)
+    land = os.path.join(d, "landing"); os.makedirs(land)
+    ck = os.path.join(d, "ck")
+
+    def write_file(name, rows):
+        with open(os.path.join(land, name), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    src = ManagedTable.create(spark, os.path.join(d, "src"), SRC_SCHEMA,
+                              key_cols=["id"])
+    dst = create_rollup(src, os.path.join(d, "r"), ["grp"], ["v"])
+    kw = dict(options={"maxFilesPerTrigger": "1"}, available_now=True,
+              checkpoint_dir=ck)
+
+    write_file("b1.json", [{"id": 1, "grp": "a", "v": 10},
+                           {"id": 2, "grp": "b", "v": 1}])
+    write_file("b2.json", [{"id": 3, "grp": "a", "v": 5}])
+    q = start_streaming_rollup(spark, land, SRC_SCHEMA, src, dst,
+                               ["grp"], ["v"], **kw)
+    q.awaitTermination(120)
+    got = {r.grp: (r.n_rows, r.sum_v) for r in dst.read().collect()}
+    assert got == {"a": (2, 15.0), "b": (1, 1.0)}
+
+    # restart with a new arrival: checkpoint replays nothing
+    write_file("b3.json", [{"id": 4, "grp": "b", "v": 100}])
+    q = start_streaming_rollup(spark, land, SRC_SCHEMA, src, dst,
+                               ["grp"], ["v"], **kw)
+    q.awaitTermination(120)
+    assert {r.grp: (r.n_rows, r.sum_v) for r in dst.read().collect()} == {
+        "a": (2, 15.0), "b": (2, 101.0)
+    }
+    assert src.read().count() == 4  # no double-appends anywhere
+
+
+def test_append_tag_idempotency_probe(spark, tmp_path):
+    src = ManagedTable.create(spark, os.path.join(str(tmp_path), "t"),
+                              SRC_SCHEMA, key_cols=["id"])
+    assert not src.has_commit_tag("b1")
+    src.append(_rows(spark, [(1, "a", 1)]), tag="b1")
+    assert src.has_commit_tag("b1")
+    # the replayed-batch discipline: probe says present -> skip append
+    if not src.has_commit_tag("b1"):
+        src.append(_rows(spark, [(1, "a", 1)]), tag="b1")
+    assert src.read().count() == 1
