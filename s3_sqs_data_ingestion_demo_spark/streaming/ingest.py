@@ -104,11 +104,21 @@ def start_streaming_rollup(
     reader = spark.readStream.schema(schema).options(**(options or {}))
     stream = reader.format(fmt).load(landing_dir)
 
+    # Only the FIRST batch of a run can be a replay (the checkpoint
+    # never re-delivers a completed batch within a run; an in-run
+    # failure stops the query).  So the O(history) tag scan runs once
+    # per restart, and steady-state batches append at O(1).
+    probe_done = {"done": False}
+
     def sink(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         tag = f"rollup-src-b{batch_id:020d}"
-        if not src_table.has_commit_tag(tag):
+        replayed = False
+        if not probe_done["done"]:
+            replayed = src_table.has_commit_tag(tag)
+            probe_done["done"] = True
+        if not replayed:
             src_table.append(batch_df, tag=tag)
         refresh_rollup(src_table, rollup_table, group_cols, sum_cols)
 

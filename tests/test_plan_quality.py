@@ -157,3 +157,29 @@ def test_events_scan_prunes_props(spark):
     p = plan_of(spark, "q_events_hourly")
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "props" not in read_schema
+
+
+def test_resample_no_cartesian_single_fill_window(spark):
+    p = plan_of(spark, "q_resample_user_values")
+    assert "CartesianProduct" not in p
+    # one forward-fill window pass over the grid
+    assert p.count("Window") >= 1
+
+
+def test_quantize_is_pure_projection(spark):
+    p = plan_of(spark, "embedding_quantize_int8")
+    assert "Exchange" not in p  # zero-shuffle projection
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_chunking_is_pure_projection_generator(spark):
+    p = plan_of(spark, "chunk_documents")
+    assert "Exchange" not in p
+    assert "Generate" in p  # the sequence/slice explode
+
+
+def test_kmv_no_cartesian_bounded_topk(spark):
+    p = plan_of(spark, "q_kmv_user_sketch")
+    assert "CartesianProduct" not in p
+    # the ALL row's union sketch comes from a bounded top-k, not a sort
+    assert "TakeOrderedAndProject" in p
