@@ -862,6 +862,7 @@ def q22_inactive_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT)        AS n
     FROM lineitem GROUP BY l_returnflag
     """,
+    driver=False,
 )
 def q_quantity_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated percentiles.  Deliberately dyadic quantiles
@@ -898,6 +899,7 @@ def q_quantity_percentiles(spark: SparkSession, sf: str) -> DataFrame:
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
       wo AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
+    driver=False,
 )
 def q_moving_window_user_value(spark: SparkSession, sf: str) -> DataFrame:
     """Window frames: 4-row moving average + running cumulative sum +
@@ -1078,7 +1080,8 @@ def q09_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS custdist
     FROM c_orders GROUP BY c_count
     """,
-    rank=30,  # r03: rotated into the driver view (VERDICT r02 #4)
+    rank=30,
+    driver=False,  # r03: rotated into the driver view (VERDICT r02 #4)
 )
 def q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q13-style customer order-count histogram: LEFT OUTER join
@@ -1393,3 +1396,107 @@ def q_kmv_user_sketch(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return per.unionByName(g)
+
+
+# --------------------------------------------------------------------
+# Funnel + cohort-retention analytics (events)
+# --------------------------------------------------------------------
+
+@query(
+    "q_funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+             AS n_users,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+    """,
+    driver=True,
+    rank=20,
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    later timestamps per stage): three stage aggregates, each joined
+    forward on the user key.  Stage frontiers are user-count-sized, so
+    the joins broadcast under AQE; the fact table is scanned once per
+    stage with the event-type filter pushed down."""
+    ev = t(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        ev.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+@query(
+    "q_cohort_weekly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(FLOOR(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week
+               AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    driver=True,
+    rank=20,
+)
+def q_cohort_weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, activity
+    counted per (cohort, week offset) — the standard triangle.  One
+    agg for cohort assignment (user-sized, AQE-broadcast back onto the
+    facts), one distinct + group for the matrix."""
+    ev = t(spark, sf, "events").select("user_id", "ts")
+    week = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("long")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_users")
+    )

@@ -327,3 +327,53 @@ def scd2_orders_history(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "price_cents",
         "valid_from_seq", "valid_to_seq", "is_current",
     )
+
+
+@query(
+    "merge_delete_reinsert",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           CAST(1 AS BIGINT) AS change_seq
+    FROM orders WHERE o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) + 500 AS BIGINT),
+           CAST(2 AS BIGINT)
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    rank=20,
+)
+def merge_delete_reinsert(spark: SparkSession, sf: str) -> DataFrame:
+    """The DELETE surface end-to-end (table.py delete_where): merge a
+    full bootstrap into a MOR table, DELETE every 5th key (lands as an
+    O(matched-keys) tombstone delta, no rewrite), then re-insert every
+    10th key at seq 2 — revived keys must surface with their NEW row
+    while never-revived deleted keys stay gone.  The oracle states the
+    survivor set relationally."""
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_del_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    tbl = ManagedTable.create(
+        spark, os.path.join(base, "t"), _SCD_SCHEMA,
+        key_cols=["o_orderkey"], order_column="change_seq",
+        merge_policy="latest_wins", table_type="MOR",
+    )
+    o = t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    tbl.merge(o.select(
+        F.col("o_orderkey").cast("long"), "o_orderstatus",
+        cents.alias("price_cents"), F.lit(1).cast("long").alias("change_seq"),
+    ))
+    tbl.delete_where(F.col("o_orderkey") % 5 == 0)
+    tbl.merge(o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").cast("long"), "o_orderstatus",
+        (cents + 500).alias("price_cents"),
+        F.lit(2).cast("long").alias("change_seq"),
+    ))
+    return tbl.read().select(
+        "o_orderkey", "o_orderstatus", "price_cents", "change_seq"
+    )

@@ -328,19 +328,27 @@ class ManagedTable:
 
     def _assemble(self, entries: list[dict]) -> DataFrame:
         """Union the manifest's entries; when delta entries are present
-        (MOR tables), resolve row versions at read time.
+        (MOR tables), resolve row versions at read time; when
+        tombstone entries are present (MOR deletes), drop rows whose
+        winning version predates the key's latest tombstone (a key
+        re-inserted AFTER its delete survives).
 
         Resolution: one window over the key columns ordered by
         (order_column desc when latest_wins,) commit seq desc — the
-        standard merge-on-read trade: merges are O(batch) appends,
-        reads pay one key-shuffle of the live data until ``compact()``
-        rewrites deltas into the base.
+        standard merge-on-read trade: merges/deletes are O(batch)
+        appends, reads pay one key-shuffle of the live data until
+        ``compact()`` rewrites deltas (and folds tombstones away) into
+        the base.
         """
-        if not entries:
+        tomb_entries = [e for e in entries if e.get("kind") == "tombstone"]
+        data_entries = [e for e in entries if e.get("kind") != "tombstone"]
+        if not data_entries:
             return self.spark.createDataFrame([], self.meta.schema)
-        has_delta = any(e.get("kind") == "delta" for e in entries)
-        if not has_delta:
-            dfs = [self._read_entry(e) for e in entries]
+        needs_seq = tomb_entries or any(
+            e.get("kind") == "delta" for e in data_entries
+        )
+        if not needs_seq:
+            dfs = [self._read_entry(e) for e in data_entries]
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d)
@@ -348,7 +356,7 @@ class ManagedTable:
 
         dfs = [
             self._read_entry(e).withColumn("_sg_seq", F.lit(int(e.get("seq", 0))))
-            for e in entries
+            for e in data_entries
         ]
         out = dfs[0]
         for d in dfs[1:]:
@@ -365,11 +373,28 @@ class ManagedTable:
         from pyspark.sql import Window  # noqa: PLC0415
 
         w = Window.partitionBy(*keys).orderBy(*order_exprs)
-        return (
+        out = (
             out.withColumn("_sg_rn", F.row_number().over(w))
             .filter(F.col("_sg_rn") == 1)
-            .drop("_sg_rn", "_sg_seq")
+            .drop("_sg_rn")
         )
+        if tomb_entries:
+            tdfs = [
+                self._read_entry(e)
+                .select(*keys)
+                .withColumn("_sg_tomb", F.lit(int(e.get("seq", 0))))
+                for e in tomb_entries
+            ]
+            tombs = tdfs[0]
+            for d in tdfs[1:]:
+                tombs = tombs.unionByName(d)
+            latest_tomb = tombs.groupBy(*keys).agg(
+                F.max("_sg_tomb").alias("_sg_tomb")
+            )
+            out = out.join(latest_tomb, list(keys), "left").filter(
+                F.col("_sg_tomb").isNull() | (F.col("_sg_tomb") < F.col("_sg_seq"))
+            ).drop("_sg_tomb")
+        return out.drop("_sg_seq")
 
     def read(self) -> DataFrame:
         return self._assemble(self._read_manifest())
@@ -385,8 +410,13 @@ class ManagedTable:
         paying a full-index window every micro-batch.  ``with_seq``
         appends the commit-sequence column ``_sg_seq`` (0 for base
         entries, the commit version for MOR deltas) so callers can
-        resolve recency themselves."""
-        entries = self._read_manifest()
+        resolve recency themselves.  Tombstone (delete) entries are
+        SKIPPED, not applied: the raw union may therefore contain
+        deleted rows — acceptable for its consumers (extra near-dup
+        candidates are discarded by exact verification)."""
+        entries = [
+            e for e in self._read_manifest() if e.get("kind") != "tombstone"
+        ]
         if not entries:
             out = self.spark.createDataFrame([], self.meta.schema)
             return out.withColumn("_sg_seq", F.lit(0).cast("long")) if with_seq else out
@@ -561,6 +591,102 @@ class ManagedTable:
         merged = merge_upsert(target_affected, src, keys, merge_order, policy)
         new_entry = self._write_data(merged, self._new_root())
         return self._commit_snapshot(kept_entries + [new_entry])
+
+    # ---------------------------------------------------------- delete
+    def delete_where(self, condition) -> int:
+        """``DELETE FROM t WHERE cond`` (SQL semantics: rows where the
+        predicate is null are KEPT).  ``condition`` is a Column or a
+        SQL string.
+
+        MOR: O(matched keys) — the victims' keys land as a TOMBSTONE
+        delta; reads drop rows whose winning version predates the
+        tombstone, so a later re-insert of the key survives, and
+        ``compact()`` folds tombstones away.  COW: the affected hive
+        partitions (bounded collect, same cap as merge) are rewritten
+        without the victims; unpartitioned or past the cap degrades to
+        a full filtered rewrite.
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        match = F.coalesce(cond, F.lit(False))
+
+        if self.meta.table_type.upper() == "MOR":
+            keys = self.meta.key_cols
+            if not keys:
+                raise ValueError("MOR delete requires key columns")
+            victims = self.read().filter(match).select(*keys)
+            if victims.isEmpty():
+                return self._current_version()
+            # tombstone rows carry only the keys; attribute columns are
+            # null BY CONSTRUCTION (nullability of the contract doesn't
+            # apply — these rows mark absence, they never surface)
+            key_set = set(keys)
+            tomb = victims.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in key_set
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in self.meta.schema.fields
+                ]
+            )
+            entry = self._write_data(tomb, self._new_root())
+            entry["kind"] = "tombstone"
+            entry["seq"] = self._current_version() + 1
+            return self._commit_snapshot(self._read_manifest() + [entry])
+
+        parts_cols = self.meta.partition_cols
+        entries = self._read_manifest()
+        if parts_cols:
+            cap = int(
+                self.meta.properties.get("merge.max-affected-partitions", 10_000)
+            )
+            part_rows = (
+                self.read().filter(match).select(*parts_cols)
+                .distinct().limit(cap + 1).collect()
+            )
+            if not part_rows:
+                return self._current_version()
+            if len(part_rows) <= cap:
+                affected = {
+                    "/".join(
+                        f"{c}={_escape_part_value(r[c])}" for c in parts_cols
+                    )
+                    for r in part_rows
+                }
+                kept_entries: list[dict] = []
+                affected_paths: list[tuple[str, str]] = []
+                for e in entries:
+                    parts = e.get("parts") or []
+                    hit = [p for p in parts if p in affected]
+                    kept = [p for p in parts if p not in affected]
+                    if kept:
+                        kept_entries.append({"root": e["root"], "parts": kept})
+                    for p in hit:
+                        affected_paths.append(
+                            (os.path.join(self.path, e["root"]), p)
+                        )
+                dfs = []
+                roots: dict[str, list[str]] = {}
+                for root, p in affected_paths:
+                    roots.setdefault(root, []).append(p)
+                for root, ps in roots.items():
+                    d = self.spark.read.option("basePath", root).parquet(
+                        *[os.path.join(root, p) for p in ps]
+                    )
+                    dfs.append(align_to_schema(d, self.meta.schema))
+                if not dfs:
+                    return self._current_version()
+                target = dfs[0]
+                for d in dfs[1:]:
+                    target = target.unionByName(d)
+                survivors = target.filter(~match)
+                if survivors.isEmpty():
+                    return self._commit_snapshot(kept_entries)
+                new_entry = self._write_data(survivors, self._new_root())
+                return self._commit_snapshot(kept_entries + [new_entry])
+
+        survivors = self.read().filter(~match)
+        entry = self._write_data(survivors, self._new_root())
+        return self._commit_snapshot([entry])
 
     # ------------------------------------------------------------ misc
     def write(self, df: DataFrame, mode: str) -> int:

@@ -4,6 +4,7 @@ snapshot isolation, time travel."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from s3_sqs_data_ingestion_demo_spark.table import ManagedTable, align_to_schema
@@ -265,3 +266,54 @@ def test_target_file_rows_splits_output_files(spark, tmp_path):
     files = _glob.glob(os.path.join(t.path, "data", "*", "*.parquet"))
     assert len(files) >= 10  # 100 rows / 10-per-file
     assert rows_of(t.read()) == sorted(rows)
+
+
+def test_cow_delete_prunes_partitions(spark, tmp_path):
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
+        partition_cols=["part"], key_cols=["id"], order_column="ts",
+    )
+    t.append(df_of(spark, [(1, "a", 1.0, 1), (2, "b", 2.0, 1), (3, "b", 9.0, 1)]))
+    v_roots_before = {e["root"] for e in t._read_manifest()}
+    t.delete_where(F.col("val") > 5.0)  # only partition b affected
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(1, "a", 1.0, 1), (2, "b", 2.0, 1)]
+    # partition a's files were never rewritten
+    kept = {e["root"] for e in t._read_manifest()}
+    assert v_roots_before & kept, "untouched partition should keep its root"
+    # SQL null semantics: null predicate keeps the row
+    t.append(df_of(spark, [(4, "a", None, 1)]))
+    t.delete_where(F.col("val") > 0.0)
+    assert sorted(r.id for r in t.read().collect()) == [4]
+
+
+def test_mor_tombstone_delete_and_reinsert(spark, tmp_path):
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
+        key_cols=["id"], order_column="ts", table_type="MOR",
+    )
+    t.merge(df_of(spark, [(1, "a", 1.0, 1), (2, "a", 2.0, 1)]))
+    v_before_delete = t._current_version()
+    t.delete_where("id = 1")
+    assert [r.id for r in t.read().collect()] == [2]
+    # O(matched keys): the delete landed as a tombstone delta, no rewrite
+    kinds = [e.get("kind") for e in t._read_manifest()]
+    assert "tombstone" in kinds
+    # time travel still sees the pre-delete state
+    assert sorted(r.id for r in t.read_version(v_before_delete).collect()) == [1, 2]
+    # a re-insert AFTER the delete survives
+    t.merge(df_of(spark, [(1, "a", 9.0, 2)]))
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    assert {r.id: r.val for r in t.read().collect()}[1] == 9.0
+    # compaction folds tombstones away
+    t.compact()
+    assert len(t._read_manifest()) == 1
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_mor_delete_requires_keys(spark, tmp_path):
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA, table_type="MOR",
+    )
+    with pytest.raises(ValueError, match="key columns"):
+        t.delete_where("id = 1")
