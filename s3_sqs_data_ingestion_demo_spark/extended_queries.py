@@ -1500,3 +1500,44 @@ def q_cohort_weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).cast("long").alias("n_active_users")
     )
+
+
+@query(
+    "q_grouping_sets_revenue",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS INTEGER) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+    driver=False,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the generalization rollup/cube compile
+    to) with grouping_id disambiguation — one Expand + one aggregate,
+    revenue in exact integer cents.  Oracle is the identical ANSI
+    GROUPING SETS."""
+    o = t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select("o_orderpriority", "o_orderstatus", cents.alias("_c"))
+    base.createOrReplaceTempView("_sg_gs_orders")
+    out = spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                    AS INT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(_c) AS BIGINT) AS revenue_cents
+        FROM _sg_gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        """
+    )
+    return out
