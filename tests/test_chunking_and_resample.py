@@ -142,3 +142,36 @@ def test_score_filter_keeps_only_clearing_docs(spark):
     assert kept.count() == expected
     assert 0 < expected < docs.count()
     assert kept.columns == docs.columns  # payload schema preserved
+
+
+def test_udtf_surface_token_spans_and_sentences(spark):
+    """Python UDTFs (SURVEY §2.5): registered table functions usable
+    from SQL LATERAL — the extension point for Python-dependent
+    row-expansions (built-in generators stay JVM-side everywhere
+    else)."""
+    from s3_sqs_data_ingestion_demo_spark.operators.udtf_ops import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "One. Two three! ")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("_sg_udtf_docs")
+    spans = spark.sql(
+        "SELECT d.doc_id, t.pos, t.token, t.n_chars "
+        "FROM _sg_udtf_docs d, LATERAL token_spans(d.text) t"
+    ).collect()
+    assert {(r.doc_id, r.pos, r.token) for r in spans} == {
+        (1, 0, "alpha"), (1, 1, "beta"), (1, 2, "gamma"),
+        (2, 0, "One."), (2, 1, "Two"), (2, 2, "three!"),
+    }
+    sents = spark.sql(
+        "SELECT d.doc_id, s.sent_id, s.sentence, s.n_tokens "
+        "FROM _sg_udtf_docs d, LATERAL split_sentences(d.text) s "
+        "WHERE d.doc_id = 2"
+    ).collect()
+    assert [(r.sent_id, r.sentence, r.n_tokens) for r in sorted(sents, key=lambda r: r.sent_id)] == [
+        (0, "One", 1), (1, "Two three", 2)
+    ]
