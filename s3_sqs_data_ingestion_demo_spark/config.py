@@ -121,6 +121,11 @@ class OutputConfig:
     merge_policy: str = "unconditional"  # "unconditional" | "latest_wins"
     table_properties: dict[str, str] = field(default_factory=dict)
     maintenance: MaintenanceConfig = field(default_factory=MaintenanceConfig)
+    # CDC delete handling: rows whose op column carries one of these
+    # values DELETE their keys instead of upserting (DMS-style feeds).
+    # Empty list = reference behavior (deletes upsert like any row).
+    cdc_op_column: str = "Op"
+    cdc_delete_values: list[str] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "OutputConfig":
@@ -142,6 +147,8 @@ class OutputConfig:
                 str(k): str(v) for k, v in (d.get("table_properties") or {}).items()
             },
             maintenance=MaintenanceConfig.from_dict(d.get("maintenance") or {}),
+            cdc_op_column=d.get("cdc_op_column", "Op"),
+            cdc_delete_values=[str(v) for v in (d.get("cdc_delete_values") or [])],
         )
 
 

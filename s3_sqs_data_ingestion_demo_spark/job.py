@@ -72,6 +72,34 @@ def process_files(
         df = with_lineage(df)
     if debug_show:
         df.show()
+
+    # CDC delete handling (output_config.cdc_delete_values): rows whose
+    # op column carries a delete marker DELETE their keys instead of
+    # upserting.  Per-key, the batch's LATEST action wins (a key
+    # updated then deleted in one batch deletes; deleted then
+    # re-inserted upserts) — real DMS semantics the reference lacked
+    # (its merge upserts 'D' rows like any other).  Split BEFORE the
+    # transform query, which drops the op column.
+    deletes = None
+    if (
+        out.cdc_delete_values
+        and out.cdc_op_column in df.columns
+        and out.key_columns
+    ):
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from .operators.merge import dedup_latest  # noqa: PLC0415
+
+        latest = (
+            dedup_latest(df, out.key_columns, out.order_column)
+            if out.order_column and out.order_column in df.columns
+            else df
+        )
+        is_del = F.col(out.cdc_op_column).isin(list(out.cdc_delete_values))
+        deletes = latest.filter(is_del).select(*out.key_columns)
+        # null/absent op markers upsert (kept), matching SQL semantics
+        df = latest.filter(~F.coalesce(is_del, F.lit(False)))
+
     df = apply_transform_query(spark, df, inp.transform_query)
     if out.mode == "merge" and out.merge_query:
         text = load_text(out.merge_query)
@@ -80,10 +108,14 @@ def process_files(
             # spark-job/mergeSQL.sql) — translate onto ManagedTable.merge
             table = ensure_target(spark, config)
             version = execute_merge_into(spark, table, df, text)
+            if deletes is not None:
+                version = table.delete_keys(deletes)
             return _maybe_maintain(table, config) or version
         df = apply_transform_query(spark, df, text)
     table = ensure_target(spark, config)
     version = table.write(df, out.mode)
+    if deletes is not None:
+        version = table.delete_keys(deletes)
     return _maybe_maintain(table, config) or version
 
 

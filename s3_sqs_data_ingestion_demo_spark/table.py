@@ -688,6 +688,40 @@ class ManagedTable:
         entry = self._write_data(survivors, self._new_root())
         return self._commit_snapshot([entry])
 
+    def delete_keys(self, keys_df: DataFrame) -> int:
+        """Delete by KEY SET — the CDC delete path (a DMS batch's
+        ``Op='D'`` rows name keys, not predicates).  MOR: the keys land
+        directly as a tombstone delta — O(batch), NO table read at all
+        (the whole point: a delete-heavy CDC stream costs the same as
+        an insert-heavy one).  COW: anti-join rewrite (pays the usual
+        copy-on-write price)."""
+        keys = self.meta.key_cols
+        if not keys:
+            raise ValueError("delete_keys requires key columns")
+        types = {f.name: f.dataType for f in self.meta.schema.fields}
+        victims = keys_df.select(
+            *[F.col(k).cast(types[k]).alias(k) for k in keys]
+        ).distinct()
+        if victims.isEmpty():
+            return self._current_version()
+        if self.meta.table_type.upper() == "MOR":
+            key_set = set(keys)
+            tomb = victims.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in key_set
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in self.meta.schema.fields
+                ]
+            )
+            entry = self._write_data(tomb, self._new_root())
+            entry["kind"] = "tombstone"
+            entry["seq"] = self._current_version() + 1
+            return self._commit_snapshot(self._read_manifest() + [entry])
+        survivors = self.read().join(victims, list(keys), "left_anti")
+        entry = self._write_data(survivors, self._new_root())
+        return self._commit_snapshot([entry])
+
     # ------------------------------------------------------------ misc
     def write(self, df: DataFrame, mode: str) -> int:
         """Mode dispatch (reference: spark-job/read.py:229-246) —

@@ -177,3 +177,36 @@ def test_declarative_maintenance_compacts_and_expires(spark, job):
     assert rows[(83597, 37)].category == "language####"
     assert len(t.history()) == 1  # expired down to the compacted snapshot
     assert len(t._read_manifest()) == 1  # one fresh data root
+
+
+def test_cdc_delete_ops(spark, job):
+    """DMS-style delete rows: with cdc_delete_values configured, a
+    batch's 'D' rows delete their keys instead of upserting (per key,
+    the batch's latest action wins); the reference upserted delete
+    rows like data — this is the documented semantic upgrade."""
+    d, cfg = job
+    cfg.output_config.cdc_delete_values = ["D"]
+    cfg.output_config.table_type = "MOR"
+    process_files(spark, cfg, [os.path.join(d, "b1.csv")])
+    # batch 3: delete one key, update another, and for a third key
+    # send an update THEN a delete (later ts) -> delete wins
+    b3 = [
+        "D\t2024-12-02 09:00:00.000000\t24137\t34\tdegree\t53.51\t1\t2023-03-29\tSC\t3-Day\tbook",
+        "U\t2024-12-02 09:00:00.000000\t15587\t59\topinion####\t21.0\t2\t2023-01-04\tTX\t2-Day\tad",
+        "U\t2024-12-02 09:00:00.000000\t42918\t69\tactivity####\t88.51\t1\t2023-06-12\tCA\tStandard\tfriend",
+        "D\t2024-12-02 10:00:00.000000\t42918\t69\tactivity####\t88.51\t1\t2023-06-12\tCA\tStandard\tfriend",
+    ]
+    with open(os.path.join(d, "b3.csv"), "w") as fh:
+        fh.write(HEADER + "\n" + "\n".join(b3) + "\n")
+    process_files(spark, cfg, [os.path.join(d, "b3.csv")])
+    rows = _final_rows(spark, cfg)
+    assert set(rows) == {(15587, 59), (40994, 67), (83597, 37)}
+    assert rows[(15587, 59)].category == "opinion####"
+    # a later re-insert of a deleted key revives it
+    b4 = ["I\t2024-12-03 09:00:00.000000\t24137\t34\treborn\t1.0\t1\t2023-03-29\tSC\t3-Day\tbook"]
+    with open(os.path.join(d, "b4.csv"), "w") as fh:
+        fh.write(HEADER + "\n" + "\n".join(b4) + "\n")
+    process_files(spark, cfg, [os.path.join(d, "b4.csv")])
+    rows = _final_rows(spark, cfg)
+    assert rows[(24137, 34)].category == "reborn"
+    assert len(rows) == 4
