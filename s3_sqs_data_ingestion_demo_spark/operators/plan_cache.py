@@ -26,7 +26,13 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame
 
 CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
-CACHE_MAX = 12
+# Sized for one bench/driver sweep: the shingle/signature/GEMM/index
+# intermediates now span ~85 registry entries × 2 SFs (warm + timed) —
+# at 12 slots the shingle family could evict mid-sweep and re-persist,
+# which shows up as phantom per-query regressions under full-bench
+# pressure.  Entries are MB-scale persisted relations; 24 is still a
+# tightly bounded footprint.
+CACHE_MAX = 24
 
 
 def clear() -> None:

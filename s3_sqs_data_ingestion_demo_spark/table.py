@@ -605,6 +605,13 @@ class ManagedTable:
         partitions (bounded collect, same cap as merge) are rewritten
         without the victims; unpartitioned or past the cap degrades to
         a full filtered rewrite.
+
+        MOR revival caveat: revive deleted keys with ``merge()`` (which
+        stamps the commit sequence), not plain ``append()`` — append
+        entries carry seq 0 in MOR resolution and stay masked by any
+        tombstone.  Deletes are not surfaced by ``read_changes`` (the
+        feed reports upserts only, like a CDC stream without delete
+        events).
         """
         cond = F.expr(condition) if isinstance(condition, str) else condition
         match = F.coalesce(cond, F.lit(False))
