@@ -317,3 +317,32 @@ def test_mor_delete_requires_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="key columns"):
         t.delete_where("id = 1")
+
+
+def test_cow_delete_empties_whole_partition(spark, tmp_path):
+    """Deleting every row of the affected partitions commits a manifest
+    with only the untouched entries (no empty data root is written)."""
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
+        partition_cols=["part"], key_cols=["id"],
+    )
+    t.append(df_of(spark, [(1, "a", 1.0, 1), (2, "b", 2.0, 1)]))
+    t.delete_where(F.col("part") == "b")
+    assert rows_of(t.read()) == [(1, "a", 1.0, 1)]
+
+
+def test_delete_keys_cow_and_mor(spark, tmp_path):
+    for ttype in ("COW", "MOR"):
+        t = ManagedTable.create(
+            spark, os.path.join(str(tmp_path), ttype), SCHEMA,
+            key_cols=["id"], table_type=ttype,
+        )
+        t.append(df_of(spark, [(1, "a", 1.0, 1), (2, "a", 2.0, 1)])) if ttype == "COW" \
+            else t.merge(df_of(spark, [(1, "a", 1.0, 1), (2, "a", 2.0, 1)]))
+        keys = spark.createDataFrame([(1,)], "id int")
+        t.delete_keys(keys)
+        assert [r.id for r in t.read().collect()] == [2], ttype
+        # empty key set is a no-op
+        v = t._current_version()
+        t.delete_keys(spark.createDataFrame([], "id int"))
+        assert t._current_version() == v, ttype
