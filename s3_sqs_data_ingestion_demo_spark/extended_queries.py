@@ -1541,3 +1541,37 @@ def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
         """
     )
     return out
+
+
+@query(
+    "q_heavy_hitter_users",
+    """
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS value, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT value, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rn
+      FROM counts
+    ), kth AS (
+      SELECT MIN(cnt) AS kth_cnt FROM ranked WHERE rn <= 10
+    )
+    SELECT value, CAST(cnt AS BIGINT) AS cnt,
+           CAST((SELECT kth_cnt FROM kth)
+                > (SELECT COUNT(*) FROM events) / 4096.0 AS INTEGER)
+             AS exact_guaranteed
+    FROM ranked WHERE rn <= 10
+    """,
+    driver=False,
+)
+def q_heavy_hitter_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact heavy hitters via two-phase Misra-Gries
+    (operators/sketches.py heavy_hitters): bounded-memory per-partition
+    candidate summaries + one exact recount of candidates only — the
+    shuffle carries candidate values, never the full key space.  Exact
+    and partition-independent whenever the k-th frequency clears
+    n/capacity (reported by the flag, true on this data); the oracle
+    is the plain exact top-k."""
+    from .operators.sketches import heavy_hitters  # noqa: PLC0415
+
+    return heavy_hitters(t(spark, sf, "events"), "user_id", k=10, capacity=4096)

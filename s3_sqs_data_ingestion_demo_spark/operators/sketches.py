@@ -107,3 +107,71 @@ def kmv_merge(a, b, k: int = 64) -> F.Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.slice(F.array_sort(F.array_distinct(F.concat(ca, cb))), 1, k)
+
+
+# --------------------------------------------------------------------
+# Exact heavy hitters via two-phase Misra-Gries
+# --------------------------------------------------------------------
+#
+# Full groupBy on an ultra-high-cardinality skewed key shuffles every
+# distinct value to find the few heavy ones.  The classic bounded-
+# memory alternative: per-partition Misra-Gries summaries (capacity-
+# bounded counter maps, Arrow-batched) emit a candidate SUPERSET —
+# guaranteed to contain every value with global frequency > n/capacity
+# (if a value is that frequent globally, it exceeds the per-partition
+# threshold in at least one partition) — then ONE exact recount of the
+# candidates only.  The result is EXACT (and partition-independent)
+# whenever the true k-th frequency clears n/capacity; the flag reports
+# that guarantee instead of silently degrading.
+
+
+def heavy_hitters(
+    df, col: str, k: int = 10, capacity: int = 4096
+) -> DataFrame:
+    """Top-k most frequent values of ``col`` with exact counts:
+    (value, cnt, exact_guaranteed).  Shuffle carries only candidate
+    values (≤ capacity per partition), never the full key space."""
+    import pandas as pd  # noqa: PLC0415
+
+    src = df.select(F.col(col).cast("string").alias("value"))
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf["value"].value_counts().items():
+                if v in counters:
+                    counters[v] += int(c)
+                else:
+                    counters[v] = int(c)
+                    if len(counters) > capacity:
+                        m = min(counters.values())
+                        counters = {
+                            kk: cc - m for kk, cc in counters.items() if cc > m
+                        }
+        yield pd.DataFrame({"value": list(counters.keys())})
+
+    cand = src.mapInPandas(mg, "value string").distinct()
+    counts = (
+        src.join(cand, "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+    topk = counts.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    n_total = src.agg(F.count(F.lit(1)).alias("_n"))
+    kth = topk.agg(F.min("cnt").alias("_kth"))
+    return (
+        topk.crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(kth))
+        .select(
+            "value",
+            "cnt",
+            (F.col("_kth") > F.col("_n") / F.lit(capacity))
+            .cast("int")
+            .alias("exact_guaranteed"),
+        )
+    )

@@ -88,3 +88,37 @@ def test_kmv_estimate_accuracy_over_capacity(spark):
     sk = kmv_sketches(df, ["g"], "v", k=256)
     [r] = sk.select(kmv_estimate("kmv", 256).alias("e")).collect()
     assert abs(r.e - 5000) / 5000 < 0.15  # ~1/sqrt(k) regime
+
+
+def test_heavy_hitters_exact_with_guarantee(spark):
+    from pyspark.sql import functions as F
+
+    from s3_sqs_data_ingestion_demo_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    # skewed synthetic: value i appears (21-i)*50 times, i in 0..20
+    rows = [(f"v{i:02d}",) for i in range(21) for _ in range((21 - i) * 50)]
+    df = spark.createDataFrame(rows, "k string").repartition(13)
+    out = heavy_hitters(df, "k", k=5, capacity=256).collect()
+    got = sorted((r.value, r.cnt) for r in out)
+    want = sorted((f"v{i:02d}", (21 - i) * 50) for i in range(5))
+    assert got == want
+    assert all(r.exact_guaranteed == 1 for r in out)
+    # result is identical under a different partitioning (the
+    # guarantee makes candidates a superset everywhere)
+    out2 = heavy_hitters(df.repartition(3), "k", k=5, capacity=256).collect()
+    assert sorted((r.value, r.cnt) for r in out2) == want
+
+
+def test_heavy_hitters_reports_lost_guarantee(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    # near-uniform data with capacity too small for the threshold:
+    # counts are right for whatever candidates survive, but the flag
+    # must report the guarantee is gone
+    df = spark.range(5000).selectExpr("CAST(id % 1000 AS STRING) AS k")
+    out = heavy_hitters(df, "k", k=5, capacity=64).collect()
+    assert all(r.exact_guaranteed == 0 for r in out)
