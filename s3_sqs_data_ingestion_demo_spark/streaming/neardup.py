@@ -376,6 +376,9 @@ def start_streaming_near_dup(
             _index_schema(num_hashes),
             key_cols=["id"],
             table_type="MOR",
+            # the index is only ever scanned whole (banding) — skip the
+            # per-commit manifest-stats aggregate on this hot path
+            properties={"write.collect-stats": "false"},
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -399,6 +399,45 @@ class ManagedTable:
     def read(self) -> DataFrame:
         return self._assemble(self._read_manifest())
 
+    @staticmethod
+    def _entry_may_contain(entry: dict, col: str, lo, hi) -> bool:
+        """Manifest-stats check: can this entry hold a ``col`` value in
+        [lo, hi]?  Entries without stats for the column must be kept
+        (stats are advisory)."""
+        s = (entry.get("stats") or {}).get(col)
+        if not s:
+            return True
+        mn, mx = s
+        if lo is not None and mx < lo:
+            return False
+        return not (hi is not None and mn > hi)
+
+    def read_where(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Point/range read with MANIFEST-LEVEL pruning (the skip
+        Iceberg gets from manifest stats): data roots whose per-entry
+        (min, max) of ``col`` cannot intersect [lo, hi] are never
+        opened — on a long-lived keyed table a point lookup touches
+        the handful of entries that ever saw the key, not the whole
+        history.  The predicate is ALSO applied to the assembled rows,
+        so results are exact whether or not stats exist.
+
+        Correctness with MOR resolution: an entry that cannot contain
+        the key contributes no version of it, so skipping it never
+        changes the winning row; tombstone entries are pruned by the
+        same rule."""
+        entries = [
+            e
+            for e in self._read_manifest()
+            if self._entry_may_contain(e, col, lo, hi)
+        ]
+        out = self._assemble(entries)
+        c = F.col(col)
+        if lo is not None:
+            out = out.filter(c >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(c <= F.lit(hi))
+        return out
+
     def read_unresolved(self, with_seq: bool = False) -> DataFrame:
         """Union of all live entries WITHOUT merge-on-read key
         resolution — O(scan), no key-shuffle window.  For consumers
@@ -432,6 +471,41 @@ class ManagedTable:
         return out
 
     # ----------------------------------------------------------- write
+    _STATS_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                    T.DoubleType, T.FloatType, T.StringType, T.DateType)
+
+    def _collect_entry_stats(self, df: DataFrame) -> dict | None:
+        """Per-entry (min, max) of the key columns — the Iceberg-style
+        manifest stats that let point/range reads SKIP whole data
+        roots without opening a file.  One batch-sized aggregate per
+        commit; numeric/string/date keys only (others are skipped —
+        stats are an optimization, never required)."""
+        cols = [
+            f.name
+            for f in self.meta.schema.fields
+            if f.name in set(self.meta.key_cols)
+            and isinstance(f.dataType, self._STATS_TYPES)
+        ]
+        if not cols or self.meta.properties.get("write.collect-stats") == "false":
+            return None
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        # NB: callers pass the READ-BACK of freshly-written files (a
+        # column-pruned scan of the new root only), never the original
+        # write plan — re-evaluating a merge plan for stats would
+        # double the write cost.
+        row = df.agg(*aggs).collect()[0]
+        stats = {}
+        for c in cols:
+            mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
+            if mn is None:
+                continue
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            stats[c] = [mn, mx]
+        return stats or None
+
     def _write_data(self, df: DataFrame, root: str) -> dict:
         writer = df.write.option("compression", self.meta.compression)
         # File-size targeting (table property "write.target-file-rows"):
@@ -461,10 +535,15 @@ class ManagedTable:
                     "the table and retry the operation"
                 ) from e
             raise
-        return {
+        entry = {
             "root": os.path.relpath(root, self.path),
             "parts": self._list_parts(root) if self.meta.partition_cols else None,
         }
+        if self.meta.key_cols:
+            stats = self._collect_entry_stats(self._read_entry(entry))
+            if stats:
+                entry["stats"] = stats
+        return entry
 
     def _list_parts(self, root: str) -> list[str]:
         pattern = os.path.join(root, *["*=*"] * len(self.meta.partition_cols))

@@ -346,3 +346,43 @@ def test_delete_keys_cow_and_mor(spark, tmp_path):
         v = t._current_version()
         t.delete_keys(spark.createDataFrame([], "id int"))
         assert t._current_version() == v, ttype
+
+
+def test_manifest_stats_prune_point_reads(spark, tmp_path):
+    """Iceberg-style manifest pruning: commits record per-entry key
+    (min, max); a point/range read skips data roots that cannot
+    contain the key — on a long-lived table a lookup opens the few
+    entries that ever saw the key, not the whole history."""
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
+        key_cols=["id"], table_type="MOR",
+    )
+    for base in (0, 100, 200, 300):  # disjoint key ranges per commit
+        t.merge(df_of(spark, [(base + i, "a", 1.0, 1) for i in range(10)]))
+    entries = t._read_manifest()
+    assert all("stats" in e for e in entries)
+    assert entries[0]["stats"]["id"] == [0, 9]
+    # stats-level pruning: only one of four entries can hold id 205
+    kept = [e for e in entries if t._entry_may_contain(e, "id", 205, 205)]
+    assert len(kept) == 1
+    got = t.read_where("id", 205, 205).collect()
+    assert [(r.id, r.val) for r in got] == [(205, 1.0)]
+    # range spanning two entries
+    assert sorted(r.id for r in t.read_where("id", 95, 105).collect()) == list(
+        range(100, 106)
+    )
+    # exactness without stats: legacy entries (no stats key) still read
+    entries[0].pop("stats")
+    assert t._entry_may_contain(entries[0], "id", 205, 205)
+
+
+def test_manifest_stats_respect_deletes_and_updates(spark, tmp_path):
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
+        key_cols=["id"], table_type="MOR",
+    )
+    t.merge(df_of(spark, [(1, "a", 1.0, 1), (2, "a", 2.0, 1)]))
+    t.merge(df_of(spark, [(1, "a", 9.0, 2)]))  # update id 1
+    assert [r.val for r in t.read_where("id", 1, 1).collect()] == [9.0]
+    t.delete_where("id = 1")
+    assert t.read_where("id", 1, 1).count() == 0
