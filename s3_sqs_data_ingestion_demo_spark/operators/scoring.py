@@ -111,3 +111,75 @@ def unigram_nll_scores(
             F.floor("avg_nll").cast("int").alias("nll_bucket"),
         )
     )
+
+
+def bigram_nll_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram-LM pseudo-perplexity: per-document mean NLL
+    under p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·c(w2)/N — one step up
+    the n-gram ladder from ``unigram_nll_scores``, same train-by-agg /
+    score-by-join dataflow a KenLM-backed filter runs.
+
+    Bigrams are built JVM-side from the token array (``arrays_zip`` of
+    two slices — no extra shuffle to form pairs); the model tables are
+    the bigram-count aggregate and its prefix marginal.  Documents
+    with fewer than two tokens have no bigrams and are omitted.
+
+    λ must be an exact binary fraction (default 3/4) and NLLs are
+    quantized to integer micronats, so the aggregation is exactly
+    engine-portable (same discipline as the unigram scorer).
+
+    Returns (doc_id, n_bigrams, avg_nll, nll_bucket).
+    """
+    toks = tokens(text_col)
+    n_t = F.size(toks)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"), n_t.alias("_n"))
+    bi = (
+        base.filter(F.col("_n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.col("_n") - 1).alias("w1"),
+                    F.slice("_t", 2, F.col("_n") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    # model tables: bigram counts, prefix marginals, unigram counts, N
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = cb.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    uni = df.select(F.explode(tokens(text_col)).alias("w2")).groupBy("w2").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    n_total = uni.agg(F.sum("cu").alias("n_total"))
+    p = (
+        F.lit(lam) * (F.col("cb") / F.col("c1"))
+        + F.lit(1.0 - lam) * (F.col("cu") / F.col("n_total"))
+    )
+    nll_micro = F.round(-F.log(p) * F.lit(_MICRO)).cast("long")
+    avg = F.round(
+        F.sum(nll_micro).cast("double") / F.count(F.lit(1)) / F.lit(_MICRO), 4
+    ) + F.lit(0.0)
+    return (
+        bi.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            avg.alias("avg_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_nll",
+            F.floor("avg_nll").cast("int").alias("nll_bucket"),
+        )
+    )

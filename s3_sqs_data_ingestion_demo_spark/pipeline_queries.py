@@ -1260,3 +1260,57 @@ def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
         F.array_min("codes").cast("int").alias("code_min"),
         F.array_max("codes").cast("int").alias("code_max"),
     )
+
+
+_BIGRAM_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM tok WHERE len(toks) >= 2
+    ), bi AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos
+    ), cb AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(cb) AS c1 FROM cb GROUP BY w1
+    ), uni AS (
+      SELECT unnest(toks) AS w2 FROM tok
+    ), cu AS (
+      SELECT w2, COUNT(*) AS cu FROM uni GROUP BY w2
+    ), total AS (
+      SELECT SUM(cu) AS n_total FROM cu
+    ), micro AS (
+      SELECT b.doc_id,
+             CAST(ROUND(-ln(
+               0.75 * (cb.cb * 1.0 / c1.c1)
+               + 0.25 * (cu.cu * 1.0 / (SELECT n_total FROM total))
+             ) * 1000000.0) AS BIGINT) AS nll_micro
+      FROM bi b
+      JOIN cb USING (w1, w2)
+      JOIN c1 USING (w1)
+      JOIN cu USING (w2)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+             + 0.0 AS avg_nll,
+           CAST(FLOOR(ROUND(CAST(SUM(nll_micro) AS DOUBLE) / COUNT(*)
+                            / 1000000.0, 4) + 0.0) AS INTEGER) AS nll_bucket
+    FROM micro
+    GROUP BY doc_id
+    """
+
+
+@query("bigram_nll_documents", _BIGRAM_ORACLE, driver=False)
+def bigram_nll_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated bigram-LM quality scoring
+    (operators/scoring.py bigram_nll_scores): one rung up the n-gram
+    ladder from the driver-gated unigram scorer — bigrams formed
+    JVM-side from the token array, p = 0.75·p_bigram + 0.25·p_unigram,
+    micronat-exact aggregation.  Parity-covered (the family's driver
+    slot stays with the capped-vocab unigram entry)."""
+    from .operators import scoring as SC  # noqa: PLC0415
+
+    return SC.bigram_nll_scores(t(spark, sf, "documents"))

@@ -74,3 +74,23 @@ def test_vocab_cap_broadcasts_the_capped_table(spark):
         )
     )
     assert a == b
+
+
+def test_bigram_nll_rewards_frequent_transitions(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators.scoring import (
+        bigram_nll_scores,
+    )
+
+    rows = [
+        (1, "the cat sat"), (2, "the cat sat"), (3, "the cat sat"),
+        (4, "cat the sat"),  # same unigrams, unseen transitions
+        (5, "x"),            # <2 tokens: omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_nll_scores(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].avg_nll == out[2].avg_nll == out[3].avg_nll
+    # the scrambled doc shares unigram stats but has rare bigrams ->
+    # strictly higher pseudo-perplexity: the signal unigrams can't see
+    assert out[4].avg_nll > out[1].avg_nll
+    assert out[1].n_bigrams == 2
