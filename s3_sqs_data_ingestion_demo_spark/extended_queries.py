@@ -1575,3 +1575,65 @@ def q_heavy_hitter_users(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.sketches import heavy_hitters  # noqa: PLC0415
 
     return heavy_hitters(t(spark, sf, "events"), "user_id", k=10, capacity=4096)
+
+
+@query(
+    "q_resample_interpolate",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, value, ts,
+             CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket
+      FROM events WHERE user_id % 10 = 0
+    ), obs AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, bucket
+          ORDER BY ts DESC, value DESC, event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ), spans AS (
+      SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM ev GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS bucket FROM spans
+    ), g AS (
+      SELECT g.user_id, g.bucket, o.value AS v,
+             last_value(o.value IGNORE NULLS) OVER w_prev AS v_prev,
+             last_value(CASE WHEN o.value IS NOT NULL THEN g.bucket END
+                        IGNORE NULLS) OVER w_prev AS b_prev,
+             first_value(o.value IGNORE NULLS) OVER w_next AS v_next,
+             first_value(CASE WHEN o.value IS NOT NULL THEN g.bucket END
+                         IGNORE NULLS) OVER w_next AS b_next
+      FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+      WINDOW w_prev AS (PARTITION BY g.user_id ORDER BY g.bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY g.user_id ORDER BY g.bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket AS bucket_start,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN v_next IS NULL THEN v_prev
+                      ELSE v_prev + (v_next - v_prev)
+                           * ((bucket - b_prev) * 1.0 / (b_next - b_prev))
+                 END, 4) + 0.0 AS value_filled,
+           CAST(v IS NULL AS INTEGER) AS is_gap
+    FROM g
+    """,
+    driver=False,
+)
+def q_resample_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-interpolation resample (operators/timeseries.py,
+    mode="linear"): gap buckets take the line between the surrounding
+    observations; tail buckets carry forward.  Same two-shuffle shape
+    as the LOCF entry (which keeps the family's driver slot); the
+    oracle mirrors the window construction and the exact interpolation
+    expression tree."""
+    from .operators.timeseries import resample_last_value  # noqa: PLC0415
+
+    ev = t(spark, sf, "events").filter(F.col("user_id") % 10 == 0)
+    out = resample_last_value(ev, step_seconds=3600, mode="linear")
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.col("bucket").alias("bucket_start"),
+        (F.round("value_filled", 4) + F.lit(0.0)).alias("value_filled"),
+        "is_gap",
+    )

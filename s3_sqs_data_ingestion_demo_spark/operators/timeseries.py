@@ -26,20 +26,28 @@ def resample_last_value(
     value_col: str = "value",
     step_seconds: int = 3600,
     tiebreak_col: str = "event_id",
+    mode: str = "locf",
 ) -> DataFrame:
     """Regular per-key grid at ``step_seconds`` resolution from each
-    key's first to last observation, forward-filling the most recent
-    value across empty buckets.
+    key's first to last observation, filling empty buckets by
+    ``mode``: ``"locf"`` carries the most recent value forward;
+    ``"linear"`` interpolates between the surrounding observations
+    (buckets after the last observation still carry forward — there is
+    nothing to interpolate toward).
 
     Within a bucket the surviving observation is deterministic: latest
     timestamp, then highest value, then highest ``tiebreak_col`` —
-    exactly replicable by any SQL oracle.
+    exactly replicable by any SQL oracle; the interpolation arithmetic
+    is a fixed expression tree over those deterministic inputs, so it
+    is engine-exact too.
 
     Returns (key, bucket_start unix-seconds, value_filled, is_gap):
     ``is_gap=1`` marks grid points with no observation in the bucket
     (their value came from the fill).  The first bucket of every key
     is observed by construction, so ``value_filled`` is never null.
     """
+    if mode not in ("locf", "linear"):
+        raise ValueError(f"unknown resample mode: {mode!r}")
     step = int(step_seconds)
     bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast("long")
     ev = df.select(
@@ -66,17 +74,40 @@ def resample_last_value(
             "bucket"
         ),
     )
-    w_fill = (
+    w_prev = (
         Window.partitionBy("key")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(obs, ["key", "bucket"], "left")
-        .select(
+    joined = grid.join(obs, ["key", "bucket"], "left")
+    if mode == "locf":
+        return joined.select(
             "key",
             "bucket",
-            F.last("v", ignorenulls=True).over(w_fill).alias("value_filled"),
+            F.last("v", ignorenulls=True).over(w_prev).alias("value_filled"),
             F.col("v").isNull().cast("int").alias("is_gap"),
         )
+    w_next = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    v_prev = F.last("v", ignorenulls=True).over(w_prev)
+    b_prev = F.last(obs_bucket, ignorenulls=True).over(w_prev)
+    v_next = F.first("v", ignorenulls=True).over(w_next)
+    b_next = F.first(obs_bucket, ignorenulls=True).over(w_next)
+    interp = v_prev + (v_next - v_prev) * (
+        (F.col("bucket") - b_prev) / (b_next - b_prev)
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(v_next.isNull(), v_prev)  # tail buckets: carry forward
+        .otherwise(interp)
+    )
+    return joined.select(
+        "key",
+        "bucket",
+        filled.alias("value_filled"),
+        F.col("v").isNull().cast("int").alias("is_gap"),
     )

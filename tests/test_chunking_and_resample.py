@@ -175,3 +175,27 @@ def test_udtf_surface_token_spans_and_sentences(spark):
     assert [(r.sent_id, r.sentence, r.n_tokens) for r in sorted(sents, key=lambda r: r.sent_id)] == [
         (0, "One", 1), (1, "Two three", 2)
     ]
+
+
+def test_resample_linear_interpolation(spark):
+    rows = [
+        (1, "2024-01-01 00:30:00", 1, 2.0),
+        (2, "2024-01-01 04:30:00", 1, 10.0),  # 4 buckets later
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.bucket: (r.value_filled, r.is_gap)
+        for r in resample_last_value(df, mode="linear").collect()
+    }
+    base, h = 1704067200, 3600
+    assert out[base] == (2.0, 0)
+    assert out[base + h] == (4.0, 1)   # 2 + 8 * 1/4
+    assert out[base + 2 * h] == (6.0, 1)
+    assert out[base + 3 * h] == (8.0, 1)
+    assert out[base + 4 * h] == (10.0, 0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="resample mode"):
+        resample_last_value(df, mode="spline")
