@@ -1610,11 +1610,11 @@ def q_heavy_hitter_users(spark: SparkSession, sf: str) -> DataFrame:
                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT user_id, bucket AS bucket_start,
-           ROUND(CASE WHEN v IS NOT NULL THEN v
-                      WHEN v_next IS NULL THEN v_prev
-                      ELSE v_prev + (v_next - v_prev)
-                           * ((bucket - b_prev) * 1.0 / (b_next - b_prev))
-                 END, 4) + 0.0 AS value_filled,
+           CAST(ROUND((CASE WHEN v IS NOT NULL THEN v
+                            WHEN v_next IS NULL THEN v_prev
+                            ELSE v_prev + (v_next - v_prev)
+                                 * ((bucket - b_prev) * 1.0 / (b_next - b_prev))
+                       END) * 10000.0) AS BIGINT) AS value_fp4,
            CAST(v IS NULL AS INTEGER) AS is_gap
     FROM g
     """,
@@ -1626,7 +1626,11 @@ def q_resample_interpolate(spark: SparkSession, sf: str) -> DataFrame:
     observations; tail buckets carry forward.  Same two-shuffle shape
     as the LOCF entry (which keeps the family's driver slot); the
     oracle mirrors the window construction and the exact interpolation
-    expression tree."""
+    expression tree.  Output values are fixed-point (×10⁴ BIGINT):
+    interpolated values land on exact .00005 boundaries (dyadic bucket
+    ratios), where decimal-exact rounding (Spark) and multiply-based
+    rounding (DuckDB ROUND(x,4)) differ by an ulp — scaling explicitly
+    makes both engines round the identical double."""
     from .operators.timeseries import resample_last_value  # noqa: PLC0415
 
     ev = t(spark, sf, "events").filter(F.col("user_id") % 10 == 0)
@@ -1634,6 +1638,6 @@ def q_resample_interpolate(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         F.col("key").alias("user_id"),
         F.col("bucket").alias("bucket_start"),
-        (F.round("value_filled", 4) + F.lit(0.0)).alias("value_filled"),
+        F.round(F.col("value_filled") * 10000.0).cast("long").alias("value_fp4"),
         "is_gap",
     )
