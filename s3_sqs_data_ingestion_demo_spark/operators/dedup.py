@@ -821,3 +821,58 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b"), "hamming")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Asymmetric near-dup: containment of the SMALLER shingle set in
+    the larger (|A∩B| / min(|A|, |B|)) — the metric that catches a
+    document quoted/embedded inside another, which symmetric Jaccard
+    misses entirely (a paragraph inside a book scores ~0 Jaccard but
+    1.0 containment).  Same candidate machinery and plan shape as
+    ``jaccard_near_dup_pairs`` (co-shingle buckets, stop-shingle cap,
+    two shuffles, one scan via the shared cached base); only the
+    verification ratio differs.
+
+    Returns (doc_id_a, doc_id_b, containment, jaccard) with
+    doc_id_a < doc_id_b and containment >= threshold — jaccard rides
+    along so consumers can distinguish "near-identical" from
+    "one-inside-the-other"."""
+    base = _shingle_base_cached(df, text_col, id_col, n)
+    sh = base.select("id", "n_sh", F.explode("shs").alias("shingle"))
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(F.struct("id", "n_sh")).alias("members"))
+        .filter(F.size("members") <= max_shingle_freq)
+        .filter(F.size("members") >= 2)
+    )
+    pairs = (
+        buckets.select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+    )
+    cont = F.col("n_common") / F.least("n_a", "n_b")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(cont >= threshold)
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

@@ -1314,3 +1314,36 @@ def bigram_nll_documents(spark: SparkSession, sf: str) -> DataFrame:
     from .operators import scoring as SC  # noqa: PLC0415
 
     return SC.bigram_nll_scores(t(spark, sf, "documents"))
+
+
+@query(
+    "containment_near_dup_documents",
+    _SHINGLE_CTE
+    + """
+    , freq_ok AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+    ), shf AS (
+      SELECT sh.id, sh.shingle FROM sh JOIN freq_ok USING (shingle)
+    ), common AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a AS doc_id_a, id_b AS doc_id_b,
+           ROUND(n_common * 1.0 / least(na.n_sh, nb.n_sh), 4) AS containment,
+           ROUND(n_common * 1.0 / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes na ON na.id = id_a
+    JOIN sizes nb ON nb.id = id_b
+    WHERE n_common * 1.0 / least(na.n_sh, nb.n_sh) >= 0.35
+    """,
+    driver=False,
+)
+def containment_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment (smaller-in-larger) near-dup
+    (operators/dedup.py containment_pairs): catches quoted/embedded
+    documents that symmetric Jaccard misses; same two-shuffle
+    co-shingle plan, shared cached base.  Parity-covered."""
+    return D.containment_pairs(
+        t(spark, sf, "documents"), threshold=0.35, max_shingle_freq=100
+    )
