@@ -1347,3 +1347,97 @@ def containment_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     return D.containment_pairs(
         t(spark, sf, "documents"), threshold=0.35, max_shingle_freq=100
     )
+
+
+# --------------------------------------------------------------------
+# Full-text relevance: BM25 search + TF-IDF terms (operators/search.py)
+# --------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "window")
+
+_BM25_ORACLE = f"""
+    WITH dl0 AS (
+      SELECT doc_id, len({_TOKS}) AS dl, {_TOKS} AS tk FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl0
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dl0)
+      WHERE term IN ({_in_list(_BM25_TERMS)})
+      GROUP BY 1, 2, 3
+    ), dft AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term,
+             CAST(FLOOR(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * 1000000 + 0.5) AS BIGINT) AS idf_u
+      FROM dft, stats
+    ), scored AS (
+      SELECT tf.doc_id,
+             (idf_u * (36 * tf * total_dl))
+               // (16 * tf * total_dl + 5 * total_dl + 15 * dl * n_docs)
+               AS term_score_u
+      FROM tf JOIN idf USING (term), stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+           CAST(SUM(term_score_u) AS BIGINT) AS score_u
+    FROM scored GROUP BY doc_id
+    ORDER BY score_u DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("bm25_search_documents", _BM25_ORACLE, driver=False)
+def bm25_search_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/search.py bm25_topk): top-20
+    documents for a fixed 3-term query, scored in EXACT integer
+    micro-nats (k1/b as binary fractions make the tf saturation a
+    BIGINT rational; only the idf's ln is quantized, once per term).
+    Term filter prunes before the shuffle; corpus stats and the
+    per-term idf table broadcast; top-k is a TakeOrderedAndProject."""
+    from .operators import search as SRCH  # noqa: PLC0415
+
+    return SRCH.bm25_topk(t(spark, sf, "documents"), _BM25_TERMS, k=20)
+
+
+_TFIDF_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM base GROUP BY 1, 2
+    ), nd AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), dft AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term,
+             CAST(FLOOR(ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
+                  AS BIGINT) AS idf_u
+      FROM dft, nd
+    ), scored AS (
+      SELECT doc_id, term, tf * idf_u AS tfidf_u
+      FROM tf JOIN idf USING (term)
+    ), ranked AS (
+      SELECT doc_id, term, tfidf_u,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf_u DESC, term ASC) AS term_rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(term_rank AS INTEGER) AS term_rank, term, tfidf_u
+    FROM ranked WHERE term_rank <= 3
+    """
+
+
+@query("tfidf_top_terms_documents", _TFIDF_ORACLE, driver=False)
+def tfidf_top_terms_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by exact-integer TF-IDF
+    (operators/search.py tfidf_top_terms): one (doc, term) explode
+    shuffle, a vocabulary-sized document-frequency aggregate re-joined
+    on term (AQE-planned — a web-scale vocabulary does not broadcast),
+    bounded per-document window for the top-n.  Idf micronat-quantized
+    per term; tf * idf_u is BIGINT-exact on both engines."""
+    from .operators import search as SRCH  # noqa: PLC0415
+
+    df = SRCH.tfidf_top_terms(t(spark, sf, "documents"), top_n=3)
+    return df.withColumn("term_rank", F.col("term_rank").cast("int"))
