@@ -876,3 +876,72 @@ def containment_pairs(
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+def segment_dedup_stats(
+    df: DataFrame,
+    *,
+    window: int = 8,
+    max_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate removal at SEGMENT granularity — the
+    CCNet/C4 "drop any line that repeats across the corpus" pass,
+    adapted to token windows (this corpus has no newlines): every
+    non-overlapping ``window``-token segment whose hash appears in
+    more than ``max_doc_freq`` documents is dropped from every
+    document that contains it.
+
+    Returns per-document stats
+    (doc_id, n_segs, n_dropped, kept_tokens, clean_fp) where
+    ``clean_fp`` is the md5 over the ordered kept-segment hashes —
+    the fingerprint of the cleaned document without the payload ever
+    riding the shuffle.
+
+    Scale shape (100 TB): segmentation is the zero-shuffle chunking
+    generator (text.chunk_documents with overlap=0); the document-
+    frequency aggregate shuffles (hash, doc) pairs keyed on the 32-byte
+    hash only; boilerplate hashes re-join the segment stream with a
+    LEFT ANTI join on the hash key (AQE broadcasts when the
+    boilerplate set is small, which it is by definition — segments
+    repeated across >max_doc_freq documents are the corpus's heavy
+    tail); reassembly is one per-document aggregate.  No payload
+    strings move after segmentation — only hashes and counts.
+    """
+    from .text import chunk_documents  # noqa: PLC0415 (cycle guard)
+
+    segs = chunk_documents(
+        df, chunk_size=window, overlap=0, text_col=text_col, id_col=id_col
+    )
+    freq = (
+        segs.select("chunk_hash", "doc_id")
+        .distinct()
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs_with_seg"))
+    )
+    boiler = freq.filter(F.col("n_docs_with_seg") > max_doc_freq).select("chunk_hash")
+    kept = segs.join(boiler, "chunk_hash", "left_anti")
+    per_kept = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chunk_tokens").alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk_id", "chunk_hash"))),
+                    lambda x: x["chunk_hash"],
+                ),
+                "",
+            )
+        ).alias("clean_fp"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return totals.join(per_kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_segs").cast("int").alias("n_segs"),
+        (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_dropped"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        F.coalesce(F.col("clean_fp"), F.md5(F.lit(""))).alias("clean_fp"),
+    )

@@ -1441,3 +1441,63 @@ def tfidf_top_terms_documents(spark: SparkSession, sf: str) -> DataFrame:
 
     df = SRCH.tfidf_top_terms(t(spark, sf, "documents"), top_n=3)
     return df.withColumn("term_rank", F.col("term_rank").cast("int"))
+
+
+# --------------------------------------------------------------------
+# Corpus boilerplate removal: segment-level dedup (CCNet/C4-style)
+# --------------------------------------------------------------------
+
+_SEG_W, _SEG_MAXDF = 8, 1
+
+_SEGDEDUP_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
+    ), c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST((n + {_SEG_W - 1}) // {_SEG_W}
+                                            AS INT) - 1)) AS chunk_id
+      FROM base
+    ), seg AS (
+      SELECT doc_id, chunk_id,
+             md5(array_to_string(toks[chunk_id * {_SEG_W} + 1 :
+                                      chunk_id * {_SEG_W} + {_SEG_W}], ' ')) AS h,
+             len(toks[chunk_id * {_SEG_W} + 1 :
+                      chunk_id * {_SEG_W} + {_SEG_W}]) AS ntk
+      FROM c
+    ), freq AS (
+      SELECT h, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY h
+    ), boiler AS (
+      SELECT h FROM freq WHERE nd > {_SEG_MAXDF}
+    ), kept AS (
+      SELECT seg.doc_id, seg.chunk_id, seg.h, seg.ntk
+      FROM seg ANTI JOIN boiler USING (h)
+    ), per_kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             CAST(SUM(ntk) AS BIGINT) AS kept_tokens,
+             md5(string_agg(h, '' ORDER BY chunk_id)) AS clean_fp
+      FROM kept GROUP BY doc_id
+    ), tot AS (
+      SELECT doc_id, COUNT(*) AS n_segs FROM seg GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_segs AS INTEGER) AS n_segs,
+           CAST(t.n_segs - COALESCE(k.n_kept, 0) AS INTEGER) AS n_dropped,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           COALESCE(k.clean_fp, md5('')) AS clean_fp
+    FROM tot t LEFT JOIN per_kept k USING (doc_id)
+    """
+
+
+@query("segment_dedup_documents", _SEGDEDUP_ORACLE, driver=False)
+def segment_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus boilerplate removal (operators/dedup.py
+    segment_dedup_stats): CCNet/C4-style cross-document repeated-
+    segment dropping over non-overlapping 8-token windows — any
+    segment present in more than one document is boilerplate.
+    Zero-shuffle segmentation, hash-keyed doc-frequency aggregate,
+    LEFT ANTI join back, per-document reassembly fingerprint."""
+    return D.segment_dedup_stats(
+        t(spark, sf, "documents"), window=_SEG_W, max_doc_freq=_SEG_MAXDF
+    )
