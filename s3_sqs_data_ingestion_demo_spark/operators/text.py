@@ -188,3 +188,68 @@ def chunk_documents(
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition quality signals — the Gopher-rule
+    family ("repetitious documents are low quality"): what fraction of
+    a document is its most common token / bigram, and how much of it
+    is repeated tokens at all.
+
+    Returns (doc_id, n_tokens, dup_token_fp4, top_token,
+    top_token_fp4, top_bigram_fp4): the ``_fp4`` columns are EXACT
+    fixed-point fractions ``(count * 10000) div total`` so
+    cross-engine comparison never touches float rounding.  The top
+    token ties break to the lexicographically-last token (struct-max
+    semantics, mirrored in the oracle's window tiebreak).
+
+    Scale shape (100 TB): two explode aggregates, each shuffling
+    (doc, gram) pairs with map-side partial counts; the per-document
+    roll-ups ride the same (doc) key; the token and bigram profiles
+    join 1:1 on doc_id.  No payload strings survive the first
+    aggregate — only grams and counts.
+    """
+    from .dedup import shingles  # noqa: PLC0415 (cycle guard)
+
+    toks = tokens(text_col)
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_stats = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max(F.struct("c", "tok")).alias("top"),
+    )
+    bf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(text_col, 2)).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_stats = bf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bg")
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "CAST((CAST(n_tokens AS BIGINT) - n_distinct) * 10000 "
+                "DIV n_tokens AS BIGINT)"
+            ).alias("dup_token_fp4"),
+            F.col("top.tok").alias("top_token"),
+            F.expr("CAST(top.c * 10000 DIV n_tokens AS BIGINT)").alias(
+                "top_token_fp4"
+            ),
+            F.coalesce(
+                F.expr("CAST(max_bg * 10000 DIV n_bigrams AS BIGINT)"), F.lit(0)
+            ).alias("top_bigram_fp4"),
+        )
+    )

@@ -1501,3 +1501,65 @@ def segment_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     return D.segment_dedup_stats(
         t(spark, sf, "documents"), window=_SEG_W, max_doc_freq=_SEG_MAXDF
     )
+
+
+# --------------------------------------------------------------------
+# Repetition quality signals (Gopher rules)
+# --------------------------------------------------------------------
+
+_REPSIG_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+      GROUP BY 1, 2
+    ), tok_stats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS INTEGER) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             MAX(c) AS max_c
+      FROM tf GROUP BY doc_id
+    ), top_tok AS (
+      SELECT doc_id, tok AS top_token
+      FROM (SELECT doc_id, tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, tok DESC) AS rn
+            FROM tf)
+      WHERE rn = 1
+    ), bg0 AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1]) END AS bgs
+      FROM tok
+    ), bf AS (
+      SELECT doc_id, bg, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(bgs) AS bg FROM bg0)
+      GROUP BY 1, 2
+    ), bg_stats AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS max_bg
+      FROM bf GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           CAST((s.n_tokens - s.n_distinct) * 10000 // s.n_tokens AS BIGINT)
+             AS dup_token_fp4,
+           tt.top_token,
+           CAST(s.max_c * 10000 // s.n_tokens AS BIGINT) AS top_token_fp4,
+           CAST(COALESCE(b.max_bg * 10000 // b.n_bigrams, 0) AS BIGINT)
+             AS top_bigram_fp4
+    FROM tok_stats s
+    JOIN top_tok tt USING (doc_id)
+    LEFT JOIN bg_stats b USING (doc_id)
+    """
+
+
+@query("repetition_signals_documents", _REPSIG_ORACLE, driver=False)
+def repetition_signals_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/text.py
+    repetition_signals): duplicate-token fraction, most-common-token
+    and most-common-bigram mass per document, all as exact
+    fixed-point integers — the repetition leg of quality filtering
+    that the length/punct/stopword profile (text_quality_documents)
+    doesn't cover."""
+    return X.repetition_signals(t(spark, sf, "documents"))

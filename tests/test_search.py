@@ -70,3 +70,18 @@ def test_bm25_topk_plan_shape(spark):
     docs = _docs(spark, [(i, f"spark text {i}") for i in range(20)])
     plan = SRCH.bm25_topk(docs, ("spark",), k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
+
+
+def test_repetition_signals_exact_fractions(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators import text as X
+
+    docs = _docs(spark, [(1, "a a a b"), (2, "x y")])
+    out = {r.doc_id: r for r in X.repetition_signals(docs).collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 4
+    assert r1.dup_token_fp4 == 5000  # (4 - 2 distinct) / 4
+    assert r1.top_token == "a" and r1.top_token_fp4 == 7500
+    assert r1.top_bigram_fp4 == 6666  # "a a" twice / 3 bigrams
+    r2 = out[2]
+    # tie on counts -> lexicographically-last token wins
+    assert r2.top_token == "y" and r2.top_bigram_fp4 == 10000
