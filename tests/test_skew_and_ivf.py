@@ -187,3 +187,41 @@ def test_lsh_matches_bruteforce_within_buckets(spark):
     # multi-table OR gives real recall; 2-plane × 6-table at cosine 0.7
     # collides w.p. ~1-(1-0.56)^6 ≈ 0.99 per pair
     assert len(lsh) >= 0.5 * len(exact) > 0
+
+
+def test_semantic_dedup_pairs_subset_of_exact_and_multiprobe_recall(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        semantic_dedup_pairs,
+    )
+
+    # two tight clusters + near-duplicate planted pairs inside each
+    vecs = []
+    for i in range(30):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        vecs.append([b + 0.01 * ((i * 7 + j) % 5) for j, b in enumerate(base)])
+    df = _vec_df(spark, vecs)
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in blocked_cosine_pairs(df, threshold=0.95, n_blocks=2).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in semantic_dedup_pairs(
+            df, k=2, iters=3, nprobe=1, threshold=0.95
+        ).collect()
+    }
+    # precision exact by construction: every pair is a true pair with
+    # its true (rounded) cosine
+    assert set(sem) <= set(exact)
+    assert all(exact[k] == v for k, v in sem.items())
+    # two clean clusters at k=2: within-cluster pairs are all found
+    assert len(sem) >= 0.9 * len(exact) > 0
+    # multi-probe can only add pairs, still without false positives
+    sem3 = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(
+            df, k=2, iters=3, nprobe=2, threshold=0.95
+        ).collect()
+    }
+    assert set(sem) <= sem3 <= set(exact)
