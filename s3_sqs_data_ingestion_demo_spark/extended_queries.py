@@ -424,6 +424,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
+    driver=False,
 )
 def q15_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q15-style: CTE reuse + scalar subquery against the same
@@ -587,6 +588,7 @@ def q_scalar_function_surface(spark: SparkSession, sf: str) -> DataFrame:
         WHERE l2.l_partkey = lineitem.l_partkey
       )
     """,
+    driver=False,
 )
 def q02_cheapest_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q2-style correlated MIN subquery, decorrelated into a
@@ -693,6 +695,7 @@ def q20_bulk_economy_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     FROM vol
     WHERE supp_value > (SELECT SUM(supp_value) * 0.001 FROM vol)
     """,
+    driver=False,
 )
 def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q11-style: aggregate reused both as rows and as a scalar

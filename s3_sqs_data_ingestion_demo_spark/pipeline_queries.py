@@ -1388,7 +1388,7 @@ _BM25_ORACLE = f"""
     """
 
 
-@query("bm25_search_documents", _BM25_ORACLE, driver=False)
+@query("bm25_search_documents", _BM25_ORACLE, driver=True, rank=20)
 def bm25_search_documents(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 keyword retrieval (operators/search.py bm25_topk): top-20
     documents for a fixed 3-term query, scored in EXACT integer
@@ -1429,7 +1429,7 @@ _TFIDF_ORACLE = f"""
     """
 
 
-@query("tfidf_top_terms_documents", _TFIDF_ORACLE, driver=False)
+@query("tfidf_top_terms_documents", _TFIDF_ORACLE, driver=True, rank=20)
 def tfidf_top_terms_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document top-3 characteristic terms by exact-integer TF-IDF
     (operators/search.py tfidf_top_terms): one (doc, term) explode
@@ -1490,7 +1490,7 @@ _SEGDEDUP_ORACLE = f"""
     """
 
 
-@query("segment_dedup_documents", _SEGDEDUP_ORACLE, driver=False)
+@query("segment_dedup_documents", _SEGDEDUP_ORACLE, driver=True, rank=20)
 def segment_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus boilerplate removal (operators/dedup.py
     segment_dedup_stats): CCNet/C4-style cross-document repeated-
@@ -1554,7 +1554,7 @@ _REPSIG_ORACLE = f"""
     """
 
 
-@query("repetition_signals_documents", _REPSIG_ORACLE, driver=False)
+@query("repetition_signals_documents", _REPSIG_ORACLE, driver=True, rank=20)
 def repetition_signals_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signals (operators/text.py
     repetition_signals): duplicate-token fraction, most-common-token
@@ -1594,7 +1594,7 @@ def _semantic_pairs(spark: SparkSession, sf: str) -> DataFrame:
            CAST(1 AS INTEGER)       AS recall_ge_06
     FROM exact_pairs
     """,
-    driver=False,
+    rank=30,
 )
 def semantic_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
     """Hard check for SemDeDup-style semantic dedup

@@ -163,6 +163,7 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24
     """,
+    driver=False,
 )
 def q06_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6-style: pure filter + global aggregate; all predicates
@@ -202,6 +203,7 @@ def q06_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
+    driver=False,
 )
 def q03_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3-style: selective dim filter → fact joins → top-k.
