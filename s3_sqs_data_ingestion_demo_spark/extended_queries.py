@@ -1644,3 +1644,58 @@ def q_resample_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("value_filled") * 10000.0).cast("long").alias("value_fp4"),
         "is_gap",
     )
+
+
+_EWMA_EXPR = (
+    "CAST(ROUND((((8 * v0 + COALESCE(4 * v1, CAST(0 AS DOUBLE))) "
+    "+ COALESCE(2 * v2, CAST(0 AS DOUBLE))) + COALESCE(v3, CAST(0 AS DOUBLE))) "
+    "/ CAST(((8 + CASE WHEN v1 IS NULL THEN 0 ELSE 4 END) "
+    "+ CASE WHEN v2 IS NULL THEN 0 ELSE 2 END) "
+    "+ CASE WHEN v3 IS NULL THEN 0 ELSE 1 END AS DOUBLE) "
+    "* 10000) AS BIGINT)"
+)
+
+
+@query(
+    "q_ewma_user_value",
+    f"""
+    WITH l AS (
+      SELECT user_id, event_id, value AS v0,
+             lag(value, 1) OVER w AS v1,
+             lag(value, 2) OVER w AS v2,
+             lag(value, 3) OVER w AS v3
+      FROM events
+      WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, {_EWMA_EXPR} AS ewma_fp4
+    FROM l
+    """,
+    driver=False,
+)
+def q_ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (truncated at 4
+    observations, alpha = 1/2): the smoothing pass of a metrics/
+    monitoring pipeline.  Dyadic weights (8/4/2/1) make every product
+    EXACT in IEEE double; the addition tree is explicitly
+    parenthesized and IDENTICAL in the Spark expression and the
+    oracle, so cross-engine results match to the bit before the final
+    fixed-point cast.  One shuffle on user_id serves all four lags
+    (shared window sort)."""
+    from pyspark.sql import Window as W
+
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf, "events").filter(F.col("user_id") < 50)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("v0"),
+            F.lag("value", 1).over(base).alias("v1"),
+            F.lag("value", 2).over(base).alias("v2"),
+            F.lag("value", 3).over(base).alias("v3"),
+        )
+        .select(
+            "user_id", "event_id", F.expr(_EWMA_EXPR).alias("ewma_fp4")
+        )
+    )
