@@ -1699,3 +1699,53 @@ def q_ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
             "user_id", "event_id", F.expr(_EWMA_EXPR).alias("ewma_fp4")
         )
     )
+
+
+@query(
+    "q_approx_quantile_check",
+    # GK-sketch quantiles are engine-specific (and merge-order
+    # sensitive), so the CHECKED columns are the exact percentiles plus
+    # within-tolerance flags, HLL-check style: the oracle asserts the
+    # flags are TRUE, so a broken sketch goes red while the comparison
+    # stays oracle-exact.  accuracy=1000 → rank error ≤ n/1000; on
+    # l_quantity (integers 1..50) that bounds the value error well
+    # inside ±1.
+    """
+    SELECT l_returnflag,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                AS BIGINT) AS exact_p50,
+           CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)
+                AS BIGINT) AS exact_p95,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_sketch_ok,
+           TRUE AS p95_sketch_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    driver=False,
+)
+def q_approx_quantile_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch) with a hard
+    exactness envelope: the mergeable quantile sketch you run at
+    100 TB where an exact percentile would sort every group, checked
+    against the exact discrete percentile computed in the same pass.
+    Same two-phase shape as the HLL check: the exact percentile runs
+    as its own aggregation, the sketch shares a partial-aggregating
+    pass, and the tiny per-group results broadcast-join."""
+    l = t(spark, sf, "lineitem")
+    exact = l.groupBy("l_returnflag").agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS BIGINT)").alias("exact_p50"),
+        F.expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity) AS BIGINT)").alias("exact_p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    approx = l.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("a50"),
+        F.expr("approx_percentile(l_quantity, 0.95, 1000)").alias("a95"),
+    )
+    return exact.join(F.broadcast(approx), "l_returnflag").select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p95",
+        "n",
+        (F.abs(F.col("a50") - F.col("exact_p50")) <= 1).alias("p50_sketch_ok"),
+        (F.abs(F.col("a95") - F.col("exact_p95")) <= 1).alias("p95_sketch_ok"),
+    )
