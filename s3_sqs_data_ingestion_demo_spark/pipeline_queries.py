@@ -1621,3 +1621,32 @@ def semantic_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
             .alias("recall_ge_06"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Approximate string join (FastSS deletion-neighborhood blocking)
+# --------------------------------------------------------------------
+
+@query(
+    "fuzzy_name_pairs_customers",
+    """
+    WITH c AS (SELECT DISTINCT c_name FROM customer)
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM c a JOIN c b ON a.c_name < b.c_name
+    WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    driver=False,
+)
+def fuzzy_name_pairs_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Typo-tolerant entity matching (operators/fuzzy.py
+    fuzzy_self_pairs): all customer-name pairs within edit distance 1
+    via FastSS deletion-neighborhood blocking + exact levenshtein
+    verify.  The oracle runs the quadratic definition; the engine
+    never does — candidates come only from shared deletion blocks."""
+    from .operators import fuzzy as FZ  # noqa: PLC0415
+
+    return FZ.fuzzy_self_pairs(t(spark, sf, "customer"), "c_name").withColumn(
+        "dist", F.col("dist").cast("int")
+    )

@@ -85,3 +85,43 @@ def test_repetition_signals_exact_fractions(spark):
     r2 = out[2]
     # tie on counts -> lexicographically-last token wins
     assert r2.top_token == "y" and r2.top_bigram_fp4 == 10000
+
+
+def test_fuzzy_self_pairs_blocking_equals_quadratic(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators import fuzzy as FZ
+
+    names = ["abc", "abd", "ab", "abcd", "xyz", "xzz", "totally-different"]
+    df = spark.createDataFrame([(n,) for n in names], "s string")
+    got = {
+        (r.name_a, r.name_b): r.dist
+        for r in FZ.fuzzy_self_pairs(df, "s").collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        tuple(sorted((a, b))): lev(a, b)
+        for a, b in itertools.combinations(names, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
+    # substitutions, insertions and deletions all present in the fixture
+    assert (("abc", "abd")) in got and (("ab", "abc")) in got
+
+
+def test_fuzzy_pairs_rejects_unsupported_distance(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators import fuzzy as FZ
+
+    df = spark.createDataFrame([("a",)], "s string")
+    try:
+        FZ.fuzzy_self_pairs(df, "s", max_dist=2)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
