@@ -1650,3 +1650,84 @@ def fuzzy_name_pairs_customers(spark: SparkSession, sf: str) -> DataFrame:
     return FZ.fuzzy_self_pairs(t(spark, sf, "customer"), "c_name").withColumn(
         "dist", F.col("dist").cast("int")
     )
+
+
+# --------------------------------------------------------------------
+# Corpus drift monitoring: token-distribution shift between cohorts
+# --------------------------------------------------------------------
+
+_DRIFT_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS cohort, unnest({_TOKS}) AS tok FROM documents
+    ), tf AS (
+      SELECT cohort, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT cohort, SUM(c) AS n FROM tf GROUP BY cohort
+    ), freq AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN cohort = 0 THEN c ELSE 0 END) AS BIGINT) AS count_a,
+             CAST(SUM(CASE WHEN cohort = 1 THEN c ELSE 0 END) AS BIGINT) AS count_b,
+             SUM(CASE WHEN cohort = 0 THEN c ELSE 0 END) * 1000000
+               // (SELECT n FROM tot WHERE cohort = 0) AS fa,
+             SUM(CASE WHEN cohort = 1 THEN c ELSE 0 END) * 1000000
+               // (SELECT n FROM tot WHERE cohort = 1) AS fb
+      FROM tf GROUP BY tok
+    )
+    SELECT tok, count_a, count_b,
+           CAST(abs(fa - fb) AS BIGINT) AS drift_fp6
+    FROM freq
+    ORDER BY drift_fp6 DESC, tok
+    LIMIT 20
+    """
+
+
+@query("token_drift_documents", _DRIFT_ORACLE, driver=False)
+def token_drift_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus drift monitoring: the top-20 tokens whose relative
+    frequency shifted most between two document cohorts (here doc_id
+    parity stands in for yesterday's vs today's crawl) — the
+    distribution-shift alarm a production training-data pipeline runs
+    on every ingest.  Frequencies are exact fixed-point parts-per-
+    million (integer ``div``), so the drift ranking is BIGINT-exact on
+    both engines; top-k carries the token tiebreak.
+
+    Scale shape: one (cohort, token) explode aggregate with map-side
+    partial counts; cohort totals are a 2-row broadcast; top-20 is a
+    TakeOrderedAndProject."""
+    d = t(spark, sf, "documents")
+    tf = (
+        d.select(
+            (F.col("doc_id") % 2).alias("cohort"),
+            F.explode(X.tokens("text")).alias("tok"),
+        )
+        .groupBy("cohort", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tf.groupBy("cohort").agg(F.sum("c").alias("n"))
+    na = tot.filter(F.col("cohort") == 0).select(F.col("n").alias("na"))
+    nb = tot.filter(F.col("cohort") == 1).select(F.col("n").alias("nb"))
+    freq = (
+        tf.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("cohort") == 0, F.col("c")).otherwise(0)).alias(
+                "count_a"
+            ),
+            F.sum(F.when(F.col("cohort") == 1, F.col("c")).otherwise(0)).alias(
+                "count_b"
+            ),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    return (
+        freq.select(
+            "tok",
+            "count_a",
+            "count_b",
+            F.abs(
+                F.expr("count_a * 1000000 DIV na") - F.expr("count_b * 1000000 DIV nb")
+            ).alias("drift_fp6"),
+        )
+        .orderBy(F.col("drift_fp6").desc(), "tok")
+        .limit(20)
+    )
