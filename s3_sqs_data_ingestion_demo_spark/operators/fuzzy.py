@@ -55,22 +55,27 @@ def fuzzy_self_pairs(
         raise ValueError(f"deletion-neighborhood blocking built for max_dist=1, got {max_dist}")
     vals = df.select(F.col(col).alias("s")).distinct()
     keyed = vals.select("s", F.explode(_del1_keys("s")).alias("k"))
-    ok = (
+    # Pair generation INSIDE grouped blocks (one shuffle of the keyed
+    # stream, no self-join, no separate bucket-count pass — the size
+    # filter and the pair explode read the same collected bucket); a
+    # hot block beyond ``max_bucket`` is dropped by the same filter.
+    # Verification runs BEFORE the dedup so the final distinct carries
+    # only true pairs (≈ output-sized), not the full candidate
+    # multiset.
+    buckets = (
         keyed.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") <= max_bucket)
-        .select("k")
+        .agg(F.collect_list("s").alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
     )
-    keyed = keyed.join(ok, "k")
-    cand = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), "k")
-        .filter(F.col("a.s") < F.col("b.s"))
-        .select(F.col("a.s").alias("name_a"), F.col("b.s").alias("name_b"))
+    return (
+        buckets.select(F.explode("members").alias("sa"), "members")
+        .select("sa", F.explode("members").alias("sb"))
+        .filter(F.col("sa") < F.col("sb"))
+        .select(
+            F.col("sa").alias("name_a"),
+            F.col("sb").alias("name_b"),
+            F.levenshtein(F.col("sa"), F.col("sb")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
         .distinct()
     )
-    return cand.select(
-        "name_a",
-        "name_b",
-        F.levenshtein("name_a", "name_b").alias("dist"),
-    ).filter(F.col("dist") <= max_dist)
