@@ -183,3 +183,20 @@ def test_kmv_no_cartesian_bounded_topk(spark):
     assert "CartesianProduct" not in p
     # the ALL row's union sketch comes from a bounded top-k, not a sort
     assert "TakeOrderedAndProject" in p
+
+
+def test_new_text_operators_no_sortmerge_and_bounded_topk(spark):
+    # BM25 / segment-dedup / drift: every join must broadcast (tiny
+    # stats / idf / boilerplate sides), top-k must be a
+    # TakeOrderedAndProject (never a full sort), nothing Python-side.
+    for name in (
+        "bm25_search_documents",
+        "segment_dedup_documents",
+        "token_drift_documents",
+        "repetition_signals_documents",
+    ):
+        tree = plan_of(spark, name).split("\n\n")[0]
+        assert "SortMergeJoin" not in tree, name
+        assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree, name
+    for name in ("bm25_search_documents", "token_drift_documents"):
+        assert "TakeOrderedAndProject" in plan_of(spark, name).split("\n\n")[0], name
