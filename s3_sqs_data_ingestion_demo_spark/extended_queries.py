@@ -1749,3 +1749,66 @@ def q_approx_quantile_check(spark: SparkSession, sf: str) -> DataFrame:
         (F.abs(F.col("a50") - F.col("exact_p50")) <= 1).alias("p50_sketch_ok"),
         (F.abs(F.col("a95") - F.col("exact_p95")) <= 1).alias("p95_sketch_ok"),
     )
+
+
+@query(
+    "q_mad_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                  AS BIGINT) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+      SELECT l.l_returnflag, m.med,
+             abs(l.l_quantity - m.med) AS d
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           CAST(MIN(med) AS BIGINT) AS med,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT) AS mad,
+           CAST(SUM(CASE WHEN d > 3 * (SELECT percentile_disc(0.5)
+                                              WITHIN GROUP (ORDER BY d2.d)
+                                       FROM dev d2
+                                       WHERE d2.l_returnflag = dev.l_returnflag)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev GROUP BY l_returnflag
+    """,
+    driver=False,
+)
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation
+    on integer quantities — every statistic (median, MAD, the 3-MAD
+    fence) is an EXACT integer via ``percentile_disc``, so the flag
+    counts are oracle-exact with no float anywhere.
+
+    Scale shape: two grouped aggregations over the fact table with a
+    3-row broadcast join between them (medians per group, then
+    deviations + MAD + fence counts); no window over the fact, no
+    sort — ``percentile_disc`` aggregates partially per partition."""
+    l = t(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    med = l.groupBy("l_returnflag").agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS BIGINT)"
+        ).alias("med")
+    )
+    dev = l.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "med", F.abs(F.col("l_quantity") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT)").alias(
+            "mad"
+        )
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum((F.col("d") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "med", "mad", "n_outliers", "n")
+    )
