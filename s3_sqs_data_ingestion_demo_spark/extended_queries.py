@@ -1812,3 +1812,32 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("l_returnflag", "med", "mad", "n_outliers", "n")
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_orders", _PROFILE_ORACLE, driver=False)
+def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column table profile (operators/quality_checks.py
+    profile_table): row/null/distinct counts for every column of
+    ``orders`` — completeness and cardinality monitoring, all
+    integer-exact."""
+    from .operators.quality_checks import profile_table
+
+    return profile_table(t(spark, sf, "orders"), _PROFILE_COLS)

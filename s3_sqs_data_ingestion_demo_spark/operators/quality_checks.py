@@ -144,3 +144,34 @@ def check_constraints(
     if not parts:
         return spark.createDataFrame([], "rule_id string, n_violations long")
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def profile_table(df, columns=None):
+    """Generic per-column data profile: (column, n_rows, n_null,
+    n_distinct) — the schema-drift / completeness report a pipeline
+    runs on every new table version.
+
+    Scale shape: one two-phase aggregation PER COLUMN over a
+    single-column projection (column-pruned scan, map-side partials),
+    results unioned — deliberately NOT one multi-distinct aggregate,
+    which Catalyst plans as an Expand that replicates every row once
+    per distinct column (measured 36 s vs ~1 s on two distincts at
+    sf0.1, see q_approx_distinct_sketch's docstring).  k cheap
+    column-pruned passes ≈ one full-table pass in scanned bytes.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    cols = list(columns) if columns is not None else df.columns
+    parts = []
+    for c in cols:
+        one = df.select(F.col(c).alias("v")).agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+            F.countDistinct("v").alias("n_distinct"),
+        )
+        parts.append(one)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
