@@ -208,3 +208,17 @@ def test_append_tag_idempotency_probe(spark, tmp_path):
     if not src.has_commit_tag("b1"):
         src.append(_rows(spark, [(1, "a", 1)]), tag="b1")
     assert src.read().count() == 1
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators.quality_checks import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k int, v string",
+    )
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_null == 1 and out["k"].n_distinct == 3
+    assert out["v"].n_rows == 4 and out["v"].n_null == 1 and out["v"].n_distinct == 2
