@@ -1841,3 +1841,57 @@ def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.quality_checks import profile_table
 
     return profile_table(t(spark, sf, "orders"), _PROFILE_COLS)
+
+
+_FK_EDGES = (
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+_REF_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{child}.{fk} -> {parent}.{pk}' AS edge,
+           CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM {child} c ANTI JOIN {parent} p ON c.{fk} = p.{pk}
+    """
+    for child, fk, parent, pk in _FK_EDGES
+)
+
+
+@query("q_referential_scorecard", _REF_ORACLE, driver=False)
+def q_referential_scorecard(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity scorecard across the whole star schema:
+    one row per foreign-key edge with child cardinality and orphan
+    count — the cross-table conformance report the per-table
+    constraint gate (operators/quality_checks.py) doesn't cover.
+
+    Scale shape: each edge is ONE left-anti join; dimension parents
+    broadcast, the two fact-to-fact edges (lineitem→orders) are
+    key-projected before the shuffle so only the join keys move; the
+    seven 1-row aggregates union into the report."""
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = t(spark, sf, child).select(F.col(fk))
+        p = t(spark, sf, parent).select(F.col(pk))
+        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = (
+            c.join(p, c[fk] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(F.broadcast(n_child))
+            .select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("edge"),
+                F.col("n_child"),
+                F.col("n_orphans"),
+            )
+        )
+        parts.append(orphans)
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
