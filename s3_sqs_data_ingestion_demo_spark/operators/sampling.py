@@ -301,3 +301,22 @@ def export_order(
         .sortWithinPartitions("_ord", id_col)
         .drop("_ord")
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    score_col: str | Column,
+    id_col: str = "doc_id",
+    salt: str = "is",
+) -> DataFrame:
+    """Deterministic probability-proportional-to-quality thinning:
+    keep each row with probability ``score`` (in [0, 1]) by comparing
+    the salted-md5 uniform variate of its id against the score —
+    the curriculum/quality-weighted downsampling pass of a
+    training-data pipeline, with NO rand(): reproducible under
+    repartition, retry, and engine swap.
+
+    Scale: a pure filter projection — zero shuffles at any size.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    return df.filter(uniform_hash(id_col, salt) < s)

@@ -1731,3 +1731,36 @@ def token_drift_documents(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("drift_fp6").desc(), "tok")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# Quality-weighted (importance) sampling
+# --------------------------------------------------------------------
+
+_IS_SALT = "is"
+
+_IMPORTANCE_ORACLE = f"""
+    SELECT doc_id,
+           ROUND({_uh_sql("COALESCE(text, '')", _MODEL_SALT)}, 4) + 0.0
+             AS model_score
+    FROM documents
+    WHERE {_uh_sql("doc_id", _IS_SALT)}
+        < {_uh_sql("COALESCE(text, '')", _MODEL_SALT)}
+    """
+
+
+@query("importance_sample_documents", _IMPORTANCE_ORACLE, driver=False)
+def importance_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted corpus thinning (operators/sampling.py
+    importance_sample): keep each document with probability equal to
+    its model score — both the score and the keep-variate are exact
+    dyadic salted-md5 fractions, so the kept SET is deterministic and
+    engine-exact.  Zero-shuffle filter projection."""
+    from .operators.inference import model_score  # noqa: PLC0415
+    from .operators.sampling import importance_sample  # noqa: PLC0415
+
+    scored = model_score(t(spark, sf, "documents"), salt=_MODEL_SALT)
+    return importance_sample(scored, "model_score", salt=_IS_SALT).select(
+        "doc_id",
+        (F.round("model_score", 4) + F.lit(0.0)).alias("model_score"),
+    )
