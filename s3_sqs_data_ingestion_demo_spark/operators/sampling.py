@@ -320,3 +320,74 @@ def importance_sample(
     """
     s = F.col(score_col) if isinstance(score_col, str) else score_col
     return df.filter(uniform_hash(id_col, salt) < s)
+
+
+def negative_samples(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    export: each anchor row draws ``k`` pseudo-random negatives from
+    the corpus, reproducibly (no rand(), stable under repartition and
+    engine swap).
+
+    Design — NO global rank, NO global sort: the corpus hashes into
+    ``n_buckets`` buckets (salted-md5, portable), each bucket is
+    represented by its min-id member (one aggregate), and anchor × j
+    picks bucket ``h(anchor, j) mod n_buckets`` from the broadcast
+    pool.  A 100 TB corpus pays one bucket aggregate and a map-side
+    join of the (bounded) pool; anchors never shuffle.  Negatives are
+    pool representatives, which is exactly what large-batch
+    contrastive samplers do (the pool refreshes with the salt).
+
+    Returns (anchor_id, j, negative_id), self-pairs dropped.
+    """
+    h_pool = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}-pool"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    pool = (
+        df.select(F.col(id_col).alias("negative_id"), h_pool.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.min("negative_id").alias("negative_id"))
+    )
+    anchors = df.select(F.col(id_col).alias("anchor_id")).select(
+        "anchor_id", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+    )
+    h_sel = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                        F.lit(f":{salt}-sel"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    return (
+        anchors.withColumn("bucket", h_sel)
+        .join(F.broadcast(pool), "bucket")
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .select("anchor_id", "j", "negative_id")
+    )

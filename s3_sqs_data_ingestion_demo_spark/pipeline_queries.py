@@ -1764,3 +1764,41 @@ def importance_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         (F.round("model_score", 4) + F.lit(0.0)).alias("model_score"),
     )
+
+
+# --------------------------------------------------------------------
+# Contrastive negative sampling
+# --------------------------------------------------------------------
+
+_NEG_SALT, _NEG_K, _NEG_B = "neg", 4, 64
+
+_NEG_ORACLE = f"""
+    WITH pool AS (
+      SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{_NEG_SALT}-pool'), 1, 15))::UBIGINT
+               % {_NEG_B} AS bucket,
+             MIN(doc_id) AS negative_id
+      FROM documents GROUP BY 1
+    ), anchors AS (
+      SELECT doc_id AS anchor_id, CAST(j AS INTEGER) AS j,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+                                    || ':{_NEG_SALT}-sel'), 1, 15))::UBIGINT
+               % {_NEG_B} AS bucket
+      FROM documents, unnest(generate_series(1, {_NEG_K})) AS u(j)
+    )
+    SELECT anchor_id, j, negative_id
+    FROM anchors JOIN pool USING (bucket)
+    WHERE negative_id <> anchor_id
+    """
+
+
+@query("contrastive_negatives_documents", _NEG_ORACLE, driver=False)
+def contrastive_negatives_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive-training negative sampling (operators/sampling.py
+    negative_samples): k=4 deterministic negatives per anchor from a
+    bucket-representative pool — no rand(), no global rank/sort, the
+    pool broadcast so anchors never shuffle."""
+    from .operators.sampling import negative_samples  # noqa: PLC0415
+
+    return negative_samples(
+        t(spark, sf, "documents"), k=_NEG_K, n_buckets=_NEG_B, salt=_NEG_SALT
+    )
