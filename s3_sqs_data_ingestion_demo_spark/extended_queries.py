@@ -1895,3 +1895,48 @@ def q_referential_scorecard(spark: SparkSession, sf: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionByName(x)
     return out
+
+
+@query(
+    "q_trending_event_types",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT hour, event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY hour
+                                ORDER BY c DESC, event_type) AS rnk
+      FROM hourly
+    )
+    SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(rnk AS INTEGER) AS rnk, event_type, CAST(c AS BIGINT) AS c
+    FROM ranked WHERE rnk <= 3
+    """,
+    driver=False,
+)
+def q_trending_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Trending-items report: top-3 event types per hour (grouped
+    counts + bounded per-hour ranking window, deterministic
+    tiebreak) — the batch form of a streaming trending dashboard.
+    One (hour, type) aggregate with map-side partials; the ranking
+    window partitions by hour, so no global sort."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = t(spark, sf, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("hour_ts").orderBy(F.col("c").desc(), "event_type")
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "rnk",
+            "event_type",
+            "c",
+        )
+    )

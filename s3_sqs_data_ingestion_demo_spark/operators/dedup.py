@@ -945,3 +945,50 @@ def segment_dedup_stats(
         F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
         F.coalesce(F.col("clean_fp"), F.md5(F.lit(""))).alias("clean_fp"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a document's
+    distinct shingles appear in NO other document — the "how much of
+    this is new content" signal that complements the near-dup family
+    (a doc can evade pairwise dedup yet contribute almost nothing
+    novel).
+
+    Returns (doc_id, n_sh, n_novel, novelty_fp4) with the fraction as
+    exact fixed-point ``(novel * 10000) div n_sh``.
+
+    Scale shape: the shared persisted shingle base feeds one
+    (shingle → doc-count) aggregate keyed on the shingle; uniquely-
+    owned shingles flow back through the same exploded stream with a
+    map-side-combined per-doc count.  Payload strings never move —
+    only shingles and counts shuffle.  Docs with fewer than ``n``
+    tokens have no shingles and drop from the report (they carry no
+    n-gram evidence either way).
+    """
+    base = _shingle_base_cached(df, text_col, id_col, n)
+    sh = base.select("id", F.explode("shs").alias("shingle"))
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_docs"))
+    novel = (
+        sh.join(counts.filter(F.col("_docs") == 1), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        base.select("id", "n_sh")
+        .filter(F.col("n_sh") > 0)
+        .join(novel, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_sh").cast("int").alias("n_sh"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("int").alias("n_novel"),
+            F.coalesce(
+                F.expr("CAST(n_novel * 10000 DIV n_sh AS BIGINT)"), F.lit(0)
+            ).alias("novelty_fp4"),
+        )
+    )

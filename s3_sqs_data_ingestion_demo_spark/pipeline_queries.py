@@ -1802,3 +1802,38 @@ def contrastive_negatives_documents(spark: SparkSession, sf: str) -> DataFrame:
     return negative_samples(
         t(spark, sf, "documents"), k=_NEG_K, n_buckets=_NEG_B, salt=_NEG_SALT
     )
+
+
+# --------------------------------------------------------------------
+# N-gram novelty (unique-content fraction)
+# --------------------------------------------------------------------
+
+_NOVELTY_ORACLE = (
+    _SHINGLE_CTE
+    + """
+    , counts AS (
+      SELECT shingle, COUNT(*) AS dcount FROM sh GROUP BY shingle
+    ), novel AS (
+      SELECT sh.id, COUNT(*) AS n_novel
+      FROM sh JOIN counts USING (shingle)
+      WHERE counts.dcount = 1
+      GROUP BY sh.id
+    )
+    SELECT s.id AS doc_id,
+           CAST(s.n_sh AS INTEGER) AS n_sh,
+           CAST(COALESCE(n.n_novel, 0) AS INTEGER) AS n_novel,
+           CAST(COALESCE(n.n_novel * 10000 // s.n_sh, 0) AS BIGINT)
+             AS novelty_fp4
+    FROM sizes s LEFT JOIN novel n USING (id)
+    """
+)
+
+
+@query("ngram_novelty_documents", _NOVELTY_ORACLE, driver=False)
+def ngram_novelty_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Unique-content fraction per document (operators/dedup.py
+    ngram_novelty): the share of a doc's distinct 3-gram shingles
+    found nowhere else in the corpus, exact fixed-point — the
+    contribution signal pairwise near-dup misses.  Shares the cached
+    shingle base with the whole dedup family."""
+    return D.ngram_novelty(t(spark, sf, "documents"))
