@@ -131,6 +131,7 @@ def q_asof_next_click_within_2h(spark: SparkSession, sf: str) -> DataFrame:
      AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
     GROUP BY p.event_id, p.user_id
     """,
+    driver=False,
 )
 def q_range_clicks_after_purchase(spark: SparkSession, sf: str) -> DataFrame:
     """Range (bounded-interval) join: clicks within 10 minutes after
@@ -463,6 +464,7 @@ def q15_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
            TRUE AS orders_sketch_ok
     FROM lineitem GROUP BY l_returnflag
     """,
+    driver=False,
 )
 def q_approx_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate distinct counting (HyperLogLog++): the mergeable
@@ -1775,7 +1777,8 @@ def q_approx_quantile_check(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n
     FROM dev GROUP BY l_returnflag
     """,
-    driver=False,
+    driver=True,
+    rank=20,
 )
 def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Robust outlier detection per group: median absolute deviation

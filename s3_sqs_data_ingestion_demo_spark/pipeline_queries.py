@@ -176,6 +176,7 @@ SELECT doc_id_a, doc_id_b, jaccard FROM pairs
 @query(
     "jaccard_near_dup_documents",
     _SHINGLE_CTE + _JACCARD_TAIL.format(max_freq=100, threshold=0.12),
+    driver=False,
 )
 def jaccard_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """3-gram-shingle Jaccard near-dup: co-shingle bucket join (LSH-lite
@@ -342,6 +343,7 @@ def q_array_function_surface(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY n_occurrences DESC, bigram
     LIMIT 25
     """,
+    driver=False,
 )
 def q_top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus bigram frequency profile (top 25): shingle explode →
@@ -1637,7 +1639,8 @@ def semantic_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
     WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
       AND levenshtein(a.c_name, b.c_name) <= 1
     """,
-    driver=False,
+    driver=True,
+    rank=20,
 )
 def fuzzy_name_pairs_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Typo-tolerant entity matching (operators/fuzzy.py
@@ -1681,7 +1684,7 @@ _DRIFT_ORACLE = f"""
     """
 
 
-@query("token_drift_documents", _DRIFT_ORACLE, driver=False)
+@query("token_drift_documents", _DRIFT_ORACLE, driver=True, rank=20)
 def token_drift_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus drift monitoring: the top-20 tokens whose relative
     frequency shifted most between two document cohorts (here doc_id
@@ -1829,7 +1832,7 @@ _NOVELTY_ORACLE = (
 )
 
 
-@query("ngram_novelty_documents", _NOVELTY_ORACLE, driver=False)
+@query("ngram_novelty_documents", _NOVELTY_ORACLE, driver=True, rank=20)
 def ngram_novelty_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Unique-content fraction per document (operators/dedup.py
     ngram_novelty): the share of a doc's distinct 3-gram shingles
