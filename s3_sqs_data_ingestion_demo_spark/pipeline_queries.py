@@ -1840,3 +1840,103 @@ def ngram_novelty_documents(spark: SparkSession, sf: str) -> DataFrame:
     contribution signal pairwise near-dup misses.  Shares the cached
     shingle base with the whole dedup family."""
     return D.ngram_novelty(t(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------
+# Hybrid retrieval: BM25 candidates re-ranked by embedding cosine
+# --------------------------------------------------------------------
+
+_HYBRID_QVEC = 0  # query vector = embedding of doc 0
+_HYBRID_CANDS, _HYBRID_K = 50, 10
+
+_HYBRID_ORACLE = f"""
+    WITH dl0 AS (
+      SELECT doc_id, len({_TOKS}) AS dl, {_TOKS} AS tk FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl0
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dl0)
+      WHERE term IN ({_in_list(_BM25_TERMS)})
+      GROUP BY 1, 2, 3
+    ), dft AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term,
+             CAST(FLOOR(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * 1000000 + 0.5) AS BIGINT) AS idf_u
+      FROM dft, stats
+    ), scored AS (
+      SELECT tf.doc_id,
+             (idf_u * (36 * tf * total_dl))
+               // (16 * tf * total_dl + 5 * total_dl + 15 * dl * n_docs)
+               AS term_score_u
+      FROM tf JOIN idf USING (term), stats
+    ), cands AS (
+      SELECT doc_id, CAST(SUM(term_score_u) AS BIGINT) AS score_u
+      FROM scored GROUP BY doc_id
+      ORDER BY score_u DESC, doc_id
+      LIMIT {_HYBRID_CANDS}
+    ), vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), qv AS (
+      SELECT e AS qe, nrm AS qn FROM vecs WHERE vec_id = {_HYBRID_QVEC}
+    ), rer AS (
+      SELECT c.doc_id, c.score_u,
+             ROUND(list_dot_product(v.e, qv.qe) / (v.nrm * qv.qn), 4) + 0.0
+               AS cosine_sim
+      FROM cands c JOIN vecs v ON v.vec_id = c.doc_id, qv
+    )
+    SELECT doc_id, score_u, cosine_sim,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM rer
+    ORDER BY rank
+    LIMIT {_HYBRID_K}
+    """
+
+
+@query("hybrid_search_documents", _HYBRID_ORACLE, driver=False)
+def hybrid_search_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-serving shape: BM25 keyword
+    candidates (exact-integer scores, operators/search.py) re-ranked
+    by embedding cosine against a query vector.  The candidate set is
+    bounded (50), so the re-rank joins a TINY relation against the
+    embedding table on its key and the query vector broadcasts; norms
+    ride as separate columns so the float operation order matches the
+    oracle exactly (the cosine_topk convention)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from .operators import search as SRCH  # noqa: PLC0415
+    from .operators.similarity import _dvec, dot, norm  # noqa: PLC0415
+
+    cands = SRCH.bm25_topk(
+        t(spark, sf, "documents"), _BM25_TERMS, k=_HYBRID_CANDS
+    ).select("doc_id", "score_u")
+    emb = t(spark, sf, "embeddings").select(
+        F.col("vec_id"), _dvec("embedding").alias("_e")
+    ).withColumn("_n", norm(F.col("_e")))
+    qv = (
+        emb.filter(F.col("vec_id") == _HYBRID_QVEC)
+        .select(F.col("_e").alias("_qe"), F.col("_n").alias("_qn"))
+    )
+    rer = (
+        cands.join(emb, cands["doc_id"] == emb["vec_id"])
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "score_u",
+            (
+                F.round(dot(F.col("_e"), F.col("_qe")) / (F.col("_n") * F.col("_qn")), 4)
+                + F.lit(0.0)
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cosine_sim").desc(), F.col("doc_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HYBRID_K)
+        .select("doc_id", "score_u", "cosine_sim", "rank")
+    )
