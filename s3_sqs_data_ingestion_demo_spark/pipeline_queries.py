@@ -1940,3 +1940,30 @@ def hybrid_search_documents(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= _HYBRID_K)
         .select("doc_id", "score_u", "cosine_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------
+# Language-ID confusion matrix (label-agreement audit)
+# --------------------------------------------------------------------
+
+_LANGCONF_ORACLE = f"""
+    SELECT lang, {_langid_case()} AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """
+
+
+@query("q_langid_confusion", _LANGCONF_ORACLE, driver=False)
+def q_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-agreement audit: confusion matrix between the declared
+    ``lang`` column and the marker-based language-ID prediction
+    (operators/text.py lang_id) — the systematic-mislabel detector a
+    multilingual pipeline runs before trusting source metadata.
+    One projection + one (lang, pred) aggregate."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select("lang", X.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
