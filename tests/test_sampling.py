@@ -215,3 +215,46 @@ def test_contamination_flags_benchmark_members(spark, docs):
     # every doc with shingles is scored, ratios in [0, 1]
     assert all(0.0 <= r.overlap_ratio <= 1.0 for r in rows.values())
     assert any(r.contaminated == 0 for r in rows.values())
+
+
+def test_importance_sample_is_deterministic_and_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from s3_sqs_data_ingestion_demo_spark.operators.sampling import (
+        importance_sample,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100 / 100.0).alias("s")
+    )
+    kept = importance_sample(df, "s").select("doc_id")
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in importance_sample(df.repartition(13), "s").collect()}
+    assert a == b  # stable under repartition
+    # rows with score 0 can never survive; expected keep-rate ~ mean(s)
+    zero = {r.doc_id for r in df.filter("s = 0.0").collect()}
+    assert not (a & zero)
+    assert 0.3 < len(a) / 2000 < 0.7  # mean score 0.495
+
+
+def test_negative_samples_shape_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from s3_sqs_data_ingestion_demo_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    out = negative_samples(df, k=3, n_buckets=16)
+    rows = out.collect()
+    # every row is a valid (anchor, j, negative) with negative != anchor
+    assert all(1 <= r.j <= 3 and r.negative_id != r.anchor_id for r in rows)
+    # near-complete coverage: an anchor loses a draw only when it IS the
+    # bucket representative it drew
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r.anchor_id, set()).add(r.j)
+    assert len(per_anchor) == 300
+    assert sum(len(v) for v in per_anchor.values()) >= 300 * 3 * 0.9
+    again = negative_samples(df.repartition(7), k=3, n_buckets=16).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
