@@ -1967,3 +1967,55 @@ def q_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------
+# Retrieval-quality evaluation: MRR of the IVF index vs exact top-1
+# --------------------------------------------------------------------
+
+@query(
+    "ivf_mrr_check",
+    # The IVF ranking itself is engine-specific (cell assignment flips
+    # on float boundaries), so the CHECKED columns follow the recall-
+    # check contract: the query-set cardinality is oracle-exact and the
+    # MRR floor flag must be TRUE — a broken index drops the flag.
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS mrr_ge_half
+    FROM embeddings WHERE vec_id < 10
+    """,
+    driver=False,
+)
+def ivf_mrr_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval-quality evaluation harness: mean reciprocal rank of
+    the exact top-1 neighbor within the IVF index's top-5 — the
+    eval loop a production ANN deployment runs after each index
+    rebuild.  Reciprocal ranks are exact integers (10000 div rank)
+    averaged with integer division; the session-memoized k-means
+    centroids and the cached exact ground truth are shared with the
+    other similarity queries, so this adds one bounded join."""
+    e = t(spark, sf, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10)
+    cents = S.kmeans_fit_cached(e, k=16, iters=3)
+    ivf = S.ivf_topk(queries_df, e, cents, k=5, nprobe=2)
+    gt1 = (
+        _exact_topk5(spark, sf)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("true_nb"))
+    )
+    rr = (
+        gt1.join(
+            ivf.select("query_id", "neighbor_id", F.col("rank").alias("ivf_rank")),
+            (gt1["query_id"] == ivf["query_id"])
+            & (gt1["true_nb"] == ivf["neighbor_id"]),
+            "left",
+        )
+        .select(
+            gt1["query_id"],
+            F.coalesce(F.expr("10000 DIV ivf_rank"), F.lit(0)).alias("rr_fp4"),
+        )
+    )
+    return rr.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.expr("SUM(rr_fp4) DIV COUNT(*)") >= 5000).alias("mrr_ge_half"),
+    )
