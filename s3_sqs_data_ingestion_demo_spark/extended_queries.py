@@ -1943,3 +1943,54 @@ def q_trending_event_types(spark: SparkSession, sf: str) -> DataFrame:
             "c",
         )
     )
+
+
+@query(
+    "q_multiset_set_ops",
+    """
+    WITH hi AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ), lo AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    ), ex AS (
+      SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM lo
+    ), ix AS (
+      SELECT o_custkey FROM hi INTERSECT ALL SELECT o_custkey FROM lo
+    )
+    SELECT 'except_all' AS op,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) AS key_sum
+    FROM ex
+    UNION ALL
+    SELECT 'intersect_all' AS op,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) AS key_sum
+    FROM ix
+    """,
+    driver=False,
+)
+def q_multiset_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset set operations (EXCEPT ALL / INTERSECT ALL): bag
+    semantics preserve duplicate cardinalities — the remaining leg of
+    the set-op surface beyond the DISTINCT-semantics intersect/except
+    queries.  Catalyst plans both as a single aggregate producing
+    per-key min/diff counts + generate — one shuffle each; the
+    checksum keeps the compared output row-bounded."""
+    o = t(spark, sf, "orders")
+    hi = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_custkey"
+    )
+    lo = o.filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_custkey"
+    )
+
+    def _summ(df, tag):
+        return df.agg(
+            F.lit(tag).alias("op"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("o_custkey"), F.lit(0)).cast("long").alias("key_sum"),
+        )
+
+    return _summ(hi.exceptAll(lo), "except_all").unionByName(
+        _summ(hi.intersectAll(lo), "intersect_all")
+    )
