@@ -200,3 +200,16 @@ def test_new_text_operators_no_sortmerge_and_bounded_topk(spark):
         assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree, name
     for name in ("bm25_search_documents", "token_drift_documents"):
         assert "TakeOrderedAndProject" in plan_of(spark, name).split("\n\n")[0], name
+
+
+def test_fuzzy_pairs_plan_has_no_join(spark):
+    # candidates are generated inside grouped blocks: the whole plan is
+    # explode -> aggregate -> explode, with no join operator at all
+    tree = plan_of(spark, "fuzzy_name_pairs_customers").split("\n\n")[0]
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_multiset_ops_single_shuffle_each(spark):
+    tree = plan_of(spark, "q_multiset_set_ops").split("\n\n")[0]
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoop" not in tree
