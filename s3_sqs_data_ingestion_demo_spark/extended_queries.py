@@ -1994,3 +1994,55 @@ def q_multiset_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     return _summ(hi.exceptAll(lo), "except_all").unionByName(
         _summ(hi.intersectAll(lo), "intersect_all")
     )
+
+
+@query(
+    "q_datetime_function_surface",
+    """
+    SELECT event_id,
+           CAST(quarter(ts) AS INTEGER)                    AS q,
+           CAST(hour(ts) AS INTEGER)                       AS h,
+           CAST(minute(ts) AS INTEGER)                     AS mi,
+           CAST(date_part('second', ts) AS INTEGER)        AS s,
+           CAST(dayofweek(ts) + 1 AS INTEGER)              AS dow,
+           CAST(week(ts) AS INTEGER)                       AS iso_week,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                AS INTEGER)                                AS days_since_2024,
+           strftime(CAST(ts AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d')
+                                                           AS plus_2_months,
+           strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('week', ts), '%Y-%m-%d')     AS week_start
+    FROM events WHERE user_id < 5
+    """,
+    driver=False,
+)
+def q_datetime_function_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The datetime scalar surface in one query: quarter/hour/minute/
+    second extraction, day-of-week (Spark's 1=Sunday convention,
+    mirrored in the oracle by shifting DuckDB's 0=Sunday), ISO week,
+    day arithmetic, end-of-month-clamped month addition, last_day,
+    and Monday-start week truncation — all formatted to strings or
+    integers so the comparison is format-exact.  Pure projection;
+    zero shuffles."""
+    e = t(spark, sf, "events").filter(F.col("user_id") < 5)
+    return e.select(
+        "event_id",
+        F.quarter("ts").alias("q"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("s"),
+        F.dayofweek("ts").alias("dow"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_2024"
+        ),
+        F.date_format(F.add_months(F.col("ts").cast("date"), 2), "yyyy-MM-dd").alias(
+            "plus_2_months"
+        ),
+        F.date_format(F.last_day(F.col("ts").cast("date")), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+    )
