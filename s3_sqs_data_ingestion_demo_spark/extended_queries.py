@@ -2046,3 +2046,64 @@ def q_datetime_function_surface(spark: SparkSession, sf: str) -> DataFrame:
             "week_start"
         ),
     )
+
+
+@query(
+    "q_full_outer_reconciliation",
+    """
+    WITH a AS (
+      SELECT o_custkey, COUNT(*) AS n_a FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o_custkey
+    ), b AS (
+      SELECT o_custkey, COUNT(*) AS n_b FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    ), j AS (
+      SELECT COALESCE(a.o_custkey, b.o_custkey) AS k, n_a, n_b
+      FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    )
+    SELECT CAST(SUM(CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN n_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_only_1996,
+           CAST(SUM(CASE WHEN n_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_only_1997,
+           CAST(COALESCE(SUM(n_a), 0) AS BIGINT) AS orders_1996,
+           CAST(COALESCE(SUM(n_b), 0) AS BIGINT) AS orders_1997
+    FROM j
+    """,
+    driver=False,
+)
+def q_full_outer_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER JOIN reconciliation — the remaining join type of the
+    §2.3 surface: customers' order activity in 1996 vs 1997, keys
+    alive in either period surviving the join, summarized to
+    integer-exact presence/volume counts.  Two pre-aggregates shrink
+    the fact table to per-key counts BEFORE the outer join (a full
+    outer join of raw facts would shuffle everything; of aggregates,
+    only distinct keys)."""
+    o = t(spark, sf, "orders")
+
+    def period(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.to_timestamp(F.lit(f"{y}-01-01 00:00:00")))
+                & (F.col("o_orderdate") < F.to_timestamp(F.lit(f"{y + 1}-01-01 00:00:00")))
+            )
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(f"n_{y}"))
+        )
+
+    j = period(1996).join(period(1997), "o_custkey", "full_outer")
+    return j.agg(
+        F.sum(
+            (F.col("n_1996").isNotNull() & F.col("n_1997").isNotNull()).cast("long")
+        ).alias("n_both"),
+        F.sum(F.col("n_1997").isNull().cast("long")).alias("n_only_1996"),
+        F.sum(F.col("n_1996").isNull().cast("long")).alias("n_only_1997"),
+        F.coalesce(F.sum("n_1996"), F.lit(0)).cast("long").alias("orders_1996"),
+        F.coalesce(F.sum("n_1997"), F.lit(0)).cast("long").alias("orders_1997"),
+    )
