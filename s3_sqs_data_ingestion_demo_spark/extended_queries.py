@@ -2107,3 +2107,41 @@ def q_full_outer_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.sum("n_1996"), F.lit(0)).cast("long").alias("orders_1996"),
         F.coalesce(F.sum("n_1997"), F.lit(0)).cast("long").alias("orders_1997"),
     )
+
+
+@query(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    driver=False,
+)
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral transition matrix (first-order Markov counts): how
+    often each event type follows each other type within a user's
+    ordered stream, with the distinct-user reach of every edge.  One
+    window shuffle on user_id (deterministic (ts, event_id) order)
+    feeding one (prev, next) aggregate."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
