@@ -2145,3 +2145,51 @@ def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q_map_function_surface",
+    # The oracle computes every output DIRECTLY (no maps): the Spark
+    # side must round-trip the same values through its map operators,
+    # so a broken map function diverges from ground truth.
+    """
+    SELECT o_orderkey,
+           o_orderstatus                                   AS status_val,
+           CAST(2 AS INTEGER)                              AS m_size,
+           'prio,status'                                   AS keys_sorted,
+           concat(o_orderpriority, '|', o_orderstatus)     AS vals_by_key,
+           CAST(3 AS INTEGER)                              AS merged_size,
+           upper(o_orderstatus)                            AS status_upper,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS n_f_entries
+    FROM orders WHERE o_orderkey % 1000 = 0
+    """,
+    driver=False,
+)
+def q_map_function_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The map-typed scalar surface in one query: create_map,
+    element_at, size, map_keys (sorted for determinism — map iteration
+    order is not part of the contract), map_values addressed BY KEY,
+    map_concat, transform_values (HOF over maps), and map_filter.
+    Each output is mirrored by a map-free oracle expression, so the
+    comparison checks the map operators against ground truth.  Pure
+    projection; zero shuffles."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 1000 == 0)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("clerk"), F.lit("x")))
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.concat(
+            F.element_at(m, "prio"), F.lit("|"), F.element_at(m, "status")
+        ).alias("vals_by_key"),
+        F.size(merged).alias("merged_size"),
+        F.element_at(
+            F.transform_values(m, lambda k, v: F.upper(v)), "status"
+        ).alias("status_upper"),
+        F.size(F.map_filter(m, lambda k, v: v == "F")).alias("n_f_entries"),
+    )
