@@ -2193,3 +2193,46 @@ def q_map_function_surface(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("status_upper"),
         F.size(F.map_filter(m, lambda k, v: v == "F")).alias("n_f_entries"),
     )
+
+
+@query(
+    "q_theta_band_join",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget',   0.0,    950.0),
+             ('standard', 950.0,  1400.0),
+             ('premium',  1400.0, 1e9)
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(p_retailprice), 2) AS total_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    driver=False,
+)
+def q_theta_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit theta join (non-equi, band predicate): parts priced
+    into VALUES-defined bands — the inequality-join leg of the §2.3
+    join surface (the range join covers time intervals; this covers
+    scalar banding).  The 3-row band table broadcasts, so the
+    physical plan is a BroadcastNestedLoopJoin over a projected
+    single column, then a 3-group aggregate — the fact table is
+    scanned once and never shuffled beyond the partial-agg exchange."""
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 950.0), ("standard", 950.0, 1400.0), ("premium", 1400.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    p = t(spark, sf, "part").select("p_retailprice")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+    )
