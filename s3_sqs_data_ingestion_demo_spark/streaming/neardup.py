@@ -210,7 +210,15 @@ def process_near_dup_batch_table(
         new, table.read_unresolved(with_seq=True),
         num_hashes, bands, threshold, max_band_freq,
     )
-    table.merge(new)
+    # The signature delta is trigger-bounded (O(batch)), but it arrives
+    # carrying the banding computation's full shuffle fan-out — written
+    # as-is, every micro-batch commit lands ~shuffle.partitions near-
+    # empty files and a long-lived stream accumulates files linear in
+    # batches × partitions (the classic streaming small-files failure).
+    # Coalescing the MERGE COPY only (the pairs plan above keeps its
+    # parallelism) bounds each delta commit to a handful of files;
+    # compact_every folds them later.
+    table.merge(new.coalesce(4))
     return pairs
 
 

@@ -185,3 +185,23 @@ def test_table_backed_retry_is_idempotent(spark, tmp_path):
     rows = process_near_dup_batch_table(b2, t, threshold=0.4).collect()
     assert {(r.doc_id_a, r.doc_id_b) for r in rows} == {(1, 7)}
     assert all(0.0 < r.jaccard <= 1.0 for r in rows)
+
+
+def test_table_mode_delta_commits_are_few_files(spark, tmp_path):
+    """Each micro-batch's MOR delta commit must land a bounded number
+    of parquet files (the merge copy is coalesced), not one near-empty
+    file per shuffle partition — the streaming small-files guard."""
+    import glob
+
+    d = str(tmp_path)
+    land = os.path.join(d, "landing"); os.makedirs(land)
+    idx, pairs, ck = (os.path.join(d, x) for x in ("index", "pairs", "ck"))
+    _write_batch(land, "b1.json", [(1, LONG_A), (4, LONG_B)])
+    q = start_streaming_near_dup(
+        spark, land, SCHEMA, idx, pairs, ck,
+        available_now=True, threshold=0.4, index_mode="table",
+    )
+    q.awaitTermination(120)
+    for root in glob.glob(os.path.join(idx, "data", "v*")):
+        n_files = len(glob.glob(os.path.join(root, "*.parquet")))
+        assert 0 < n_files <= 4, (root, n_files)
