@@ -167,12 +167,15 @@ def process_near_dup_batch(
     new = _batch_signatures(batch, text_col, id_col, n, num_hashes, bands)
     old = _read_index(spark, index_path, num_hashes, bands)
     pairs = _near_dup_pairs(new, old, num_hashes, bands, threshold, max_band_freq)
+    # trigger-bounded delta, shuffle-fan-out partitioning: coalesce the
+    # WRITE copy so each batch lands a handful of files, not one per
+    # shuffle partition (see process_near_dup_batch_table)
     if batch_id is None:
-        new.write.mode("append").parquet(index_path)
+        new.coalesce(4).write.mode("append").parquet(index_path)
     else:
         # exactly-once index write: deterministic per-batch subdir,
         # overwrite replaces any partial/duplicate output from a retry
-        new.write.mode("overwrite").parquet(
+        new.coalesce(4).write.mode("overwrite").parquet(
             os.path.join(index_path, f"b{batch_id:020d}")
         )
     return pairs
@@ -407,7 +410,9 @@ def start_streaming_near_dup(
             pairs = process_near_dup_batch(
                 batch_df, index_path, batch_id=batch_id, **near_dup_kwargs
             )
-        pairs.write.mode("append").parquet(pairs_path)
+        # the pairs relation is collision-sized (usually tiny): bound
+        # its per-batch file count too
+        pairs.coalesce(4).write.mode("append").parquet(pairs_path)
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append").option(
         "checkpointLocation", checkpoint_dir
