@@ -59,6 +59,10 @@ def create_rollup(
         rollup_schema(group_fields, sum_cols),
         key_cols=list(group_cols),
         table_type="MOR",
+        # refresh folds are O(changed groups) but arrive with shuffle
+        # fan-out — bound each delta commit's file count (table.py
+        # "write.max-delta-files")
+        properties={"write.max-delta-files": "4"},
     )
     dst.set_properties(**{_STATE_KEY: src._current_version()})
     return dst

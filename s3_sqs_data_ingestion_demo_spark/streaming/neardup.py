@@ -213,15 +213,9 @@ def process_near_dup_batch_table(
         new, table.read_unresolved(with_seq=True),
         num_hashes, bands, threshold, max_band_freq,
     )
-    # The signature delta is trigger-bounded (O(batch)), but it arrives
-    # carrying the banding computation's full shuffle fan-out — written
-    # as-is, every micro-batch commit lands ~shuffle.partitions near-
-    # empty files and a long-lived stream accumulates files linear in
-    # batches × partitions (the classic streaming small-files failure).
-    # Coalescing the MERGE COPY only (the pairs plan above keeps its
-    # parallelism) bounds each delta commit to a handful of files;
-    # compact_every folds them later.
-    table.merge(new.coalesce(4))
+    # per-commit file count bounded by the table's
+    # write.max-delta-files property (see _index table creation)
+    table.merge(new)
     return pairs
 
 
@@ -389,7 +383,12 @@ def start_streaming_near_dup(
             table_type="MOR",
             # the index is only ever scanned whole (banding) — skip the
             # per-commit manifest-stats aggregate on this hot path
-            properties={"write.collect-stats": "false"},
+            properties={
+                "write.collect-stats": "false",
+                # trigger-bounded signature deltas: bound per-commit
+                # file count at the table layer
+                "write.max-delta-files": "4",
+            },
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -507,6 +507,19 @@ class ManagedTable:
         return stats or None
 
     def _write_data(self, df: DataFrame, root: str) -> dict:
+        # File-count bounding (table property "write.max-delta-files"):
+        # tables fed by trigger-bounded increments (streaming signature
+        # indexes, incremental rollup folds) receive SMALL relations
+        # still carrying their computation's full shuffle fan-out — an
+        # uncoalesced write lands ~shuffle.partitions near-empty files
+        # per commit, and a long-lived stream accumulates files linear
+        # in commits × partitions.  The property coalesces every write
+        # of this table to at most N tasks; pair with compact() for
+        # long-term folding.  Leave unset on tables that take bulk
+        # writes — there the parallel fan-out is the point.
+        max_files = self.meta.properties.get("write.max-delta-files")
+        if max_files:
+            df = df.coalesce(max(1, int(max_files)))
         writer = df.write.option("compression", self.meta.compression)
         # File-size targeting (table property "write.target-file-rows"):
         # caps rows per parquet file so snapshots land as evenly-sized
