@@ -88,6 +88,9 @@ def create_scd2_table(
         scd2_schema(changes, keys, order_col),
         key_cols=list(keys) + ["valid_from_seq"],
         table_type="MOR",
+        # per-batch history folds are O(batch keys): bound each delta
+        # commit's file count (table.py "write.max-delta-files")
+        properties={"write.max-delta-files": "4"},
     )
 
 
