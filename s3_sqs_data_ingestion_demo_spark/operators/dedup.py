@@ -148,6 +148,72 @@ def benchmark_contamination(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Pairwise corpus-overlap matrix between sources/datasets:
+    for every pair of groups, the exact Jaccard and containment of
+    their DISTINCT shingle sets — the cross-dataset audit run before
+    mixing corpora (e.g. "how much of dataset B is already inside
+    dataset A?").
+
+    Returns (src_a, src_b, n_sh_a, n_sh_b, n_common, jaccard_ppm,
+    containment_ppm) for src_a < src_b, all exact integers
+    (containment = common / min(|A|, |B|)).
+
+    Scale shape: documents collapse to DISTINCT (group, shingle) rows
+    first — one shuffle on (group, shingle); the self-join key is the
+    shingle, and a shingle's bucket is bounded by the number of GROUPS
+    that contain it (≤ |sources|, not its corpus frequency), so
+    per-key fan-out is |sources|² worst-case regardless of corpus
+    size.  Group-level sizes are a tiny aggregate, broadcast back.
+    """
+    gsh = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = gsh.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = gsh.alias("a"), gsh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("src_a"), F.col("b.grp").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("grp").alias("src_a"), F.col("n_sh").alias("n_sh_a")))
+    sb = F.broadcast(sizes.select(F.col("grp").alias("src_b"), F.col("n_sh").alias("n_sh_b")))
+    return (
+        common.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_sh_a",
+            "n_sh_b",
+            "n_common",
+            F.expr(
+                f"(n_common * {ppm_scale}L) div (n_sh_a + n_sh_b - n_common)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                f"(n_common * {ppm_scale}L) div least(n_sh_a, n_sh_b)"
+            ).alias("containment_ppm"),
+        )
+    )
+
+
 # Converged labelings memoized per session (ADVICE r3): the fixpoint
 # runs eagerly at DataFrame-construction time, so without a memo every
 # registry invocation (warm-up + timed run, query + its uses inside

@@ -170,6 +170,50 @@ def domain_mix(
     )
 
 
+def temperature_shares(
+    df: DataFrame,
+    domain_col: str,
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled (alpha = 1/2) domain sampling weights — the
+    multilingual-LM mixing rule p_i ∝ n_i^alpha that upweights rare
+    domains relative to raw-frequency sampling.
+
+    alpha is fixed at 1/2 so every quantity stays an exact integer:
+    the weight is floor(sqrt(n_i)) (IEEE double sqrt is correctly
+    rounded and exact under floor for n < 2^52), and shares are
+    integer parts-per-million against exact integer totals — no float
+    summation order anywhere, so any engine reproduces the bytes.
+
+    Returns one row per domain: (domain, n_docs, raw_share_ppm,
+    temp_share_ppm) where raw = n_i/N and temp = w_i/W, both as
+    ppm_scale-denominated integer floors.
+
+    Scale shape: one hash aggregate on the domain key (map-side
+    partial combine collapses each partition to |domains| rows), then
+    a broadcast of the single-row totals — no other shuffle.  At
+    100 TB the aggregate output is |domains| rows regardless of corpus
+    size.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    weighted = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    )
+    totals = weighted.agg(
+        F.sum("n_docs").alias("_tot_n"), F.sum("_w").alias("_tot_w")
+    )
+    # `div` is exact BIGINT division (float division + floor can flip
+    # at integer-boundary quotients once numerators exceed 2^53)
+    return weighted.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        "n_docs",
+        F.expr(f"(n_docs * {ppm_scale}L) div _tot_n").alias("raw_share_ppm"),
+        F.expr(f"(_w * {ppm_scale}L) div _tot_w").alias("temp_share_ppm"),
+    )
+
+
 def pack_sequences_by_offset(
     df: DataFrame,
     budget: int,

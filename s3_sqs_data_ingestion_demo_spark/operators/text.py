@@ -103,6 +103,68 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def retention_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: tuple[int, ...] = (0, 10, 20, 40, 60, 80, 120, 160, 240, 320),
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Minimum-length filter sweep: for each candidate ``min_tokens``
+    threshold, how many documents (and how many BPE-ish tokens) would
+    the corpus retain?  The curve a pipeline owner reads before
+    committing to a length cutoff.
+
+    Scale shape: the corpus collapses to a token-count HISTOGRAM first
+    (one hash aggregate; output rows = distinct token counts, which is
+    bounded by max document length, not corpus size), and only the
+    histogram meets the broadcast threshold grid in a
+    nested-loop theta join — per-threshold sums then run over
+    |histogram| × |grid| rows.  No per-document row is ever
+    replicated per threshold.  All outputs are exact integers
+    (counts, token sums, and ppm ratios via BIGINT ``div``).
+    """
+    hist = (
+        df.select(bpe_ish_token_count(text_col).cast("long").alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = (
+        df.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(int(g)) for g in thresholds])
+            ).alias("min_tokens")
+        )
+        .select(F.col("min_tokens").cast("int").alias("min_tokens"))
+    )
+    totals = hist.agg(
+        F.sum("c").alias("_td"),
+        F.sum(F.col("n") * F.col("c")).alias("_tt"),
+    )
+    per_g = (
+        F.broadcast(grid)
+        .join(hist, hist.n >= F.col("min_tokens"), "left")
+        .groupBy("min_tokens")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("docs_retained"),
+            F.coalesce(F.sum(F.col("n") * F.col("c")), F.lit(0))
+            .cast("long")
+            .alias("tokens_retained"),
+        )
+    )
+    return per_g.crossJoin(F.broadcast(totals)).select(
+        "min_tokens",
+        "docs_retained",
+        "tokens_retained",
+        F.expr(f"(docs_retained * {ppm_scale}L) div _td").alias(
+            "docs_retained_ppm"
+        ),
+        F.expr(f"(tokens_retained * {ppm_scale}L) div _tt").alias(
+            "tokens_retained_ppm"
+        ),
+    )
+
+
 def lang_scores(col: str | Column) -> dict[str, Column]:
     toks = tokens(col)
     return {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}

@@ -2019,3 +2019,112 @@ def ivf_mrr_check(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         (F.expr("SUM(rr_fp4) DIV COUNT(*)") >= 5000).alias("mrr_ge_half"),
     )
+
+
+# --------------------------------------------------------------------
+# Corpus assembly audits: temperature mixing, length-filter sweep,
+# cross-dataset overlap
+# --------------------------------------------------------------------
+
+_TEMPMIX_ORACLE = """
+WITH c AS (
+  SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT domain, n_docs, CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS w FROM c
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS tn, CAST(SUM(w) AS BIGINT) AS tw FROM w
+)
+SELECT domain, n_docs,
+       CAST((n_docs * 1000000) // (SELECT tn FROM tot) AS BIGINT) AS raw_share_ppm,
+       CAST((w * 1000000) // (SELECT tw FROM tot) AS BIGINT) AS temp_share_ppm
+FROM w
+"""
+
+
+@query("temperature_mix_sources", _TEMPMIX_ORACLE, driver=False)
+def temperature_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled (alpha=1/2) per-source sampling weights — the
+    multilingual-LM mixing rule p_i ∝ sqrt(n_i) that upweights rare
+    domains.  Integer-exact end to end: weights are floor(sqrt(n)),
+    shares are BIGINT-div ppm — no float summation anywhere, so DuckDB
+    reproduces the bytes.  One domain-key aggregate + a broadcast of
+    the single-row totals."""
+    return SA.temperature_shares(t(spark, sf, "documents"), "source")
+
+
+_RETENTION_GRID = (0, 10, 20, 40, 60, 80, 120, 160, 240, 320)
+
+_RETENTION_ORACLE = f"""
+WITH n AS (
+  SELECT CAST(len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN}')) AS BIGINT) AS n
+  FROM documents
+), hist AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM n GROUP BY n
+), grid(min_tokens) AS (
+  VALUES {", ".join(f"({g})" for g in _RETENTION_GRID)}
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS td, CAST(SUM(n * c) AS BIGINT) AS tt FROM hist
+)
+SELECT CAST(g.min_tokens AS INTEGER) AS min_tokens,
+       CAST(COALESCE(SUM(h.c), 0) AS BIGINT) AS docs_retained,
+       CAST(COALESCE(SUM(h.n * h.c), 0) AS BIGINT) AS tokens_retained,
+       CAST((CAST(COALESCE(SUM(h.c), 0) AS BIGINT) * 1000000)
+            // (SELECT td FROM tot) AS BIGINT) AS docs_retained_ppm,
+       CAST((CAST(COALESCE(SUM(h.n * h.c), 0) AS BIGINT) * 1000000)
+            // (SELECT tt FROM tot) AS BIGINT) AS tokens_retained_ppm
+FROM grid g LEFT JOIN hist h ON h.n >= g.min_tokens
+GROUP BY 1
+"""
+
+
+@query("retention_sweep_documents", _RETENTION_ORACLE, driver=False)
+def retention_sweep_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum-length filter sweep: docs/tokens retained at each
+    candidate min-token threshold.  The corpus collapses to a
+    token-count histogram (one aggregate) before the broadcast grid
+    theta-join, so no document row is replicated per threshold; all
+    outputs are exact integers."""
+    return X.retention_sweep(
+        t(spark, sf, "documents"), thresholds=_RETENTION_GRID
+    )
+
+
+_SRC_OVERLAP_ORACLE = f"""
+WITH tok AS (
+  SELECT source, {_TOKS} AS toks FROM documents
+), sh0 AS (
+  SELECT source,
+         CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS shs
+  FROM tok
+), gsh AS (
+  SELECT DISTINCT source AS grp, shingle
+  FROM (SELECT source, unnest(shs) AS shingle FROM sh0)
+), sizes AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_sh FROM gsh GROUP BY grp
+), common AS (
+  SELECT a.grp AS src_a, b.grp AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM gsh a JOIN gsh b ON a.shingle = b.shingle AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b, n_common,
+       CAST((n_common * 1000000) // (sa.n_sh + sb.n_sh - n_common) AS BIGINT)
+           AS jaccard_ppm,
+       CAST((n_common * 1000000) // LEAST(sa.n_sh, sb.n_sh) AS BIGINT)
+           AS containment_ppm
+FROM common
+JOIN sizes sa ON sa.grp = src_a
+JOIN sizes sb ON sb.grp = src_b
+"""
+
+
+@query("source_overlap_documents", _SRC_OVERLAP_ORACLE, driver=False)
+def source_overlap_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-dataset overlap matrix: exact pairwise Jaccard +
+    containment of per-source distinct shingle sets — the audit run
+    before mixing corpora.  Per-shingle join fan-out is bounded by the
+    number of SOURCES holding the shingle, never its corpus
+    frequency."""
+    return D.source_overlap(t(spark, sf, "documents"), "source")
