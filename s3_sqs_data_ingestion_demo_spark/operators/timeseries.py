@@ -74,6 +74,19 @@ def resample_last_value(
             "bucket"
         ),
     )
+    # The span table upstream of the explode is tiny (one row per key),
+    # so AQE coalesces its exchange to one partition — and the explode,
+    # the grid join, and the window pass then all run in a SINGLE task
+    # (AQE's byte-based advisory can't see the row fan-out or the
+    # window's per-row cost).  Re-spread the exploded grid by key with
+    # an EXPLICIT partition count (explicit num opts out of AQE
+    # coalescing); the window's hash requirement is satisfied by this
+    # exchange, so nothing re-shuffles downstream.  Measured 3.0 → sub-
+    # second on the linear-mode bench entry at sf0.1.
+    nparts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    grid = grid.repartition(nparts, "key")
     w_prev = (
         Window.partitionBy("key")
         .orderBy("bucket")
@@ -87,16 +100,22 @@ def resample_last_value(
             F.last("v", ignorenulls=True).over(w_prev).alias("value_filled"),
             F.col("v").isNull().cast("int").alias("is_gap"),
         )
+    # "next observation" looks FORWARD — but a (currentRow,
+    # unboundedFollowing) frame is evaluated by re-aggregating the
+    # remaining partition for EVERY row (O(rows²) per key; measured
+    # ~3× the whole query at sf0.1).  A DESC-ordered RUNNING frame
+    # computes the same value incrementally in O(rows): one extra
+    # sort pass, never quadratic.
     w_next = (
         Window.partitionBy("key")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
     v_prev = F.last("v", ignorenulls=True).over(w_prev)
     b_prev = F.last(obs_bucket, ignorenulls=True).over(w_prev)
-    v_next = F.first("v", ignorenulls=True).over(w_next)
-    b_next = F.first(obs_bucket, ignorenulls=True).over(w_next)
+    v_next = F.last("v", ignorenulls=True).over(w_next)
+    b_next = F.last(obs_bucket, ignorenulls=True).over(w_next)
     interp = v_prev + (v_next - v_prev) * (
         (F.col("bucket") - b_prev) / (b_next - b_prev)
     )
