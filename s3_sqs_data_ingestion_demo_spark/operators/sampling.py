@@ -170,6 +170,43 @@ def domain_mix(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "sg",
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: documents that belong
+    to the same duplicate CLUSTER always land in the same split, so a
+    test document can never have a near-copy in train (the leakage
+    mode a per-document hash split cannot prevent).
+
+    ``components`` is connected_components() output (doc_id,
+    component, ...); documents absent from it are singletons and use
+    their own id.  The split hash runs over the GROUP key, so the
+    per-group guarantees of ``hash_split`` (deterministic, stable
+    under corpus growth) lift to whole clusters.
+
+    Scale shape: one left equi-join on the id (near-dup components
+    cover a small fraction of a real corpus, so AQE broadcasts them
+    when bounded), then a pure projection — no extra shuffle beyond
+    the join.
+    """
+    comp = components.select(
+        F.col("doc_id").alias(id_col), "component"
+    )
+    grouped = (
+        df.join(comp, id_col, "left")
+        .withColumn(
+            "group_key",
+            F.coalesce(F.col("component"), F.col(id_col)).cast("long"),
+        )
+        .drop("component")
+    )
+    return hash_split(grouped, weights, id_col="group_key", salt=salt)
+
+
 def temperature_shares(
     df: DataFrame,
     domain_col: str,

@@ -165,6 +165,64 @@ def retention_sweep(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (100, 200, 400, 800, 1600, 3200),
+    ppm_scale: int = 1_000_000,
+) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus token
+    OCCURRENCES do the k most frequent token TYPES cover, for each k
+    in ``ks`` — the curve read before sizing a tokenizer vocabulary.
+
+    Ties rank deterministically (count desc, then term asc), so the
+    selected top-k SET — and therefore every output value — is
+    engine-exact; coverage is integer ppm over exact BIGINT sums.
+
+    Scale shape: the corpus collapses to (term, count) in one hash
+    aggregate; global top-max(k) selection is a TakeOrdered (per-
+    partition top-k, then a bounded merge — never a full sort of the
+    vocabulary); ranking + the grid theta-join then run over at most
+    max(k) rows, which is bounded by the CALLER's constant, not the
+    corpus.  The single-partition window below is safe for the same
+    reason.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    kmax = max(ks)
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(kmax)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    grid = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("vocab_k"))
+        .select(F.col("vocab_k").cast("int").alias("vocab_k"))
+    )
+    totals = counts.agg(F.sum("cnt").alias("_tt"))
+    per_k = (
+        F.broadcast(grid)
+        .join(ranked, F.col("rank") <= F.col("vocab_k"), "left")
+        .groupBy("vocab_k")
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens")
+        )
+    )
+    return per_k.crossJoin(F.broadcast(totals)).select(
+        "vocab_k",
+        "covered_tokens",
+        F.expr(f"(covered_tokens * {ppm_scale}L) div _tt").alias(
+            "coverage_ppm"
+        ),
+    )
+
+
 def lang_scores(col: str | Column) -> dict[str, Column]:
     toks = tokens(col)
     return {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}

@@ -2128,3 +2128,80 @@ def source_overlap_documents(spark: SparkSession, sf: str) -> DataFrame:
     number of SOURCES holding the shingle, never its corpus
     frequency."""
     return D.source_overlap(t(spark, sf, "documents"), "source")
+
+
+_LEAK_SPLIT_ORACLE = (
+    _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + _JACCARD_PAIRS_CTE.format(max_freq=100, threshold=0.12)
+    + f"""
+    , edges AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT re.id, e.d FROM reach re JOIN edges e ON e.s = re.r
+    ), comp AS (
+      SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+      FROM reach GROUP BY id
+    ), assigned AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS group_key
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, group_key, {{split_case}} AS split
+    FROM (SELECT doc_id, group_key, {SA.uniform_hash_sql("group_key")} AS u
+          FROM assigned)
+    """
+).format(split_case=_split_case_sql(_SPLIT_WEIGHTS))
+
+
+@query("leakage_safe_split_documents", _LEAK_SPLIT_ORACLE, driver=False)
+def leakage_safe_split_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split hash runs over
+    the duplicate-CLUSTER key (connected components of the jaccard
+    near-dup pairs), so no test document has a near-copy in train.
+    Shares the session-memoized component labeling and cached shingle
+    base with the rest of the dedup family."""
+    d = t(spark, sf, "documents")
+    prs = D.jaccard_near_dup_pairs(d, threshold=0.12, max_shingle_freq=100)
+    comp = D.connected_components(prs)
+    return SA.leakage_safe_split(d, comp, _SPLIT_WEIGHTS).select(
+        "doc_id", "group_key", "split"
+    )
+
+
+_VOCAB_KS = (100, 200, 400, 800, 1600, 3200)
+
+_VOCAB_ORACLE = f"""
+WITH tk AS (
+  SELECT unnest({_TOKS}) AS term FROM documents
+), counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY term
+), ranked AS (
+  SELECT term, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM counts
+), grid(vocab_k) AS (
+  VALUES {", ".join(f"({k})" for k in _VOCAB_KS)}
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS tt FROM counts
+)
+SELECT CAST(g.vocab_k AS INTEGER) AS vocab_k,
+       CAST(COALESCE(SUM(r.cnt), 0) AS BIGINT) AS covered_tokens,
+       CAST((CAST(COALESCE(SUM(r.cnt), 0) AS BIGINT) * 1000000)
+            // (SELECT tt FROM tot) AS BIGINT) AS coverage_ppm
+FROM grid g LEFT JOIN ranked r ON r.rank <= g.vocab_k
+GROUP BY 1
+"""
+
+
+@query("vocab_coverage_documents", _VOCAB_ORACLE, driver=False)
+def vocab_coverage_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve: corpus-token share covered by the k
+    most frequent token types, per k — tokenizer-vocab sizing.  The
+    vocabulary collapses to (term, count) in one aggregate; top-max(k)
+    is a TakeOrdered, and everything downstream is bounded by the k
+    grid, not the corpus."""
+    return X.vocab_coverage(t(spark, sf, "documents"), ks=_VOCAB_KS)

@@ -99,3 +99,62 @@ def test_source_overlap_matrix(docs, spark):
     assert pair["containment_ppm"] >= pair["jaccard_ppm"]
     # ordering invariant: src_a < src_b lexicographically
     assert all(a < b for (a, b) in out2)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # components: {0,1,2} -> 0, {10,11} -> 10
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "doc_id long, component long",
+    )
+    out = leakage_safe_split(
+        docs, comp, {"train": 0.75, "val": 0.125, "test": 0.125}
+    ).select("doc_id", "group_key", "split")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 200
+    # whole cluster shares one split
+    assert rows[0]["split"] == rows[1]["split"] == rows[2]["split"]
+    assert rows[10]["split"] == rows[11]["split"]
+    # cluster members carry the cluster's group key
+    assert rows[1]["group_key"] == 0 and rows[11]["group_key"] == 10
+    # singletons group by their own id, and all labels are produced
+    assert rows[50]["group_key"] == 50
+    assert {r["split"] for r in rows.values()} == {"train", "val", "test"}
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " + ("alpha " * (i % 5))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = {r["vocab_k"]: r for r in vocab_coverage(docs, ks=(1, 2, 10)).collect()}
+    assert set(out) == {1, 2, 10}
+    # k=1 covers exactly the most frequent term ('alpha')
+    total_alpha = sum(1 + (i % 5) for i in range(100))
+    assert out[1]["covered_tokens"] == total_alpha
+    # monotone non-decreasing, saturating at full coverage once k >= |vocab|
+    assert out[1]["covered_tokens"] <= out[2]["covered_tokens"] <= out[10]["covered_tokens"]
+    assert out[10]["coverage_ppm"] == 1_000_000
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark):
+    """Global top-k must be a TakeOrdered (bounded per-partition
+    selection), never a full sort of the vocabulary."""
+    from s3_sqs_data_ingestion_demo_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        vocab_coverage(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
