@@ -196,75 +196,58 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int = 1 << 18,
 ) -> DataFrame:
-    """Distributed Lloyd's k-means producing IVF coarse-quantizer
-    centroids.
+    """IVF coarse-quantizer training, sample-based (the standard ANN
+    practice, cf. faiss: quantizer quality needs a REPRESENTATIVE
+    sample, not the corpus — training Lloyd's on all of 100 TB burns
+    ``iters`` full scans for no recall gain).  The deterministic
+    sample (lowest ``train_cap`` ids, one TakeOrdered job) is
+    collected and iterated driver-side in numpy; the corpus-sized
+    work — cell ASSIGNMENT — stays fully distributed in
+    ``ivf_topk`` / ``_assign_cells``.
 
-    Per iteration: broadcast the k centroids (always tiny — k×dim),
-    assign every vector to its nearest centroid in one scan, recompute
-    means with a posexplode + (cell, dim) aggregation.  Only the k
-    centroids ever reach the driver; the corpus is scanned ``iters``
-    times and never shuffled except the (cell, dim) partial-agg
-    exchange.  Deterministic: init = first k vectors by id.
+    Driver budget: ``train_cap`` × dim float64 (2^18 × 64 ≈ 134 MB
+    ceiling at the default) — bounded by the caller's constant, never
+    by corpus size.  (An all-DataFrame Lloyd's loop was the previous
+    implementation: correct and fully distributed, but each iteration
+    is 2 shuffles + a centroid collect, ~1 s/iteration of fixed job
+    overhead at ANY scale — the sample-based fit is one job total.)
+
+    Deterministic end-to-end: sample = lowest ids in id order; init =
+    first k sample vectors; assignment = cosine argmax with ties to
+    the lowest cell id (argmax first-occurrence); numpy float64 sums
+    in fixed row order.  Empty cells keep their previous centroid.
 
     Returns (cell_id, centroid: array<double>).
     """
+    import numpy as np  # noqa: PLC0415
+
     spark = df.sparkSession
-    base = df.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
-    init = [
-        [float(x) for x in r.v]
-        for r in base.orderBy("id").limit(k).collect()
-    ]
-    if not init:
+    rows = (
+        df.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(int(train_cap))
+        .collect()
+    )
+    if not rows:
         raise ValueError("kmeans_fit requires a non-empty corpus")
-    cents = init[:k]
-    k = len(cents)  # corpus smaller than k: fit what exists
-    # One scan feeds every iteration — persist so Lloyd's loop doesn't
-    # re-read the corpus ``iters`` times.
-    base = base.persist()
-    try:
-        for _ in range(iters):
-            # Assignment argmax as a HASH AGGREGATE, not a window: the
-            # broadcast-scored (row × centroid) stream reduces with
-            # max(struct(score, -cell_id)) — partial aggregation
-            # map-side, no per-id sort.  (An inlined literal-centroid
-            # projection was tried and measured ~4× SLOWER: a k×dim
-            # literal expression tree evaluates interpreted with no CSE.)
-            # Negating the cell id keeps the lowest-cell-id tiebreak of
-            # struct-max semantics.
-            cent_df = spark.createDataFrame(
-                [(i, c) for i, c in enumerate(cents)],
-                "cell_id int, centroid array<double>",
-            )
-            best = (
-                base.crossJoin(F.broadcast(cent_df))
-                .select(
-                    "id",
-                    "v",
-                    F.struct(
-                        cosine(F.col("v"), F.col("centroid")).alias("s"),
-                        (-F.col("cell_id")).alias("negc"),
-                    ).alias("sc"),
-                )
-                .groupBy("id")
-                .agg(F.max("sc").alias("m"), F.first("v").alias("v"))
-                .select((-F.col("m.negc")).cast("int").alias("cell_id"), "v")
-            )
-            new = (
-                best.select("cell_id", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cell_id", "pos")
-                .agg(F.avg("x").alias("m"))
-                .groupBy("cell_id")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-                .select("cell_id", F.transform("pm", lambda s: s["m"]).alias("centroid"))
-                .collect()
-            )
-            updated = dict((r.cell_id, [float(x) for x in r.centroid]) for r in new)
-            cents = [updated.get(i, cents[i]) for i in range(k)]  # keep empty cells
-    finally:
-        base.unpersist()
+    V = np.array([r.v for r in rows], dtype=np.float64)
+    k = min(k, len(V))  # corpus smaller than k: fit what exists
+    C = V[:k].copy()
+    vn = np.linalg.norm(V, axis=1, keepdims=True)
+    Vu = np.divide(V, vn, out=np.zeros_like(V), where=vn > 0)
+    for _ in range(iters):
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        Cu = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
+        cells = np.argmax(Vu @ Cu.T, axis=1)
+        for i in range(k):
+            members = cells == i
+            if members.any():
+                C[i] = V[members].mean(axis=0)
     return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cell_id int, centroid array<double>"
+        [(i, [float(x) for x in C[i]]) for i in range(k)],
+        "cell_id int, centroid array<double>",
     )
 
 
