@@ -1115,7 +1115,9 @@ def q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
            TRUE AS union_est_within_5pct
     FROM events
     """,
-    rank=30,  # r03: rotated into the driver view (VERDICT r02 #4)
+    # r03+r04: driver-green twice; demoted r4-cont to make room for
+    # pagerank_purchase_graph (parity coverage stays via pytest)
+    driver=False,
 )
 def q_hll_user_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable-sketch rollup (operators/sketches.py): per-day HLL
@@ -2234,5 +2236,108 @@ def q_theta_band_join(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Graph centrality: PageRank over the purchase graph
+# --------------------------------------------------------------------
+
+@query(
+    "pagerank_purchase_graph",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    c2 AS (
+      SELECT CAST(1000000000000 // COUNT(DISTINCT src) AS BIGINT) AS initv,
+             CAST(((1000000000000 // COUNT(DISTINCT src)) * 15) // 100
+                  AS BIGINT) AS basev
+      FROM edges
+    ),
+    r1 AS (
+      SELECT e.dst AS node,
+             CAST(basev + (85 * SUM(initv // d.outdeg)) // 100
+                  AS BIGINT) AS rank_fp
+      FROM edges e JOIN deg d ON e.src = d.src CROSS JOIN c2
+      GROUP BY e.dst, basev
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             CAST(basev + (85 * SUM(r1.rank_fp // d.outdeg)) // 100
+                  AS BIGINT) AS rank_fp
+      FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN r1 ON r1.node = e.src CROSS JOIN c2
+      GROUP BY e.dst, basev
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             CAST(basev + (85 * SUM(r2.rank_fp // d.outdeg)) // 100
+                  AS BIGINT) AS rank_fp
+      FROM edges e JOIN deg d ON e.src = d.src
+                   JOIN r2 ON r2.node = e.src CROSS JOIN c2
+      GROUP BY e.dst, basev
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(node // 2 AS BIGINT) AS entity_id,
+           rank_fp
+    FROM r3
+    QUALIFY ROW_NUMBER() OVER (ORDER BY rank_fp DESC, node) <= 20
+    """,
+    rank=25,
+)
+def pagerank_purchase_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank centrality over the symmetrized customer↔supplier
+    purchase graph (an edge per distinct trading pair), 3 power
+    iterations, damping 0.85 — the host-importance signal a crawl
+    curation pipeline feeds into quality-weighted sampling.
+
+    Integer fixed-point throughout (operators/graph.py): init, per-edge
+    split, and damping are all BIGINT ops, so the DuckDB oracle — the
+    same three iterations unrolled as CTEs — matches bit-for-bit with
+    no float-order hazard.  Plan shape: the (edges ⋈ outdeg) frame is
+    persisted once and each iteration is one rank join + one
+    groupBy(dst) SUM; ranks (node-sized) shuffle to the edges, never
+    the reverse.  Top-20 via a single-partition window over the final
+    node-sized rank table.
+    """
+    from .operators.graph import pagerank  # noqa: PLC0415
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=3)
+    # top-k as orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps + driver merge), not a single-partition window sort
+    return (
+        ranks.orderBy(F.desc("rank_fp"), F.asc("node"))
+        .limit(20)
+        .select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").cast("bigint").alias("entity_id"),
+            "rank_fp",
         )
     )
