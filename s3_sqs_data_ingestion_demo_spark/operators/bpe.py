@@ -1,0 +1,159 @@
+"""Distributed BPE merge-training: learn byte-pair-encoding merges
+over a corpus with DataFrame aggregations.
+
+Tokenizer training is the step every LLM data pipeline runs once per
+corpus; at 100 TB the pair-counting pass is the bottleneck and is
+exactly a distributed weighted aggregation.  The classic algorithm
+(Sennrich et al. 2016, public) iterates: count adjacent symbol pairs
+weighted by word frequency, merge the most frequent pair, repeat.
+
+Spark-first shape:
+- The corpus collapses to a WORD-FREQUENCY table first (one shuffle);
+  from then on every pass runs over distinct words — orders of
+  magnitude smaller than the corpus and INDEPENDENT of corpus size
+  beyond vocabulary growth, which is the property that makes BPE
+  training feasible at 100 TB (Zipf: the word table stays ~millions
+  of rows regardless of corpus rows).
+- Each merge round is: one explode of adjacent pairs + one weighted
+  groupBy + a LIMIT-1 collect (a single row — the argmax pair), then
+  a JVM-side higher-order-function fold that rewrites the symbol
+  arrays in place.  No Python UDFs anywhere.
+- Per-round lineage is truncated (eager localCheckpoint) so round k
+  does not replay rounds 1..k-1's rewrites.
+
+Determinism: ties in pair counts break on (count DESC, left ASC,
+right ASC), so the learned merge list is a pure function of the
+corpus — reproducible across cluster sizes and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import BPE_ISH_PATTERN
+
+
+def pretokens(col) -> F.Column:
+    """BPE pre-tokenization: lowercase, then letter runs / digit runs /
+    single symbols — the public GPT-style pre-token classes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def _merge_fold(left: str, right: str) -> str:
+    """SQL fold rewriting one symbol array: greedy left-to-right
+    replacement of adjacent (left, right) with their concatenation —
+    the same scan order as the reference algorithm."""
+    lq = left.replace("\\", "\\\\").replace("'", "\\'")
+    rq = right.replace("\\", "\\\\").replace("'", "\\'")
+    return f"""
+    aggregate(
+      syms,
+      cast(array() as array<string>),
+      (acc, s) -> if(
+        size(acc) > 0 and element_at(acc, -1) = '{lq}' and s = '{rq}',
+        concat(slice(acc, 1, size(acc) - 1),
+               array(concat(element_at(acc, -1), s))),
+        concat(acc, array(s))
+      )
+    )
+    """
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) over the pre-tokenized corpus — the one
+    corpus-sized shuffle in BPE training."""
+    return (
+        df.select(F.explode(pretokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges; returns
+    [(left, right, pair_count), ...] in merge order.
+
+    Stops early if no adjacent pair remains.  The returned list is
+    driver-side by design — it IS the tokenizer artifact (bounded:
+    ``num_merges`` rows), not data.
+    """
+    wf = word_frequencies(df, text_col).withColumn(
+        "syms", F.split(F.col("word"), "")
+    )
+    # words of length 1 never produce pairs; keep them out of the loop
+    wf = wf.filter(F.size("syms") >= 2).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pair_counts = (
+            wf.select(
+                "freq",
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (x, i) -> struct(x as left, syms[i + 1] as right))"
+                ).alias("ps"),
+            )
+            .select("freq", F.explode("ps").alias("p"))
+            .groupBy(F.col("p.left").alias("left"),
+                     F.col("p.right").alias("right"))
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = (
+            pair_counts.orderBy(
+                F.desc("pair_count"), F.asc("left"), F.asc("right")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        merges.append((row["left"], row["right"], row["pair_count"]))
+        wf = wf.withColumn(
+            "syms", F.expr(_merge_fold(row["left"], row["right"]))
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list: returns (id_col, bpe_tokens
+    array<string>, n_bpe_tokens) — each word segmented by replaying
+    the merges in order, word order preserved.
+
+    Pure JVM expressions (nested folds), map-side until the one
+    regroup by document id; at inference scale this is the cheap
+    pass — training is where the iterations live."""
+    out = (
+        df.select(id_col, F.posexplode(pretokens(text_col)).alias("pos", "word"))
+        .withColumn("syms", F.split(F.col("word"), ""))
+    )
+    for left, right, _ in merges:
+        out = out.withColumn("syms", F.expr(_merge_fold(left, right)))
+    seg = out.groupBy(id_col).agg(
+        F.flatten(
+            F.expr("transform(array_sort(collect_list(struct(pos, syms))),"
+                   " x -> x.syms)")
+        ).alias("bpe_tokens")
+    )
+    # documents with zero pre-tokens keep an empty segmentation
+    return (
+        df.select(id_col)
+        .join(seg, id_col, "left")
+        .withColumn(
+            "bpe_tokens",
+            F.coalesce("bpe_tokens", F.array().cast("array<string>")),
+        )
+        .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+    )

@@ -2205,3 +2205,31 @@ def vocab_coverage_documents(spark: SparkSession, sf: str) -> DataFrame:
     is a TakeOrdered, and everything downstream is bounded by the k
     grid, not the corpus."""
     return X.vocab_coverage(t(spark, sf, "documents"), ks=_VOCAB_KS)
+
+
+# --------------------------------------------------------------------
+# Tokenizer training: distributed BPE merges
+# --------------------------------------------------------------------
+
+@query("bpe_merges_documents", None, driver=False)
+def bpe_merges_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE merge-training over `documents` (operators/
+    bpe.py): 8 merge rounds, each one weighted pair-count aggregate
+    over the WORD-FREQUENCY table (corpus-size-independent after the
+    first shuffle) + a 1-row argmax collect + a JVM fold rewrite.
+
+    Iterative and data-dependent per round (round k's rewrite embeds
+    round k-1's argmax), so genuinely non-SQL-expressible as a static
+    oracle — exact correctness is pinned by tests/test_bpe.py against
+    a pure-Python reference implementation of the public algorithm
+    (Sennrich et al. 2016), which this must match merge-for-merge."""
+    from .operators.bpe import bpe_train  # noqa: PLC0415
+
+    merges = bpe_train(t(spark, sf, "documents"), num_merges=8)
+    rows = [
+        (i + 1, left, right, int(cnt))
+        for i, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, pair_count bigint"
+    )
