@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SUPPORTED_FORMATS = ("csv", "json", "parquet", "orc", "avro", "text")
+SUPPORTED_FORMATS = ("csv", "json", "parquet", "orc", "avro", "text", "xml")
 
 
 def read_batch(
@@ -58,6 +58,12 @@ def read_batch(
                 "the session (--packages org.apache.spark:spark-avro_2.13); "
                 "it is not bundled in this environment"
             ) from exc
+    if fmt == "xml":
+        # native since Spark 4.0; rowTag is mandatory — default it to
+        # "row" so schemaless smoke reads work, overridable via options
+        if "rowTag" not in (options or {}):
+            reader = reader.option("rowTag", "row")
+        return reader.format("xml").load(paths)
     return getattr(reader, fmt)(paths)
 
 

@@ -199,3 +199,36 @@ def test_resample_linear_interpolation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="resample mode"):
         resample_last_value(df, mode="spline")
+
+
+def test_xml_batch_roundtrip(spark, tmp_path):
+    """XML joins the multi-format dispatch (native Spark 4 source):
+    read a hand-written document through read_batch, both with the
+    default rowTag and an explicit one."""
+    import os
+
+    from s3_sqs_data_ingestion_demo_spark.sources.files import read_batch
+
+    p = os.path.join(str(tmp_path), "batch.xml")
+    with open(p, "w") as f:
+        f.write(
+            "<rows><row><id>1</id><name>a</name></row>"
+            "<row><id>2</id><name>b</name></row></rows>"
+        )
+    out = read_batch(spark, [p], fmt="xml")
+    assert sorted(tuple(r) for r in out.select("id", "name").collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    p2 = os.path.join(str(tmp_path), "batch2.xml")
+    with open(p2, "w") as f:
+        f.write("<recs><rec><id>3</id></rec></recs>")
+    out2 = read_batch(spark, [p2], fmt="xml", options={"rowTag": "rec"})
+    assert [r["id"] for r in out2.collect()] == [3]
+
+
+def test_unknown_format_fails_loudly(spark):
+    from s3_sqs_data_ingestion_demo_spark.sources.files import read_batch
+
+    with pytest.raises(ValueError, match="unsupported input format"):
+        read_batch(spark, ["/tmp/x"], fmt="feather")
