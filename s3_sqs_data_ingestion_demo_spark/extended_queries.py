@@ -2341,3 +2341,101 @@ def pagerank_purchase_graph(spark: SparkSession, sf: str) -> DataFrame:
             "rank_fp",
         )
     )
+
+
+@query(
+    "triangle_census_coordered_parts",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM li x JOIN li y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM p e1 JOIN p e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+             CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT n_nodes, n_edges, n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT)
+             AS global_cc_ppm
+    FROM tot CROSS JOIN tri
+    """,
+    driver=False,
+)
+def triangle_census_coordered_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the
+    co-ordered-parts graph (parts are adjacent when one order contains
+    both).  Engine side uses degree-ordered orientation
+    (operators/graph.py triangle_stats) — per-vertex wedge fan-out
+    bounded O(sqrt m) so hub parts can't explode the self-join; the
+    oracle counts the same triangles with the canonical a<b<c 3-way
+    join, which is orientation-independent, so agreement checks the
+    ALGORITHM, not a shared implementation."""
+    from .operators.graph import triangle_stats  # noqa: PLC0415
+
+    li = (
+        t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x = li.select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("a"))
+    y = li.select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("b"))
+    pairs = (
+        x.join(y, "bk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_stats(pairs)
+
+
+@query(
+    "supplier_cooccurrence_similarity",
+    """
+    WITH m AS (
+      SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it FROM lineitem
+    ),
+    deg AS (SELECT it, COUNT(*) AS n FROM m GROUP BY it),
+    co AS (
+      SELECT x.it AS item_a, y.it AS item_b, COUNT(*) AS n_common
+      FROM m x JOIN m y ON x.bk = y.bk AND x.it < y.it
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST((n_common * 1000000) // (da.n + db.n - n_common) AS BIGINT)
+             AS jaccard_ppm
+    FROM co JOIN deg da ON da.it = item_a JOIN deg db ON db.it = item_b
+    QUALIFY ROW_NUMBER()
+      OVER (ORDER BY jaccard_ppm DESC, item_a, item_b) <= 20
+    """,
+    driver=False,
+)
+def supplier_cooccurrence_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item collaborative-filtering primitive: suppliers ranked
+    by Jaccard similarity of the ORDER sets they appear in
+    (operators/graph.py cooccurrence_similarity).  The self-join is
+    keyed on the order, so cost is Σ C(order_size, 2) — bounded by
+    basket size, independent of supplier count; integer-ppm Jaccard
+    for exact cross-engine parity; top-20 via TakeOrderedAndProject."""
+    from .operators.graph import cooccurrence_similarity  # noqa: PLC0415
+
+    li = t(spark, sf, "lineitem")
+    sim = cooccurrence_similarity(li, "l_orderkey", "l_suppkey")
+    return sim.orderBy(
+        F.desc("jaccard_ppm"), F.asc("item_a"), F.asc("item_b")
+    ).limit(20)

@@ -92,3 +92,139 @@ def pagerank(
     # `linked` stays persisted: the returned plan references it once per
     # iteration, and the cache turns those into one compute + N reads
     return ranks
+
+
+def triangle_stats(
+    pairs: DataFrame, a: str = "a", b: str = "b", scale: int = 10**6
+) -> DataFrame:
+    """Global triangle census of an undirected graph: one row with
+    (n_nodes, n_edges, n_wedges, n_triangles, global_cc_ppm).
+
+    ``pairs`` holds each undirected edge once, canonical ``a < b``.
+
+    Algorithm (public; Cohen 2009 MapReduce triangle counting /
+    degree-ordered orientation): orient every edge from the endpoint
+    with the smaller (degree, id) to the larger.  Every triangle then
+    has exactly ONE wedge rooted at its smallest-ordered vertex, so
+    counting = wedge self-join + one existence join.  The orientation
+    bounds per-vertex out-degree by O(sqrt(m)) on any graph, which is
+    what keeps the wedge join from exploding on skewed (power-law)
+    degree distributions — the hub vertex's million neighbors become
+    IN-edges, never a million-choose-2 wedge fan-out.  This is the
+    100 TB-safe formulation; the naive 3-way self-join is not.
+
+    Wedge total (for the clustering coefficient) is Σ_v C(deg_v, 2),
+    computed from the degree table without materializing wedges.
+    Global CC = 3·triangles / wedges, fixed-point ppm (integer ops
+    both engines).
+    """
+    e = pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "a", "v"
+    )
+    # orientation key: (deg, id) — total order, breaks degree ties
+    da = deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "deg_a")
+    db = deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "deg_b")
+    ranked = e.join(da, "a").join(db, "b")
+    oriented = ranked.select(
+        F.when(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("src"), F.col("b").alias("dst"),
+                     F.col("deg_b").alias("deg_dst")),
+        )
+        .otherwise(
+            F.struct(F.col("b").alias("src"), F.col("a").alias("dst"),
+                     F.col("deg_a").alias("deg_dst"))
+        )
+        .alias("o")
+    ).select("o.src", "o.dst", "o.deg_dst").persist()
+    w1 = oriented.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("deg_dst").alias("dv"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("deg_dst").alias("dw"),
+    )
+    # wedge (v, w) ordered by the same (deg, id) key as the orientation,
+    # so the closing edge — if present — is oriented exactly v -> w
+    wedges = w1.join(w2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    totals = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.expr("sum(deg) div 2").cast("bigint").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    return totals.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        F.col("n_triangles").cast("bigint"),
+        F.expr(f"(3 * n_triangles * {scale}) div n_wedges")
+        .cast("bigint")
+        .alias("global_cc_ppm"),
+    )
+
+
+def cooccurrence_similarity(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Item-item Jaccard similarity from co-occurrence in baskets —
+    the bipartite-projection / collaborative-filtering primitive
+    ("suppliers similar to X by shared customers").
+
+    Input: distinct (basket, item) membership rows.  Output one row
+    per unordered item pair that ever co-occurs: (item_a, item_b,
+    n_common, jaccard_ppm) with Jaccard = |A∩B| / (|A|+|B|−|A∩B|)
+    in integer ppm.
+
+    Scale shape: the self-join is keyed on the basket, so cost is
+    Σ_b C(size_b, 2) — bounded by basket sizes, not item count.  A
+    viral basket (one customer buying from every supplier) is the
+    skew hazard; real deployments cap basket size upstream (the same
+    hot-bucket cap the LSH operators use).  Degrees join in as two
+    broadcast-sized aggregates; everything stays integer.
+    """
+    m = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    deg = m.groupBy("it").agg(F.count("*").alias("n_baskets"))
+    a_side = m.select("bk", F.col("it").alias("item_a"))
+    b_side = m.select("bk", F.col("it").alias("item_b"))
+    co = (
+        a_side.join(b_side, "bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    da = deg.select(F.col("it").alias("item_a"), F.col("n_baskets").alias("na"))
+    db = deg.select(F.col("it").alias("item_b"), F.col("n_baskets").alias("nb"))
+    return (
+        co.join(da, "item_a")
+        .join(db, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_common").cast("bigint"),
+            F.expr(f"(n_common * {scale}) div (na + nb - n_common)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
