@@ -153,6 +153,45 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+
+    # Self-adjudicating re-times: the sweep runs 120+ queries in one
+    # session, so any single number can absorb ambient pressure (plan
+    # cache population, executor storage contention, GC from earlier
+    # entries).  Re-time the slowest N in a quiescent session state
+    # (caches cleared, best-of-2) and record both — pressure vs real
+    # regression is then decidable from the artifact alone.
+    from s3_sqs_data_ingestion_demo_spark.operators import plan_cache
+
+    ingest_fns = {
+        "ingest_cdc_merge": lambda: _bench_cdc_merge(spark, sf_dir),
+        "ingest_streaming_neardup": lambda: _bench_streaming_neardup(
+            spark, sf_dir
+        ),
+        "ingest_streaming_neardup_table": lambda: _bench_streaming_neardup(
+            spark, sf_dir, index_mode="table", compact_every=4
+        ),
+    }
+    worst = sorted(timings, key=timings.get, reverse=True)[:8]
+    isolated: dict[str, float] = {}
+    for name in worst:
+        plan_cache.clear()
+        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            if name in ingest_fns:
+                # ingest benches time their measured section themselves
+                # (bootstrap/setup excluded) — use that, same as the
+                # recorded sweep number
+                el = ingest_fns[name]()
+            else:
+                start = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                el = time.perf_counter() - start
+            best = el if best is None else min(best, el)
+        isolated[name] = round(best, 3)
+
     print(
         json.dumps(
             {
@@ -160,6 +199,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "isolated": isolated,
                 "sf": sf,
             }
         )

@@ -2370,8 +2370,9 @@ def pagerank_purchase_graph(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT n_nodes, n_edges, n_wedges,
            CAST(n_triangles AS BIGINT) AS n_triangles,
-           CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT)
-             AS global_cc_ppm
+           CAST(CASE WHEN n_wedges = 0 THEN 0
+                     ELSE (3 * n_triangles * 1000000) // n_wedges END
+                AS BIGINT) AS global_cc_ppm
     FROM tot CROSS JOIN tri
     """,
     driver=False,

@@ -41,24 +41,30 @@ def pretokens(col) -> F.Column:
     return F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 0)
 
 
-def _merge_fold(left: str, right: str) -> str:
-    """SQL fold rewriting one symbol array: greedy left-to-right
+def _merge_fold(syms, left: str, right: str) -> F.Column:
+    """Fold rewriting one symbol array: greedy left-to-right
     replacement of adjacent (left, right) with their concatenation —
-    the same scan order as the reference algorithm."""
-    lq = left.replace("\\", "\\\\").replace("'", "\\'")
-    rq = right.replace("\\", "\\\\").replace("'", "\\'")
-    return f"""
-    aggregate(
-      syms,
-      cast(array() as array<string>),
-      (acc, s) -> if(
-        size(acc) > 0 and element_at(acc, -1) = '{lq}' and s = '{rq}',
-        concat(slice(acc, 1, size(acc) - 1),
-               array(concat(element_at(acc, -1), s))),
-        concat(acc, array(s))
-      )
-    )
-    """
+    the same scan order as the reference algorithm.
+
+    Built with the DSL (``F.aggregate`` + ``F.lit``), NOT by
+    interpolating corpus-derived symbols into a SQL string — symbols
+    are arbitrary text, and hand-rolled quote escaping breaks under
+    ``spark.sql.parser.escapedStringLiterals``."""
+    syms = F.col(syms) if isinstance(syms, str) else syms
+    lc, rc = F.lit(left), F.lit(right)
+
+    def step(acc: F.Column, s: F.Column) -> F.Column:
+        return F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lc)
+            & (s == rc),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
 def word_frequencies(
@@ -117,7 +123,7 @@ def bpe_train(
         row = top[0]
         merges.append((row["left"], row["right"], row["pair_count"]))
         wf = wf.withColumn(
-            "syms", F.expr(_merge_fold(row["left"], row["right"]))
+            "syms", _merge_fold("syms", row["left"], row["right"])
         ).localCheckpoint(eager=True)
     return merges
 
@@ -140,7 +146,7 @@ def bpe_segment(
         .withColumn("syms", F.split(F.col("word"), ""))
     )
     for left, right, _ in merges:
-        out = out.withColumn("syms", F.expr(_merge_fold(left, right)))
+        out = out.withColumn("syms", _merge_fold("syms", left, right))
     seg = out.groupBy(id_col).agg(
         F.flatten(
             F.expr("transform(array_sort(collect_list(struct(pos, syms))),"

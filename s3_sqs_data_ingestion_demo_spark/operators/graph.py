@@ -67,30 +67,45 @@ def pagerank(
     # node set derives from the SAME cached frame so the count below
     # both returns n and warms the cache for the iteration joins.
     linked = e.join(deg, "src").persist()
-    nodes = linked.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()  # the one driver action: a single scalar
-    if n == 0:
-        raise ValueError("pagerank: empty edge list")
-    init = scale // n
-    base = (init * (100 - damping_num)) // 100
-    ranks = nodes.withColumn("rank_fp", F.lit(init).cast("bigint"))
-    for _ in range(iterations):
-        contribs = linked.join(
-            ranks, linked["src"] == ranks["node"]
-        ).select(
-            F.col("dst").alias("node"),
-            F.expr("rank_fp div outdeg").alias("contrib"),
-        )
-        ranks = contribs.groupBy("node").agg(
-            (
-                F.lit(base)
-                + F.expr(f"({damping_num} * sum(contrib)) div 100")
-            ).cast("bigint").alias("rank_fp")
-        )
-        # truncate lineage so the plan stays flat across iterations
-        ranks = ranks.localCheckpoint(eager=False)
-    # `linked` stays persisted: the returned plan references it once per
-    # iteration, and the cache turns those into one compute + N reads
+    try:
+        nodes = linked.select(F.col("src").alias("node")).distinct()
+        n = nodes.count()  # the one driver action: a single scalar
+        if n == 0:
+            raise ValueError("pagerank: empty edge list")
+        init = scale // n
+        base = (init * (100 - damping_num)) // 100
+        ranks = nodes.withColumn("rank_fp", F.lit(init).cast("bigint"))
+        for _ in range(iterations):
+            contribs = linked.join(
+                ranks, linked["src"] == ranks["node"]
+            ).select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp div outdeg").alias("contrib"),
+            )
+            agg = contribs.groupBy("node").agg(
+                F.sum("contrib").alias("_in_contrib")
+            )
+            # re-anchor on the node universe: a node with out-edges but
+            # no in-edges keeps its defined rank (base, zero incoming)
+            # instead of silently vanishing from the rank table after
+            # the groupBy(dst) — matches the per-node recurrence exactly
+            ranks = nodes.join(agg, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(_in_contrib, 0L)) div 100"
+                    )
+                ).cast("bigint").alias("rank_fp"),
+            )
+            # truncate lineage so the plan stays flat across iterations
+            ranks = ranks.localCheckpoint(eager=False)
+        # materialize the final (node-sized) rank table, then release
+        # the cached edge frame — callers read the checkpoint, and the
+        # session doesn't leak one persisted frame per invocation
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        linked.unpersist()
     return ranks
 
 
@@ -169,15 +184,26 @@ def triangle_stats(
         F.expr("sum(deg) div 2").cast("bigint").alias("n_edges"),
         F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges"),
     )
-    return totals.crossJoin(tri).select(
+    out = totals.crossJoin(tri).select(
         "n_nodes",
         "n_edges",
         "n_wedges",
         F.col("n_triangles").cast("bigint"),
-        F.expr(f"(3 * n_triangles * {scale}) div n_wedges")
+        # zero guard: a wedge-free graph yields cc = 0 identically in
+        # both engines (Spark's non-ANSI div would yield NULL while
+        # DuckDB's // throws — neither is the defined answer)
+        F.expr(
+            f"CASE WHEN n_wedges = 0 THEN 0L "
+            f"ELSE (3 * n_triangles * {scale}) div n_wedges END"
+        )
         .cast("bigint")
         .alias("global_cc_ppm"),
     )
+    # materialize the one-row census, then release the cached oriented
+    # edge frame (no per-invocation persist leak in long sessions)
+    out = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return out
 
 
 def cooccurrence_similarity(

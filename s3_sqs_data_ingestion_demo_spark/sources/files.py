@@ -4,8 +4,12 @@ The reference reads a per-poll list of files as one DataFrame but only
 handles CSV — any other configured format silently skips the batch
 while still deleting the queue messages, i.e. silent data loss
 (reference: spark-job/read.py:272-278).  This engine supports
-csv / json / parquet / orc / avro-container / text and **fails
+csv / json / parquet / orc / avro-container / text / xml and **fails
 loudly** on anything else (documented semantic fix, SURVEY §2 S4).
+It also fails loudly when a permissive parse (csv/json/xml) yields a
+schema that is *only* the corrupt-record column — the "file isn't the
+format you configured" case that would otherwise surface as an
+unrelated unresolved-column error three operators downstream.
 
 Lineage columns (the reference imported ``input_file_name`` /
 ``current_timestamp`` but never used them — spark-job/read.py:11):
@@ -61,10 +65,34 @@ def read_batch(
     if fmt == "xml":
         # native since Spark 4.0; rowTag is mandatory — default it to
         # "row" so schemaless smoke reads work, overridable via options
-        if "rowTag" not in (options or {}):
+        # (Spark reader option keys are case-insensitive, so probe the
+        # user's options the same way before injecting the default)
+        opt_keys = {k.lower() for k in (options or {})}
+        if "rowtag" not in opt_keys:
             reader = reader.option("rowTag", "row")
-        return reader.format("xml").load(paths)
-    return getattr(reader, fmt)(paths)
+        return _reject_corrupt_only(reader.format("xml").load(paths), fmt, paths)
+    df = getattr(reader, fmt)(paths)
+    if fmt in ("csv", "json") and schema is None:
+        df = _reject_corrupt_only(df, fmt, paths)
+    return df
+
+
+def _reject_corrupt_only(df: DataFrame, fmt: str, paths: Sequence[str]) -> DataFrame:
+    """Fail loudly when a permissive parse produced ONLY the
+    corrupt-record column — i.e. not one row of the batch matched the
+    configured format.  Checking the inferred schema costs no extra
+    Spark job and catches the misconfigured-format case up front
+    instead of as an unrelated UNRESOLVED_COLUMN error downstream."""
+    corrupt_col = df.sparkSession.conf.get(
+        "spark.sql.columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if df.columns == [corrupt_col]:
+        raise ValueError(
+            f"batch parsed as {fmt!r} but produced only the corrupt-record "
+            f"column {corrupt_col!r} — no row in {list(paths)[:3]}... matches "
+            f"the configured format; check input_config.format"
+        )
+    return df
 
 
 def with_lineage(df: DataFrame) -> DataFrame:

@@ -48,6 +48,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import urllib.parse
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
@@ -474,36 +475,87 @@ class ManagedTable:
     _STATS_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
                     T.DoubleType, T.FloatType, T.StringType, T.DateType)
 
-    def _collect_entry_stats(self, df: DataFrame) -> dict | None:
+    def _collect_entry_stats(self, root: str) -> dict | None:
         """Per-entry (min, max) of the key columns — the Iceberg-style
         manifest stats that let point/range reads SKIP whole data
-        roots without opening a file.  One batch-sized aggregate per
-        commit; numeric/string/date keys only (others are skipped —
-        stats are an optimization, never required)."""
+        roots without opening a file.
+
+        Harvested DRIVER-SIDE from the parquet footers of the files
+        just written (plus hive directory names for partition-column
+        keys) — zero Spark jobs, zero data re-read.  The previous
+        implementation re-scanned the freshly-written root with a
+        Spark aggregate, which doubled I/O on every commit and showed
+        up as a ~2× regression on the CDC-merge hot path.  Parquet
+        min/max chunk statistics are exactly the bounds Iceberg
+        manifests carry; a column missing stats in any file is dropped
+        (stats are advisory, pruning stays exact without them).
+        Numeric/string/date keys only."""
+        key_set = set(self.meta.key_cols)
         cols = [
-            f.name
+            f
             for f in self.meta.schema.fields
-            if f.name in set(self.meta.key_cols)
-            and isinstance(f.dataType, self._STATS_TYPES)
+            if f.name in key_set and isinstance(f.dataType, self._STATS_TYPES)
         ]
         if not cols or self.meta.properties.get("write.collect-stats") == "false":
             return None
-        aggs = []
-        for c in cols:
-            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
-        # NB: callers pass the READ-BACK of freshly-written files (a
-        # column-pruned scan of the new root only), never the original
-        # write plan — re-evaluating a merge plan for stats would
-        # double the write cost.
-        row = df.agg(*aggs).collect()[0]
-        stats = {}
-        for c in cols:
-            mn, mx = row[f"_mn_{c}"], row[f"_mx_{c}"]
-            if mn is None:
-                continue
+        part_set = set(self.meta.partition_cols)
+        file_cols = {f.name for f in cols if f.name not in part_set}
+        stats: dict[str, list] = {}
+        dropped: set[str] = set()
+
+        def _update(name, mn, mx):
             if hasattr(mn, "isoformat"):
                 mn, mx = mn.isoformat(), mx.isoformat()
-            stats[c] = [mn, mx]
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = [mn, mx]
+            else:
+                cur[0], cur[1] = min(cur[0], mn), max(cur[1], mx)
+
+        try:
+            import pyarrow.parquet as pq
+
+            if file_cols:
+                for path in glob.glob(
+                    os.path.join(root, "**", "*.parquet"), recursive=True
+                ):
+                    md = pq.ParquetFile(path).metadata
+                    for rg in range(md.num_row_groups):
+                        grp = md.row_group(rg)
+                        for ci in range(grp.num_columns):
+                            chunk = grp.column(ci)
+                            name = chunk.path_in_schema
+                            if name not in file_cols or name in dropped:
+                                continue
+                            st = chunk.statistics
+                            if st is None or not st.has_min_max:
+                                dropped.add(name)
+                                stats.pop(name, None)
+                                continue
+                            _update(name, st.min, st.max)
+            # partition-column keys: bounds come from the hive dir
+            # names (typed via the table contract, like Spark's
+            # partition-column resolution under an explicit schema)
+            for f in cols:
+                if f.name not in part_set:
+                    continue
+                vals = set()
+                for p in glob.glob(
+                    os.path.join(root, "**", f"{f.name}=*"), recursive=True
+                ):
+                    raw = urllib.parse.unquote(os.path.basename(p).split("=", 1)[1])
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        continue
+                    if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+                        vals.add(float(raw))
+                    elif isinstance(f.dataType, (T.StringType, T.DateType)):
+                        vals.add(raw)
+                    else:
+                        vals.add(int(raw))
+                if vals:
+                    _update(f.name, min(vals), max(vals))
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            return None
         return stats or None
 
     def _write_data(self, df: DataFrame, root: str) -> dict:
@@ -553,7 +605,7 @@ class ManagedTable:
             "parts": self._list_parts(root) if self.meta.partition_cols else None,
         }
         if self.meta.key_cols:
-            stats = self._collect_entry_stats(self._read_entry(entry))
+            stats = self._collect_entry_stats(root)
             if stats:
                 entry["stats"] = stats
         return entry
@@ -660,7 +712,12 @@ class ManagedTable:
             hit = [p for p in parts if p in affected]
             kept = [p for p in parts if p not in affected]
             if kept:
-                kept_entries.append({"root": e["root"], "parts": kept})
+                kept_entry = {"root": e["root"], "parts": kept}
+                # carry manifest stats forward: entry-level (min, max)
+                # stay valid bounds for any subset of the entry's parts
+                if e.get("stats"):
+                    kept_entry["stats"] = e["stats"]
+                kept_entries.append(kept_entry)
             for p in hit:
                 affected_paths.append((os.path.join(self.path, e["root"]), p))
 

@@ -110,3 +110,18 @@ def test_bpe_no_python_udfs(spark, corpus_df):
     df = bpe_segment(corpus_df, merges)
     tree = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in tree
+
+
+def test_merge_fold_quote_safe_symbols(spark):
+    """Symbols containing quotes/backslashes must survive the merge
+    fold — the fold is built with the DSL, not SQL interpolation, so
+    parser modes like escapedStringLiterals can't break it."""
+    df = spark.createDataFrame([(1, ["'", "\\", "'", "x"])], "id long, syms array<string>")
+    prev = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        from s3_sqs_data_ingestion_demo_spark.operators.bpe import _merge_fold
+        out = df.withColumn("syms", _merge_fold("syms", "'", "\\")).collect()[0]
+        assert out["syms"] == ["'\\", "'", "x"]
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", prev)

@@ -145,8 +145,18 @@ def test_target_bootstrap_contract(spark, job):
 
 def test_unknown_format_fails_loudly(spark, job):
     d, cfg = job
-    cfg.input_config.format = "xml"
+    cfg.input_config.format = "pdf"
     with pytest.raises(ValueError, match="unsupported input format"):
+        process_files(spark, cfg, [os.path.join(d, "b1.csv")])
+
+
+def test_misconfigured_format_rejects_corrupt_only_parse(spark, job):
+    """A CSV batch read through the xml path must fail loudly up front
+    (corrupt-record-only schema), not three operators later with an
+    unrelated UNRESOLVED_COLUMN error."""
+    d, cfg = job
+    cfg.input_config.format = "xml"
+    with pytest.raises(ValueError, match="corrupt-record"):
         process_files(spark, cfg, [os.path.join(d, "b1.csv")])
 
 

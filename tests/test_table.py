@@ -386,3 +386,35 @@ def test_manifest_stats_respect_deletes_and_updates(spark, tmp_path):
     assert [r.val for r in t.read_where("id", 1, 1).collect()] == [9.0]
     t.delete_where("id = 1")
     assert t.read_where("id", 1, 1).count() == 0
+
+
+def test_stats_harvest_runs_zero_spark_jobs(spark, tmp_path):
+    """The per-commit key-stats harvest reads parquet footers on the
+    driver — it must NOT launch a Spark job (the old read-back
+    aggregate doubled I/O on every commit: VERDICT r4 #2)."""
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
+        key_cols=["id"], table_type="MOR",
+    )
+    t.merge(df_of(spark, [(i, "a", 1.0, 1) for i in range(10)]))
+    entry = t._read_manifest()[-1]
+    root = os.path.join(t.path, entry["root"])
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    stats = t._collect_entry_stats(root)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert stats == {"id": [0, 9]}
+    assert after == before, "stats harvest must be driver-side only"
+
+
+def test_stats_harvest_partition_column_keys(spark, tmp_path):
+    """Key columns that are ALSO partition columns have no parquet
+    chunk stats — their bounds come from the hive directory names."""
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
+        key_cols=["id", "part"], partition_cols=["part"], table_type="MOR",
+    )
+    t.merge(df_of(spark, [(1, "ny", 1.0, 1), (2, "ca", 2.0, 1)]))
+    entry = t._read_manifest()[-1]
+    assert entry["stats"]["id"] == [1, 2]
+    assert entry["stats"]["part"] == ["ca", "ny"]
