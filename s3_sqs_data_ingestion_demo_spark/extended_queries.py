@@ -39,6 +39,7 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
     FROM p ASOF LEFT JOIN c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
+    driver=False,  # r05: rotated out (long-green; pytest parity + bench)
 )
 def q_asof_click_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: each purchase annotated with the user's most recent
@@ -322,6 +323,7 @@ def q07_nation_trade(spark: SparkSession, sf: str) -> DataFrame:
     CROSS JOIN generate_series(1, 64) AS g(i)
     GROUP BY label, i
     """,
+    driver=False,  # r05: rotated out (long-green; pytest parity + bench)
 )
 def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label centroid of the embedding space (posexplode +
@@ -946,6 +948,7 @@ def q_moving_window_user_value(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(SUM(value), 2)     AS sum_value
     FROM s GROUP BY user_id, sid
     """,
+    driver=False,  # r05: rotated out (long-green; pytest parity + bench)
 )
 def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization via native session_window (batch form
@@ -1569,7 +1572,8 @@ def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
              AS exact_guaranteed
     FROM ranked WHERE rn <= 10
     """,
-    driver=False,
+    driver=True,
+    rank=25,
 )
 def q_heavy_hitter_users(spark: SparkSession, sf: str) -> DataFrame:
     """Exact heavy hitters via two-phase Misra-Gries
@@ -2375,7 +2379,8 @@ def pagerank_purchase_graph(spark: SparkSession, sf: str) -> DataFrame:
                 AS BIGINT) AS global_cc_ppm
     FROM tot CROSS JOIN tri
     """,
-    driver=False,
+    driver=True,
+    rank=25,
 )
 def triangle_census_coordered_parts(spark: SparkSession, sf: str) -> DataFrame:
     """Triangle census + global clustering coefficient of the
@@ -2424,7 +2429,8 @@ def triangle_census_coordered_parts(spark: SparkSession, sf: str) -> DataFrame:
     QUALIFY ROW_NUMBER()
       OVER (ORDER BY jaccard_ppm DESC, item_a, item_b) <= 20
     """,
-    driver=False,
+    driver=True,
+    rank=25,
 )
 def supplier_cooccurrence_similarity(spark: SparkSession, sf: str) -> DataFrame:
     """Item-item collaborative-filtering primitive: suppliers ranked

@@ -65,6 +65,7 @@ WITH tok AS (
     FROM documents
     GROUP BY 1
     """,
+    driver=False,  # r05: rotated out (long-green; pytest parity + bench)
 )
 def dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Exact (normalized-content-hash) dedup — one hash aggregate;
@@ -129,7 +130,7 @@ def _quality_oracle() -> str:
     """
 
 
-@query("text_quality_documents", _quality_oracle())
+@query("text_quality_documents", _quality_oracle(), driver=False)  # r05: rotated out (long-green)
 def text_quality_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Combined per-document text profile: quality-scoring features,
     marker-word language ID (argmax with fixed tie order — the oracle
@@ -276,7 +277,7 @@ WHERE n_common * 1.0 / (na.n_sh + nb.n_sh - n_common) >= {threshold}
 """
 
 
-@query("minhash_lsh_near_dup_documents", _minhash_oracle())
+@query("minhash_lsh_near_dup_documents", _minhash_oracle(), driver=False)  # r05: rotated out (long-green)
 def minhash_lsh_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) near-dup: constant-size signatures →
     band-key join → exact-Jaccard verification of candidates only.
@@ -446,6 +447,7 @@ def simhash_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
       FROM s
     ) WHERE rank <= 5
     """,
+    driver=False,  # r05: rotated out (long-green; pytest parity + bench)
 )
 def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for 10 query vectors: broadcast the
@@ -1898,7 +1900,7 @@ _HYBRID_ORACLE = f"""
     """
 
 
-@query("hybrid_search_documents", _HYBRID_ORACLE, driver=False)
+@query("hybrid_search_documents", _HYBRID_ORACLE, driver=True, rank=25)
 def hybrid_search_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval, the RAG-serving shape: BM25 keyword
     candidates (exact-integer scores, operators/search.py) re-ranked
@@ -1954,7 +1956,7 @@ _LANGCONF_ORACLE = f"""
     """
 
 
-@query("q_langid_confusion", _LANGCONF_ORACLE, driver=False)
+@query("q_langid_confusion", _LANGCONF_ORACLE, driver=True, rank=25)
 def q_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
     """Label-agreement audit: confusion matrix between the declared
     ``lang`` column and the marker-based language-ID prediction
@@ -1984,7 +1986,8 @@ def q_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
            TRUE AS mrr_ge_half
     FROM embeddings WHERE vec_id < 10
     """,
-    driver=False,
+    driver=True,
+    rank=25,
 )
 def ivf_mrr_check(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieval-quality evaluation harness: mean reciprocal rank of
@@ -2078,7 +2081,7 @@ GROUP BY 1
 """
 
 
-@query("retention_sweep_documents", _RETENTION_ORACLE, driver=False)
+@query("retention_sweep_documents", _RETENTION_ORACLE, driver=True, rank=25)
 def retention_sweep_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Minimum-length filter sweep: docs/tokens retained at each
     candidate min-token threshold.  The corpus collapses to a
@@ -2197,7 +2200,7 @@ GROUP BY 1
 """
 
 
-@query("vocab_coverage_documents", _VOCAB_ORACLE, driver=False)
+@query("vocab_coverage_documents", _VOCAB_ORACLE, driver=True, rank=25)
 def vocab_coverage_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary coverage curve: corpus-token share covered by the k
     most frequent token types, per k — tokenizer-vocab sizing.  The
@@ -2211,18 +2214,70 @@ def vocab_coverage_documents(spark: SparkSession, sf: str) -> DataFrame:
 # Tokenizer training: distributed BPE merges
 # --------------------------------------------------------------------
 
-@query("bpe_merges_documents", None, driver=False)
+def _bpe_oracle(num_merges: int = 8) -> str:
+    """Unrolled DuckDB replay of ``num_merges`` BPE training rounds.
+
+    The greedy left-to-right merge rewrite folds each word's symbol
+    list through ``list_reduce`` with a string-encoded accumulator
+    (symbols joined on chr(1)): merge when the accumulator's LAST
+    symbol is exactly `left` and the next element is `right`, else
+    append — the same scan order as the engine's fold, so the learned
+    merge list matches integer-for-integer.  Each round is one
+    adjacent-pair count + a (count DESC, left, right) argmax + the
+    fold; the word-frequency table keeps every round corpus-size-
+    independent, exactly like the engine."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    rounds = []
+    for i in range(1, num_merges + 1):
+        prev = f"w{i - 1}"
+        rounds.append(f"""
+p{i} AS (
+  SELECT pr[1] AS l, pr[2] AS r, SUM(freq)::BIGINT AS cnt
+  FROM {prev}, UNNEST(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS u(pr)
+  GROUP BY pr[1], pr[2]
+),
+m{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+w{i} AS (
+  SELECT freq,
+         string_split(
+           list_reduce(syms, (acc, x) -> CASE
+             WHEN (acc = m{i}.l OR ends_with(acc, chr(1) || m{i}.l)) AND x = m{i}.r
+             THEN acc || x ELSE acc || chr(1) || x END),
+           chr(1)) AS syms
+  FROM {prev} CROSS JOIN m{i}
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS left, r AS right, cnt AS pair_count"
+        f" FROM m{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT word, COUNT(*)::BIGINT AS freq FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{pat}')) AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    w0 AS (
+      SELECT freq, string_split_regex(word, '') AS syms
+      FROM words WHERE length(word) >= 2
+    ),{','.join(rounds)}
+    SELECT * FROM ({selects}) ORDER BY merge_rank
+    """
+
+
+@query("bpe_merges_documents", _bpe_oracle(8), rank=25)
 def bpe_merges_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE merge-training over `documents` (operators/
     bpe.py): 8 merge rounds, each one weighted pair-count aggregate
     over the WORD-FREQUENCY table (corpus-size-independent after the
     first shuffle) + a 1-row argmax collect + a JVM fold rewrite.
 
-    Iterative and data-dependent per round (round k's rewrite embeds
-    round k-1's argmax), so genuinely non-SQL-expressible as a static
-    oracle — exact correctness is pinned by tests/test_bpe.py against
-    a pure-Python reference implementation of the public algorithm
-    (Sennrich et al. 2016), which this must match merge-for-merge."""
+    The DuckDB oracle replays the same 8 rounds unrolled as CTEs with
+    a list_reduce greedy fold — pure integer counts, so agreement is
+    exact merge-for-merge; tests/test_bpe.py additionally pins the
+    operator against a pure-Python reference of the public algorithm
+    (Sennrich et al. 2016)."""
     from .operators.bpe import bpe_train  # noqa: PLC0415
 
     merges = bpe_train(t(spark, sf, "documents"), num_merges=8)

@@ -126,6 +126,7 @@ def _r4(c):
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
+    driver=False,  # r05: rotated out (long-green; pytest parity + bench)
 )
 def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-style pricing summary.
@@ -664,6 +665,7 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
       FROM events
     ) WHERE rn = 1
     """,
+    driver=False,  # r05: rotated out (long-green; pytest parity + bench)
 )
 def q_events_latest_per_user(spark: SparkSession, sf: str) -> DataFrame:
     """CDC dedup-by-recency — exactly the reference's merge dedup
