@@ -460,6 +460,38 @@ class ManagedTable:
         if not entries:
             out = self.spark.createDataFrame([], self.meta.schema)
             return out.withColumn("_sg_seq", F.lit(0).cast("long")) if with_seq else out
+        # Unpartitioned fast path: ONE multi-path FileScan over every
+        # live root instead of a per-entry scan union — a long-lived
+        # MOR stream accumulates hundreds of delta entries between
+        # compactions, and an O(entries) plan is driver-side bloat and
+        # O(entries) scan setup per micro-batch.  The per-entry commit
+        # seq is recovered from the file path via a small root→seq map
+        # expression (JVM-side, no shuffle).  Partitioned tables keep
+        # the per-entry union: hive partition columns need one
+        # ``basePath`` per root, which a single scan cannot express.
+        if not self.meta.partition_cols:
+            roots = [os.path.join(self.path, e["root"]) for e in entries]
+            out = self.spark.read.schema(self.meta.schema).parquet(*roots)
+            out = align_to_schema(out, self.meta.schema)
+            if with_seq:
+                kv = []
+                for e in entries:
+                    kv += [
+                        F.lit(e["root"].rstrip("/").split("/")[-1]),
+                        F.lit(int(e.get("seq", 0))).cast("long"),
+                    ]
+                seq_expr = F.element_at(
+                    F.create_map(*kv),
+                    F.regexp_extract(
+                        F.input_file_name(), r"/(v[0-9]+)/[^/]*$", 1
+                    ),
+                )
+                # an unmappable path (shouldn't happen) degrades to the
+                # base seq 0, never a null that breaks recency windows
+                out = out.withColumn(
+                    "_sg_seq", F.coalesce(seq_expr, F.lit(0).cast("long"))
+                )
+            return out
         dfs = [
             self._read_entry(e).withColumn("_sg_seq", F.lit(int(e.get("seq", 0))))
             if with_seq
