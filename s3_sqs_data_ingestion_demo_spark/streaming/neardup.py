@@ -164,12 +164,10 @@ def process_near_dup_batch(
     omit it and get a plain top-level append."""
     spark = batch.sparkSession
     os.makedirs(index_path, exist_ok=True)
-    # materialize the batch's signatures ONCE (batch-sized): the frame
-    # feeds candidate generation, verification, and the index write —
-    # without this the shingle/minhash computation runs per consumer
-    new = _batch_signatures(
-        batch, text_col, id_col, n, num_hashes, bands
-    ).localCheckpoint(eager=True)
+    # NB: _batch_signatures materializes the batch's rows eagerly, so
+    # pair generation, the index write, and any emptiness probe share
+    # ONE computation of the shingle/minhash plan
+    new = _batch_signatures(batch, text_col, id_col, n, num_hashes, bands)
     old = _read_index(spark, index_path, num_hashes, bands)
     pairs = _near_dup_pairs(new, old, num_hashes, bands, threshold, max_band_freq)
     # trigger-bounded delta, shuffle-fan-out partitioning: coalesce the
@@ -213,12 +211,9 @@ def process_near_dup_batch_table(
     retried merges only add collision candidates (removed by
     ``distinct()``), and verification resolves latest-by-commit-seq on
     the candidate-sized slice."""
-    # one materialization of the batch's signatures (batch-sized),
-    # shared by pair generation, the merge's emptiness probe, and the
-    # index write — same policy as the dir-mode path
-    new = _batch_signatures(
-        batch, text_col, id_col, n, num_hashes, bands
-    ).localCheckpoint(eager=True)
+    # NB: _batch_signatures materializes eagerly — pair generation, the
+    # merge's emptiness probe, and the index write share one computation
+    new = _batch_signatures(batch, text_col, id_col, n, num_hashes, bands)
     pairs = _near_dup_pairs(
         new, table.read_unresolved(with_seq=True),
         num_hashes, bands, threshold, max_band_freq,
