@@ -213,3 +213,36 @@ def test_fuzzy_pairs_plan_has_no_join(spark):
 def test_multiset_ops_single_shuffle_each(spark):
     tree = plan_of(spark, "q_multiset_set_ops").split("\n\n")[0]
     assert "CartesianProduct" not in tree and "BroadcastNestedLoop" not in tree
+
+
+def test_read_unresolved_single_scan_unpartitioned(spark, tmp_path):
+    """An unpartitioned MOR table's unresolved read must be ONE
+    multi-path FileScan, not a per-entry scan union — a long-lived
+    stream accumulates hundreds of delta entries between compactions
+    and an O(entries) plan is a per-micro-batch scale cost."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), schema,
+        key_cols=["id"], table_type="MOR",
+    )
+    for i in range(5):
+        t.merge(spark.createDataFrame([(i, float(i))], schema))
+    df = t.read_unresolved(with_seq=True)
+    tree = df._jdf.queryExecution().executedPlan().toString().split("\n\n")[0]
+    assert tree.count("FileScan") == 1
+    assert "Union" not in tree
+    # seq must still resolve per entry: 5 distinct, increasing commit
+    # seqs (the create snapshot is v1, so merges land at v2..v6)
+    seqs = sorted(r._sg_seq for r in df.select("_sg_seq").collect())
+    assert seqs == [2, 3, 4, 5, 6]
