@@ -122,9 +122,14 @@ def bpe_train(
             break
         row = top[0]
         merges.append((row["left"], row["right"], row["pair_count"]))
+        # LAZY checkpoint: round k+1's argmax collect materializes the
+        # rewrite and the pair count in ONE job — eager here would run
+        # a separate materialization job per round (2 jobs/round → 1),
+        # while the checkpoint still truncates lineage so round k never
+        # replays rounds 1..k-1's folds
         wf = wf.withColumn(
             "syms", _merge_fold("syms", row["left"], row["right"])
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 
