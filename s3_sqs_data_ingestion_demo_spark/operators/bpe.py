@@ -28,6 +28,8 @@ corpus — reproducible across cluster sizes and partitionings.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -131,6 +133,94 @@ def bpe_train(
             "syms", _merge_fold("syms", row["left"], row["right"])
         ).localCheckpoint(eager=False)
     return merges
+
+
+_BPE_MEMO: OrderedDict[tuple, tuple[DataFrame, list]] = OrderedDict()
+_BPE_MEMO_MAX = 4
+
+
+def clear_bpe_memo() -> None:
+    _BPE_MEMO.clear()
+
+
+def bpe_train_cached(
+    df: DataFrame, text_col: str = "text", num_merges: int = 8
+) -> list[tuple[str, str, int]]:
+    """``bpe_train`` with a session-scoped memo of the learned merge
+    list (training is deterministic, so reuse is sound) — several
+    queries over the same corpus (merge table, segmentation stats,
+    fertility) share ONE training run per session, the bounded-memo
+    form of the tokenizer artifact a deployment trains once and
+    distributes."""
+    from .plan_cache import plan_key  # noqa: PLC0415
+
+    key = plan_key(df, "bpe_train", text_col, num_merges)
+    hit = _BPE_MEMO.get(key)
+    if hit is not None:
+        src, merges = hit
+        try:
+            same = src.sameSemantics(df)
+        except Exception:  # dead session behind the memo entry
+            same = False
+        if same:
+            _BPE_MEMO.move_to_end(key)
+            return merges
+        _BPE_MEMO.pop(key, None)
+    merges = bpe_train(df, text_col, num_merges)
+    _BPE_MEMO[key] = (df, merges)
+    while len(_BPE_MEMO) > _BPE_MEMO_MAX:
+        _BPE_MEMO.popitem(last=False)
+    return merges
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility after replaying ``merges``:
+    (lang, n_words, n_bpe_tokens, fertility_ppm, chars_per_token_ppm)
+    — the tokens-per-word / chars-per-token report a tokenizer eval
+    runs per language to spot under-served scripts.
+
+    Scale shape: segmentation folds run over the DISTINCT-word
+    vocabulary only (Zipf-bounded, corpus-size-independent), then join
+    back occurrence-weighted — never a per-occurrence fold.  All
+    ratios are exact fixed-point integers (ppm, ``div``)."""
+    wl = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(pretokens(text_col)).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    vocab = wl.select("word").distinct().withColumn(
+        "syms", F.split(F.col("word"), "")
+    )
+    for left, right, _ in merges:
+        vocab = vocab.withColumn("syms", _merge_fold("syms", left, right))
+    seg = vocab.select(
+        "word",
+        F.size("syms").alias("n_bpe"),
+        F.length("word").alias("n_chars"),
+    )
+    return (
+        wl.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_words"),
+            F.expr("sum(n_occ * n_bpe)").cast("bigint").alias("n_bpe_tokens"),
+            F.expr("(sum(n_occ * n_bpe) * 1000000) div sum(n_occ)")
+            .cast("bigint")
+            .alias("fertility_ppm"),
+            F.expr("(sum(n_occ * n_chars) * 1000000) div sum(n_occ * n_bpe)")
+            .cast("bigint")
+            .alias("chars_per_token_ppm"),
+        )
+        .orderBy("lang")
+    )
 
 
 def bpe_segment(

@@ -2278,9 +2278,9 @@ def bpe_merges_documents(spark: SparkSession, sf: str) -> DataFrame:
     exact merge-for-merge; tests/test_bpe.py additionally pins the
     operator against a pure-Python reference of the public algorithm
     (Sennrich et al. 2016)."""
-    from .operators.bpe import bpe_train  # noqa: PLC0415
+    from .operators.bpe import bpe_train_cached  # noqa: PLC0415
 
-    merges = bpe_train(t(spark, sf, "documents"), num_merges=8)
+    merges = bpe_train_cached(t(spark, sf, "documents"), num_merges=8)
     rows = [
         (i + 1, left, right, int(cnt))
         for i, (left, right, cnt) in enumerate(merges)
@@ -2288,3 +2288,62 @@ def bpe_merges_documents(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank int, left string, right string, pair_count bigint"
     )
+
+
+def _fertility_oracle(num_merges: int = 8) -> str:
+    """Tokenizer-fertility oracle: the BPE training CTEs (m1..mK) plus
+    a vocabulary-level replay of the learned folds — each fold is the
+    same list_reduce greedy rewrite, nested K deep over the distinct
+    words, then joined back occurrence-weighted per language."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    train = _bpe_oracle(num_merges)
+    # reuse the training CTE chain: strip its final SELECT, keep WITH…
+    ctes = train[: train.rindex("SELECT * FROM (")]
+    folded = "string_split_regex(word, '')"
+    for i in range(1, num_merges + 1):
+        folded = (
+            f"string_split(list_reduce({folded}, (acc, x) -> CASE "
+            f"WHEN (acc = m{i}.l OR ends_with(acc, chr(1) || m{i}.l)) "
+            f"AND x = m{i}.r "
+            f"THEN acc || x ELSE acc || chr(1) || x END), chr(1))"
+        )
+    joins = " ".join(f"CROSS JOIN m{i}" for i in range(1, num_merges + 1))
+    return f"""{ctes.rstrip()},
+    wl AS (
+      SELECT lang, word, COUNT(*)::BIGINT AS n_occ FROM (
+        SELECT lang, unnest(regexp_extract_all(lower(text), '{pat}')) AS word
+        FROM documents
+      ) GROUP BY lang, word
+    ),
+    vocab AS (SELECT DISTINCT word FROM wl),
+    seg AS (
+      SELECT word, len({folded})::BIGINT AS n_bpe,
+             length(word)::BIGINT AS n_chars
+      FROM vocab {joins}
+    )
+    SELECT lang,
+           SUM(n_occ)::BIGINT AS n_words,
+           SUM(n_occ * n_bpe)::BIGINT AS n_bpe_tokens,
+           ((SUM(n_occ * n_bpe) * 1000000) // SUM(n_occ))::BIGINT
+             AS fertility_ppm,
+           ((SUM(n_occ * n_chars) * 1000000) // SUM(n_occ * n_bpe))::BIGINT
+             AS chars_per_token_ppm
+    FROM wl JOIN seg USING (word)
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@query("tokenizer_fertility_documents", _fertility_oracle(8), driver=False)
+def tokenizer_fertility_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer fertility (tokens/word, chars/token in
+    exact ppm) after replaying the corpus-trained 8-merge BPE list —
+    the per-script tokenizer-equity report an LLM team runs before
+    committing a vocab.  Training is session-memoized (shared with
+    `bpe_merges_documents`); segmentation folds run over the DISTINCT
+    vocabulary only, never per occurrence (operators/bpe.py
+    tokenizer_fertility)."""
+    from .operators.bpe import bpe_train_cached, tokenizer_fertility  # noqa: PLC0415
+
+    docs = t(spark, sf, "documents")
+    merges = bpe_train_cached(docs, num_merges=8)
+    return tokenizer_fertility(docs, merges)

@@ -125,3 +125,36 @@ def test_merge_fold_quote_safe_symbols(spark):
         assert out["syms"] == ["'\\", "'", "x"]
     finally:
         spark.conf.set("spark.sql.parser.escapedStringLiterals", prev)
+
+
+def test_bpe_train_cached_memoizes(spark, corpus_df):
+    from s3_sqs_data_ingestion_demo_spark.operators.bpe import (
+        _BPE_MEMO, bpe_train, bpe_train_cached, clear_bpe_memo,
+    )
+
+    clear_bpe_memo()
+    m1 = bpe_train_cached(corpus_df, num_merges=3)
+    assert m1 == bpe_train(corpus_df, num_merges=3)
+    assert len(_BPE_MEMO) == 1
+    m2 = bpe_train_cached(corpus_df, num_merges=3)
+    assert m2 is m1  # memo hit, no retrain
+    clear_bpe_memo()
+
+
+def test_tokenizer_fertility_counts(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators.bpe import (
+        tokenizer_fertility,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa aa b", "en"), (2, "aa", "de")],
+        "doc_id long, text string, lang string",
+    )
+    # merge (a,a): "aa" -> 1 token, "b" -> 1 token
+    rows = {r.lang: r for r in tokenizer_fertility(df, [("a", "a", 3)]).collect()}
+    en, de = rows["en"], rows["de"]
+    assert (en.n_words, en.n_bpe_tokens) == (3, 3)
+    assert en.fertility_ppm == 1_000_000
+    assert en.chars_per_token_ppm == (5 * 1_000_000) // 3  # chars aa,aa,b
+    assert (de.n_words, de.n_bpe_tokens, de.fertility_ppm) == (1, 1, 1_000_000)
+    assert de.chars_per_token_ppm == 2_000_000
