@@ -373,3 +373,50 @@ def repetition_signals(
             ).alias("top_bigram_fp4"),
         )
     )
+
+
+# PII patterns deliberately restricted to syntax valid in BOTH Java
+# regex (Spark) and RE2 (DuckDB oracle, Go/Rust tooling): ASCII
+# classes, \b word boundaries, bounded repetition — no lookaround, no
+# backreferences.  Scrub order is fixed (SSN before phone: both match
+# digit-dash shapes and the more specific pattern must win).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction — the compliance pass every training-data
+    pipeline runs before export: replace email / SSN-shaped / phone /
+    IPv4 literals with ``<TYPE>`` placeholders and report per-doc
+    match counts.
+
+    Returns (id, n_email, n_ssn, n_phone, n_ipv4, scrubbed_hash) —
+    the scrubbed text itself is summarized as an md5 so the relation
+    stays payload-free (the rewrite is a zero-shuffle projection; a
+    real export pipeline would write the scrubbed column instead).
+    Counts are computed BEFORE any replacement so overlapping types
+    report what they matched in the original text.
+    """
+    c = F.col(text_col)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        c.alias("_t"),
+        *[
+            F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat in PII_PATTERNS
+        ],
+    )
+    scrubbed = F.col("_t")
+    for name, pat in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.select(
+        "id",
+        *[f"n_{name}" for name, _ in PII_PATTERNS],
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )

@@ -2333,6 +2333,38 @@ def _fertility_oracle(num_merges: int = 8) -> str:
     """
 
 
+def _pii_oracle() -> str:
+    from .operators.text import PII_PATTERNS  # noqa: PLC0415
+
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    scrub = "text"
+    for name, pat in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+    SELECT doc_id AS id,
+           {counts},
+           md5({scrub}) AS scrubbed_hash
+    FROM documents ORDER BY doc_id
+    """
+
+
+@query("pii_scrub_documents", _pii_oracle(), driver=False)
+def pii_scrub_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over `documents` (operators/text.py pii_scrub):
+    per-doc email/SSN/phone/IPv4 match counts + md5 of the scrubbed
+    text, zero-shuffle projection.  The synthetic corpus contains no
+    digits, so every count is 0 and the scrub is an md5-verified
+    no-op here — the cross-engine parity still pins that both regex
+    engines agree on all ~N docs, and tests/test_text_ops.py checks
+    real redaction on injected PII against DuckDB."""
+    from .operators.text import pii_scrub  # noqa: PLC0415
+
+    return pii_scrub(t(spark, sf, "documents"))
+
+
 @query("tokenizer_fertility_documents", _fertility_oracle(8), driver=False)
 def tokenizer_fertility_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language tokenizer fertility (tokens/word, chars/token in
