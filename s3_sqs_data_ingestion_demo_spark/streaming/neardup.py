@@ -359,6 +359,7 @@ def start_streaming_near_dup(
     poll_interval: int | None = None,
     index_mode: str = "dir",
     compact_every: int = 0,
+    async_maintenance: bool = False,
     **near_dup_kwargs,
 ) -> StreamingQuery:
     """File-landing stream → per-batch near-dup against the growing
@@ -369,7 +370,18 @@ def start_streaming_near_dup(
     a keyed MOR ``ManagedTable`` at ``index_path`` — snapshotted,
     time-travelable, merge-idempotent — with ``compact_every`` folding
     the accumulated deltas every Nth table version so read cost stays
-    bounded over the stream's lifetime."""
+    bounded over the stream's lifetime.
+
+    ``async_maintenance`` moves that compaction OFF the micro-batch
+    critical path into a daemon thread — the production shape, where
+    maintenance never adds latency to ingest.  Safe against the live
+    writer because commits are version-anchored CAS: a compaction that
+    loses the race to the next merge recomputes and retries
+    (``ManagedTable.compact`` retries), and a merge that loses to the
+    compaction re-commits its already-written delta root verbatim
+    (``_commit_entry_with_retry``).  The in-flight thread handle is
+    exposed as ``table._sg_maint_thread`` so batch jobs and tests can
+    join it before tearing the table down."""
     if index_mode not in ("dir", "table"):
         raise ValueError(f"unknown index_mode: {index_mode!r}")
     reader = spark.readStream.schema(schema).options(**(options or {}))
@@ -409,7 +421,18 @@ def start_streaming_near_dup(
             if compact_every and (
                 table.data_commits_since_maintenance() >= compact_every
             ):
-                table.compact()
+                if async_maintenance:
+                    import threading  # noqa: PLC0415
+
+                    prev = getattr(table, "_sg_maint_thread", None)
+                    if prev is None or not prev.is_alive():
+                        th = threading.Thread(
+                            target=table.compact, daemon=True
+                        )
+                        table._sg_maint_thread = th
+                        th.start()
+                else:
+                    table.compact()
         else:
             pairs = process_near_dup_batch(
                 batch_df, index_path, batch_id=batch_id, **near_dup_kwargs

@@ -49,6 +49,7 @@ import glob
 import json
 import os
 import urllib.parse
+import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
@@ -174,7 +175,7 @@ class ManagedTable:
         with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
             json.dump(meta.__dict__, fh, indent=2)
         table = cls(spark, path, meta)
-        table._commit_snapshot([], kind="create")  # v1 = empty table
+        table._commit_snapshot([], kind="create", base_version=0)  # v1 = empty table
         return table
 
     @classmethod
@@ -194,9 +195,12 @@ class ManagedTable:
             return int(fh.read().strip().lstrip("v"))
 
     def _read_manifest(self) -> list[dict]:
-        v = self._current_version()
+        return self._manifest_at(self._current_version())
+
+    def _manifest_at(self, version: int) -> list[dict]:
         with open(
-            os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json"), encoding="utf-8"
+            os.path.join(self.path, _SNAPDIR, f"v{version:08d}.json"),
+            encoding="utf-8",
         ) as fh:
             return json.load(fh)["entries"]
 
@@ -248,21 +252,38 @@ class ManagedTable:
         return False
 
     def _commit_snapshot(
-        self, entries: list[dict], kind: str = "data", tag: str | None = None
+        self,
+        entries: list[dict],
+        kind: str = "data",
+        tag: str | None = None,
+        cleanup_on_conflict: bool = True,
+        base_version: int | None = None,
     ) -> int:
         """Optimistic-concurrency commit (the same protocol Iceberg
         runs against a filesystem/catalog): the snapshot manifest is
-        created with O_EXCL, so of two writers that both read version
-        N, exactly one creates ``v{N+1}.json`` and publishes the
-        pointer — the loser raises ``CommitConflictError`` instead of
-        silently clobbering the winner's manifest, and its caller
-        re-loads the table and retries on the new current state.
-        (The data-root namespace is version-keyed and written
-        ``errorifexists``, so a racing loser fails loudly there too,
-        never corrupting the winner's files.)"""
-        prev = self._current_version() if os.path.exists(
-            os.path.join(self.path, _CURRENT)
-        ) else 0
+        created with O_EXCL at ``base_version + 1``, so of two writers
+        whose state derives from the same version N, exactly one
+        creates ``v{N+1}.json`` and publishes the pointer — the loser
+        raises ``CommitConflictError`` instead of silently clobbering
+        the winner's manifest, and its caller re-loads the table and
+        retries on the new current state.  (The data-root namespace is
+        version-keyed and written ``errorifexists``, so a racing loser
+        usually fails loudly there first, never corrupting the
+        winner's files.)
+
+        ``base_version`` anchors the commit to the version whose
+        manifest the entries were DERIVED from — the CAS term.  Without
+        it (legacy callers) the target version is re-read at commit
+        time, which cannot detect a writer that landed between the
+        caller's manifest read and this commit: the stale manifest
+        would publish one version later and silently drop the
+        winner's entries.  Every state-deriving caller must pass it."""
+        if base_version is not None:
+            prev = base_version
+        else:
+            prev = self._current_version() if os.path.exists(
+                os.path.join(self.path, _CURRENT)
+            ) else 0
         v = prev + 1
         snap = os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json")
         try:
@@ -271,7 +292,10 @@ class ManagedTable:
             # the loser's freshly-written data roots would block its own
             # retry (version-keyed names, errorifexists) — drop any of
             # this commit's roots no committed manifest references
-            self._cleanup_unreferenced(entries)
+            # (skipped by the rename-retry protocol, which re-targets
+            # the SAME written root at the next free version instead)
+            if cleanup_on_conflict:
+                self._cleanup_unreferenced(entries)
             raise CommitConflictError(
                 f"snapshot v{v:08d} already exists at {snap}: another "
                 "writer committed concurrently — re-load the table and "
@@ -309,7 +333,59 @@ class ManagedTable:
                 )
 
     def _new_root(self) -> str:
-        return os.path.join(self.path, "data", f"v{self._current_version() + 1:08d}")
+        """Version-PREFIXED but writer-UNIQUE data root (Iceberg's file
+        layout rule): the random suffix means two racing writers never
+        contend on the data namespace — only the manifest CAS decides
+        the winner, and the loser re-commits its already-written root
+        against the fresh manifest with zero data movement."""
+        suffix = uuid.uuid4().hex[:8]
+        return os.path.join(
+            self.path, "data",
+            f"v{self._current_version() + 1:08d}-{suffix}",
+        )
+
+    def _commit_entry_with_retry(
+        self,
+        entry: dict,
+        kind: str = "data",
+        tag: str | None = None,
+        delta_seq: bool = False,
+    ) -> int:
+        """Commit ONE freshly-written entry on top of the current
+        manifest, retrying a lost optimistic-commit race (table
+        property ``commit.retries``, default 3).
+
+        Valid only for version-INDEPENDENT entries — appends, MOR
+        deltas, tombstones — whose data content does not depend on
+        which manifest they land on.  Data roots are writer-unique, so
+        a lost race simply re-commits the already-written root against
+        the fresh manifest (driver-side, no recompute, no data
+        movement); ``delta_seq`` re-stamps the MOR commit sequence
+        each attempt.  COW rewrites are computed AGAINST a specific
+        manifest and must recompute instead (see ``compact`` retries)."""
+        retries = int(self.meta.properties.get("commit.retries", 3))
+        for attempt in range(retries + 1):
+            base = self._current_version()
+            entries = self._manifest_at(base)
+            if delta_seq:
+                entry["seq"] = base + 1
+            try:
+                return self._commit_snapshot(
+                    entries + [entry],
+                    kind=kind,
+                    tag=tag,
+                    cleanup_on_conflict=False,
+                    base_version=base,
+                )
+            except CommitConflictError:
+                if attempt >= retries:
+                    self._cleanup_unreferenced([entry])
+                    raise
+                # data roots are writer-unique, so the already-written
+                # root re-commits verbatim against the fresh manifest —
+                # the loop re-anchors base (and the MOR seq) and tries
+                # the next version slot
+        raise AssertionError("unreachable")  # pragma: no cover
 
     # ------------------------------------------------------------ read
     def _read_entry(self, entry: dict) -> DataFrame:
@@ -483,7 +559,7 @@ class ManagedTable:
                 seq_expr = F.element_at(
                     F.create_map(*kv),
                     F.regexp_extract(
-                        F.input_file_name(), r"/(v[0-9]+)/[^/]*$", 1
+                        F.input_file_name(), r"/([^/]+)/[^/]*$", 1
                     ),
                 )
                 # an unmappable path (shouldn't happen) degrades to the
@@ -658,12 +734,13 @@ class ManagedTable:
         if src.isEmpty():
             return self._current_version()
         entry = self._write_data(src, self._new_root())
-        return self._commit_snapshot(self._read_manifest() + [entry], tag=tag)
+        return self._commit_entry_with_retry(entry, tag=tag)
 
     def overwrite(self, df: DataFrame) -> int:
         """Full-table overwrite sink (reference: spark-job/read.py:234-236)."""
+        base = self._current_version()
         entry = self._write_data(align_to_schema(df, self.meta.schema), self._new_root())
-        return self._commit_snapshot([entry])
+        return self._commit_snapshot([entry], base_version=base)
 
     # ----------------------------------------------------------- merge
     def merge(
@@ -700,7 +777,8 @@ class ManagedTable:
                 f"latest_wins merge needs order column {merge_order!r} in the table schema"
             )
 
-        entries = self._read_manifest()
+        base = self._current_version()
+        entries = self._manifest_at(base)
 
         # Merge-on-read (reference table_type MOR, spark-job/read.py:
         # 208-216): the merge is an O(batch) delta append tagged with
@@ -709,14 +787,15 @@ class ManagedTable:
         if self.meta.table_type.upper() == "MOR":
             entry = self._write_data(src, self._new_root())
             entry["kind"] = "delta"
-            entry["seq"] = self._current_version() + 1
-            return self._commit_snapshot(entries + [entry])
+            return self._commit_entry_with_retry(entry, delta_seq=True)
 
         parts_cols = self.meta.partition_cols
         if not parts_cols:
-            merged = merge_upsert(self.read(), src, keys, merge_order, policy)
+            merged = merge_upsert(
+                self._assemble(entries), src, keys, merge_order, policy
+            )
             entry = self._write_data(merged, self._new_root())
-            return self._commit_snapshot([entry])
+            return self._commit_snapshot([entry], base_version=base)
 
         # Partition-pruned COW: collect only the distinct partition
         # VALUES of the batch.  The collect is capped (table property
@@ -730,9 +809,11 @@ class ManagedTable:
         )
         part_rows = src.select(*parts_cols).distinct().limit(cap + 1).collect()
         if len(part_rows) > cap:
-            merged = merge_upsert(self.read(), src, keys, merge_order, policy)
+            merged = merge_upsert(
+                self._assemble(entries), src, keys, merge_order, policy
+            )
             entry = self._write_data(merged, self._new_root())
-            return self._commit_snapshot([entry])
+            return self._commit_snapshot([entry], base_version=base)
         affected = {
             "/".join(f"{c}={_escape_part_value(r[c])}" for c in parts_cols)
             for r in part_rows
@@ -771,7 +852,7 @@ class ManagedTable:
 
         merged = merge_upsert(target_affected, src, keys, merge_order, policy)
         new_entry = self._write_data(merged, self._new_root())
-        return self._commit_snapshot(kept_entries + [new_entry])
+        return self._commit_snapshot(kept_entries + [new_entry], base_version=base)
 
     # ---------------------------------------------------------- delete
     def delete_where(self, condition) -> int:
@@ -818,17 +899,17 @@ class ManagedTable:
             )
             entry = self._write_data(tomb, self._new_root())
             entry["kind"] = "tombstone"
-            entry["seq"] = self._current_version() + 1
-            return self._commit_snapshot(self._read_manifest() + [entry])
+            return self._commit_entry_with_retry(entry, delta_seq=True)
 
         parts_cols = self.meta.partition_cols
-        entries = self._read_manifest()
+        base = self._current_version()
+        entries = self._manifest_at(base)
         if parts_cols:
             cap = int(
                 self.meta.properties.get("merge.max-affected-partitions", 10_000)
             )
             part_rows = (
-                self.read().filter(match).select(*parts_cols)
+                self._assemble(entries).filter(match).select(*parts_cols)
                 .distinct().limit(cap + 1).collect()
             )
             if not part_rows:
@@ -868,13 +949,15 @@ class ManagedTable:
                     target = target.unionByName(d)
                 survivors = target.filter(~match)
                 if survivors.isEmpty():
-                    return self._commit_snapshot(kept_entries)
+                    return self._commit_snapshot(kept_entries, base_version=base)
                 new_entry = self._write_data(survivors, self._new_root())
-                return self._commit_snapshot(kept_entries + [new_entry])
+                return self._commit_snapshot(
+                    kept_entries + [new_entry], base_version=base
+                )
 
-        survivors = self.read().filter(~match)
+        survivors = self._assemble(entries).filter(~match)
         entry = self._write_data(survivors, self._new_root())
-        return self._commit_snapshot([entry])
+        return self._commit_snapshot([entry], base_version=base)
 
     def delete_keys(self, keys_df: DataFrame) -> int:
         """Delete by KEY SET — the CDC delete path (a DMS batch's
@@ -904,11 +987,13 @@ class ManagedTable:
             )
             entry = self._write_data(tomb, self._new_root())
             entry["kind"] = "tombstone"
-            entry["seq"] = self._current_version() + 1
-            return self._commit_snapshot(self._read_manifest() + [entry])
-        survivors = self.read().join(victims, list(keys), "left_anti")
+            return self._commit_entry_with_retry(entry, delta_seq=True)
+        base = self._current_version()
+        survivors = self._assemble(self._manifest_at(base)).join(
+            victims, list(keys), "left_anti"
+        )
         entry = self._write_data(survivors, self._new_root())
-        return self._commit_snapshot([entry])
+        return self._commit_snapshot([entry], base_version=base)
 
     # ------------------------------------------------------------ misc
     def write(self, df: DataFrame, mode: str) -> int:
@@ -1013,6 +1098,7 @@ class ManagedTable:
         target_partitions: int | None = None,
         zorder_by: Sequence[str] | None = None,
         zorder_bits: int = 8,
+        retries: int | None = None,
     ) -> int:
         """Rewrite the current snapshot into one fresh data root
         (bin-packing small files) — the small-files compaction every
@@ -1027,8 +1113,38 @@ class ManagedTable:
         files however the table is queried.  Hive partition columns (if
         any) lead the range key, so each hive dir still receives whole
         output tasks and files within it own compact Morton ranges.
-        """
-        df = self.read()
+
+        Lost optimistic-commit races (a writer landed between this
+        rewrite's read and its commit) RECOMPUTE from the fresh
+        manifest and try again up to ``retries`` times (default: table
+        property ``commit.retries``, 3) — a rename-retry would silently
+        drop the concurrent commit's rows, so compaction must redo the
+        read.  This is what makes out-of-band maintenance (a separate
+        maintenance job, or the streaming sink's async thread) safe to
+        run against a live writer."""
+        if retries is None:
+            retries = int(self.meta.properties.get("commit.retries", 3))
+        for attempt in range(retries + 1):
+            try:
+                return self._compact_once(
+                    target_partitions, zorder_by, zorder_bits
+                )
+            except CommitConflictError:
+                if attempt >= retries:
+                    raise
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    def _compact_once(
+        self,
+        target_partitions: int | None,
+        zorder_by: Sequence[str] | None,
+        zorder_bits: int,
+    ) -> int:
+        # anchor the rewrite to the manifest version it reads — a
+        # writer landing in between makes THIS commit conflict (and the
+        # retry loop recompute) instead of silently dropping its rows
+        base = self._current_version()
+        df = self._assemble(self._manifest_at(base))
         if zorder_by:
             from .operators.layout import zorder_key  # noqa: PLC0415
 
@@ -1050,7 +1166,7 @@ class ManagedTable:
         else:
             df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
         entry = self._write_data(df, self._new_root())
-        return self._commit_snapshot([entry], kind="maintenance")
+        return self._commit_snapshot([entry], kind="maintenance", base_version=base)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Delete snapshot manifests older than the newest

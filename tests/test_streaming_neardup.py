@@ -205,3 +205,43 @@ def test_table_mode_delta_commits_are_few_files(spark, tmp_path):
     for root in glob.glob(os.path.join(idx, "data", "v*")):
         n_files = len(glob.glob(os.path.join(root, "*.parquet")))
         assert 0 < n_files <= 4, (root, n_files)
+
+
+def test_async_maintenance_compacts_off_critical_path(spark, tmp_path):
+    """async_maintenance=True runs compaction in a daemon thread —
+    results identical to inline maintenance, no lost rows, and the
+    index eventually folds to one data root.  (Safe against the live
+    writer: version-anchored CAS commits make the compaction recompute
+    on a lost race and the merge re-commit its delta root.)"""
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    d = str(tmp_path)
+    land = os.path.join(d, "landing"); os.makedirs(land)
+    idx, pairs, ck = (os.path.join(d, x) for x in ("index", "pairs", "ck"))
+
+    _write_batch(land, "b1.json", [(1, LONG_A), (4, LONG_B)])
+    _write_batch(land, "b2.json", [(7, LONG_A_NEAR)])
+    q = start_streaming_near_dup(
+        spark, land, SCHEMA, idx, pairs, ck,
+        available_now=True, threshold=0.4, index_mode="table",
+        compact_every=1, async_maintenance=True,
+        options={"maxFilesPerTrigger": "1"},
+    )
+    q.awaitTermination(120)
+    t = ManagedTable.load(spark, idx)
+    # the sink's table instance (which carries _sg_maint_thread) is out
+    # of reach here — wait for maintenance by polling the manifest
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if len(t._read_manifest()) == 1:
+            break
+        time.sleep(0.5)
+    assert t.read().count() == 3  # all three docs' signatures intact
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in spark.read.parquet(pairs)
+        .dropDuplicates(["doc_id_a", "doc_id_b"]).collect()
+    }
+    assert got == {(1, 7)}

@@ -83,9 +83,9 @@ def test_merge_partition_pruning_rewrites_only_affected(spark, tmp_path):
     t.merge(df_of(spark, [(1, "a", 10.0, 2)]))  # touches only part=a
     manifest = t._read_manifest()
     # untouched partitions b,c must be carried over from the old root
-    carried = [e for e in manifest if e["root"].endswith(f"v{v_before:08d}")]
+    carried = [e for e in manifest if f"v{v_before:08d}-" in e["root"]]
     assert carried and sorted(carried[0]["parts"]) == ["part=b", "part=c"]
-    new = [e for e in manifest if not e["root"].endswith(f"v{v_before:08d}")]
+    new = [e for e in manifest if f"v{v_before:08d}-" not in e["root"]]
     assert new and new[0]["parts"] == ["part=a"]
     assert rows_of(t.read()) == [(1, "a", 10.0, 2), (3, "b", 3.0, 1), (5, "c", 5.0, 1)]
 
@@ -121,7 +121,7 @@ def test_merge_partition_collect_cap_falls_back_to_full_rewrite(spark, tmp_path)
     # full rewrite: nothing carried over from the pre-merge root
     manifest = t._read_manifest()
     assert len(manifest) == 1
-    assert not manifest[0]["root"].endswith(f"v{v_before:08d}")
+    assert f"v{v_before:08d}-" not in manifest[0]["root"]
 
 
 def test_concurrent_commit_loses_loudly(spark, tmp_path):
@@ -418,3 +418,70 @@ def test_stats_harvest_partition_column_keys(spark, tmp_path):
     entry = t._read_manifest()[-1]
     assert entry["stats"]["id"] == [1, 2]
     assert entry["stats"]["part"] == ["ca", "ny"]
+
+
+def test_commit_retry_recommits_after_lost_race(spark, tmp_path, monkeypatch):
+    """A writer landing between a MOR delta's manifest read and its
+    commit makes the delta CONFLICT (version-anchored CAS), and the
+    retry re-commits the already-written root against the fresh
+    manifest — no recompute, no dropped rows from either writer."""
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
+        key_cols=["id"], order_column="ts", table_type="MOR",
+    )
+    t.merge(df_of(spark, [(1, "a", 1.0, 1)]))  # v2
+    src = align_to_schema(df_of(spark, [(2, "b", 2.0, 1)]), t.meta.schema)
+    entry = t._write_data(src, t._new_root())
+    entry["kind"] = "delta"
+    root_before = entry["root"]
+
+    real = t._commit_snapshot
+    state = {"raced": False}
+
+    def racing(entries, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent writer lands between our manifest read and
+            # this commit
+            ManagedTable.load(spark, t.path).merge(
+                df_of(spark, [(3, "c", 3.0, 1)])
+            )
+        return real(entries, **kw)
+
+    monkeypatch.setattr(t, "_commit_snapshot", racing)
+    ver = t._commit_entry_with_retry(entry, delta_seq=True)
+    assert ver == 4  # winner took v3; retry landed v4
+    assert entry["root"] == root_before  # re-committed, not rewritten
+    assert entry["seq"] == 4  # MOR seq re-stamped to the landed commit
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_compact_retries_recompute_after_lost_race(spark, tmp_path, monkeypatch):
+    """compact() must RECOMPUTE (not rename) after a lost race — a
+    stale rewrite would drop the concurrent commit's rows."""
+    from s3_sqs_data_ingestion_demo_spark.table import CommitConflictError
+
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
+        key_cols=["id"], order_column="ts", table_type="MOR",
+    )
+    t.merge(df_of(spark, [(1, "a", 1.0, 1)]))
+    t.merge(df_of(spark, [(2, "b", 2.0, 1)]))
+
+    real = t._compact_once
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a writer lands between the rewrite's read and its commit
+            t.merge(df_of(spark, [(3, "c", 3.0, 1)]))
+            raise CommitConflictError("simulated lost race")
+        return real(*a, **k)
+
+    monkeypatch.setattr(t, "_compact_once", flaky)
+    t.compact()
+    assert calls["n"] == 2  # recomputed once
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
+    # compaction folded everything into one data entry
+    assert len(t._read_manifest()) == 1
