@@ -485,3 +485,38 @@ def test_compact_retries_recompute_after_lost_race(spark, tmp_path, monkeypatch)
     assert sorted(r.id for r in t.read().collect()) == [1, 2, 3]
     # compaction folded everything into one data entry
     assert len(t._read_manifest()) == 1
+
+
+def test_concurrent_writers_all_land_with_retries(spark, tmp_path):
+    """Four writer threads race 5 MOR merges each against one table;
+    with version-anchored CAS + re-commit retries every batch must
+    land exactly once — the multi-writer guarantee async maintenance
+    and parallel ingest jobs rely on."""
+    import threading
+
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
+        key_cols=["id"], order_column="ts", table_type="MOR",
+        properties={"commit.retries": "20"},
+    )
+    errors = []
+
+    def writer(wid: int):
+        try:
+            tw = ManagedTable.load(spark, t.path)
+            for i in range(5):
+                rid = wid * 100 + i
+                tw.merge(df_of(spark, [(rid, "p", float(rid), 1)]))
+        except Exception as e:  # noqa: BLE001
+            errors.append((wid, e))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    got = sorted(r.id for r in t.read().collect())
+    assert got == sorted(w * 100 + i for w in range(4) for i in range(5))
+    # every commit advanced the version exactly once: create + 20 merges
+    assert t._current_version() == 21
