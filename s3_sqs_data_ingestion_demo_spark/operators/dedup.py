@@ -1100,3 +1100,81 @@ def ngram_novelty(
             ).alias("novelty_fp4"),
         )
     )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN masking (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr
+    variant at token-window granularity, public): every ROLLING
+    ``window``-token span whose exact text occurs ``min_occurrences``+
+    times in the corpus (across documents or within one) marks its
+    token positions as duplicated.  Finer than ``segment_dedup_stats``
+    (which drops fixed non-overlapping segments by document frequency):
+    rolling windows catch duplicated runs at ANY alignment, and
+    position-level masking removes only the duplicated tokens.
+
+    Returns (doc_id, n_tokens, n_dup_tokens, dup_ppm, clean_fp) where
+    ``clean_fp`` fingerprints the document with masked tokens dropped
+    (payload-free — an export pipeline would materialize the cleaned
+    text instead).
+
+    Scale shape: window hashes are a ZERO-SHUFFLE scan projection
+    (``transform`` over the token array — n hashes per doc, no
+    exploded window payloads); one hash-keyed aggregate finds repeated
+    spans; a semi-join re-derives each doc's duplicated start
+    positions; masking is per-doc array arithmetic.  Nothing ever
+    shuffles (doc, position) rows, and span text never rides a
+    shuffle — only 32-byte hashes."""
+    w = int(window)
+    base = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .withColumn(
+            "wh",
+            F.expr(
+                f"CASE WHEN n >= {w} THEN "
+                f"transform(sequence(1, n - {w} + 1),"
+                f" i -> md5(concat_ws(' ', slice(tk, i, {w})))) "
+                "ELSE array() END"
+            ),
+        )
+    )
+    wins = base.select("id", F.posexplode("wh").alias("p0", "h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("h")
+    )
+    starts = (
+        wins.join(dup, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.expr("sort_array(collect_list(p0 + 1))").alias("ds"))
+    )
+    out = base.join(starts, "id", "left").withColumn(
+        "ds", F.expr("coalesce(ds, array())")
+    )
+    dup_mask = (
+        f"filter(tk, (x, i) -> "
+        f"exists(ds, s -> i + 1 >= s AND i + 1 < s + {w}))"
+    )
+    keep_mask = (
+        f"filter(tk, (x, i) -> "
+        f"NOT exists(ds, s -> i + 1 >= s AND i + 1 < s + {w}))"
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.expr(f"size({dup_mask})").cast("bigint").alias("n_dup_tokens"),
+        F.expr(
+            f"CASE WHEN n = 0 THEN 0L "
+            f"ELSE (size({dup_mask}) * 1000000L) div n END"
+        ).cast("bigint").alias("dup_ppm"),
+        F.md5(F.expr(f"concat_ws(' ', {keep_mask})")).alias("clean_fp"),
+    )

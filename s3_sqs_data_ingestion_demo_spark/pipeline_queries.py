@@ -1494,6 +1494,61 @@ _SEGDEDUP_ORACLE = f"""
     """
 
 
+_SPAN_W, _SPAN_OCC = 8, 2
+
+_SPANDEDUP_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), base AS (
+      SELECT doc_id, tk, len(tk) AS n FROM tok
+    ), wins AS (
+      SELECT doc_id, g.i AS start,
+             md5(array_to_string(tk[g.i : g.i + {_SPAN_W} - 1], ' ')) AS h
+      FROM base, UNNEST(generate_series(1, n - {_SPAN_W} + 1)) AS g(i)
+      WHERE n >= {_SPAN_W}
+    ), dup AS (
+      SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= {_SPAN_OCC}
+    ), ds AS (
+      SELECT doc_id, list_sort(list(start)) AS starts
+      FROM wins SEMI JOIN dup USING (h) GROUP BY doc_id
+    ), j AS (
+      SELECT b.doc_id, b.tk, b.n,
+             COALESCE(d.starts, []::BIGINT[]) AS starts
+      FROM base b LEFT JOIN ds d USING (doc_id)
+    ), m AS (
+      SELECT doc_id, n,
+             len(list_filter(tk, (x, i) ->
+               len(list_filter(starts,
+                   s -> i >= s AND i < s + {_SPAN_W})) > 0)) AS ndup,
+             md5(COALESCE(array_to_string(list_filter(tk, (x, i) ->
+               len(list_filter(starts,
+                   s -> i >= s AND i < s + {_SPAN_W})) = 0), ' '), '')) AS clean_fp
+      FROM j
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(ndup AS BIGINT) AS n_dup_tokens,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE (ndup * 1000000) // n END AS BIGINT) AS dup_ppm,
+           clean_fp
+    FROM m
+    """
+
+
+@query("span_dedup_documents", _SPANDEDUP_ORACLE, driver=False)
+def span_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-span masking (operators/dedup.py
+    span_dedup_stats; Lee et al. 2021 ExactSubstr at token-window
+    granularity): rolling 8-token windows occurring 2+ times in the
+    corpus mark their positions duplicated; per-doc duplicated-token
+    counts in exact ppm plus a fingerprint of the masked document.
+    Window hashes are a zero-shuffle scan projection; only 32-byte
+    hashes ever shuffle."""
+    from .operators.dedup import span_dedup_stats  # noqa: PLC0415
+
+    return span_dedup_stats(t(spark, sf, "documents"))
+
+
 @query("segment_dedup_documents", _SEGDEDUP_ORACLE, driver=True, rank=20)
 def segment_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus boilerplate removal (operators/dedup.py

@@ -53,3 +53,34 @@ def test_clean_fp_is_order_stable(spark):
         for r in D.segment_dedup_stats(docs.repartition(7), window=4).collect()
     }
     assert a == b
+
+
+def test_span_dedup_rolling_windows_and_masking(spark):
+    """Lee-et-al-style span masking: rolling windows catch duplicated
+    runs at ANY alignment (here offset by one token), masking is
+    position-level, and intra-doc repetition counts too."""
+    from s3_sqs_data_ingestion_demo_spark.operators.dedup import (
+        span_dedup_stats,
+    )
+
+    run = " ".join(f"w{i}" for i in range(8))  # one exact 8-token run
+    docs = [
+        (1, f"a b c {run} x y z"),            # run at offset 3
+        (2, f"{run} p q r s t u v"),          # same run at offset 0
+        (3, "unique tokens only here none repeated at all ok fine"),
+        (4, f"{run} {run}"),                  # intra-doc repetition
+        (5, ""),                              # empty doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup_stats(df, window=8).collect()}
+    # docs 1 and 2: exactly the 8 run tokens masked, surroundings kept
+    assert (got[1].n_tokens, got[1].n_dup_tokens) == (14, 8)
+    assert (got[2].n_tokens, got[2].n_dup_tokens) == (15, 8)
+    assert got[1].dup_ppm == (8 * 1_000_000) // 14
+    # doc 3: untouched
+    assert got[3].n_dup_tokens == 0
+    # doc 4: the run repeats within ONE doc — 16 tokens, all masked
+    # (every window in "run run" includes a duplicated alignment)
+    assert (got[4].n_tokens, got[4].n_dup_tokens) == (16, 16)
+    # empty doc: defined zeros
+    assert (got[5].n_tokens, got[5].n_dup_tokens, got[5].dup_ppm) == (0, 0, 0)
