@@ -1132,20 +1132,23 @@ def span_dedup_stats(
     shuffles (doc, position) rows, and span text never rides a
     shuffle — only 32-byte hashes."""
     w = int(window)
-    base = (
+    # the (id, tokens) base is PERSISTED via the bounded session cache:
+    # window hashing, start-position recovery, and the two masking
+    # branches all reference it, and an un-materialized token base
+    # re-runs tokenization per branch — measured ~5x slower end-to-end
+    # at sf0.1 than one cached materialization
+    base = _cached_persist(
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
-        .withColumn("n", F.size("tk"))
-        .withColumn(
-            "wh",
-            F.expr(
-                f"CASE WHEN n >= {w} THEN "
-                f"transform(sequence(1, n - {w} + 1),"
-                f" i -> md5(concat_ws(' ', slice(tk, i, {w})))) "
-                "ELSE array() END"
-            ),
-        )
+        .withColumn("n", F.size("tk")),
+        _plan_key(df, "span_token_base", text_col, id_col),
     )
-    wins = base.select("id", F.posexplode("wh").alias("p0", "h"))
+    wh = F.expr(
+        f"CASE WHEN n >= {w} THEN "
+        f"transform(sequence(1, n - {w} + 1),"
+        f" i -> md5(concat_ws(' ', slice(tk, i, {w})))) "
+        "ELSE array() END"
+    )
+    wins = base.select("id", F.posexplode(wh).alias("p0", "h"))
     dup = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))
