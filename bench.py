@@ -173,8 +173,15 @@ def main() -> None:
     }
     worst = sorted(timings, key=timings.get, reverse=True)[:8]
     isolated: dict[str, float] = {}
+    from s3_sqs_data_ingestion_demo_spark.operators.bpe import clear_bpe_memo
+    from s3_sqs_data_ingestion_demo_spark.operators.similarity import (
+        clear_kmeans_memo,
+    )
+
     for name in worst:
         plan_cache.clear()
+        clear_bpe_memo()
+        clear_kmeans_memo()
         spark.catalog.clearCache()
         best = None
         for _ in range(2):
