@@ -89,8 +89,7 @@ def q_asof_click_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
                 THEN strftime(click_ts, '{_TS_FMT_DUCK}') END AS click_ts_str
     FROM j
     """,
-    driver=True,
-    rank=20,
+    driver=False,  # r05: rotated out (long-green; pytest parity + bench)
 )
 def q_asof_next_click_within_2h(spark: SparkSession, sf: str) -> DataFrame:
     """FORWARD as-of join with a tolerance: each purchase annotated
@@ -994,7 +993,7 @@ def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
                  / SUM(volume), 4) + 0.0 AS mkt_share
     FROM all_sales GROUP BY o_year
     """,
-    rank=30,  # r03: rotated into the driver view (VERDICT r02 #4)
+    driver=False,  # r05: rotated out (long-green; pytest parity + bench)
 )
 def q08_market_share(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8-style national market share: 7-table join tree, share
@@ -1046,7 +1045,7 @@ def q08_market_share(spark: SparkSession, sf: str) -> DataFrame:
     WHERE p_name LIKE '%a%'
     GROUP BY n_name, EXTRACT(year FROM o_orderdate)::INTEGER
     """,
-    rank=30,  # r03: rotated into the driver view (VERDICT r02 #4)
+    driver=False,  # r05: rotated out (long-green; pytest parity + bench)
 )
 def q09_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9-style profit rollup (no partsupp table exists, so

@@ -1535,7 +1535,7 @@ _SPANDEDUP_ORACLE = f"""
     """
 
 
-@query("span_dedup_documents", _SPANDEDUP_ORACLE, driver=False)
+@query("span_dedup_documents", _SPANDEDUP_ORACLE, driver=True, rank=25)
 def span_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicated-span masking (operators/dedup.py
     span_dedup_stats; Lee et al. 2021 ExactSubstr at token-window
@@ -2406,7 +2406,7 @@ def _pii_oracle() -> str:
     """
 
 
-@query("pii_scrub_documents", _pii_oracle(), driver=False)
+@query("pii_scrub_documents", _pii_oracle(), driver=True, rank=25)
 def pii_scrub_documents(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction over `documents` (operators/text.py pii_scrub):
     per-doc email/SSN/phone/IPv4 match counts + md5 of the scrubbed
@@ -2420,7 +2420,7 @@ def pii_scrub_documents(spark: SparkSession, sf: str) -> DataFrame:
     return pii_scrub(t(spark, sf, "documents"))
 
 
-@query("tokenizer_fertility_documents", _fertility_oracle(8), driver=False)
+@query("tokenizer_fertility_documents", _fertility_oracle(8), driver=True, rank=25)
 def tokenizer_fertility_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language tokenizer fertility (tokens/word, chars/token in
     exact ppm) after replaying the corpus-trained 8-merge BPE list —
