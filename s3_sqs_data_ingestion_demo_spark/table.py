@@ -1168,6 +1168,47 @@ class ManagedTable:
         entry = self._write_data(df, self._new_root())
         return self._commit_snapshot([entry], kind="maintenance", base_version=base)
 
+    def vacuum_orphans(self, min_age_seconds: float = 86400.0) -> list[str]:
+        """Delete data roots referenced by NO snapshot manifest — the
+        leftovers of writers that crashed between writing their data
+        and committing (a conflict LOSER cleans itself up via the
+        retry/cleanup path; a crashed process cannot).  Keeps every
+        snapshot — unlike ``expire_snapshots``, time travel is
+        unaffected.
+
+        ``min_age_seconds`` (default 1 day) guards live writers: a
+        root younger than the threshold may belong to a commit still
+        in flight, so it is kept — the same mtime-grace rule Iceberg's
+        ``remove_orphan_files`` applies.  Returns the removed roots."""
+        import shutil  # noqa: PLC0415
+        import time  # noqa: PLC0415
+
+        referenced: set[str] = set()
+        for m in glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")):
+            try:
+                with open(m, encoding="utf-8") as fh:
+                    for e in json.load(fh)["entries"]:
+                        referenced.add(e["root"])
+            except (OSError, ValueError, KeyError):
+                continue
+        removed: list[str] = []
+        data_dir = os.path.join(self.path, "data")
+        now = time.time()
+        if os.path.isdir(data_dir):
+            for d in sorted(os.listdir(data_dir)):
+                rel = f"data/{d}"
+                if rel in referenced:
+                    continue
+                full = os.path.join(data_dir, d)
+                try:
+                    if now - os.path.getmtime(full) < min_age_seconds:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(rel)
+        return removed
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Delete snapshot manifests older than the newest
         ``keep_last`` and garbage-collect data roots no longer

@@ -520,3 +520,35 @@ def test_concurrent_writers_all_land_with_retries(spark, tmp_path):
     assert got == sorted(w * 100 + i for w in range(4) for i in range(5))
     # every commit advanced the version exactly once: create + 20 merges
     assert t._current_version() == 21
+
+
+def test_vacuum_orphans_removes_aged_unreferenced_roots(spark, tmp_path):
+    """A crashed writer's uncommitted data root is garbage; vacuum
+    removes it once past the age grace, keeps referenced roots and
+    fresh (possibly in-flight) ones, and leaves time travel intact."""
+    t = make(spark, str(tmp_path), partitioned=False)
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    v2 = t._current_version()
+    t.merge(df_of(spark, [(2, "b", 2.0, 1)]))
+    # simulate a crashed writer: data written, commit never happened
+    orphan = t._new_root()
+    t._write_data(
+        align_to_schema(df_of(spark, [(9, "z", 9.0, 9)]), t.meta.schema),
+        orphan,
+    )
+    fresh_orphan = t._new_root()
+    t._write_data(
+        align_to_schema(df_of(spark, [(8, "y", 8.0, 8)]), t.meta.schema),
+        fresh_orphan,
+    )
+    # age only the first orphan past the grace window
+    old = 10_000
+    os.utime(orphan, (os.path.getmtime(orphan) - old,) * 2)
+
+    removed = t.vacuum_orphans(min_age_seconds=5_000)
+    assert removed == [f"data/{os.path.basename(orphan)}"]
+    assert not os.path.exists(orphan)
+    assert os.path.exists(fresh_orphan)  # inside grace: kept
+    # table state and time travel untouched
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+    assert rows_of(t.read_version(v2)) == [(1, "a", 1.0, 1)]
