@@ -448,4 +448,9 @@ def start_streaming_near_dup(
         writer = writer.trigger(availableNow=True)
     elif poll_interval:
         writer = writer.trigger(processingTime=f"{poll_interval} seconds")
-    return writer.start()
+    query = writer.start()
+    # expose the index table (and through it any in-flight async
+    # maintenance thread, table._sg_maint_thread) so callers can join
+    # maintenance before tearing the table down
+    query._sg_index_table = table
+    return query
