@@ -552,3 +552,28 @@ def test_vacuum_orphans_removes_aged_unreferenced_roots(spark, tmp_path):
     # table state and time travel untouched
     assert sorted(r.id for r in t.read().collect()) == [1, 2]
     assert rows_of(t.read_version(v2)) == [(1, "a", 1.0, 1)]
+
+
+def test_read_unresolved_partitioned_union_matches_fast_path_semantics(spark, tmp_path):
+    """The partitioned (per-entry union) and unpartitioned (single
+    multi-path scan) read_unresolved branches must agree on rows AND
+    per-entry commit seqs for equivalent commit histories."""
+    rows1, rows2 = [(1, "a", 1.0, 1), (2, "b", 2.0, 1)], [(3, "a", 3.0, 2)]
+    tp = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "p"), SCHEMA,
+        key_cols=["id"], partition_cols=["part"], table_type="MOR",
+    )
+    tu = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "u"), SCHEMA,
+        key_cols=["id"], table_type="MOR",
+    )
+    for t in (tp, tu):
+        t.merge(df_of(spark, rows1))
+        t.merge(df_of(spark, rows2))
+    got_p = sorted(
+        (r.id, r._sg_seq) for r in tp.read_unresolved(with_seq=True).collect()
+    )
+    got_u = sorted(
+        (r.id, r._sg_seq) for r in tu.read_unresolved(with_seq=True).collect()
+    )
+    assert got_p == got_u == [(1, 2), (2, 2), (3, 3)]
