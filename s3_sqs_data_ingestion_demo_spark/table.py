@@ -399,9 +399,12 @@ class ManagedTable:
         if entry.get("parts"):
             paths = [os.path.join(root, p) for p in entry["parts"]]
             df = reader.option("basePath", root).parquet(*paths)
-        else:
-            df = reader.parquet(root)
-        return align_to_schema(df, self.meta.schema)
+            # hive partition columns come back APPENDED by the reader
+            # regardless of schema order — re-align to the contract
+            return align_to_schema(df, self.meta.schema)
+        # unpartitioned: the schema-explicit read already enforces
+        # types, order, and null-fill; skip the no-op cast projection
+        return reader.parquet(root)
 
     def _assemble(self, entries: list[dict]) -> DataFrame:
         """Union the manifest's entries; when delta entries are present
