@@ -193,12 +193,14 @@ def main() -> None:
     )
 
     for name in worst:
-        plan_cache.clear()
-        clear_bpe_memo()
-        clear_kmeans_memo()
-        spark.catalog.clearCache()
         best = None
         for _ in range(2):
+            # quiesce before EVERY attempt: best-of-2 must not let the
+            # second attempt ride caches/memos the first repopulated
+            plan_cache.clear()
+            clear_bpe_memo()
+            clear_kmeans_memo()
+            spark.catalog.clearCache()
             if name in ingest_fns:
                 # ingest benches time their measured section themselves
                 # (bootstrap/setup excluded) — use that, same as the

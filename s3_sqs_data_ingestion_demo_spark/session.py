@@ -29,6 +29,12 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Release unreachable checkpoint/persist/shuffle blocks promptly:
+    # the ContextCleaner only runs on driver GC, and a many-query
+    # session (bench sweep, driver loop) accumulates eagerly-
+    # checkpointed RDD blocks faster than a 128 GiB heap GCs — the
+    # default 30min periodic GC never fires inside a sweep
+    "spark.cleaner.periodicGC.interval": "1min",
     # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no
     # nanosecond timestamp type); accessors convert ns → timestamp.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
