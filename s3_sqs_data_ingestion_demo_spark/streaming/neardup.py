@@ -43,6 +43,16 @@ future batch and permanently inflate jaccard.  As a second layer, ids
 present in the current batch are excluded from the index read, so a
 retry after a successful append (or a re-sent document) can never
 join a doc against its own stale signatures.
+
+ID-ordering contract: pairs are emitted canonically as
+``doc_id_a < doc_id_b`` with ``doc_id_b`` in the current batch, which
+assumes doc ids are NON-DECREASING across batches (each new document
+gets an id above everything indexed — the natural shape of an ingest
+sequence).  A brand-new document arriving with an id LOWER than
+existing index entries would have its cross-batch pairs dropped by
+the canonical filter.  Re-ingesting an EXISTING id (revival after
+``remove_documents``) is fine — the doc was already indexed, so no
+pair information is lost.
 """
 
 from __future__ import annotations
@@ -214,8 +224,12 @@ def process_near_dup_batch_table(
     # NB: _batch_signatures materializes eagerly — pair generation, the
     # merge's emptiness probe, and the index write share one computation
     new = _batch_signatures(batch, text_col, id_col, n, num_hashes, bands)
+    # tombstones applied: a REMOVED document (remove_documents) must
+    # stop generating pairs — unlike stale duplicates, a deleted doc's
+    # signatures would pass exact verification, so the mask is
+    # correctness, not just efficiency.  Free when nothing was deleted.
     pairs = _near_dup_pairs(
-        new, table.read_unresolved(with_seq=True),
+        new, table.read_unresolved(with_seq=True, apply_tombstones=True),
         num_hashes, bands, threshold, max_band_freq,
     )
     # per-commit file count bounded by the table's
@@ -454,3 +468,13 @@ def start_streaming_near_dup(
     # maintenance before tearing the table down
     query._sg_index_table = table
     return query
+
+
+def remove_documents(table, ids: DataFrame, id_col: str = "doc_id") -> int:
+    """Remove documents from a TABLE-BACKED signature index (takedown /
+    retention deletes): their keys land as an O(deletes) MOR tombstone
+    delta, later batches stop pairing against them (the batch
+    processors read with ``apply_tombstones=True``), and a re-ingested
+    document revives normally because the merge stamps a newer commit
+    seq.  ``compact()`` folds the tombstones away."""
+    return table.delete_keys(ids.select(F.col(id_col).alias("id")))

@@ -518,7 +518,9 @@ class ManagedTable:
             out = out.filter(c <= F.lit(hi))
         return out
 
-    def read_unresolved(self, with_seq: bool = False) -> DataFrame:
+    def read_unresolved(
+        self, with_seq: bool = False, apply_tombstones: bool = False
+    ) -> DataFrame:
         """Union of all live entries WITHOUT merge-on-read key
         resolution — O(scan), no key-shuffle window.  For consumers
         whose downstream logic tolerates (or locally resolves)
@@ -529,16 +531,54 @@ class ManagedTable:
         paying a full-index window every micro-batch.  ``with_seq``
         appends the commit-sequence column ``_sg_seq`` (0 for base
         entries, the commit version for MOR deltas) so callers can
-        resolve recency themselves.  Tombstone (delete) entries are
-        SKIPPED, not applied: the raw union may therefore contain
-        deleted rows — acceptable for its consumers (extra near-dup
-        candidates are discarded by exact verification)."""
+        resolve recency themselves.
+
+        By default tombstone (delete) entries are SKIPPED, not
+        applied: the raw union may contain deleted rows — acceptable
+        when stale rows only generate extra work that verification
+        discards.  ``apply_tombstones=True`` masks deleted keys (rows
+        whose seq predates the key's latest tombstone; re-inserts
+        survive, same rule as resolved reads) via one join against the
+        key-only tombstone rows — O(deletes), broadcast-sized until
+        compaction folds them, and FREE when no tombstones exist."""
+        all_entries = self._read_manifest()
+        tomb_entries = (
+            [e for e in all_entries if e.get("kind") == "tombstone"]
+            if apply_tombstones
+            else []
+        )
         entries = [
-            e for e in self._read_manifest() if e.get("kind") != "tombstone"
+            e for e in all_entries if e.get("kind") != "tombstone"
         ]
         if not entries:
             out = self.spark.createDataFrame([], self.meta.schema)
             return out.withColumn("_sg_seq", F.lit(0).cast("long")) if with_seq else out
+        if tomb_entries:
+            out = self._read_unresolved_union(entries, with_seq=True)
+            keys = list(self.meta.key_cols)
+            tombs = None
+            for e in tomb_entries:
+                d = self._read_entry(e).select(*keys).withColumn(
+                    "_sg_tomb", F.lit(int(e.get("seq", 0))).cast("long")
+                )
+                tombs = d if tombs is None else tombs.unionByName(d)
+            t_agg = tombs.groupBy(*keys).agg(
+                F.max("_sg_tomb").alias("_sg_tomb")
+            )
+            out = (
+                out.join(t_agg, keys, "left")
+                .filter(
+                    F.col("_sg_tomb").isNull()
+                    | (F.col("_sg_tomb") < F.col("_sg_seq"))
+                )
+                .drop("_sg_tomb")
+            )
+            return out if with_seq else out.drop("_sg_seq")
+        return self._read_unresolved_union(entries, with_seq)
+
+    def _read_unresolved_union(
+        self, entries: list[dict], with_seq: bool
+    ) -> DataFrame:
         # Unpartitioned fast path: ONE multi-path FileScan over every
         # live root instead of a per-entry scan union — a long-lived
         # MOR stream accumulates hundreds of delta entries between

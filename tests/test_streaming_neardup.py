@@ -245,3 +245,43 @@ def test_async_maintenance_compacts_off_critical_path(spark, tmp_path):
         .dropDuplicates(["doc_id_a", "doc_id_b"]).collect()
     }
     assert got == {(1, 7)}
+
+
+def test_remove_documents_stops_pairing_until_reingest(spark, tmp_path):
+    """A removed doc must stop generating near-dup pairs (its
+    signatures would pass exact verification, so skipping tombstones
+    would be a correctness bug, not waste) — and a re-ingested doc
+    pairs again."""
+    from s3_sqs_data_ingestion_demo_spark.streaming.neardup import (
+        remove_documents,
+    )
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+    from s3_sqs_data_ingestion_demo_spark.streaming.neardup import (
+        _index_schema,
+    )
+
+    idx = os.path.join(str(tmp_path), "index")
+    tbl = ManagedTable.create(
+        spark, idx, _index_schema(16), key_cols=["id"], table_type="MOR",
+        properties={"write.collect-stats": "false"},
+    )
+    b1 = spark.createDataFrame([(1, LONG_A)], SCHEMA)
+    pairs = process_near_dup_batch_table(b1, tbl, threshold=0.4)
+    assert pairs.count() == 0
+
+    remove_documents(tbl, spark.createDataFrame([(1,)], "doc_id long"))
+
+    # near-dup of the removed doc arrives: NO pair against doc 1
+    b2 = spark.createDataFrame([(7, LONG_A_NEAR)], SCHEMA)
+    pairs = process_near_dup_batch_table(b2, tbl, threshold=0.4)
+    assert pairs.count() == 0
+
+    # re-ingest doc 1 (newer commit seq revives it) → a later batch
+    # with a known-colliding variant pairs against it again
+    b3 = spark.createDataFrame([(1, LONG_A)], SCHEMA)
+    process_near_dup_batch_table(b3, tbl, threshold=0.4)
+    b4 = spark.createDataFrame([(9, LONG_A_NEAR)], SCHEMA)
+    pairs = process_near_dup_batch_table(b4, tbl, threshold=0.4)
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+    assert (1, 9) in got  # revived doc pairs again
+    assert (7, 9) in got  # never-deleted doc still pairs
