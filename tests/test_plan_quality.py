@@ -246,3 +246,25 @@ def test_read_unresolved_single_scan_unpartitioned(spark, tmp_path):
     # seqs (the create snapshot is v1, so merges land at v2..v6)
     seqs = sorted(r._sg_seq for r in df.select("_sg_seq").collect())
     assert seqs == [2, 3, 4, 5, 6]
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark):
+    """Span dedup's shuffles must carry window hashes and positions —
+    never token arrays or span text — and nothing Python-side."""
+    tree = plan_of(spark, "span_dedup_documents").split("\n\n")[0]
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_tokenizer_fertility_folds_over_vocab_only(spark):
+    """The BPE segmentation folds must run over the DISTINCT-word
+    vocabulary (an aggregate feeds the fold), never per occurrence —
+    the corpus-size-independence property of the fertility report."""
+    import re
+
+    df = REGISTRY["tokenizer_fertility_documents"].fn(spark, SF)
+    tree = df._jdf.queryExecution().optimizedPlan().toString()
+    # the fold expression (aggregate(..., lambda ...)) must appear in a
+    # plan branch that sits ABOVE a distinct/aggregate over words
+    assert "aggregate(" in tree.lower()
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
