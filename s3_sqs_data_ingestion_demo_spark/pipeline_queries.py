@@ -73,6 +73,61 @@ def dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     return D.exact_dedup_keys(t(spark, sf, "documents"))
 
 
+_DATACARD_ORACLE = f"""
+    SELECT
+      (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+      (SELECT COUNT(DISTINCT lang) FROM documents)::BIGINT AS n_langs,
+      (SELECT COUNT(DISTINCT source) FROM documents)::BIGINT AS n_sources,
+      (SELECT SUM(len({{_TOKS}})) FROM documents)::BIGINT AS total_tokens,
+      (SELECT SUM(length(text)) FROM documents)::BIGINT AS total_chars,
+      (SELECT COUNT(DISTINCT md5({{_NORM}})) FROM documents)::BIGINT
+        AS n_unique_texts,
+      ((SELECT SUM(length(text)) FROM documents)
+         // (SELECT COUNT(*) FROM documents))::BIGINT AS mean_chars,
+      (((SELECT COUNT(*) FROM documents)
+          - (SELECT COUNT(DISTINCT md5({{_NORM}})) FROM documents))
+         * 1000000 // (SELECT COUNT(*) FROM documents))::BIGINT
+        AS exact_dup_ppm
+    """.replace("{_TOKS}", _TOKS).replace("{_NORM}", _NORM)
+
+
+@query("corpus_datacard_documents", _DATACARD_ORACLE, driver=False)
+def corpus_datacard_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row corpus data card: doc/lang/source counts, token and
+    char totals, distinct normalized texts, exact-duplicate fraction
+    (ppm) and mean length — the summary a dataset release ships.
+
+    Plan shape: one full-corpus aggregate for the additive stats plus
+    three COLUMN-PRUNED single-distinct aggregates crossJoined as
+    1-row frames — deliberately NOT one multi-distinct aggregate,
+    whose Expand plan replicates every corpus row once per distinct
+    column (profile_table's lesson, the 100 TB killer)."""
+    d = t(spark, sf, "documents")
+    base = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(X.token_count("text")).cast("bigint").alias("total_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+    langs = d.agg(F.countDistinct("lang").cast("bigint").alias("n_langs"))
+    srcs = d.agg(F.countDistinct("source").cast("bigint").alias("n_sources"))
+    uniq = d.agg(
+        F.countDistinct(F.md5(X.normalize_text("text")))
+        .cast("bigint")
+        .alias("n_unique_texts")
+    )
+    return (
+        base.crossJoin(langs).crossJoin(srcs).crossJoin(uniq)
+        .select(
+            "n_docs", "n_langs", "n_sources", "total_tokens", "total_chars",
+            "n_unique_texts",
+            F.expr("total_chars div n_docs").cast("bigint").alias("mean_chars"),
+            F.expr("((n_docs - n_unique_texts) * 1000000) div n_docs")
+            .cast("bigint")
+            .alias("exact_dup_ppm"),
+        )
+    )
+
+
 def fingerprint_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document content fingerprint (normalize → md5); pure
     projection, zero shuffle.  Driver-verified as part of the combined
