@@ -48,7 +48,13 @@ def token_count(col: str | Column) -> Column:
 # BPE-ish pre-tokenizer classes: letter runs, digit runs, single
 # non-space symbols — the shape GPT-style byte-pair pretokenization
 # produces before merges; a cheap, portable token-budget estimator.
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Control characters (C0 + DEL) are excluded from the symbol class:
+# the BPE DuckDB oracle folds symbol lists through a chr(1)-joined
+# string accumulator, so a corpus token containing U+0001 would make
+# that delimiter ambiguous and break engine/oracle merge parity.
+# Syntax is restricted to the Java∩RE2 subset (both engines see the
+# same pattern verbatim).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x00-\x1f\x7f]"
 
 
 def bpe_ish_token_count(col: str | Column) -> Column:

@@ -2336,7 +2336,7 @@ def _bpe_oracle(num_merges: int = 8) -> str:
     adjacent-pair count + a (count DESC, left, right) argmax + the
     fold; the word-frequency table keeps every round corpus-size-
     independent, exactly like the engine."""
-    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    pat = X.BPE_ISH_PATTERN  # shared with the engine; excludes control chars (chr(1) delimiter safety)
     rounds = []
     for i in range(1, num_merges + 1):
         prev = f"w{i - 1}"
@@ -2405,7 +2405,7 @@ def _fertility_oracle(num_merges: int = 8) -> str:
     a vocabulary-level replay of the learned folds — each fold is the
     same list_reduce greedy rewrite, nested K deep over the distinct
     words, then joined back occurrence-weighted per language."""
-    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    pat = X.BPE_ISH_PATTERN  # shared with the engine; excludes control chars (chr(1) delimiter safety)
     train = _bpe_oracle(num_merges)
     # reuse the training CTE chain: strip its final SELECT, keep WITH…
     ctes = train[: train.rindex("SELECT * FROM (")]

@@ -438,10 +438,32 @@ def start_streaming_near_dup(
                 if async_maintenance:
                     import threading  # noqa: PLC0415
 
+                    # surface (don't swallow) the PREVIOUS compaction's
+                    # terminal failure: a bare daemon thread dying on a
+                    # CommitConflictError/IO error would silently stop
+                    # all future compaction and let read cost grow
+                    # unbounded.  The exception is stashed on the table
+                    # and re-raised into the stream at the next trigger.
+                    prev_exc = getattr(table, "_sg_maint_error", None)
+                    if prev_exc is not None:
+                        table._sg_maint_error = None
+                        raise RuntimeError(
+                            "async index compaction failed on a prior "
+                            "trigger; raising into the stream so the "
+                            "failure is visible (restart resumes from "
+                            "the checkpoint)"
+                        ) from prev_exc
+
+                    def _compact_guarded(tbl=table):
+                        try:
+                            tbl.compact()
+                        except Exception as exc:  # noqa: BLE001
+                            tbl._sg_maint_error = exc
+
                     prev = getattr(table, "_sg_maint_thread", None)
                     if prev is None or not prev.is_alive():
                         th = threading.Thread(
-                            target=table.compact, daemon=True
+                            target=_compact_guarded, daemon=True
                         )
                         table._sg_maint_thread = th
                         th.start()

@@ -286,22 +286,46 @@ class ManagedTable:
             ) else 0
         v = prev + 1
         snap = os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json")
-        try:
-            fh = open(snap, "x", encoding="utf-8")
-        except FileExistsError:
-            # the loser's freshly-written data roots would block its own
-            # retry (version-keyed names, errorifexists) — drop any of
-            # this commit's roots no committed manifest references
-            # (skipped by the rename-retry protocol, which re-targets
-            # the SAME written root at the next free version instead)
-            if cleanup_on_conflict:
-                self._cleanup_unreferenced(entries)
+        fh = None
+        for _ in range(3):  # bounded: reclaim can race another healer
+            try:
+                fh = open(snap, "x", encoding="utf-8")
+                break
+            except FileExistsError:
+                # Slot occupied.  Two cases: (a) a concurrent writer
+                # committed AND published — a genuine lost race; (b) a
+                # writer CRASHED between creating the manifest and
+                # publishing the CURRENT pointer, leaving an orphan
+                # that would otherwise wedge this slot forever (every
+                # retry re-anchors to base N and hits the same file).
+                # Case (b) is detected as "manifest exists but CURRENT
+                # still points below it" and reclaimed after an mtime
+                # grace window (same rule as vacuum_orphans) — a
+                # writer younger than the grace may still be mid-
+                # publish, so it is left alone and the conflict raised.
+                if self._reclaim_orphan_manifest(v):
+                    continue
+                # the loser's freshly-written data roots would block
+                # its own retry (version-keyed names, errorifexists) —
+                # drop any of this commit's roots no committed manifest
+                # references (skipped by the rename-retry protocol,
+                # which re-targets the SAME written root at the next
+                # free version instead)
+                if cleanup_on_conflict:
+                    self._cleanup_unreferenced(entries)
+                raise CommitConflictError(
+                    f"snapshot v{v:08d} already exists at {snap}: "
+                    "another writer committed concurrently — re-load "
+                    "the table and retry the operation (an unpublished "
+                    "crashed commit at this slot is reclaimed "
+                    "automatically once older than "
+                    "commit.orphan-grace-seconds)"
+                ) from None
+        if fh is None:  # pragma: no cover — 3 reclaim races in a row
             raise CommitConflictError(
-                f"snapshot v{v:08d} already exists at {snap}: another "
-                "writer committed concurrently — re-load the table and "
-                "retry the operation (if the other commit crashed before "
-                "publishing its pointer, delete the orphan manifest)"
-            ) from None
+                f"snapshot slot v{v:08d} could not be acquired after "
+                "repeated orphan reclaims — concurrent healer contention"
+            )
         with fh:
             snap_doc = {"version": v, "kind": kind, "entries": entries}
             if tag is not None:
@@ -312,6 +336,34 @@ class ManagedTable:
             fh.write(f"v{v:08d}")
         os.replace(tmp, os.path.join(self.path, _CURRENT))  # atomic publish
         return v
+
+    def _reclaim_orphan_manifest(self, version: int) -> bool:
+        """Delete ``v{version}.json`` iff it is an UNPUBLISHED crash
+        leftover: the CURRENT pointer is still below ``version`` (a
+        published manifest is never an orphan) and the file is older
+        than the ``commit.orphan-grace-seconds`` table property
+        (default 300 s) — younger files may belong to a live writer
+        between its O_EXCL create and pointer publish.  Returns True
+        when the slot was freed (including by a racing healer).  The
+        orphan's writer-unique data roots become unreferenced and are
+        collected later by ``vacuum_orphans``."""
+        import time  # noqa: PLC0415
+
+        if self._current_version() >= version:
+            return False  # published: a real concurrent commit
+        snap = os.path.join(self.path, _SNAPDIR, f"v{version:08d}.json")
+        grace = float(
+            self.meta.properties.get("commit.orphan-grace-seconds", 300.0)
+        )
+        try:
+            if time.time() - os.path.getmtime(snap) < grace:
+                return False
+            os.remove(snap)
+        except FileNotFoundError:
+            return True  # a racing healer already freed the slot
+        except OSError:
+            return False
+        return True
 
     def _cleanup_unreferenced(self, entries: list[dict]) -> None:
         """Remove data roots among ``entries`` that no committed
@@ -602,7 +654,12 @@ class ManagedTable:
                         F.lit(e["root"].rstrip("/").split("/")[-1]),
                         F.lit(int(e.get("seq", 0))).cast("long"),
                     ]
-                seq_expr = F.element_at(
+                # try_element_at, NOT element_at: under Spark 4's
+                # default ANSI mode a missing map key raises
+                # MAP_KEY_DOES_NOT_EXIST, which would turn the
+                # documented degrade-to-seq-0 fallback below into a
+                # runtime error the first time a path misses the map
+                seq_expr = F.try_element_at(
                     F.create_map(*kv),
                     F.regexp_extract(
                         F.input_file_name(), r"/([^/]+)/[^/]*$", 1
@@ -667,8 +724,12 @@ class ManagedTable:
                 cur[0], cur[1] = min(cur[0], mn), max(cur[1], mx)
 
         try:
+            import pyarrow as pa
             import pyarrow.parquet as pq
-
+        except ImportError:
+            self._warn_stats_skipped("pyarrow is not importable")
+            return None
+        try:
             if file_cols:
                 for path in glob.glob(
                     os.path.join(root, "**", "*.parquet"), recursive=True
@@ -708,9 +769,31 @@ class ManagedTable:
                         vals.add(int(raw))
                 if vals:
                     _update(f.name, min(vals), max(vals))
-        except Exception:  # noqa: BLE001 — stats are best-effort
+        except (OSError, ValueError, KeyError, pa.ArrowException) as exc:
+            # stats are advisory (pruning stays exact without them),
+            # but a silent drop would regress pruning with no signal —
+            # and a blanket except here once masked real harvest bugs
+            self._warn_stats_skipped(f"{type(exc).__name__}: {exc}")
             return None
         return stats or None
+
+    _stats_warned = False
+
+    def _warn_stats_skipped(self, reason: str) -> None:
+        """One-time (per process) warning that manifest key stats are
+        being dropped — pruning silently regressing to full scans is
+        the failure mode this surfaces."""
+        import warnings  # noqa: PLC0415
+
+        if not ManagedTable._stats_warned:
+            ManagedTable._stats_warned = True
+            warnings.warn(
+                "manifest key-stats collection skipped "
+                f"({reason}); data-root pruning will degrade to full "
+                "scans for commits written without stats",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
     def _write_data(self, df: DataFrame, root: str) -> dict:
         # File-count bounding (table property "write.max-delta-files"):

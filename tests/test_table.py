@@ -577,3 +577,80 @@ def test_read_unresolved_partitioned_union_matches_fast_path_semantics(spark, tm
         (r.id, r._sg_seq) for r in tu.read_unresolved(with_seq=True).collect()
     )
     assert got_p == got_u == [(1, 2), (2, 2), (3, 3)]
+
+
+def _plant_orphan_manifest(t, age_seconds=0.0):
+    """Simulate a writer crashing between manifest create and pointer
+    publish: v{N+1}.json exists, CURRENT still points at N."""
+    v = t._current_version()
+    orphan = os.path.join(t.path, "_snapshots", f"v{v + 1:08d}.json")
+    with open(orphan, "w", encoding="utf-8") as fh:
+        fh.write(
+            '{"version": %d, "kind": "data", "entries": []}' % (v + 1)
+        )
+    if age_seconds:
+        os.utime(orphan, (os.path.getmtime(orphan) - age_seconds,) * 2)
+    return orphan
+
+
+def test_crashed_commit_orphan_manifest_is_reclaimed(spark, tmp_path):
+    """A writer dying between open(snap, 'x') and the CURRENT rename
+    must NOT wedge the slot forever: once the orphan manifest is older
+    than commit.orphan-grace-seconds, the next committer reclaims the
+    slot and its commit succeeds — from a fresh handle, no manual
+    intervention."""
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    orphan = _plant_orphan_manifest(t, age_seconds=10_000)
+
+    fresh = ManagedTable.load(spark, t.path)
+    fresh.merge(df_of(spark, [(2, "b", 2.0, 1)]))
+    assert rows_of(fresh.read()) == [(1, "a", 1.0, 1), (2, "b", 2.0, 1)]
+    # the reclaimed slot now holds the NEW commit's manifest
+    import json as _json
+
+    with open(orphan, encoding="utf-8") as fh:
+        assert _json.load(fh)["entries"]  # not the planted empty orphan
+
+
+def test_fresh_unpublished_manifest_is_not_reclaimed(spark, tmp_path):
+    """A manifest younger than the grace window may belong to a LIVE
+    writer mid-publish — it must be left alone and the conflict
+    raised (existing behavior, now with the reclaim hint)."""
+    from s3_sqs_data_ingestion_demo_spark.table import CommitConflictError
+
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    orphan = _plant_orphan_manifest(t, age_seconds=0.0)
+    with pytest.raises(CommitConflictError, match="another"):
+        t.merge(df_of(spark, [(2, "b", 2.0, 1)]))
+    assert os.path.exists(orphan)
+
+
+def test_published_manifest_is_never_reclaimed(spark, tmp_path):
+    """_reclaim_orphan_manifest must refuse when CURRENT already
+    points at (or past) the slot — a published commit is a real
+    concurrent winner, however old its mtime."""
+    t = make(spark, str(tmp_path))
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    v = t._current_version()
+    snap = os.path.join(t.path, "_snapshots", f"v{v:08d}.json")
+    os.utime(snap, (os.path.getmtime(snap) - 10_000,) * 2)
+    assert t._reclaim_orphan_manifest(v) is False
+    assert os.path.exists(snap)
+
+
+def test_orphan_grace_property_is_respected(spark, tmp_path):
+    """commit.orphan-grace-seconds tunes the reclaim window."""
+    t = ManagedTable.create(
+        spark,
+        os.path.join(str(tmp_path), "tbl"),
+        SCHEMA,
+        key_cols=["id"],
+        order_column="ts",
+        properties={"commit.orphan-grace-seconds": "2"},
+    )
+    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
+    _plant_orphan_manifest(t, age_seconds=5)  # older than 2s grace
+    t.merge(df_of(spark, [(2, "b", 2.0, 1)]))
+    assert rows_of(t.read()) == [(1, "a", 1.0, 1), (2, "b", 2.0, 1)]
