@@ -58,6 +58,7 @@ pair information is lost.
 from __future__ import annotations
 
 import os
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -160,6 +161,7 @@ def process_near_dup_batch(
     threshold: float = 0.5,
     max_band_freq: int = 10_000,
     batch_id: int | None = None,
+    timings: dict | None = None,
 ) -> DataFrame:
     """One micro-batch step: emit (doc_id_a, doc_id_b, jaccard) pairs
     where doc_id_b is IN THIS BATCH and doc_id_a is any earlier doc
@@ -177,9 +179,12 @@ def process_near_dup_batch(
     # NB: _batch_signatures materializes the batch's rows eagerly, so
     # pair generation, the index write, and any emptiness probe share
     # ONE computation of the shingle/minhash plan
+    t0 = _time.perf_counter()
     new = _batch_signatures(batch, text_col, id_col, n, num_hashes, bands)
+    t1 = _time.perf_counter()
     old = _read_index(spark, index_path, num_hashes, bands)
     pairs = _near_dup_pairs(new, old, num_hashes, bands, threshold, max_band_freq)
+    t2 = _time.perf_counter()
     # trigger-bounded delta, shuffle-fan-out partitioning: coalesce the
     # WRITE copy so each batch lands a handful of files, not one per
     # shuffle partition (see process_near_dup_batch_table)
@@ -191,7 +196,22 @@ def process_near_dup_batch(
         new.coalesce(4).write.mode("overwrite").parquet(
             os.path.join(index_path, f"b{batch_id:020d}")
         )
+    _phase_add(timings, t0, t1, t2, _time.perf_counter())
     return pairs
+
+
+def _phase_add(timings: dict | None, t0, t1, t2, t3) -> None:
+    """Accumulate the batch step's phase wall times — both index modes
+    share the phase names so the mode premium is decomposable from the
+    bench artifact alone (signatures = shingle/minhash/band-key
+    materialization; pairs = collision join + exact verification;
+    index_write = dir append / table MOR merge commit)."""
+    if timings is None:
+        return
+    for k, dt in (
+        ("signatures", t1 - t0), ("pairs", t2 - t1), ("index_write", t3 - t2)
+    ):
+        timings[k] = round(timings.get(k, 0.0) + dt, 3)
 
 
 def process_near_dup_batch_table(
@@ -204,6 +224,7 @@ def process_near_dup_batch_table(
     bands: int = _BANDS,
     threshold: float = 0.5,
     max_band_freq: int = 10_000,
+    timings: dict | None = None,
 ) -> DataFrame:
     """Table-backed variant: the signature index is a keyed MOR
     ``ManagedTable`` instead of a raw parquet directory — the
@@ -223,19 +244,69 @@ def process_near_dup_batch_table(
     the candidate-sized slice."""
     # NB: _batch_signatures materializes eagerly — pair generation, the
     # merge's emptiness probe, and the index write share one computation
+    t0 = _time.perf_counter()
     new = _batch_signatures(batch, text_col, id_col, n, num_hashes, bands)
+    t1 = _time.perf_counter()
     # tombstones applied: a REMOVED document (remove_documents) must
     # stop generating pairs — unlike stale duplicates, a deleted doc's
     # signatures would pass exact verification, so the mask is
     # correctness, not just efficiency.  Free when nothing was deleted.
-    pairs = _near_dup_pairs(
-        new, table.read_unresolved(with_seq=True, apply_tombstones=True),
-        num_hashes, bands, threshold, max_band_freq,
-    )
+    if _entries_disjoint_on_id(table):
+        # Duplicate-free fast path: every live entry's manifest id
+        # range is pairwise disjoint (harvested driver-side from
+        # parquet footers at commit time), so no id can have two live
+        # rows — seq resolution would be a no-op.  Read WITHOUT the
+        # per-row commit-seq expression and verify without the
+        # per-pair recency window.  This is the steady state of a
+        # monotone-id ingest stream (the module's documented ID
+        # contract); a retried merge or a revived document overlaps
+        # ranges and falls back to the seq path below.
+        old = table.read_unresolved(with_seq=False, apply_tombstones=True)
+        pairs = _near_dup_pairs(
+            new, old, num_hashes, bands, threshold, max_band_freq
+        )
+    else:
+        # Two projections of the same unresolved index: the band-key
+        # side needs only (id, n_sh, bk*) — the per-row commit-seq
+        # expression (input_file_name regexp + map probe) would ride
+        # that scan for nothing — while the verification side needs
+        # the seq to resolve duplicate ids (retried merges,
+        # re-ingested docs) latest-wins.
+        pairs = _near_dup_pairs(
+            new, table.read_unresolved(with_seq=True, apply_tombstones=True),
+            num_hashes, bands, threshold, max_band_freq,
+            old_keys=table.read_unresolved(
+                with_seq=False, apply_tombstones=True
+            ),
+        )
+    t2 = _time.perf_counter()
     # per-commit file count bounded by the table's
-    # write.max-delta-files property (see _index table creation)
-    table.merge(new)
+    # write.max-delta-files property (see _index table creation);
+    # emptiness probe skipped — the sink gates on batch_df.isEmpty()
+    # and a non-empty batch always yields signature rows
+    table.merge(new, assume_nonempty=True)
+    _phase_add(timings, t0, t1, t2, _time.perf_counter())
     return pairs
+
+
+def _entries_disjoint_on_id(table) -> bool:
+    """True iff the live (non-tombstone) manifest entries' ``id``
+    stats prove pairwise-disjoint ranges — i.e. no id can have more
+    than one live row, so MOR seq resolution is provably a no-op.
+    Any entry missing id stats makes the answer False (conservative:
+    stats are advisory).  Driver-side, O(entries log entries)."""
+    ranges = []
+    for e in table._read_manifest():
+        if e.get("kind") == "tombstone":
+            continue
+        s = (e.get("stats") or {}).get("id")
+        if not s:
+            return False
+        ranges.append((s[0], s[1]))
+    ranges.sort()
+    return all(
+        ranges[i - 1][1] < ranges[i][0] for i in range(1, len(ranges))
+    )
 
 
 def _near_dup_pairs(
@@ -245,17 +316,27 @@ def _near_dup_pairs(
     bands: int,
     threshold: float,
     max_band_freq: int,
+    old_keys: DataFrame | None = None,
 ) -> DataFrame:
     """One eager job per batch: candidate generation and verification
     compose into a single linear chain (cand → join a-side sigs → join
     b-side sigs → jaccard), so nothing re-evaluates and pairs
-    materialize BEFORE the caller mutates the index."""
+    materialize BEFORE the caller mutates the index.
+
+    ``old_keys``: optional cheaper projection of the SAME index rows
+    for the band-key (candidate) side only — the table-backed caller
+    passes a seq-free read so the column-pruned key scan skips the
+    per-row commit-seq expression; verification still uses ``old``."""
     # An id already in the index that reappears in this batch (retry
     # after a successful append, or a re-sent document) must not be
     # joined against its own stale signatures — the batch's row is
     # authoritative.
-    old = old.join(new.select("id"), "id", "left_anti")
-    cand = _collision_candidates(new, old, bands, max_band_freq)
+    batch_ids = new.select("id")
+    old = old.join(batch_ids, "id", "left_anti")
+    keys_side = (
+        old if old_keys is None else old_keys.join(batch_ids, "id", "left_anti")
+    )
+    cand = _collision_candidates(new, keys_side, bands, max_band_freq)
     return _verify_candidates(new, old, cand, threshold).localCheckpoint(eager=True)
 
 
@@ -374,6 +455,7 @@ def start_streaming_near_dup(
     index_mode: str = "dir",
     compact_every: int = 0,
     async_maintenance: bool = False,
+    phase_times: dict | None = None,
     **near_dup_kwargs,
 ) -> StreamingQuery:
     """File-landing stream → per-batch near-dup against the growing
@@ -412,10 +494,12 @@ def start_streaming_near_dup(
             _index_schema(num_hashes),
             key_cols=["id"],
             table_type="MOR",
-            # the index is only ever scanned whole (banding) — skip the
-            # per-commit manifest-stats aggregate on this hot path
+            # id stats ARE harvested (driver-side parquet-footer read,
+            # no Spark job): they fund _entries_disjoint_on_id's proof
+            # that seq resolution is a no-op, which removes the
+            # per-row seq expression and per-pair recency window from
+            # every batch of a monotone-id stream
             properties={
-                "write.collect-stats": "false",
                 # trigger-bounded signature deltas: bound per-commit
                 # file count at the table layer
                 "write.max-delta-files": "4",
@@ -427,7 +511,7 @@ def start_streaming_near_dup(
             return
         if table is not None:
             pairs = process_near_dup_batch_table(
-                batch_df, table, **near_dup_kwargs
+                batch_df, table, timings=phase_times, **near_dup_kwargs
             )
             # cadence counts DATA commits since the last compaction —
             # raw version modulus would fire after N-1 merges (and at
@@ -468,14 +552,29 @@ def start_streaming_near_dup(
                         table._sg_maint_thread = th
                         th.start()
                 else:
+                    tm0 = _time.perf_counter()
                     table.compact()
+                    if phase_times is not None:
+                        phase_times["maintenance"] = round(
+                            phase_times.get("maintenance", 0.0)
+                            + (_time.perf_counter() - tm0),
+                            3,
+                        )
         else:
             pairs = process_near_dup_batch(
-                batch_df, index_path, batch_id=batch_id, **near_dup_kwargs
+                batch_df, index_path, batch_id=batch_id,
+                timings=phase_times, **near_dup_kwargs
             )
         # the pairs relation is collision-sized (usually tiny): bound
         # its per-batch file count too
+        tp0 = _time.perf_counter()
         pairs.coalesce(4).write.mode("append").parquet(pairs_path)
+        if phase_times is not None:
+            phase_times["pairs_write"] = round(
+                phase_times.get("pairs_write", 0.0)
+                + (_time.perf_counter() - tp0),
+                3,
+            )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append").option(
         "checkpointLocation", checkpoint_dir

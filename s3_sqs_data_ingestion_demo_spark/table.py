@@ -878,6 +878,7 @@ class ManagedTable:
         key_cols: Sequence[str] | None = None,
         order_column: str | None = None,
         policy: str | None = None,
+        assume_nonempty: bool = False,
     ) -> int:
         """Upsert ``source`` into the table (reference merge sink:
         spark-job/read.py:237-239 + spark-job/mergeSQL.sql).
@@ -898,7 +899,12 @@ class ManagedTable:
         src = align_to_schema(source, self.meta.schema)
         # Empty CDC batch (header-only files, transform_query filtering
         # everything) → no-op; never commit a rowless snapshot.
-        if src.isEmpty():
+        # ``assume_nonempty`` skips the probe when the caller already
+        # proved the batch non-empty (e.g. a streaming sink that
+        # gates on batch_df.isEmpty()) — one fewer Spark job on a
+        # per-micro-batch hot path; a wrong promise only costs one
+        # rowless (but harmless) snapshot.
+        if not assume_nonempty and src.isEmpty():
             return self._current_version()
         merge_order = order_col if (policy == "latest_wins") else None
         if merge_order and merge_order not in self.meta.schema.fieldNames():

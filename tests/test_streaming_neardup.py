@@ -285,3 +285,91 @@ def test_remove_documents_stops_pairing_until_reingest(spark, tmp_path):
     got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
     assert (1, 9) in got  # revived doc pairs again
     assert (7, 9) in got  # never-deleted doc still pairs
+
+
+def test_async_maintenance_pairs_equal_sync_under_contention(spark, tmp_path):
+    """The production race: micro-batches keep merging + reading the
+    index UNRESOLVED while a daemon-thread compaction commits
+    concurrently (compact_every=1 maximizes overlap).  The emitted
+    pair set must be IDENTICAL to the fully synchronous run — a
+    compaction swapping the manifest mid-stream may change which
+    roots a read scans, never which rows exist."""
+    docs = [
+        (1, LONG_A), (2, LONG_B), (3, LONG_A_NEAR),
+        (4, LONG_A + " again"), (5, LONG_B + " extended"),
+        (6, LONG_A_NEAR + " more"), (7, "entirely unrelated words here"),
+        (8, LONG_A), (9, LONG_B), (10, LONG_A_NEAR),
+    ]
+
+    def run(sub, async_flag):
+        d = os.path.join(str(tmp_path), sub)
+        land = os.path.join(d, "landing"); os.makedirs(land)
+        idx, pairs, ck = (os.path.join(d, x) for x in ("index", "pairs", "ck"))
+        import time as _t
+
+        now = _t.time()
+        for i, row in enumerate(docs):
+            _write_batch(land, f"b{i}.json", [row])
+            # the file source orders micro-batches by MTIME; identical
+            # mtimes make batch order (and thus which cross-batch pairs
+            # survive the canonical id_a < id_b filter) nondeterministic
+            # — pin strictly increasing mtimes so both runs process the
+            # stream in doc-id order, the module's documented contract
+            os.utime(
+                os.path.join(land, f"b{i}.json"), (now - 100 + i, now - 100 + i)
+            )
+        q = start_streaming_near_dup(
+            spark, land, SCHEMA, idx, pairs, ck,
+            available_now=True, threshold=0.4, index_mode="table",
+            compact_every=1, async_maintenance=async_flag,
+            options={"maxFilesPerTrigger": "1"},
+        )
+        q.awaitTermination(300)
+        tbl = getattr(q, "_sg_index_table", None)
+        th = getattr(tbl, "_sg_maint_thread", None) if tbl else None
+        if th is not None:
+            th.join(timeout=120)
+        assert tbl is not None and getattr(tbl, "_sg_maint_error", None) is None
+        return {
+            (r.doc_id_a, r.doc_id_b)
+            for r in spark.read.parquet(pairs)
+            .dropDuplicates(["doc_id_a", "doc_id_b"]).collect()
+        }
+
+    got_sync = run("sync", False)
+    got_async = run("async", True)
+    assert got_async == got_sync
+    assert got_sync  # non-trivial: the corpus has real near-dups
+
+
+def test_entries_disjoint_on_id_gates_seq_resolution(spark, tmp_path):
+    """Monotone-id merges leave pairwise-disjoint per-entry id stats
+    (fast path: no seq resolution); re-merging an existing id overlaps
+    ranges and must flip the gate off (conservative fallback)."""
+    from s3_sqs_data_ingestion_demo_spark.streaming.neardup import (
+        _entries_disjoint_on_id,
+    )
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    idx = os.path.join(str(tmp_path), "index")
+    tbl = ManagedTable.create(
+        spark, idx, _index_schema(16), key_cols=["id"], table_type="MOR",
+    )
+    b1 = spark.createDataFrame([(1, LONG_A), (2, LONG_B)], SCHEMA)
+    process_near_dup_batch_table(b1, tbl, threshold=0.4)
+    assert _entries_disjoint_on_id(tbl) is True
+    b2 = spark.createDataFrame([(3, LONG_A_NEAR)], SCHEMA)
+    process_near_dup_batch_table(b2, tbl, threshold=0.4)
+    assert _entries_disjoint_on_id(tbl) is True
+    # re-ingest id 2: its entry range [2,2] overlaps the first entry
+    b3 = spark.createDataFrame([(2, LONG_B)], SCHEMA)
+    process_near_dup_batch_table(b3, tbl, threshold=0.4)
+    assert _entries_disjoint_on_id(tbl) is False
+    # a table with stats disabled can never prove disjointness
+    tbl2 = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "i2"), _index_schema(16),
+        key_cols=["id"], table_type="MOR",
+        properties={"write.collect-stats": "false"},
+    )
+    process_near_dup_batch_table(b1, tbl2, threshold=0.4)
+    assert _entries_disjoint_on_id(tbl2) is False
