@@ -1840,7 +1840,7 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
 )
 
 
-@query("profile_orders", _PROFILE_ORACLE, driver=False)
+@query("profile_orders", _PROFILE_ORACLE)  # r06: rotated IN
 def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Per-column table profile (operators/quality_checks.py
     profile_table): row/null/distinct counts for every column of
@@ -2129,8 +2129,7 @@ def q_full_outer_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
     FROM seq WHERE prev_type IS NOT NULL
     GROUP BY 1, 2
     """,
-    driver=False,
-)
+)  # r06: rotated IN
 def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Behavioral transition matrix (first-order Markov counts): how
     often each event type follows each other type within a user's
@@ -2214,8 +2213,7 @@ def q_map_function_surface(spark: SparkSession, sf: str) -> DataFrame:
     FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
     GROUP BY band
     """,
-    driver=False,
-)
+)  # r06: rotated IN
 def q_theta_band_join(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit theta join (non-equi, band predicate): parts priced
     into VALUES-defined bands — the inequality-join leg of the §2.3

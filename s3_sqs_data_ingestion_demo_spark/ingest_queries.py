@@ -330,6 +330,62 @@ def scd2_orders_history(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "scd2_asof_lookup_orders",
+    """
+    WITH ch AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(1 AS BIGINT) AS change_seq
+      FROM orders WHERE o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) + 500 AS BIGINT),
+             CAST(2 AS BIGINT)
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    hist AS (
+      SELECT o_orderkey, o_orderstatus, price_cents,
+             change_seq AS valid_from_seq,
+             LEAD(change_seq) OVER (
+               PARTITION BY o_orderkey ORDER BY change_seq) AS valid_to_seq
+      FROM ch
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents, valid_from_seq
+    FROM hist
+    WHERE valid_from_seq <= 1
+      AND (valid_to_seq IS NULL OR valid_to_seq > 1)
+    """,
+    rank=20,
+)
+def scd2_asof_lookup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time SCD2 read (operators/scd.py asof_lookup): the
+    state of every key AS OF sequence 1 — keys later updated at seq 2
+    must surface their seq-1 version, keys first seen at seq 2 must be
+    absent (half-open validity: from ≤ s < to).  History derives from
+    the same change log as ``scd2_orders_history`` via the one-window
+    derivation; the lookup itself is a pure interval filter, so at
+    scale it rides the history table's manifest stats (valid_from_seq
+    is a key column) with zero shuffle."""
+    from .operators.scd import asof_lookup, scd2_history  # noqa: PLC0415
+
+    o = t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    b1 = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").cast("long"), "o_orderstatus",
+        cents.alias("price_cents"), F.lit(1).cast("long").alias("change_seq"),
+    )
+    b2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("long"), "o_orderstatus",
+        (cents + 500).alias("price_cents"),
+        F.lit(2).cast("long").alias("change_seq"),
+    )
+    hist = scd2_history(b1.unionByName(b2), ["o_orderkey"], "change_seq")
+    return asof_lookup(hist, ["o_orderkey"], 1).select(
+        "o_orderkey", "o_orderstatus", "price_cents", "valid_from_seq"
+    )
+
+
+@query(
     "merge_delete_reinsert",
     """
     SELECT o_orderkey, o_orderstatus,

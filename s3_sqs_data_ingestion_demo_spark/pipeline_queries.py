@@ -91,7 +91,7 @@ _DATACARD_ORACLE = f"""
     """.replace("{_TOKS}", _TOKS).replace("{_NORM}", _NORM)
 
 
-@query("corpus_datacard_documents", _DATACARD_ORACLE, driver=False)
+@query("corpus_datacard_documents", _DATACARD_ORACLE)  # r06: rotated IN
 def corpus_datacard_documents(spark: SparkSession, sf: str) -> DataFrame:
     """One-row corpus data card: doc/lang/source counts, token and
     char totals, distinct normalized texts, exact-duplicate fraction
@@ -532,6 +532,7 @@ def _exact_topk5(spark: SparkSession, sf: str) -> DataFrame:
                AS bpe_ish_tokens
     FROM documents
     """,
+    driver=False,  # r06: rotated out (long-green; pytest parity + bench)
 )
 def token_budget_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Token budgeting: whitespace tokens vs BPE-ish pre-tokens
@@ -559,6 +560,7 @@ def token_budget_documents(spark: SparkSession, sf: str) -> DataFrame:
           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35
     """,
     rank=10,
+    driver=False,  # r06: rotated out (long-green; pytest parity + bench)
 )
 def embedding_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Exact embedding near-dup: all pairs with cosine >= threshold,
@@ -623,6 +625,7 @@ def lsh_cosine_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     FROM exact_pairs
     """,
     rank=10,
+    driver=False,  # r06: rotated out (long-green; pytest parity + bench)
 )
 def lsh_cosine_recall_check(spark: SparkSession, sf: str) -> DataFrame:
     """Hard driver check for the LSH near-dup operator (VERDICT r02 #2).
@@ -740,6 +743,7 @@ def ivfpq_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     FROM embeddings WHERE vec_id < 10
     """,
     rank=30,
+    driver=False,  # r06: rotated out (long-green; pytest parity + bench)
 )
 def ivfpq_recall_check(spark: SparkSession, sf: str) -> DataFrame:
     """Hard driver check for IVF-PQ (VERDICT r02 #5, pattern of #2):
@@ -1102,7 +1106,8 @@ def _curation_oracle(
     """
 
 
-@query("curated_documents", _curation_oracle(), rank=10)
+@query("curated_documents", _curation_oracle(), rank=10,
+       driver=False)  # r06: rotated out (long-green; pytest parity + bench)
 def curated_documents(spark: SparkSession, sf: str) -> DataFrame:
     """The full curation pipeline as one checked query: quality gate ->
     fingerprint exact dedup -> MinHash-LSH near-dup removal -> token
@@ -1232,7 +1237,8 @@ _CHUNK_ORACLE = f"""
     """
 
 
-@query("chunk_documents", _CHUNK_ORACLE, driver=True, rank=20)
+@query("chunk_documents", _CHUNK_ORACLE, rank=20,
+       driver=False)  # r06: rotated out (long-green; pytest parity + bench)
 def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
     """Token-window chunking for training/RAG export
     (operators/text.py chunk_documents): overlapping fixed-size token
@@ -2233,7 +2239,7 @@ JOIN sizes sb ON sb.grp = src_b
 """
 
 
-@query("source_overlap_documents", _SRC_OVERLAP_ORACLE, driver=False)
+@query("source_overlap_documents", _SRC_OVERLAP_ORACLE)  # r06: rotated IN
 def source_overlap_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-dataset overlap matrix: exact pairwise Jaccard +
     containment of per-source distinct shingle sets — the audit run
