@@ -28,7 +28,15 @@ def build_spark(config: JobConfig, app_name: str = "s3-sqs-ingestion-spark") -> 
     from .session import build_session  # noqa: PLC0415
 
     protocol = "s3a" if (config.input_config.path or "").startswith(("s3:", "s3a:")) else "local"
-    return build_session(app_name=app_name, conf=config.spark, protocol=protocol)
+    # the ingest path defaults to the scale profile (AQE advisory
+    # sizing, scan-split sizing, skew-join splitting — see
+    # session.INGEST_SCALE_PROFILE); any key in the job's ``spark``
+    # map overrides it, same precedence as the reference's conf merge
+    # (reference: spark-job/read.py:79-80)
+    return build_session(
+        app_name=app_name, conf=config.spark, protocol=protocol,
+        profile="ingest-scale",
+    )
 
 
 def ensure_target(spark: SparkSession, config: JobConfig) -> ManagedTable:

@@ -43,6 +43,35 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
 }
 
+# Scale profile for the INGEST path (job.build_spark applies it by
+# default; any key in the job config's ``spark`` map still wins).
+# These are the production AQE/shuffle knobs a 1000-executor run wants
+# and a local[32] run tolerates:
+# - advisory 128 MiB post-shuffle partitions with parallelismFirst off:
+#   AQE coalesces to the advisory SIZE instead of chasing parallelism,
+#   so a 100 TB shuffle lands ~full partitions, not 200 slivers; a
+#   micro-batch CDC merge coalesces down to a handful of tasks.
+# - 256 MiB scan splits: fewer, fuller input tasks against large
+#   parquet (the default 128 MiB doubles the task count for no win on
+#   zstd-compressed columnar scans).
+# - skew-join threshold 256 MiB: one hot CDC key splits into parallel
+#   subtasks instead of straggling the merge.
+# On a real cluster additionally size spark.sql.shuffle.partitions to
+# 2-3x total cores (here the local default of n_cpus stands) — with
+# AQE coalesce on, oversizing is safe and undersizing is not.
+INGEST_SCALE_PROFILE: dict[str, str] = {
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.files.maxPartitionBytes": "256m",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256m",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+PROFILES: dict[str, dict[str, str]] = {
+    "default": {},
+    "ingest-scale": INGEST_SCALE_PROFILE,
+}
+
 # s3a defaults for cloud runs — parity with reference: spark-job/read.py:68-77.
 # Only merged when the job asks for the s3a protocol; harmless strings
 # otherwise (hadoop-aws jars are not bundled locally).
@@ -93,21 +122,22 @@ def session_is_alive(spark: SparkSession | None) -> bool:
         return False
 
 
-def build_session(
-    app_name: str = "s3-sqs-ingestion-spark",
+def merged_conf(
     conf: dict[str, str] | None = None,
-    master: str | None = None,
     protocol: str = "local",
-) -> SparkSession:
-    """Build (or reuse) a SparkSession.
-
-    ``conf`` is the job's ``spark`` map and overrides the defaults,
-    exactly as the reference merges job conf over its hadoop defaults
-    (reference: spark-job/read.py:79-80).
-    """
+    profile: str = "default",
+) -> dict[str, str]:
+    """The exact conf map ``build_session`` hands the builder — pure
+    (no JVM) so tests can assert a profile lands without a session.
+    Precedence, lowest to highest: DEFAULT_CONF < cpu-derived
+    parallelism < driver memory < s3a wiring < named profile < the
+    job's ``spark`` map (job conf always wins, reference:
+    spark-job/read.py:79-80)."""
+    if profile not in PROFILES:
+        raise ValueError(
+            f"unknown session profile {profile!r}; known: {sorted(PROFILES)}"
+        )
     cpus = default_parallelism()
-    builder = SparkSession.builder.appName(app_name)
-    builder = builder.master(master or f"local[{cpus}]")
     merged = dict(DEFAULT_CONF)
     merged.setdefault("spark.sql.shuffle.partitions", str(cpus))
     merged.setdefault("spark.default.parallelism", str(cpus))
@@ -119,9 +149,31 @@ def build_session(
     merged.setdefault("spark.driver.memory", default_driver_memory())
     if protocol in ("s3", "s3a"):
         merged.update(S3A_CONF)
+    merged.update(PROFILES[profile])
     if conf:
         merged.update({str(k): str(v) for k, v in conf.items()})
-    for k, v in merged.items():
+    return merged
+
+
+def build_session(
+    app_name: str = "s3-sqs-ingestion-spark",
+    conf: dict[str, str] | None = None,
+    master: str | None = None,
+    protocol: str = "local",
+    profile: str = "default",
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``conf`` is the job's ``spark`` map and overrides the defaults,
+    exactly as the reference merges job conf over its hadoop defaults
+    (reference: spark-job/read.py:79-80).  ``profile`` names a conf
+    bundle from ``PROFILES`` (the ingest path defaults to
+    ``ingest-scale``; see ``INGEST_SCALE_PROFILE``).
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in merged_conf(conf, protocol, profile).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -87,3 +87,62 @@ def test_maintenance_config_parses():
     assert m.zorder_by == ["price"]
     assert m.target_partitions == 4
     assert m.expire_keep_last == 1
+
+
+def test_ingest_scale_profile_lands_on_builder_conf():
+    """job.build_spark applies the ingest-scale profile; the job's own
+    spark map still wins (reference conf precedence,
+    spark-job/read.py:79-80).  Asserted on the pure conf merge the
+    builder receives — no JVM needed."""
+    from s3_sqs_data_ingestion_demo_spark.session import (
+        INGEST_SCALE_PROFILE,
+        merged_conf,
+    )
+
+    conf = merged_conf(profile="ingest-scale")
+    for k, v in INGEST_SCALE_PROFILE.items():
+        assert conf[k] == v
+    # AQE base flags from the defaults survive the profile merge
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert conf["spark.sql.adaptive.coalescePartitions.enabled"] == "true"
+    assert conf["spark.sql.adaptive.skewJoin.enabled"] == "true"
+
+    # job conf overrides the profile
+    job_map = {"spark.sql.files.maxPartitionBytes": "64m"}
+    conf2 = merged_conf(conf=job_map, profile="ingest-scale")
+    assert conf2["spark.sql.files.maxPartitionBytes"] == "64m"
+    assert (
+        conf2["spark.sql.adaptive.advisoryPartitionSizeInBytes"]
+        == INGEST_SCALE_PROFILE["spark.sql.adaptive.advisoryPartitionSizeInBytes"]
+    )
+
+    # the default profile adds none of the scale keys
+    base = merged_conf()
+    assert "spark.sql.adaptive.advisoryPartitionSizeInBytes" not in base
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown session profile"):
+        merged_conf(profile="nope")
+
+
+def test_build_spark_routes_profile_conf(monkeypatch):
+    """build_spark passes the ingest-scale profile through to
+    build_session (captured, not launched)."""
+    from s3_sqs_data_ingestion_demo_spark import job as J
+    from s3_sqs_data_ingestion_demo_spark import session as S
+
+    seen = {}
+
+    def fake_build_session(app_name, conf, protocol, profile):
+        seen.update(
+            app_name=app_name, conf=conf, protocol=protocol, profile=profile
+        )
+        return "sentinel"
+
+    monkeypatch.setattr(S, "build_session", fake_build_session)
+    cfg = JobConfig.from_dict({"spark": {"x": "1"}})
+    out = J.build_spark(cfg)
+    assert out == "sentinel"
+    assert seen["profile"] == "ingest-scale"
+    assert seen["conf"] == {"x": "1"}
