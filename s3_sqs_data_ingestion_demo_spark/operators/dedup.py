@@ -322,6 +322,46 @@ def connected_components(
     return out
 
 
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col=None,
+    **ccomp_kwargs,
+) -> DataFrame:
+    """Dedup RETENTION policy over the whole corpus: connected
+    components from the near-dup pairs, singletons as their own
+    cluster, and per cluster keep the best document by
+    ``quality_col`` (default: text length — "keep the longest", the
+    common near-dup retention heuristic), ties to the smallest id.
+
+    Returns (doc_id, component, kept) for EVERY corpus document —
+    filtering is then ``kept == 1``.  Scale shape: components touch
+    only the paired docs (cluster-sized), the corpus pays one
+    broadcast-ish left join against the (small) component map plus
+    ONE window shuffle keyed on component — no all-pairs anywhere."""
+    q = F.length("text") if quality_col is None else quality_col
+    comps = connected_components(pairs, **ccomp_kwargs).select(
+        id_col, "component"
+    )
+    full = (
+        docs.select(id_col, q.alias("_q"))
+        .join(comps, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        full.withColumn("_rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "component",
+            (F.col("_rn") == 1).cast("int").alias("kept"),
+        )
+    )
+
+
 def _ccomp_min_label(edges: DataFrame, max_iters: int, _mat) -> DataFrame:
     """Min-label propagation fixpoint over a symmetric edge list."""
     labels = _mat(

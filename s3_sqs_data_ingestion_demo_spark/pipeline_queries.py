@@ -815,8 +815,8 @@ def _split_case_sql(weights: dict[str, float]) -> str:
     SELECT doc_id, {_split_case_sql(_SPLIT_WEIGHTS)} AS split
     FROM (SELECT doc_id, {_U_DOC} AS u FROM documents)
     """,
-    driver=True,
     rank=20,
+    driver=False,  # r06: rotated out (long-green; pytest parity + bench)
 )
 def hash_split_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test assignment: salted-hash thresholds,
@@ -874,8 +874,8 @@ def stratified_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
     SELECT r.doc_id, r.source
     FROM ranked r JOIN quotas q USING (source) WHERE r.rk <= q.quota
     """,
-    driver=True,
     rank=20,
+    driver=False,  # r06: rotated out (long-green; pytest parity + bench)
 )
 def domain_mix_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-proportion domain mixing (50/25/25 over three sources):
@@ -1262,7 +1262,8 @@ _MODEL_ORACLE = f"""
     """
 
 
-@query("model_score_documents", _MODEL_ORACLE, driver=True, rank=20)
+@query("model_score_documents", _MODEL_ORACLE, rank=20,
+       driver=False)  # r06: rotated out (long-green; pytest parity + bench)
 def model_score_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Batch model-inference plumbing (operators/inference.py): Arrow-
     batched ``mapInPandas`` scoring pass with the deterministic hash
@@ -2495,3 +2496,138 @@ def tokenizer_fertility_documents(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents")
     merges = bpe_train_cached(docs, num_merges=8)
     return tokenizer_fertility(docs, merges)
+
+
+# --------------------------------------------------------------------
+# Dedup retention, hard-negative mining, temperature mixing (r06)
+# --------------------------------------------------------------------
+
+_CLUSTER_REP_ORACLE = (
+    _SHINGLE_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + _JACCARD_PAIRS_CTE.format(max_freq=100, threshold=0.12)
+    + """
+    , edges AS (
+      SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+      UNION
+      SELECT doc_id_b, doc_id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT re.id, e.d FROM reach re JOIN edges e ON e.s = re.r
+    ), comp AS (
+      SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+      FROM reach GROUP BY id
+    ), corpus AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             length(d.text) AS q
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY component ORDER BY q DESC, doc_id) = 1 AS INTEGER)
+             AS kept
+    FROM corpus
+    """
+)
+
+
+@query("cluster_representatives_documents", _CLUSTER_REP_ORACLE, rank=25)
+def cluster_representatives_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup retention policy end-to-end (operators/dedup.py
+    cluster_representatives): jaccard pairs → connected components →
+    keep-the-longest per cluster (ties to smallest id), singletons
+    kept as their own cluster — the decision layer that turns pair
+    emission into an actual filtered corpus.  100 TB shape: components
+    are cluster-sized, the corpus pays one join against the component
+    map and ONE window shuffle keyed on component."""
+    docs = t(spark, sf, "documents")
+    prs = D.jaccard_near_dup_pairs(
+        docs, threshold=0.12, max_shingle_freq=100
+    )
+    return D.cluster_representatives(docs, prs)
+
+
+@query(
+    "hard_negatives_embeddings",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+      FROM embeddings
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv) / (qn * cn), 4) AS cosine_sim
+      FROM q, c WHERE neighbor_id <> query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id AS negative_id,
+           CAST(rank - 1 AS INTEGER) AS neg_rank, cosine_sim
+    FROM ranked WHERE rank BETWEEN 2 AND 6
+    """,
+    rank=25,
+)
+def hard_negatives_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for
+    each query vector (every 20th id), the 5 nearest non-identical
+    neighbors AFTER the top-1 (which a training pipeline treats as the
+    positive) — near-but-not-nearest vectors are exactly the negatives
+    that teach an embedding model its decision boundary.  Rides
+    cosine_topk's shape: queries broadcast, ONE corpus pass, per-query
+    window top-k; no corpus shuffle."""
+    e = t(spark, sf, "embeddings")
+    tk = S.cosine_topk(e.filter(F.col("vec_id") % 20 == 0), e, k=6)
+    return tk.filter(F.col("rank") >= 2).select(
+        "query_id",
+        F.col("neighbor_id").alias("negative_id"),
+        (F.col("rank") - 1).cast("int").alias("neg_rank"),
+        "cosine_sim",
+    )
+
+
+@query(
+    "temperature_mix_documents",
+    """
+    WITH by_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ), m AS (SELECT MAX(n_docs) AS n_max FROM by_src)
+    SELECT source, n_docs,
+           CAST(ROUND(1000000 * sqrt(n_docs * 1.0 / n_max)) AS BIGINT)
+             AS w_rel_ppm,
+           CAST(ROUND(1000000 * sqrt(n_max * 1.0 / n_docs)) AS BIGINT)
+             AS boost_ppm
+    FROM by_src, m
+    """,
+    rank=25,
+)
+def temperature_mix_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source mixing (T=2, i.e. alpha=0.5): each
+    source's sampling weight relative to the largest source is
+    sqrt(n_src / n_max), and boost_ppm = 1/sqrt(p_rel) is the
+    up-sampling factor low-resource sources receive — the standard
+    mitigation for head-domain dominance when composing a pretraining
+    mix.  alpha = 0.5 deliberately: IEEE sqrt and division are
+    correctly rounded, so the ppm values are bit-identical across
+    engines (a general pow() is not).  Plan: one partial-aggregated
+    groupBy + a 1-row max crossJoined back — no second shuffle."""
+    docs = t(spark, sf, "documents")
+    by_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    m = by_src.agg(F.max("n_docs").alias("n_max"))
+    ratio = F.col("n_docs") * F.lit(1.0) / F.col("n_max")
+    inv = F.col("n_max") * F.lit(1.0) / F.col("n_docs")
+    return by_src.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(ratio) * 1_000_000).cast("long").alias("w_rel_ppm"),
+        F.round(F.sqrt(inv) * 1_000_000).cast("long").alias("boost_ppm"),
+    )
