@@ -96,3 +96,49 @@ def test_converged_labeling_is_memoized_per_session(spark):
     # different inputs don't alias
     df3 = spark.createDataFrame([(4, 5)], "doc_id_a long, doc_id_b long")
     assert connected_components(df3) is not out1
+
+
+def test_cluster_representatives_keep_longest_and_singletons(spark):
+    """Retention policy: per cluster keep the LONGEST text (ties to
+    smallest id); docs in no pair are their own cluster and kept."""
+    from s3_sqs_data_ingestion_demo_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the much longer version of it"),
+            (3, "mid length"),
+            (9, "a singleton untouched by pairs"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        r.doc_id: (r.component, r.kept)
+        for r in cluster_representatives(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, 0),
+        2: (1, 1),  # longest in the {1,2,3} cluster wins
+        3: (1, 0),
+        9: (9, 1),  # singleton: own cluster, kept
+    }
+
+
+def test_cluster_representatives_tie_breaks_to_smallest_id(spark):
+    from s3_sqs_data_ingestion_demo_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, "same len"), (7, "same len")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(5, 7)], "doc_id_a long, doc_id_b long")
+    got = {
+        r.doc_id: r.kept for r in cluster_representatives(docs, pairs).collect()
+    }
+    assert got == {5: 1, 7: 0}
