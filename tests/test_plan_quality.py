@@ -268,3 +268,43 @@ def test_tokenizer_fertility_folds_over_vocab_only(spark):
     # plan branch that sits ABOVE a distinct/aggregate over words
     assert "aggregate(" in tree.lower()
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_temperature_mix_single_aggregate_no_cartesian(spark):
+    """The T=2 mix is one partial-aggregated groupBy plus a broadcast
+    1-row max — the only join allowed is a broadcast nested loop
+    against that 1-row side; the source scan must be pruned to the
+    single grouping column."""
+    tree = plan_of(spark, "temperature_mix_documents")
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert "ReadSchema: struct<source:string>" in tree
+
+
+def test_hard_negatives_broadcasts_queries_no_corpus_shuffle(spark):
+    """Hard-negative mining must broadcast the query side and scan the
+    corpus once — the corpus never rides an exchange before the
+    per-query top-k window; scans are pruned to (vec_id, embedding)."""
+    tree = plan_of(spark, "hard_negatives_embeddings")
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    # the tree summary (first explain section) shows the real scan
+    # count: query side + ONE corpus pass (the detail sections repeat
+    # nodes, so count there would double)
+    summary = tree.split("\n\n")[0]
+    assert summary.count("Scan parquet") == 2
+    # the corpus side must feed the join with no Exchange below it
+    corpus_branch = summary.split("BroadcastNestedLoopJoin")[1].split(
+        "BroadcastExchange"
+    )[0]
+    assert "Exchange" not in corpus_branch
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in tree
+
+
+def test_cluster_representatives_one_corpus_window(spark):
+    """The retention policy's corpus-wide work is one window keyed on
+    component — no Python and no cartesian in the final plan."""
+    tree = plan_of(spark, "cluster_representatives_documents")
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
