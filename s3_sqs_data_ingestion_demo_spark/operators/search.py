@@ -79,6 +79,14 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
+    return bm25_score_tf(tf, stats, k)
+
+
+def bm25_score_tf(tf: DataFrame, stats: DataFrame, k: int) -> DataFrame:
+    """BM25 scoring from a prepared (doc_id, dl, term, tf) relation
+    plus a 1-row (n_docs, total_dl) stats relation — shared by the
+    ad-hoc ``bm25_topk`` and the persisted-index query path
+    (search_index.py), so both produce identical integer scores."""
     # per-term document frequency (≤ |query_terms| rows) + micronat idf
     df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = df_t.crossJoin(F.broadcast(stats.select("n_docs"))).select(

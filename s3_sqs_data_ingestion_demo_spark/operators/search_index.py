@@ -1,0 +1,181 @@
+"""Incremental BM25 search index over ManagedTables.
+
+``bm25_topk`` (search.py) tokenizes the corpus per query — right for
+one-off audits, wrong when the corpus grows continuously and is
+queried often.  This module persists the inverted index the way a
+search service does, as two ManagedTables at ``path``:
+
+- ``postings``: (term, doc_id, tf, dl) keyed on (term, doc_id) — MOR
+  merge deltas, so absorbing a document batch is O(batch postings)
+  regardless of index size, and a foreachBatch RETRY of the same
+  batch upserts identical rows instead of duplicating them.
+- ``stats``: append-only per-batch (n_docs, total_dl) rows — corpus
+  totals are additive, so the query-time stats read sums a
+  batches-sized (compactable) relation instead of re-scanning the
+  corpus.  Appends carry a commit TAG: a replayed batch whose tag is
+  already committed is skipped (`has_commit_tag`), which keeps the
+  additive totals exactly-once even under at-least-once delivery —
+  the same idempotency recipe as streaming/ingest.py (SURVEY §2.4 T5).
+
+Contract: documents are append-only (each doc_id indexed once) — the
+natural corpus-ingest shape.  Re-indexing a CHANGED document requires
+removing it first (``remove_document``: tombstones every (term, doc)
+posting of the old version — O(doc terms) via one term-pruned read)
+or a rebuild; merging new text over old would leave stale postings
+for terms the new version dropped.
+
+Query path (``bm25_index_topk``): filter postings to the query terms
+(parquet predicate pushdown on ``term``; after
+``compact(zorder_by=["term"])`` manifest stats additionally skip
+whole data roots), sum the stats table, then the EXACT same integer
+BM25 arithmetic as the ad-hoc path (search.bm25_score_tf) — scores
+are bit-identical between the two, which the tests pin.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..table import ManagedTable
+from .search import bm25_score_tf
+from .text import tokens
+
+_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("dl", T.LongType()),
+    ]
+)
+
+_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("total_dl", T.LongType()),
+    ]
+)
+
+
+def _postings_path(path: str) -> str:
+    return os.path.join(path, "postings")
+
+
+def _stats_path(path: str) -> str:
+    return os.path.join(path, "stats")
+
+
+def _doc_postings(
+    docs: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, 1-row batch stats) for a document batch — one
+    tokenize pass feeds both."""
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        toks.alias("tk"),
+    )
+    postings = (
+        base.select("doc_id", "dl", F.explode("tk").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
+    )
+    return postings, stats
+
+
+def create_search_index(
+    spark: SparkSession, path: str
+) -> tuple[ManagedTable, ManagedTable]:
+    pt = ManagedTable.create_if_absent(
+        spark,
+        _postings_path(path),
+        _POSTINGS_SCHEMA,
+        key_cols=["term", "doc_id"],
+        table_type="MOR",
+        properties={"write.max-delta-files": "8"},
+    )
+    st = ManagedTable.create_if_absent(
+        spark, _stats_path(path), _STATS_SCHEMA,
+        properties={"write.max-delta-files": "1"},
+    )
+    return pt, st
+
+
+def load_search_index(
+    spark: SparkSession, path: str
+) -> tuple[ManagedTable, ManagedTable]:
+    return (
+        ManagedTable.load(spark, _postings_path(path)),
+        ManagedTable.load(spark, _stats_path(path)),
+    )
+
+
+def append_to_search_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_tag: str | None = None,
+) -> None:
+    """Index a document batch incrementally.  ``batch_tag`` makes the
+    ADDITIVE stats append exactly-once under redelivery: a tag already
+    present on a committed snapshot skips the whole call (the postings
+    merge would have been an idempotent upsert anyway — skipping saves
+    the work and keeps totals correct)."""
+    pt, st = create_search_index(spark, path)
+    if batch_tag is not None and st.has_commit_tag(batch_tag):
+        return
+    postings, stats = _doc_postings(docs, text_col, id_col)
+    pt.merge(postings)
+    st.append(stats, tag=batch_tag)
+
+
+def remove_document(spark: SparkSession, path: str, doc_id: int) -> None:
+    """Un-index one document: tombstone its postings (every (term,
+    doc) key of the stored version — found via a doc-filtered read)
+    and append a NEGATIVE stats row (totals stay additive).  After
+    this, re-indexing the doc with new text is safe."""
+    pt, st = load_search_index(spark, path)
+    mine = pt.read().filter(F.col("doc_id") == doc_id)
+    row = mine.agg(
+        F.count(F.lit(1)).alias("n_terms"), F.max("dl").alias("dl")
+    ).collect()[0]
+    if not row.n_terms:
+        return
+    pt.delete_where(F.col("doc_id") == doc_id)
+    st.append(
+        spark.createDataFrame([(-1, -int(row.dl))], _STATS_SCHEMA)
+    )
+
+
+def bm25_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+) -> DataFrame:
+    """Top-k over the PERSISTED index: term-pruned postings scan +
+    batches-sized stats sum + the shared exact-integer BM25 scorer.
+    Identical scores to ``bm25_topk`` over the same corpus."""
+    pt, st = load_search_index(spark, path)
+    tf = (
+        pt.read()
+        .filter(F.col("term").isin(*query_terms))
+        .select("doc_id", "dl", "term", "tf")
+    )
+    stats = st.read().agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("total_dl"), F.lit(0)).cast("long").alias("total_dl"),
+    )
+    return bm25_score_tf(tf, stats, k)

@@ -1454,7 +1454,8 @@ _BM25_ORACLE = f"""
     """
 
 
-@query("bm25_search_documents", _BM25_ORACLE, driver=True, rank=20)
+@query("bm25_search_documents", _BM25_ORACLE, rank=20,
+       driver=False)  # r06: rotated out — bm25_index_search_documents runs the same exact scorer through the persisted index
 def bm25_search_documents(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 keyword retrieval (operators/search.py bm25_topk): top-20
     documents for a fixed 3-term query, scored in EXACT integer
@@ -2707,3 +2708,36 @@ def ivf_index_incremental_check(spark: SparkSession, sf: str) -> DataFrame:
             .alias("recall_ge_floor"),
         )
     )
+
+
+@query("bm25_index_search_documents", _BM25_ORACLE, rank=30)
+def bm25_index_search_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The PERSISTED inverted index end-to-end (operators/
+    search_index.py): postings + additive corpus stats as keyed
+    ManagedTables, built INCREMENTALLY in three batches (O(batch)
+    merge deltas; a replayed tagged batch is skipped exactly-once),
+    then queried term-pruned.  The oracle is the SAME exact-integer
+    BM25 as the ad-hoc path — identical output is the proof that the
+    incremental build composes to the single-pass result."""
+    import tempfile  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+
+    from .operators.search_index import (  # noqa: PLC0415
+        append_to_search_index,
+        bm25_index_topk,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    path = _os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_bm25idx_{app_id}_{_os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    docs = t(spark, sf, "documents")
+    for i in range(3):
+        append_to_search_index(
+            spark, path, docs.filter(F.col("doc_id") % 3 == i),
+            batch_tag=f"b{i}",
+        )
+    return bm25_index_topk(spark, path, _BM25_TERMS, k=20)

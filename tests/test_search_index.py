@@ -1,0 +1,84 @@
+"""Incremental BM25 index (operators/search_index.py): build in
+batches, exact score parity with the ad-hoc path, replay idempotency,
+document removal."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from s3_sqs_data_ingestion_demo_spark.operators.search import bm25_topk
+from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+    append_to_search_index,
+    bm25_index_topk,
+    load_search_index,
+    remove_document,
+)
+
+SF = "/root/testdata/sf0.001"
+TERMS = ("data", "model", "training")
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+
+def _rows(df):
+    return [(r.doc_id, r.n_hit_terms, r.score_u) for r in df.collect()]
+
+
+def test_incremental_index_matches_adhoc_scores(spark, tmp_path):
+    """Indexing the corpus in 3 batches must give byte-identical BM25
+    results to the single-pass ad-hoc scorer over the same corpus —
+    the integer-exactness contract extended to the persisted path."""
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    for i in range(3):
+        append_to_search_index(
+            spark, path, docs.filter(F.col("doc_id") % 3 == i)
+        )
+    got = _rows(bm25_index_topk(spark, path, TERMS, k=10))
+    want = _rows(bm25_topk(docs, TERMS, k=10))
+    assert got == want
+    assert got  # non-trivial corpus hit
+
+
+def test_replayed_batch_tag_keeps_stats_exact(spark, tmp_path):
+    """At-least-once delivery: re-appending a tagged batch must not
+    double the additive (n_docs, total_dl) stats — scores stay equal
+    to the ad-hoc baseline after the replay."""
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    append_to_search_index(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 0), batch_tag="b0"
+    )
+    append_to_search_index(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 1), batch_tag="b1"
+    )
+    append_to_search_index(  # replay of b1
+        spark, path, docs.filter(F.col("doc_id") % 2 == 1), batch_tag="b1"
+    )
+    _, st = load_search_index(spark, path)
+    n = st.read().agg(F.sum("n_docs")).collect()[0][0]
+    assert n == docs.count()
+    assert _rows(bm25_index_topk(spark, path, TERMS, k=10)) == _rows(
+        bm25_topk(docs, TERMS, k=10)
+    )
+
+
+def test_remove_document_unindexes_and_rebalances_stats(spark, tmp_path):
+    """Removing a doc must drop it from results AND subtract its
+    length from the additive stats — scores equal an ad-hoc run over
+    the corpus WITHOUT that doc."""
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    append_to_search_index(spark, path, docs)
+    victim = _rows(bm25_index_topk(spark, path, TERMS, k=1))[0][0]
+    remove_document(spark, path, victim)
+    got = _rows(bm25_index_topk(spark, path, TERMS, k=10))
+    want = _rows(
+        bm25_topk(docs.filter(F.col("doc_id") != victim), TERMS, k=10)
+    )
+    assert got == want
+    assert all(d != victim for d, _, _ in got)
