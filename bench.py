@@ -288,6 +288,11 @@ def main() -> None:
                     for k, d in iso_phases.items()
                 },
                 "sf": sf,
+                # duplicated at the tail: the driver records only the
+                # LAST 2000 chars of this line, and the leading keys
+                # (value/queries) get truncated away
+                "total": total,
+                "n_queries": len(timings),
             }
         )
     )
