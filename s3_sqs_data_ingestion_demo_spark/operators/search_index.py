@@ -26,8 +26,8 @@ for terms the new version dropped.
 
 Query path (``bm25_index_topk``): filter postings to the query terms
 (parquet predicate pushdown on ``term``; after
-``compact(zorder_by=["term"])`` manifest stats additionally skip
-whole data roots), sum the stats table, then the EXACT same integer
+``compact(cluster_by=["term"])`` per-file term ranges are tight and
+manifest stats additionally skip whole data roots), sum the stats table, then the EXACT same integer
 BM25 arithmetic as the ad-hoc path (search.bm25_score_tf) — scores
 are bit-identical between the two, which the tests pin.
 """
@@ -179,3 +179,20 @@ def bm25_index_topk(
         F.coalesce(F.sum("total_dl"), F.lit(0)).cast("long").alias("total_dl"),
     )
     return bm25_score_tf(tf, stats, k)
+
+
+def compact_search_index(spark: SparkSession, path: str) -> None:
+    """Periodic maintenance for a long-lived index: fold the
+    batches-sized additive stats down to ONE row (an overwrite derived
+    from the summed read — CAS-anchored like any snapshot commit) and
+    range-cluster the postings by ``term`` (single orderable column →
+    linear clustering, not Morton), after which parquet min/max term
+    stats are tight per file and a query's term filter skips most of
+    the index."""
+    pt, st = load_search_index(spark, path)
+    folded = st.read().agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("total_dl"), F.lit(0)).cast("long").alias("total_dl"),
+    )
+    st.overwrite(folded)
+    pt.compact(cluster_by=["term"])

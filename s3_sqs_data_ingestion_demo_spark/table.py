@@ -1234,6 +1234,7 @@ class ManagedTable:
         zorder_by: Sequence[str] | None = None,
         zorder_bits: int = 8,
         retries: int | None = None,
+        cluster_by: Sequence[str] | None = None,
     ) -> int:
         """Rewrite the current snapshot into one fresh data root
         (bin-packing small files) — the small-files compaction every
@@ -1262,7 +1263,7 @@ class ManagedTable:
         for attempt in range(retries + 1):
             try:
                 return self._compact_once(
-                    target_partitions, zorder_by, zorder_bits
+                    target_partitions, zorder_by, zorder_bits, cluster_by
                 )
             except CommitConflictError:
                 if attempt >= retries:
@@ -1274,6 +1275,7 @@ class ManagedTable:
         target_partitions: int | None,
         zorder_by: Sequence[str] | None,
         zorder_bits: int,
+        cluster_by: Sequence[str] | None = None,
     ) -> int:
         # anchor the rewrite to the manifest version it reads — a
         # writer landing in between makes THIS commit conflict (and the
@@ -1292,6 +1294,23 @@ class ManagedTable:
                 keyed.repartitionByRange(n, *lead, key)
                 .sortWithinPartitions(*lead, key)
                 .drop(key)
+            )
+        elif cluster_by:
+            # Linear range clustering — the right shape when one
+            # column (of any orderable type, strings included)
+            # dominates reads: repartitionByRange + sortWithinPartitions
+            # makes per-file parquet min/max on that column tight and
+            # non-overlapping, so a point/isin filter opens few files.
+            # (zorder_by is the multi-column/NUMERIC variant — Morton
+            # interleaving needs quantile bucketing, which Spark's
+            # approxQuantile only provides for numeric columns.)
+            n = target_partitions or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            lead = list(self.meta.partition_cols or [])
+            cb = [c for c in cluster_by if c not in lead]
+            df = df.repartitionByRange(n, *lead, *cb).sortWithinPartitions(
+                *lead, *cb
             )
         elif target_partitions:
             df = df.repartition(target_partitions, *(self.meta.partition_cols or []))

@@ -82,3 +82,24 @@ def test_remove_document_unindexes_and_rebalances_stats(spark, tmp_path):
     )
     assert got == want
     assert all(d != victim for d, _, _ in got)
+
+
+def test_compact_preserves_scores_and_folds_stats(spark, tmp_path):
+    """Maintenance must be invisible to queries: after folding stats
+    to one row and Z-ordering postings by term, results are unchanged
+    and the stats table is a single row."""
+    from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+        compact_search_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    for i in range(3):
+        append_to_search_index(
+            spark, path, docs.filter(F.col("doc_id") % 3 == i)
+        )
+    before = _rows(bm25_index_topk(spark, path, TERMS, k=10))
+    compact_search_index(spark, path)
+    _, st = load_search_index(spark, path)
+    assert st.read().count() == 1
+    assert _rows(bm25_index_topk(spark, path, TERMS, k=10)) == before
