@@ -2741,3 +2741,156 @@ def bm25_index_search_documents(spark: SparkSession, sf: str) -> DataFrame:
             batch_tag=f"b{i}",
         )
     return bm25_index_topk(spark, path, _BM25_TERMS, k=20)
+
+
+@query(
+    "vocab_growth_documents",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), mx AS (
+      SELECT MAX(doc_id) + 1 AS n_ids FROM documents
+    ), doc_toks AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tok FROM tk
+    ), firsts AS (
+      SELECT term, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+      GROUP BY term
+    ), cps AS (SELECT unnest(generate_series(1, 8)) AS cp)
+    SELECT cp * 125 AS prefix_permille,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM doc_toks, mx
+             WHERE doc_id * 8 < n_ids * cp)            AS n_docs,
+           (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM doc_toks, mx
+             WHERE doc_id * 8 < n_ids * cp)            AS n_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts, mx
+             WHERE first_doc * 8 < n_ids * cp)         AS n_distinct_terms
+    FROM cps
+    """,
+    driver=False,  # r06: new — parity-covered; rotation candidate
+)
+def vocab_growth_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct terms vs tokens
+    seen over 8 corpus-prefix checkpoints (the scaling report that
+    tells a tokenizer team how vocabulary demand grows with corpus
+    size).  First-occurrence semantics make it ONE pass: term →
+    MIN(doc_id), then every checkpoint is a conditional count over
+    that (vocabulary-sized) table — never a per-checkpoint distinct
+    over the corpus.  Checkpoint membership is pure integer
+    arithmetic (doc_id * 8 < n_ids * cp), exact on any engine."""
+    docs = t(spark, sf, "documents")
+    toks = X.tokens("text")
+    mx = docs.agg((F.max("doc_id") + 1).alias("n_ids"))
+    doc_toks = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tok")
+    )
+    firsts = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cps = spark.range(1, 9).select(F.col("id").cast("int").alias("cp"))
+    d = (
+        doc_toks.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") * 8 < F.col("n_ids") * F.col("cp"))
+        .groupBy("cp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+    v = (
+        firsts.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(cps))
+        .filter(F.col("first_doc") * 8 < F.col("n_ids") * F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_terms"))
+    )
+    return (
+        cps.join(d, "cp", "left").join(v, "cp", "left")
+        .select(
+            (F.col("cp") * 125).cast("long").alias("prefix_permille"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct_terms", F.lit(0)).alias("n_distinct_terms"),
+        )
+    )
+
+
+@query(
+    "embedding_health_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ), comp AS (
+      SELECT t.i AS dim,
+             CAST(ROUND(e[t.i] / nrm * 1000000) AS BIGINT) AS q
+      FROM v, UNNEST(generate_series(1, len(e))) AS t(i)
+    ), means AS (
+      -- integer micro-units of the mean unit vector: the per-dim sum
+      -- stays < 1e6 * n (no overflow), and s/n is a correctly-rounded
+      -- double of exact integer operands, so ROUND agrees everywhere
+      SELECT dim, CAST(ROUND(SUM(q) * 1.0 / (SELECT COUNT(*) FROM v))
+                       AS BIGINT) AS m
+      FROM comp GROUP BY dim
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM v)
+    SELECT n_vecs,
+           CAST((SELECT SUM(CAST(ROUND(nrm * 1000000) AS BIGINT)) FROM v)
+                // n_vecs AS BIGINT) AS mean_norm_u,
+           (SELECT CAST(SUM(m * m) // 1000000 AS BIGINT) FROM means)
+             AS anisotropy_ppm
+    FROM n
+    """,
+    driver=False,  # r06: new — parity-covered; rotation candidate
+)
+def embedding_health_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space health report: corpus size, mean L2 norm
+    (micro units), and anisotropy — the squared norm of the MEAN unit
+    vector in ppm (0 = perfectly isotropic, 1e6 = collapsed to one
+    direction; Ethayarajh 2019's degeneration signal).  The mean-
+    vector trick makes it one pass with NO pairwise work: E[cos] over
+    random pairs equals ||mean(u)||².  Cross-engine exactness: unit
+    components are quantized to integer nano-units per row (sqrt and
+    division are IEEE-correctly-rounded, so the quantized values are
+    bit-identical), then only ORDER-FREE integer sums cross rows —
+    never a float sum whose grouping could differ between engines."""
+    e = t(spark, sf, "embeddings")
+    v = e.select(
+        "vec_id", S._dvec("embedding").alias("e")
+    ).withColumn("nrm", S.norm(F.col("e")))
+    comp = v.select(
+        F.posexplode(
+            F.transform(
+                "e",
+                lambda x: F.round(x / F.col("nrm") * 1_000_000).cast("long"),
+            )
+        ).alias("dim", "q")
+    )
+    n = v.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    # integer micro-units of the mean unit vector per dim: the sum
+    # stays < 1e6 * n (no int64 overflow at any corpus size once
+    # squared), and sum/n is a correctly-rounded double of exact
+    # integer operands — deterministic on any engine
+    means = (
+        comp.groupBy("dim")
+        .agg(F.sum("q").alias("s"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(F.col("s") * F.lit(1.0) / F.col("n_vecs"))
+            .cast("long")
+            .alias("m")
+        )
+    )
+    norm_sum = v.agg(
+        F.sum(F.round(F.col("nrm") * 1_000_000).cast("long")).alias("ns")
+    )
+    aniso = means.agg(F.sum(F.col("m") * F.col("m")).alias("mm"))
+    return (
+        n.crossJoin(F.broadcast(norm_sum)).crossJoin(F.broadcast(aniso))
+        .select(
+            "n_vecs",
+            F.expr("CAST(ns DIV n_vecs AS BIGINT)").alias("mean_norm_u"),
+            F.expr("CAST(mm DIV 1000000 AS BIGINT)").alias("anisotropy_ppm"),
+        )
+    )
