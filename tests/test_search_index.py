@@ -103,3 +103,31 @@ def test_compact_preserves_scores_and_folds_stats(spark, tmp_path):
     _, st = load_search_index(spark, path)
     assert st.read().count() == 1
     assert _rows(bm25_index_topk(spark, path, TERMS, k=10)) == before
+
+
+def test_crash_between_postings_and_stats_heals_on_replay(spark, tmp_path):
+    """The torn-write case: a worker dies AFTER the postings merge but
+    BEFORE the stats append (tag not yet committed).  The redelivered
+    batch must heal the index exactly — postings dedup by key, stats
+    append once — ending byte-identical to a clean run."""
+    from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+        _doc_postings,
+        create_search_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    append_to_search_index(spark, path, b0, batch_tag="b0")
+    # simulate the crash: merge b1's postings WITHOUT the stats append
+    pt, st = create_search_index(spark, path)
+    postings, _ = _doc_postings(b1, "text", "doc_id")
+    pt.merge(postings)
+    # redelivery of the full batch
+    append_to_search_index(spark, path, b1, batch_tag="b1")
+    n = st.read().agg(F.sum("n_docs")).collect()[0][0]
+    assert n == docs.count()
+    assert _rows(bm25_index_topk(spark, path, TERMS, k=10)) == _rows(
+        bm25_topk(docs, TERMS, k=10)
+    )
