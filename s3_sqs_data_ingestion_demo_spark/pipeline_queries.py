@@ -2894,3 +2894,45 @@ def embedding_health_embeddings(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("CAST(mm DIV 1000000 AS BIGINT)").alias("anisotropy_ppm"),
         )
     )
+
+
+@query(
+    "soft_dedup_documents",
+    f"""
+    WITH h AS (
+      SELECT doc_id, md5({_NORM}) AS text_hash FROM documents
+    ), grp AS (
+      SELECT text_hash, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM h GROUP BY text_hash
+    )
+    SELECT doc_id, n_copies,
+           CAST({_uh_sql("doc_id")} * n_copies < 1.0 AS INTEGER) AS kept
+    FROM h JOIN grp USING (text_hash)
+    """,
+    driver=False,  # r06: new — parity-covered; rotation candidate
+)
+def soft_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Probabilistic exact-dup DOWNWEIGHTING (soft dedup): instead of
+    hard-keeping one canonical copy, each member of an n-way duplicate
+    group survives with probability 1/n via a deterministic salted-
+    hash variate — in expectation one copy per group survives, but the
+    surviving copy is UNIFORM over the group rather than always the
+    smallest id, removing the systematic bias hard dedup introduces
+    when copy order correlates with provenance.  (The standard
+    repetition-aware sampling trade, e.g. discussed in Lee et al.
+    2021 §4.)  Plan: one hash-group aggregate + a broadcast-backed
+    equi-join back — no window, no shuffle of text payloads (the md5
+    rides the shuffle, not the document)."""
+    docs = t(spark, sf, "documents")
+    h = docs.select(
+        "doc_id", F.md5(X.normalize_text("text")).alias("text_hash")
+    )
+    grp = h.groupBy("text_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    u = SA.uniform_hash("doc_id")
+    return h.join(grp, "text_hash").select(
+        "doc_id",
+        "n_copies",
+        (u * F.col("n_copies") < 1.0).cast("int").alias("kept"),
+    )
