@@ -105,6 +105,41 @@ class MaintenanceConfig:
 
 
 @dataclass
+class IndexConfig:
+    """One declaratively-maintained secondary index
+    (``output_config.indexes``): every ingested batch is ALSO folded
+    into the named retrieval index — ``bm25`` (operators/
+    search_index.py: keyed postings merges, tag-guarded exactly-once
+    additive stats) or ``ivf`` (operators/ann_index.py: no-refit
+    keyed vector appends; the first batch bootstraps the centroids).
+    This is how a lakehouse ingest keeps its secondary indexes
+    trailing the table by one batch without an external scheduler."""
+
+    type: str = "bm25"  # "bm25" | "ivf"
+    path: str = ""
+    id_column: str = "doc_id"
+    text_column: str = "text"  # bm25 only
+    vector_column: str = "embedding"  # ivf only
+    ivf_cells: int = 8  # ivf only: k for the bootstrap fit
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "IndexConfig":
+        t = str(d.get("type", "bm25")).lower()
+        if t not in ("bm25", "ivf"):
+            raise ValueError(f"unknown index type {t!r} (want bm25 | ivf)")
+        if not d.get("path"):
+            raise ValueError("output_config.indexes entries need a path")
+        return cls(
+            type=t,
+            path=str(d["path"]),
+            id_column=str(d.get("id_column", "doc_id")),
+            text_column=str(d.get("text_column", "text")),
+            vector_column=str(d.get("vector_column", "embedding")),
+            ivf_cells=int(d.get("ivf_cells", 8)),
+        )
+
+
+@dataclass
 class OutputConfig:
     """Sink half of the job spec (reference: spark-job/job.json:28-39)."""
 
@@ -121,6 +156,7 @@ class OutputConfig:
     merge_policy: str = "unconditional"  # "unconditional" | "latest_wins"
     table_properties: dict[str, str] = field(default_factory=dict)
     maintenance: MaintenanceConfig = field(default_factory=MaintenanceConfig)
+    indexes: list["IndexConfig"] = field(default_factory=list)
     # CDC delete handling: rows whose op column carries one of these
     # values DELETE their keys instead of upserting (DMS-style feeds).
     # Empty list = reference behavior (deletes upsert like any row).
@@ -147,6 +183,9 @@ class OutputConfig:
                 str(k): str(v) for k, v in (d.get("table_properties") or {}).items()
             },
             maintenance=MaintenanceConfig.from_dict(d.get("maintenance") or {}),
+            indexes=[
+                IndexConfig.from_dict(i) for i in (d.get("indexes") or [])
+            ],
             cdc_op_column=d.get("cdc_op_column", "Op"),
             cdc_delete_values=[str(v) for v in (d.get("cdc_delete_values") or [])],
         )

@@ -10,6 +10,7 @@ the documented fixes; the streaming path lives in
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -118,13 +119,58 @@ def process_files(
             version = execute_merge_into(spark, table, df, text)
             if deletes is not None:
                 version = table.delete_keys(deletes)
+            _maintain_indexes(spark, config, df, files)
             return _maybe_maintain(table, config) or version
         df = apply_transform_query(spark, df, text)
     table = ensure_target(spark, config)
     version = table.write(df, out.mode)
     if deletes is not None:
         version = table.delete_keys(deletes)
+    _maintain_indexes(spark, config, df, files)
     return _maybe_maintain(table, config) or version
+
+
+def _maintain_indexes(spark, config: JobConfig, df, files: list[str]) -> None:
+    """Fold the batch into every declared secondary index
+    (``output_config.indexes``).  The batch tag is the md5 of the
+    sorted source-file list, so a REPLAYED batch (crash between sink
+    write and source commit) hits the search index's tag guard and
+    never double-counts its additive stats; the ivf append is a keyed
+    upsert needing no tag.  An ivf index absent on disk bootstraps its
+    centroids from the first batch's vectors."""
+    if not config.output_config.indexes:
+        return
+    import hashlib  # noqa: PLC0415
+
+    tag = hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+    for ix in config.output_config.indexes:
+        if ix.type == "bm25":
+            from .operators.search_index import (  # noqa: PLC0415
+                append_to_search_index,
+            )
+
+            append_to_search_index(
+                spark, ix.path, df,
+                text_col=ix.text_column, id_col=ix.id_column,
+                batch_tag=f"job-{tag}",
+            )
+        else:  # "ivf" — validated at config parse
+            from .operators.ann_index import (  # noqa: PLC0415
+                append_to_ivf_index,
+                build_ivf_index,
+            )
+            from .table import ManagedTable  # noqa: PLC0415
+
+            if ManagedTable.exists(os.path.join(ix.path, "assignments")):
+                append_to_ivf_index(
+                    spark, ix.path, df,
+                    id_col=ix.id_column, vec_col=ix.vector_column,
+                )
+            else:
+                build_ivf_index(
+                    spark, ix.path, df, k=ix.ivf_cells,
+                    id_col=ix.id_column, vec_col=ix.vector_column,
+                )
 
 
 def _maybe_maintain(table: ManagedTable, config: JobConfig) -> int | None:
