@@ -121,6 +121,7 @@ class IndexConfig:
     text_column: str = "text"  # bm25 only
     vector_column: str = "embedding"  # ivf only
     ivf_cells: int = 8  # ivf only: k for the bootstrap fit
+    maintenance_every: int = 0  # fold/compact the index every N batches
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "IndexConfig":
@@ -136,6 +137,7 @@ class IndexConfig:
             text_column=str(d.get("text_column", "text")),
             vector_column=str(d.get("vector_column", "embedding")),
             ivf_cells=int(d.get("ivf_cells", 8)),
+            maintenance_every=int(d.get("maintenance_every", 0)),
         )
 
 

@@ -154,6 +154,18 @@ def _maintain_indexes(spark, config: JobConfig, df, files: list[str]) -> None:
                 text_col=ix.text_column, id_col=ix.id_column,
                 batch_tag=f"job-{tag}",
             )
+            if ix.maintenance_every:
+                from .operators.search_index import (  # noqa: PLC0415
+                    compact_search_index,
+                    load_search_index,
+                )
+
+                pt, _ = load_search_index(spark, ix.path)
+                if (
+                    pt.data_commits_since_maintenance()
+                    >= ix.maintenance_every
+                ):
+                    compact_search_index(spark, ix.path)
         else:  # "ivf" — validated at config parse
             from .operators.ann_index import (  # noqa: PLC0415
                 append_to_ivf_index,
@@ -166,6 +178,17 @@ def _maintain_indexes(spark, config: JobConfig, df, files: list[str]) -> None:
                     spark, ix.path, df,
                     id_col=ix.id_column, vec_col=ix.vector_column,
                 )
+                if ix.maintenance_every:
+                    from .operators.ann_index import (  # noqa: PLC0415
+                        load_ivf_index,
+                    )
+
+                    _, at = load_ivf_index(spark, ix.path)
+                    if (
+                        at.data_commits_since_maintenance()
+                        >= ix.maintenance_every
+                    ):
+                        at.compact(cluster_by=["cell_id"])
             else:
                 build_ivf_index(
                     spark, ix.path, df, k=ix.ivf_cells,

@@ -90,3 +90,54 @@ def test_index_config_validation():
         JobConfig.from_dict(
             {"output_config": {"indexes": [{"type": "bm25"}]}}
         )
+
+
+def test_index_maintenance_cadence_folds_and_preserves_results(spark, tmp_path):
+    """maintenance_every=2: after the 2nd batch the search index
+    compacts (stats fold to 1 row, postings range-clustered) with
+    results unchanged."""
+    from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+        bm25_index_topk,
+        load_search_index,
+    )
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+    from pyspark.sql import types as T
+
+    d = str(tmp_path)
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    rows = [(r.doc_id, r.text.replace("\t", " ").replace("\n", " "))
+            for r in docs.collect()]
+    half = len(rows) // 2
+    _write_docs_csv(f"{d}/b1.csv", rows[:half])
+    _write_docs_csv(f"{d}/b2.csv", rows[half:])
+    ManagedTable.create(
+        spark, f"{d}/tbl",
+        T.StructType([T.StructField("doc_id", T.IntegerType()),
+                      T.StructField("text", T.StringType())]),
+        key_cols=["doc_id"],
+    )
+    cfg = JobConfig.from_dict({
+        "input_config": {
+            "format": "csv",
+            "options": {"header": "true", "sep": "\t", "inferSchema": "true"},
+        },
+        "output_config": {
+            "table_path": f"{d}/tbl",
+            "mode": "append",
+            "key_columns": ["doc_id"],
+            "indexes": [{"type": "bm25", "path": f"{d}/idx",
+                         "maintenance_every": 2}],
+        },
+    })
+    J.process_files(spark, cfg, [f"{d}/b1.csv"])
+    J.process_files(spark, cfg, [f"{d}/b2.csv"])
+    pt, st = load_search_index(spark, f"{d}/idx")
+    assert st.read().count() == 1  # folded
+    assert len(pt._read_manifest()) == 1  # compacted to one root
+    n = st.read().collect()[0].n_docs
+    assert n == len(rows)
+    assert bm25_index_topk(
+        spark, f"{d}/idx", ("data", "model", "training"), 5
+    ).count() == 5
