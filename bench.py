@@ -98,6 +98,15 @@ def _bench_streaming_neardup(
         # higher).  It also lets the table mode prove entries disjoint
         # and skip seq resolution, its steady state on a real stream.
         docs.repartitionByRange(4, "doc_id").write.json(land)
+        # FileStreamSource orders batches by MTIME; the write lands all
+        # four part files in the same mtime tick, so batch order (and
+        # which cross-batch pairs survive the canonical id filter)
+        # would be listing-dependent.  Pin strictly increasing mtimes
+        # in doc_id order — part file names sort with the range split.
+        import glob as _glob
+        now = _time.time()
+        for i, f in enumerate(sorted(_glob.glob(os.path.join(land, "part-*")))):
+            os.utime(f, (now - 100 + i, now - 100 + i))
         idx, pairs, ck = (os.path.join(d, x) for x in ("index", "pairs", "ck"))
         phases: dict = {}
         start = _time.perf_counter()
@@ -244,10 +253,14 @@ def main() -> None:
                 doc = json.load(fh)
             prior = doc.get("queries")
             if prior is None:
+                # truncate at the "isolated" section: its best-of-2
+                # re-times would otherwise overwrite the sweep numbers
+                # (later regex matches win) and inflate every ratio
+                tail = doc.get("tail", "").split('"isolated"')[0]
                 prior = {
                     m.group(1): float(m.group(2))
                     for m in _re.finditer(
-                        r'"([A-Za-z0-9_]+)":\s*([0-9.]+)', doc.get("tail", "")
+                        r'"([A-Za-z0-9_]+)":\s*([0-9.]+)', tail
                     )
                 }
         except (OSError, ValueError):

@@ -116,44 +116,97 @@ def process_files(
             # the reference's verbatim MERGE INTO statement (reference:
             # spark-job/mergeSQL.sql) — translate onto ManagedTable.merge
             table = ensure_target(spark, config)
+            if out.indexes:
+                # the MERGE INTO's source SELECT reshapes the batch
+                # before it lands — indexing the pre-merge frame would
+                # build the index from different rows/columns than the
+                # table.  Express the projection via transform_query
+                # instead, which runs before this point.
+                raise ValueError(
+                    "output_config.indexes is not supported with a "
+                    "verbatim MERGE INTO merge_query — move the "
+                    "source projection into input_config."
+                    "transform_query so the indexed frame matches "
+                    "the table"
+                )
             version = execute_merge_into(spark, table, df, text)
             if deletes is not None:
                 version = table.delete_keys(deletes)
-            _maintain_indexes(spark, config, df, files)
             return _maybe_maintain(table, config) or version
         df = apply_transform_query(spark, df, text)
     table = ensure_target(spark, config)
     version = table.write(df, out.mode)
     if deletes is not None:
         version = table.delete_keys(deletes)
-    _maintain_indexes(spark, config, df, files)
+    _maintain_indexes(spark, config, df, files, deletes)
     return _maybe_maintain(table, config) or version
 
 
-def _maintain_indexes(spark, config: JobConfig, df, files: list[str]) -> None:
+def _maintain_indexes(
+    spark, config: JobConfig, df, files: list[str], deletes=None
+) -> None:
     """Fold the batch into every declared secondary index
-    (``output_config.indexes``).  The batch tag is the md5 of the
-    sorted source-file list, so a REPLAYED batch (crash between sink
-    write and source commit) hits the search index's tag guard and
-    never double-counts its additive stats; the ivf append is a keyed
-    upsert needing no tag.  An ivf index absent on disk bootstraps its
-    centroids from the first batch's vectors."""
+    (``output_config.indexes``), MODE-AWARE so the index tracks the
+    table instead of diverging from it:
+
+    - ``append``: plain incremental index append.
+    - ``merge``: remove-then-append (``replace=True``) — an updated
+      document's old postings are tombstoned first, so terms its new
+      version dropped never linger, and the additive stats count each
+      live doc once.
+    - ``overwrite``: the index rebuilds from scratch (bm25: postings
+      overwritten + stats reset; ivf: fresh centroids + assignments).
+    - CDC deletes propagate: the deleted keys are un-indexed in the
+      same batch step that removes them from the table.
+
+    The batch tag is the md5 of the sorted source-file list, so a
+    REPLAYED batch (crash between sink write and source commit) hits
+    the search index's tag guard and never double-counts its additive
+    stats; ivf appends are keyed upserts needing no tag."""
     if not config.output_config.indexes:
         return
     import hashlib  # noqa: PLC0415
 
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    mode = config.output_config.mode
     tag = hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
     for ix in config.output_config.indexes:
+        if deletes is not None and ix.id_column not in deletes.columns:
+            raise ValueError(
+                f"index {ix.path!r}: cdc_delete_values is configured "
+                f"but the delete keys lack the index id column "
+                f"{ix.id_column!r} — deletions could not be propagated"
+            )
         if ix.type == "bm25":
             from .operators.search_index import (  # noqa: PLC0415
                 append_to_search_index,
+                create_search_index,
+                load_search_index,
+                remove_documents_bulk,
             )
 
-            append_to_search_index(
-                spark, ix.path, df,
-                text_col=ix.text_column, id_col=ix.id_column,
-                batch_tag=f"job-{tag}",
-            )
+            if mode == "overwrite":
+                pt, st = create_search_index(spark, ix.path)
+                from .operators.search_index import _doc_postings  # noqa: PLC0415
+
+                postings, stats = _doc_postings(
+                    df, ix.text_column, ix.id_column
+                )
+                pt.overwrite(postings)
+                st.overwrite(stats)
+            else:
+                append_to_search_index(
+                    spark, ix.path, df,
+                    text_col=ix.text_column, id_col=ix.id_column,
+                    batch_tag=f"job-{tag}",
+                    replace=(mode == "merge"),
+                )
+            if deletes is not None:
+                remove_documents_bulk(
+                    spark, ix.path, deletes.select(ix.id_column),
+                    id_col=ix.id_column,
+                )
             if ix.maintenance_every:
                 from .operators.search_index import (  # noqa: PLC0415
                     compact_search_index,
@@ -173,7 +226,16 @@ def _maintain_indexes(spark, config: JobConfig, df, files: list[str]) -> None:
             )
             from .table import ManagedTable  # noqa: PLC0415
 
-            if ManagedTable.exists(os.path.join(ix.path, "assignments")):
+            if mode == "overwrite" or not ManagedTable.exists(
+                os.path.join(ix.path, "assignments")
+            ):
+                # fresh fit: bootstrap AND full-overwrite rebuilds
+                build_ivf_index(
+                    spark, ix.path, df, k=ix.ivf_cells,
+                    id_col=ix.id_column, vec_col=ix.vector_column,
+                )
+            else:
+                # keyed upsert — merge-mode updates replace in place
                 append_to_ivf_index(
                     spark, ix.path, df,
                     id_col=ix.id_column, vec_col=ix.vector_column,
@@ -189,10 +251,14 @@ def _maintain_indexes(spark, config: JobConfig, df, files: list[str]) -> None:
                         >= ix.maintenance_every
                     ):
                         at.compact(cluster_by=["cell_id"])
-            else:
-                build_ivf_index(
-                    spark, ix.path, df, k=ix.ivf_cells,
-                    id_col=ix.id_column, vec_col=ix.vector_column,
+            if deletes is not None:
+                from .operators.ann_index import load_ivf_index  # noqa: PLC0415
+
+                _, at = load_ivf_index(spark, ix.path)
+                at.delete_keys(
+                    deletes.select(
+                        F.col(ix.id_column).cast("long").alias("vec_id")
+                    )
                 )
 
 

@@ -341,8 +341,10 @@ def cluster_representatives(
     broadcast-ish left join against the (small) component map plus
     ONE window shuffle keyed on component — no all-pairs anywhere."""
     q = F.length("text") if quality_col is None else quality_col
+    # connected_components hard-codes its output id column as
+    # "doc_id" — re-alias so any caller id_col resolves
     comps = connected_components(pairs, **ccomp_kwargs).select(
-        id_col, "component"
+        F.col("doc_id").alias(id_col), "component"
     )
     full = (
         docs.select(id_col, q.alias("_q"))

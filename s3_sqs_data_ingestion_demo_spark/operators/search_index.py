@@ -61,6 +61,13 @@ _STATS_SCHEMA = T.StructType(
 )
 
 
+# How many recent stats snapshots the replay-idempotency probe scans:
+# a redelivered batch is at most this many commits old (crash recovery
+# replays the tail of the stream, never ancient history), and
+# compact_search_index expires history beyond it.
+_TAG_REPLAY_WINDOW = 64
+
+
 def _postings_path(path: str) -> str:
     return os.path.join(path, "postings")
 
@@ -80,12 +87,23 @@ def _doc_postings(
         F.size(toks).cast("long").alias("dl"),
         toks.alias("tk"),
     )
-    postings = (
+    real = (
         base.select("doc_id", "dl", F.explode("tk").alias("term"))
         .groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .select("term", "doc_id", "tf", "dl")
     )
+    # SENTINEL posting (term "", tf 0) for token-less documents: the
+    # stats row counts EVERY batch doc (ad-hoc scorer parity), so
+    # removal must be able to find empty docs too — without a posting
+    # they would be permanently stuck in the additive n_docs.  The
+    # whitespace tokenizer never emits "", and the query path filters
+    # the sentinel out explicitly.
+    empty = base.filter(F.size("tk") == 0).select(
+        F.lit("").alias("term"), "doc_id",
+        F.lit(0).cast("long").alias("tf"), "dl",
+    )
+    postings = real.unionByName(empty)
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
@@ -127,35 +145,74 @@ def append_to_search_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_tag: str | None = None,
+    replace: bool = False,
 ) -> None:
     """Index a document batch incrementally.  ``batch_tag`` makes the
     ADDITIVE stats append exactly-once under redelivery: a tag already
     present on a committed snapshot skips the whole call (the postings
     merge would have been an idempotent upsert anyway — skipping saves
-    the work and keeps totals correct)."""
+    the work and keeps totals correct).  The tag probe walks manifests
+    newest-first with a bounded window (crash-redelivery only ever
+    replays RECENT batches), so the per-batch cost stays O(window),
+    not O(total snapshots).
+
+    ``replace=True`` is the MERGE-shaped feed: batch ids already in
+    the index are fully un-indexed first (old postings tombstoned,
+    stats decremented), so an updated document never leaves stale
+    postings for terms its new version dropped.  Replay-safe: a crash
+    between remove and append redelivers the batch, the re-remove
+    finds nothing, and the append lands once (the tag commits with
+    the stats append, last)."""
     pt, st = create_search_index(spark, path)
-    if batch_tag is not None and st.has_commit_tag(batch_tag):
+    if batch_tag is not None and st.has_commit_tag(
+        batch_tag, max_scan=_TAG_REPLAY_WINDOW
+    ):
         return
+    if replace:
+        remove_documents_bulk(spark, path, docs.select(id_col), id_col=id_col)
     postings, stats = _doc_postings(docs, text_col, id_col)
     pt.merge(postings)
     st.append(stats, tag=batch_tag)
 
 
-def remove_document(spark: SparkSession, path: str, doc_id: int) -> None:
-    """Un-index one document: tombstone its postings (every (term,
-    doc) key of the stored version — found via a doc-filtered read)
-    and append a NEGATIVE stats row (totals stay additive).  After
-    this, re-indexing the doc with new text is safe."""
+def remove_documents_bulk(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Un-index a SET of documents in one pass: tombstone every stored
+    posting of the victim docs (O(victims) MOR delta; the index scan
+    is doc_id-prunable after clustering) and append ONE negative
+    stats row covering them (totals stay additive — empty docs are
+    findable via their sentinel posting).  Returns the victim count.
+    Removing ids absent from the index is a no-op, which is what
+    makes remove-then-append batches replay-safe."""
     pt, st = load_search_index(spark, path)
-    mine = pt.read().filter(F.col("doc_id") == doc_id)
-    row = mine.agg(
-        F.count(F.lit(1)).alias("n_terms"), F.max("dl").alias("dl")
-    ).collect()[0]
-    if not row.n_terms:
-        return
-    pt.delete_where(F.col("doc_id") == doc_id)
+    keys = ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    victims = pt.read().join(keys, "doc_id", "left_semi")
+    row = (
+        victims.select("doc_id", "dl").distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
+        )
+        .collect()[0]
+    )
+    if not row.n_docs:
+        return 0
+    pt.delete_keys(victims.select("term", "doc_id"))
     st.append(
-        spark.createDataFrame([(-1, -int(row.dl))], _STATS_SCHEMA)
+        spark.createDataFrame(
+            [(-int(row.n_docs), -int(row.total_dl))], _STATS_SCHEMA
+        )
+    )
+    return int(row.n_docs)
+
+
+def remove_document(spark: SparkSession, path: str, doc_id: int) -> None:
+    """Un-index one document (see ``remove_documents_bulk``); after
+    this, re-indexing the doc with new text is safe."""
+    remove_documents_bulk(
+        spark, path,
+        spark.createDataFrame([(int(doc_id),)], "doc_id long"),
     )
 
 
@@ -171,7 +228,7 @@ def bm25_index_topk(
     pt, st = load_search_index(spark, path)
     tf = (
         pt.read()
-        .filter(F.col("term").isin(*query_terms))
+        .filter(F.col("term").isin(*query_terms) & (F.col("term") != ""))
         .select("doc_id", "dl", "term", "tf")
     )
     stats = st.read().agg(
@@ -196,3 +253,7 @@ def compact_search_index(spark: SparkSession, path: str) -> None:
     )
     st.overwrite(folded)
     pt.compact(cluster_by=["term"])
+    # bound snapshot history (and with it the tag probe's manifest
+    # glob): keep the replay window, expire the rest
+    st.expire_snapshots(keep_last=_TAG_REPLAY_WINDOW)
+    pt.expire_snapshots(keep_last=8)

@@ -236,13 +236,25 @@ class ManagedTable:
             v -= 1
         return n
 
-    def has_commit_tag(self, tag: str) -> bool:
+    def has_commit_tag(self, tag: str, max_scan: int | None = None) -> bool:
         """Whether any live snapshot carries ``tag`` — the idempotency
         probe for replayed writers (e.g. a streaming micro-batch that
         crashed between its append and its checkpoint).  Tags only
         survive as long as their snapshots: keep ``expire_snapshots``'
-        horizon longer than the replay window."""
-        for m in glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")):
+        horizon longer than the replay window.
+
+        ``max_scan`` bounds the probe to the NEWEST N manifests
+        (version-descending) — the right shape for a per-batch hot
+        path, where a replayed batch is always recent: an unbounded
+        probe is O(total snapshots) driver work per batch and grows
+        forever on a long-lived stream."""
+        names = sorted(
+            glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")),
+            reverse=True,
+        )
+        if max_scan is not None:
+            names = names[: max(1, int(max_scan))]
+        for m in names:
             try:
                 with open(m, encoding="utf-8") as fh:
                     if json.load(fh).get("tag") == tag:
@@ -356,13 +368,45 @@ class ManagedTable:
             self.meta.properties.get("commit.orphan-grace-seconds", 300.0)
         )
         try:
-            if time.time() - os.path.getmtime(snap) < grace:
-                return False
-            os.remove(snap)
+            st0 = os.stat(snap)
         except FileNotFoundError:
             return True  # a racing healer already freed the slot
         except OSError:
             return False
+        if time.time() - st0.st_mtime < grace:
+            return False
+        # A bare os.remove here would be a TOCTOU hole: between the
+        # checks above and the remove, a racing healer can reclaim the
+        # slot, recreate v{N}.json with ITS commit, and even publish —
+        # removing THAT file silently drops a committed snapshot.
+        # Instead: atomically rename the file aside, verify the moved
+        # file is the SAME inode we statted, and only then delete it;
+        # a mismatch means we grabbed a freshly-created manifest, so
+        # restore it (link-not-rename: never clobber a slot someone
+        # re-acquired meanwhile) and report the slot as contended.
+        quarantine = f"{snap}.reclaim-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(snap, quarantine)
+        except FileNotFoundError:
+            return True
+        except OSError:
+            return False
+        st1 = os.stat(quarantine)
+        if (st1.st_ino, st1.st_mtime_ns) != (st0.st_ino, st0.st_mtime_ns):
+            try:
+                os.link(quarantine, snap)
+                os.unlink(quarantine)
+            except FileExistsError:
+                # a third writer already created a new manifest in the
+                # slot — two fresh manifests now exist; surface loudly
+                # instead of guessing which one wins
+                raise CommitConflictError(
+                    f"orphan reclaim race on v{version:08d}: a fresh "
+                    f"manifest was displaced to {quarantine} while the "
+                    "slot was re-acquired — manual reconciliation needed"
+                ) from None
+            return False
+        os.remove(quarantine)
         return True
 
     def _cleanup_unreferenced(self, entries: list[dict]) -> None:

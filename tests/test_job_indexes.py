@@ -141,3 +141,106 @@ def test_index_maintenance_cadence_folds_and_preserves_results(spark, tmp_path):
     assert bm25_index_topk(
         spark, f"{d}/idx", ("data", "model", "training"), 5
     ).count() == 5
+
+
+def test_merge_mode_and_cdc_deletes_keep_index_in_sync(spark, tmp_path):
+    """Mode-aware maintenance: merge-mode updates REPLACE a doc's
+    postings, and CDC delete rows un-index their keys in the same
+    batch — the index never returns a doc the table no longer has."""
+    from s3_sqs_data_ingestion_demo_spark.operators.search import bm25_topk
+    from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+        bm25_index_topk,
+        load_search_index,
+    )
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+    from pyspark.sql import types as T
+
+    d = str(tmp_path)
+
+    def write_cdc(path, rows):
+        with open(path, "w") as fh:
+            fh.write("Op\tts\tdoc_id\ttext\n")
+            for op, ts, doc_id, text in rows:
+                fh.write(f"{op}\t{ts}\t{doc_id}\t{text}\n")
+
+    write_cdc(f"{d}/b1.csv", [
+        ("I", 1, 1, "alpha beta gamma"),
+        ("I", 1, 2, "data model training"),
+        ("I", 1, 3, "spark merge window"),
+    ])
+    write_cdc(f"{d}/b2.csv", [
+        ("U", 2, 1, "data data shiny"),   # update doc 1: new text
+        ("D", 2, 3, "ignored"),            # delete doc 3
+    ])
+    ManagedTable.create(
+        spark, f"{d}/tbl",
+        T.StructType([
+            T.StructField("doc_id", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.IntegerType()),
+        ]),
+        key_cols=["doc_id"], order_column="ts",
+    )
+    cfg = JobConfig.from_dict({
+        "input_config": {
+            "format": "csv",
+            "options": {"header": "true", "sep": "\t", "inferSchema": "true"},
+        },
+        "output_config": {
+            "table_path": f"{d}/tbl",
+            "mode": "merge",
+            "key_columns": ["doc_id"],
+            "order_column": "ts",
+            "cdc_delete_values": ["D"],
+            "indexes": [{"type": "bm25", "path": f"{d}/idx"}],
+        },
+    })
+    J.process_files(spark, cfg, [f"{d}/b1.csv"])
+    J.process_files(spark, cfg, [f"{d}/b2.csv"])
+
+    live = spark.createDataFrame(
+        [(1, "data data shiny"), (2, "data model training")],
+        "doc_id long, text string",
+    )
+    _, st = load_search_index(spark, f"{d}/idx")
+    assert st.read().agg(F.sum("n_docs")).collect()[0][0] == 2
+    for terms in (("alpha",), ("spark", "merge"), ("data", "model")):
+        got = [(r.doc_id, r.score_u)
+               for r in bm25_index_topk(spark, f"{d}/idx", terms, 10).collect()]
+        want = [(r.doc_id, r.score_u)
+                for r in bm25_topk(live, terms, k=10).collect()]
+        assert got == want, terms
+
+
+def test_merge_into_with_indexes_refuses(spark, tmp_path):
+    import pytest
+
+    d = str(tmp_path)
+    with open(f"{d}/m.sql", "w") as fh:
+        fh.write("MERGE INTO target USING source_table ON 1=1 "
+                 "WHEN MATCHED THEN UPDATE SET *")
+    with open(f"{d}/b.csv", "w") as fh:
+        fh.write("doc_id\ttext\n1\thello\n")
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+    from pyspark.sql import types as T
+    ManagedTable.create(
+        spark, f"{d}/tbl",
+        T.StructType([T.StructField("doc_id", T.IntegerType()),
+                      T.StructField("text", T.StringType())]),
+        key_cols=["doc_id"],
+    )
+    cfg = JobConfig.from_dict({
+        "input_config": {
+            "format": "csv",
+            "options": {"header": "true", "sep": "\t", "inferSchema": "true"},
+        },
+        "output_config": {
+            "table_path": f"{d}/tbl",
+            "mode": "merge",
+            "merge_query": f"{d}/m.sql",
+            "key_columns": ["doc_id"],
+            "indexes": [{"type": "bm25", "path": f"{d}/idx"}],
+        },
+    })
+    with pytest.raises(ValueError, match="transform_query"):
+        J.process_files(spark, cfg, [f"{d}/b.csv"])

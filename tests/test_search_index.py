@@ -131,3 +131,62 @@ def test_crash_between_postings_and_stats_heals_on_replay(spark, tmp_path):
     assert _rows(bm25_index_topk(spark, path, TERMS, k=10)) == _rows(
         bm25_topk(docs, TERMS, k=10)
     )
+
+
+def test_replace_reindexes_changed_document_exactly(spark, tmp_path):
+    """Merge-shaped feed (replace=True): re-indexing a doc with NEW
+    text must drop postings for terms the old version had and fix the
+    additive stats — results equal an ad-hoc run over the LATEST
+    corpus."""
+    from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+        load_search_index,
+    )
+
+    path = str(tmp_path / "idx")
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "data model training")],
+        "doc_id long, text string",
+    )
+    append_to_search_index(spark, path, v1, batch_tag="b0")
+    v2 = spark.createDataFrame(
+        [(1, "data data shiny")], "doc_id long, text string"
+    )
+    append_to_search_index(spark, path, v2, batch_tag="b1", replace=True)
+    latest = spark.createDataFrame(
+        [(1, "data data shiny"), (2, "data model training")],
+        "doc_id long, text string",
+    )
+    _, st = load_search_index(spark, path)
+    assert st.read().agg(F.sum("n_docs")).collect()[0][0] == 2
+    for terms in (("alpha",), ("data", "model")):
+        got = _rows(bm25_index_topk(spark, path, terms, k=10))
+        want = _rows(bm25_topk(latest, terms, k=10))
+        assert got == want
+    assert not _rows(bm25_index_topk(spark, path, ("alpha",), k=10))
+
+
+def test_remove_empty_document_fixes_stats(spark, tmp_path):
+    """A token-less doc is counted in the stats (ad-hoc parity) and
+    must be REMOVABLE — the sentinel posting makes it findable, so
+    n_docs never sticks at an inflated value."""
+    from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+        load_search_index,
+        remove_document,
+    )
+
+    path = str(tmp_path / "idx")
+    batch = spark.createDataFrame(
+        [(1, "data model"), (7, "   ")], "doc_id long, text string"
+    )
+    append_to_search_index(spark, path, batch)
+    _, st = load_search_index(spark, path)
+    assert st.read().agg(F.sum("n_docs")).collect()[0][0] == 2
+    remove_document(spark, path, 7)
+    assert st.read().agg(F.sum("n_docs")).collect()[0][0] == 1
+    # scoring unaffected by sentinel rows
+    assert _rows(bm25_index_topk(spark, path, ("data",), k=5)) == _rows(
+        bm25_topk(
+            spark.createDataFrame([(1, "data model")], "doc_id long, text string"),
+            ("data",), k=5,
+        )
+    )
