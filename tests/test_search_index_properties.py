@@ -7,7 +7,7 @@ import os
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql import functions as F
 
 from s3_sqs_data_ingestion_demo_spark.operators.search import bm25_topk
 from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
@@ -31,7 +31,7 @@ def _rows(df):
 
 @settings(
     max_examples=8, deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    suppress_health_check=list(HealthCheck),
 )
 @given(corpus=CORPUS, split=st.integers(min_value=1, max_value=3),
        data=st.data())
@@ -62,9 +62,8 @@ def test_batched_build_plus_removal_equals_adhoc(spark, tmp_path_factory,
     live = df_all.filter(~F.col("doc_id").isin(list(removed)) if removed
                          else F.lit(True))
     terms = ("data", "model", "train")
+    # an empty live corpus converges too: both paths yield [] (the
+    # tf relation is empty, so nothing downstream executes)
     got = _rows(bm25_index_topk(spark, path, terms, k=10))
-    if live.count() == 0:
-        assert got == []
-        return
     want = _rows(bm25_topk(live, terms, k=10))
     assert got == want
