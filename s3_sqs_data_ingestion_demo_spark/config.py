@@ -190,7 +190,23 @@ class OutputConfig:
             ],
             cdc_op_column=d.get("cdc_op_column", "Op"),
             cdc_delete_values=[str(v) for v in (d.get("cdc_delete_values") or [])],
-        )
+        )._validated()
+
+    def _validated(self) -> "OutputConfig":
+        # Static coherence checks AT PARSE TIME: raising mid-batch
+        # (after the table write committed) would turn a config error
+        # into an infinite poison-redelivery loop in the SQS path.
+        if self.cdc_delete_values and self.indexes:
+            for ix in self.indexes:
+                if ix.id_column not in self.key_columns:
+                    raise ValueError(
+                        f"index {ix.path!r}: cdc_delete_values is "
+                        f"configured but index id column "
+                        f"{ix.id_column!r} is not among key_columns "
+                        f"{self.key_columns} — deletions could not be "
+                        "propagated to the index"
+                    )
+        return self
 
 
 @dataclass

@@ -170,31 +170,33 @@ def _maintain_indexes(
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     mode = config.output_config.mode
+    out = config.output_config
     tag = hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+    if mode == "merge":
+        # table.merge dedups the batch by recency internally — the
+        # indexed frame must see the SAME one-row-per-key batch, or a
+        # batch carrying two versions of a key would double-count the
+        # doc in the additive stats and write conflicting postings
+        from .operators.merge import dedup_latest  # noqa: PLC0415
+
+        keys = list(out.key_columns)
+        if keys and out.order_column and out.order_column in df.columns:
+            df = dedup_latest(df, keys, out.order_column)
+        elif keys:
+            df = df.dropDuplicates(keys)
     for ix in config.output_config.indexes:
-        if deletes is not None and ix.id_column not in deletes.columns:
-            raise ValueError(
-                f"index {ix.path!r}: cdc_delete_values is configured "
-                f"but the delete keys lack the index id column "
-                f"{ix.id_column!r} — deletions could not be propagated"
-            )
         if ix.type == "bm25":
             from .operators.search_index import (  # noqa: PLC0415
                 append_to_search_index,
-                create_search_index,
-                load_search_index,
+                rebuild_search_index,
                 remove_documents_bulk,
             )
 
             if mode == "overwrite":
-                pt, st = create_search_index(spark, ix.path)
-                from .operators.search_index import _doc_postings  # noqa: PLC0415
-
-                postings, stats = _doc_postings(
-                    df, ix.text_column, ix.id_column
+                rebuild_search_index(
+                    spark, ix.path, df,
+                    text_col=ix.text_column, id_col=ix.id_column,
                 )
-                pt.overwrite(postings)
-                st.overwrite(stats)
             else:
                 append_to_search_index(
                     spark, ix.path, df,

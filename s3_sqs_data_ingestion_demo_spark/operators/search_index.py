@@ -81,7 +81,10 @@ def _doc_postings(
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, 1-row batch stats) for a document batch — one
     tokenize pass feeds both."""
-    toks = tokens(text_col)
+    # NULL text must behave like empty text: tokens(NULL) is NULL and
+    # size(NULL) is -1/NULL, which would corrupt total_dl and skip the
+    # sentinel — coalesce the column before tokenizing
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(toks).cast("long").alias("dl"),
@@ -178,16 +181,31 @@ def append_to_search_index(
 def remove_documents_bulk(
     spark: SparkSession, path: str, ids: DataFrame, id_col: str = "doc_id"
 ) -> int:
-    """Un-index a SET of documents in one pass: tombstone every stored
-    posting of the victim docs (O(victims) MOR delta; the index scan
-    is doc_id-prunable after clustering) and append ONE negative
-    stats row covering them (totals stay additive — empty docs are
-    findable via their sentinel posting).  Returns the victim count.
-    Removing ids absent from the index is a no-op, which is what
-    makes remove-then-append batches replay-safe."""
+    """Un-index a SET of documents: tombstone every stored posting of
+    the victim docs (O(victims) MOR delta; the index scan is
+    doc_id-prunable after clustering) and append ONE negative stats
+    row covering them (totals stay additive — empty/NULL-text docs
+    are findable via their sentinel posting).  Returns the victim
+    count; removing absent ids is a no-op.
+
+    Crash-safe ORDER: the negative stats row commits FIRST under a
+    removal tag derived from (victim ids, postings version), THEN the
+    postings tombstone.  A redelivery after a crash in between sees
+    the victims still live at the SAME postings version → same tag →
+    skips the stats decrement and finishes the delete; a crash after
+    the delete leaves no victims, so redelivery is a no-op.  (A
+    stats-then-crash replay can never decrement twice, and postings
+    tombstoning is idempotent.)  Single-writer per index assumed —
+    the job/stream model — since a concurrent postings commit between
+    attempts would rotate the version out of the tag."""
     pt, st = load_search_index(spark, path)
     keys = ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
-    victims = pt.read().join(keys, "doc_id", "left_semi")
+    # materialize ONCE: the agg, the emptiness decision, and the
+    # tombstone write below all reuse this frame — without it the
+    # full postings scan + semi-join would execute three times
+    victims = (
+        pt.read().join(keys, "doc_id", "left_semi").localCheckpoint(eager=True)
+    )
     row = (
         victims.select("doc_id", "dl").distinct()
         .agg(
@@ -198,12 +216,20 @@ def remove_documents_bulk(
     )
     if not row.n_docs:
         return 0
-    pt.delete_keys(victims.select("term", "doc_id"))
-    st.append(
-        spark.createDataFrame(
-            [(-int(row.n_docs), -int(row.total_dl))], _STATS_SCHEMA
+    import hashlib  # noqa: PLC0415
+
+    id_list = sorted(r.doc_id for r in victims.select("doc_id").distinct().collect())
+    rm_tag = "rm-" + hashlib.md5(
+        (",".join(map(str, id_list)) + f"-v{pt._current_version()}").encode()
+    ).hexdigest()
+    if not st.has_commit_tag(rm_tag, max_scan=_TAG_REPLAY_WINDOW):
+        st.append(
+            spark.createDataFrame(
+                [(-int(row.n_docs), -int(row.total_dl))], _STATS_SCHEMA
+            ),
+            tag=rm_tag,
         )
-    )
+    pt.delete_keys(victims.select("term", "doc_id"))
     return int(row.n_docs)
 
 
@@ -236,6 +262,22 @@ def bm25_index_topk(
         F.coalesce(F.sum("total_dl"), F.lit(0)).cast("long").alias("total_dl"),
     )
     return bm25_score_tf(tf, stats, k)
+
+
+def rebuild_search_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Full rebuild (the OVERWRITE sink shape): postings and stats
+    are both overwritten from ``docs`` — the index layout stays this
+    module's private knowledge."""
+    pt, st = create_search_index(spark, path)
+    postings, stats = _doc_postings(docs, text_col, id_col)
+    pt.overwrite(postings)
+    st.overwrite(stats)
 
 
 def compact_search_index(spark: SparkSession, path: str) -> None:

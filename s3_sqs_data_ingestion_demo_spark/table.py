@@ -405,6 +405,12 @@ class ManagedTable:
                     f"manifest was displaced to {quarantine} while the "
                     "slot was re-acquired — manual reconciliation needed"
                 ) from None
+            except OSError:
+                # hard links unsupported (some object-store FUSE
+                # mounts): restore via replace — clobbering is only
+                # possible in the triple-race the FileExistsError
+                # branch above guards on link-capable filesystems
+                os.replace(quarantine, snap)
             return False
         os.remove(quarantine)
         return True

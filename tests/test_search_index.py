@@ -190,3 +190,49 @@ def test_remove_empty_document_fixes_stats(spark, tmp_path):
             ("data",), k=5,
         )
     )
+
+
+def test_removal_crash_between_stats_and_delete_heals(spark, tmp_path,
+                                                      monkeypatch):
+    """Crash ordering: the negative stats row commits first (tagged),
+    then the postings tombstone.  A crash in between redelivers the
+    removal — the tag skips the second decrement and the delete
+    completes, ending byte-identical to a clean removal."""
+    from s3_sqs_data_ingestion_demo_spark import table as tbl_mod
+    from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+        load_search_index,
+        remove_documents_bulk,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "data model training")],
+        "doc_id long, text string",
+    )
+    append_to_search_index(spark, path, docs)
+
+    real_delete = tbl_mod.ManagedTable.delete_keys
+    calls = {"n": 0}
+
+    def crashing_delete(self, keys_df):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before postings delete")
+        return real_delete(self, keys_df)
+
+    monkeypatch.setattr(tbl_mod.ManagedTable, "delete_keys", crashing_delete)
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated"):
+        remove_documents_bulk(spark, path, ids)
+    # redelivery
+    remove_documents_bulk(spark, path, ids)
+
+    _, st = load_search_index(spark, path)
+    assert st.read().agg(F.sum("n_docs")).collect()[0][0] == 1  # not 0
+    live = spark.createDataFrame(
+        [(2, "data model training")], "doc_id long, text string"
+    )
+    assert _rows(bm25_index_topk(spark, path, ("data", "alpha"), k=5)) == \
+        _rows(bm25_topk(live, ("data", "alpha"), k=5))
