@@ -160,22 +160,69 @@ def append_to_search_index(
     not O(total snapshots).
 
     ``replace=True`` is the MERGE-shaped feed: batch ids already in
-    the index are fully un-indexed first (old postings tombstoned,
-    stats decremented), so an updated document never leaves stale
-    postings for terms its new version dropped.  Replay-safe: a crash
-    between remove and append redelivers the batch, the re-remove
-    finds nothing, and the append lands once (the tag commits with
-    the stats append, last)."""
+    the index are fully un-indexed (old postings tombstoned), so an
+    updated document never leaves stale postings for terms its new
+    version dropped.  Replay-safe by ORDERING: one NET stats row
+    (batch increment minus victim decrement) commits FIRST under
+    ``batch_tag``, then the victim tombstone, then the postings merge.
+    Whatever step a crash interrupts, the redelivered batch heals to
+    the clean-run state: the tag skips the second stats commit, and
+    the tombstone + merge are re-run idempotently from the CURRENT
+    live victims (a separate per-call removal tag would break on
+    redelivery — the postings version advances with the merge, so the
+    re-remove would decrement a second time; that was a real
+    double-decrement hole).  Between the stats commit and the merge,
+    readers see totals ahead of postings — the same transient window
+    every stats-first commit in this module has (see
+    ``remove_documents_bulk``)."""
     pt, st = create_search_index(spark, path)
-    if batch_tag is not None and st.has_commit_tag(
+    tag_done = batch_tag is not None and st.has_commit_tag(
         batch_tag, max_scan=_TAG_REPLAY_WINDOW
-    ):
+    )
+    if not replace:
+        if tag_done:
+            return
+        postings, stats = _doc_postings(docs, text_col, id_col)
+        pt.merge(postings)
+        st.append(stats, tag=batch_tag)
         return
-    if replace:
-        remove_documents_bulk(spark, path, docs.select(id_col), id_col=id_col)
     postings, stats = _doc_postings(docs, text_col, id_col)
+    keys = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    )
+    # victims: every live posting of the batch's ids, as of NOW.  On a
+    # redelivery this can include rows the crashed attempt merged —
+    # tombstoning them is safe because the merge below re-lands them
+    # with a newer commit seq (re-inserts survive tombstones).
+    victims = (
+        pt.read().join(keys, "doc_id", "left_semi").localCheckpoint(eager=True)
+    )
+    if not tag_done:
+        # tag not committed => no prior attempt reached the merge (the
+        # stats row commits before it), so the victims are purely
+        # pre-batch rows and their per-doc dl is the dl the stats
+        # counted when they were indexed
+        vrow = (
+            victims.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
+            )
+            .collect()[0]
+        )
+        srow = stats.collect()[0]
+        net = spark.createDataFrame(
+            [
+                (
+                    int(srow.n_docs) - int(vrow.n_docs),
+                    int(srow.total_dl) - int(vrow.total_dl),
+                )
+            ],
+            _STATS_SCHEMA,
+        )
+        st.append(net, tag=batch_tag)
+    pt.delete_keys(victims.select("term", "doc_id"))
     pt.merge(postings)
-    st.append(stats, tag=batch_tag)
 
 
 def remove_documents_bulk(
@@ -206,11 +253,19 @@ def remove_documents_bulk(
     victims = (
         pt.read().join(keys, "doc_id", "left_semi").localCheckpoint(eager=True)
     )
+    # One bounded 1-row agg feeds BOTH the stats decrement and the
+    # removal tag: the victim-set identity is an order-insensitive
+    # distributed digest (bit_xor of xxhash64 + count), never a per-id
+    # collect — a bulk un-index of millions of docs must not grow
+    # driver memory with the size of the delete.
     row = (
-        victims.select("doc_id", "dl").distinct()
+        victims.groupBy("doc_id").agg(F.max("dl").alias("dl"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("doc_id"))), F.lit(0)
+            ).alias("digest"),
         )
         .collect()[0]
     )
@@ -218,9 +273,8 @@ def remove_documents_bulk(
         return 0
     import hashlib  # noqa: PLC0415
 
-    id_list = sorted(r.doc_id for r in victims.select("doc_id").distinct().collect())
     rm_tag = "rm-" + hashlib.md5(
-        (",".join(map(str, id_list)) + f"-v{pt._current_version()}").encode()
+        f"{row.n_docs}-{row.digest}-v{pt._current_version()}".encode()
     ).hexdigest()
     if not st.has_commit_tag(rm_tag, max_scan=_TAG_REPLAY_WINDOW):
         st.append(

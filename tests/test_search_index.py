@@ -236,3 +236,105 @@ def test_removal_crash_between_stats_and_delete_heals(spark, tmp_path,
     )
     assert _rows(bm25_index_topk(spark, path, ("data", "alpha"), k=5)) == \
         _rows(bm25_topk(live, ("data", "alpha"), k=5))
+
+
+def _replace_fixture(spark, path):
+    """v1 indexed clean; returns (v2 batch, expected latest corpus)."""
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "data model training")],
+        "doc_id long, text string",
+    )
+    append_to_search_index(spark, path, v1, batch_tag="b0")
+    v2 = spark.createDataFrame(
+        [(1, "data data shiny"), (3, "fresh corpus entry")],
+        "doc_id long, text string",
+    )
+    latest = spark.createDataFrame(
+        [
+            (1, "data data shiny"),
+            (2, "data model training"),
+            (3, "fresh corpus entry"),
+        ],
+        "doc_id long, text string",
+    )
+    return v2, latest
+
+
+def _assert_matches_clean(spark, path, latest):
+    _, st = load_search_index(spark, path)
+    assert st.read().agg(F.sum("n_docs")).collect()[0][0] == latest.count()
+    for terms in (("alpha",), ("data", "model"), ("fresh", "shiny")):
+        got = _rows(bm25_index_topk(spark, path, terms, k=10))
+        want = _rows(bm25_topk(latest, terms, k=10))
+        assert got == want, terms
+
+
+def test_replace_crash_before_tombstone_heals_on_replay(spark, tmp_path,
+                                                        monkeypatch):
+    """replace=True, crash AFTER the net stats commit but BEFORE the
+    victim tombstone: the redelivered batch must skip the (tagged)
+    stats and complete the tombstone + merge — ending byte-identical
+    to a clean replace.  This was the double-decrement hole: a removal
+    tag derived from the (advanced) postings version would have
+    appended a second negative stats row."""
+    from s3_sqs_data_ingestion_demo_spark import table as tbl_mod
+
+    path = str(tmp_path / "idx")
+    v2, latest = _replace_fixture(spark, path)
+
+    real_delete = tbl_mod.ManagedTable.delete_keys
+    calls = {"n": 0}
+
+    def crashing_delete(self, keys_df):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before victim tombstone")
+        return real_delete(self, keys_df)
+
+    monkeypatch.setattr(tbl_mod.ManagedTable, "delete_keys", crashing_delete)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated"):
+        append_to_search_index(spark, path, v2, batch_tag="b1", replace=True)
+    append_to_search_index(spark, path, v2, batch_tag="b1", replace=True)
+    _assert_matches_clean(spark, path, latest)
+
+
+def test_replace_crash_before_merge_heals_on_replay(spark, tmp_path,
+                                                    monkeypatch):
+    """replace=True, crash AFTER the victim tombstone but BEFORE the
+    postings merge: redelivery finds no live victims (old rows already
+    tombstoned), skips the tagged stats, and lands the merge once."""
+    from s3_sqs_data_ingestion_demo_spark import table as tbl_mod
+
+    path = str(tmp_path / "idx")
+    v2, latest = _replace_fixture(spark, path)
+
+    real_merge = tbl_mod.ManagedTable.merge
+    calls = {"n": 0}
+
+    def crashing_merge(self, source, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before postings merge")
+        return real_merge(self, source, **kw)
+
+    monkeypatch.setattr(tbl_mod.ManagedTable, "merge", crashing_merge)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated"):
+        append_to_search_index(spark, path, v2, batch_tag="b1", replace=True)
+    append_to_search_index(spark, path, v2, batch_tag="b1", replace=True)
+    _assert_matches_clean(spark, path, latest)
+
+
+def test_replace_duplicate_delivery_after_success(spark, tmp_path):
+    """A duplicate delivery of a fully-committed replace batch (SQS
+    at-least-once) must not change stats or scores: the tag skips the
+    net stats row, and the tombstone + re-merge of the batch's own
+    rows is a no-op at read time (newer seq wins)."""
+    path = str(tmp_path / "idx")
+    v2, latest = _replace_fixture(spark, path)
+    append_to_search_index(spark, path, v2, batch_tag="b1", replace=True)
+    append_to_search_index(spark, path, v2, batch_tag="b1", replace=True)
+    _assert_matches_clean(spark, path, latest)
