@@ -196,6 +196,41 @@ class OutputConfig:
         # Static coherence checks AT PARSE TIME: raising mid-batch
         # (after the table write committed) would turn a config error
         # into an infinite poison-redelivery loop in the SQS path.
+        if self.indexes and self.merge_query:
+            # Probe the merge SQL once at parse: a verbatim MERGE INTO
+            # reshapes the batch before it lands, so a declared index
+            # would be built from a different frame than the table —
+            # refuse HERE, not per batch at run time.  An unreadable
+            # file defers to the runtime guard (job.process_files),
+            # which fails the batch before any write.
+            try:
+                text = _read_text(self.merge_query)
+            except (OSError, RuntimeError):
+                text = None
+            if text is not None:
+                from .plans import is_merge_into  # noqa: PLC0415
+
+                if is_merge_into(text):
+                    raise ValueError(
+                        "output_config.indexes is not supported with a "
+                        "verbatim MERGE INTO merge_query — move the "
+                        "source projection into input_config."
+                        "transform_query so the indexed frame matches "
+                        "the table"
+                    )
+        if self.indexes and self.mode == "merge" and not self.order_column:
+            # table.merge and the index maintenance must dedup a batch
+            # carrying two versions of one key by the SAME rule, or the
+            # index and the table can disagree on which version is
+            # live; without an order column there is no shared
+            # deterministic rule (the MOR delta keeps both rows at one
+            # commit seq, resolution pick undefined).
+            raise ValueError(
+                "merge-mode output_config.indexes requires "
+                "order_column: without a recency column the table and "
+                "the index cannot dedup duplicate-key batches "
+                "identically"
+            )
         if self.cdc_delete_values and self.indexes:
             for ix in self.indexes:
                 if ix.id_column not in self.key_columns:

@@ -176,7 +176,14 @@ def _maintain_indexes(
         # table.merge dedups the batch by recency internally — the
         # indexed frame must see the SAME one-row-per-key batch, or a
         # batch carrying two versions of a key would double-count the
-        # doc in the additive stats and write conflicting postings
+        # doc in the additive stats and write conflicting postings.
+        # OutputConfig validates at parse time that merge-mode indexes
+        # configure order_column, so the deterministic dedup_latest
+        # rule is shared with table.merge; the dropDuplicates fallback
+        # only fires when the order column is configured but absent
+        # from this batch's frame (table.merge then keeps duplicate
+        # rows at one commit seq — the index at least counts each doc
+        # once).
         from .operators.merge import dedup_latest  # noqa: PLC0415
 
         keys = list(out.key_columns)

@@ -212,13 +212,36 @@ def test_merge_mode_and_cdc_deletes_keep_index_in_sync(spark, tmp_path):
         assert got == want, terms
 
 
-def test_merge_into_with_indexes_refuses(spark, tmp_path):
+def test_merge_into_with_indexes_refuses_at_parse_time(tmp_path):
+    """indexes + a verbatim MERGE INTO merge_query must be rejected
+    when the config is PARSED — raising mid-batch (after messages were
+    consumed) would turn the config error into an infinite
+    poison-redelivery loop on the SQS path."""
     import pytest
 
     d = str(tmp_path)
     with open(f"{d}/m.sql", "w") as fh:
         fh.write("MERGE INTO target USING source_table ON 1=1 "
                  "WHEN MATCHED THEN UPDATE SET *")
+    with pytest.raises(ValueError, match="transform_query"):
+        JobConfig.from_dict({
+            "output_config": {
+                "table_path": f"{d}/tbl",
+                "mode": "merge",
+                "merge_query": f"{d}/m.sql",
+                "key_columns": ["doc_id"],
+                "indexes": [{"type": "bm25", "path": f"{d}/idx"}],
+            },
+        })
+
+
+def test_merge_into_with_indexes_runtime_guard(spark, tmp_path):
+    """Defense in depth: a config object that dodged parse validation
+    (e.g. the .sql file appeared after parse) still refuses in
+    process_files BEFORE any write."""
+    import pytest
+
+    d = str(tmp_path)
     with open(f"{d}/b.csv", "w") as fh:
         fh.write("doc_id\ttext\n1\thello\n")
     from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
@@ -229,6 +252,7 @@ def test_merge_into_with_indexes_refuses(spark, tmp_path):
                       T.StructField("text", T.StringType())]),
         key_cols=["doc_id"],
     )
+    # the .sql file does not exist at parse time → parse probe defers
     cfg = JobConfig.from_dict({
         "input_config": {
             "format": "csv",
@@ -238,9 +262,30 @@ def test_merge_into_with_indexes_refuses(spark, tmp_path):
             "table_path": f"{d}/tbl",
             "mode": "merge",
             "merge_query": f"{d}/m.sql",
+            "order_column": "doc_id",
             "key_columns": ["doc_id"],
             "indexes": [{"type": "bm25", "path": f"{d}/idx"}],
         },
     })
+    with open(f"{d}/m.sql", "w") as fh:
+        fh.write("MERGE INTO target USING source_table ON 1=1 "
+                 "WHEN MATCHED THEN UPDATE SET *")
     with pytest.raises(ValueError, match="transform_query"):
         J.process_files(spark, cfg, [f"{d}/b.csv"])
+
+
+def test_merge_mode_indexes_require_order_column(tmp_path):
+    """Merge-mode indexes without order_column are rejected at parse:
+    the table and the index would have no shared deterministic rule
+    for a batch carrying two versions of one key."""
+    import pytest
+
+    with pytest.raises(ValueError, match="order_column"):
+        JobConfig.from_dict({
+            "output_config": {
+                "table_path": f"{tmp_path}/tbl",
+                "mode": "merge",
+                "key_columns": ["doc_id"],
+                "indexes": [{"type": "bm25", "path": f"{tmp_path}/idx"}],
+            },
+        })
