@@ -14,12 +14,15 @@ way a production ANN service does:
   is independent of index size, the same property as the streaming
   near-dup index (streaming/neardup.py).
 
-Query path: probe ``nprobe`` nearest cells per query, equi-join on
-``cell_id`` against the assignments table (cell-pruned scan at scale:
-``cell_id`` is a key column, so manifest stats skip non-probed
-entries after ``compact(zorder_by=["cell_id"])``), score only those
-vectors.  Norms are PERSISTED with the assignments so queries never
-recompute a corpus-side fold.
+Query path: probe ``nprobe`` nearest cells per query, collect the
+(bounded: ≤ n_queries × nprobe) probed cell set driver-side, and read
+ONLY those cells via ``ManagedTable.read_where_in`` — manifest
+``cell_id`` stats (harvested via ``write.stats-columns``) skip whole
+entries, and the pushed ``isin`` predicate skips parquet files /
+row-groups after ``compact(cluster_by=["cell_id"])``.  A query batch
+therefore scans O(probed cells), not the whole index.  Norms are
+PERSISTED with the assignments so queries never recompute a
+corpus-side fold.
 
 Drift: centroids fixed at build time drift from the data as the
 corpus grows — ``cell_balance`` reports per-cell occupancy so an
@@ -112,7 +115,13 @@ def build_ivf_index(
         _assign_schema(),
         key_cols=["vec_id"],
         table_type="MOR",
-        properties={"write.max-delta-files": "4"},
+        properties={
+            "write.max-delta-files": "4",
+            # harvest cell_id (min, max) per entry alongside the key
+            # stats: funds read_where_in's manifest skip on the query
+            # path (cell_id is the scan column, vec_id the key)
+            "write.stats-columns": "cell_id",
+        },
     )
     at.overwrite(_assign_to_cells(corpus, ct.read(), id_col, vec_col))
     return ct, at
@@ -173,8 +182,17 @@ def ivf_index_topk(
         q_scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= nprobe)
         .select("query_id", "_qv", "_qn", "cell_id")
+        # materialize once: the driver-side cell collect below and the
+        # members join both consume this small (queries × nprobe) frame
+        .localCheckpoint(eager=True)
     )
-    members = at.read().select(
+    # CELL-PRUNED index scan: the probed cell set is bounded
+    # (≤ n_queries × nprobe; queries are broadcast-small by contract),
+    # so collect it and push it into the read — a join key alone would
+    # never reach the parquet scan, and an unpruned at.read() would
+    # scan the ENTIRE index per query batch.
+    cells = [r.cell_id for r in probes.select("cell_id").distinct().collect()]
+    members = at.read_where_in("cell_id", cells).select(
         F.col("vec_id").alias("neighbor_id"), "cell_id",
         F.col("embedding").alias("_cv"), F.col("vnorm").alias("_cn"),
     )

@@ -290,23 +290,12 @@ def process_near_dup_batch_table(
 
 
 def _entries_disjoint_on_id(table) -> bool:
-    """True iff the live (non-tombstone) manifest entries' ``id``
-    stats prove pairwise-disjoint ranges — i.e. no id can have more
-    than one live row, so MOR seq resolution is provably a no-op.
-    Any entry missing id stats makes the answer False (conservative:
-    stats are advisory).  Driver-side, O(entries log entries)."""
-    ranges = []
-    for e in table._read_manifest():
-        if e.get("kind") == "tombstone":
-            continue
-        s = (e.get("stats") or {}).get("id")
-        if not s:
-            return False
-        ranges.append((s[0], s[1]))
-    ranges.sort()
-    return all(
-        ranges[i - 1][1] < ranges[i][0] for i in range(1, len(ranges))
-    )
+    """True iff the live manifest entries' ``id`` stats prove
+    pairwise-disjoint ranges — i.e. no id can have more than one live
+    row, so MOR seq resolution is provably a no-op.  Delegates to the
+    generic ``ManagedTable.entries_disjoint_on`` (shared with
+    ``read_where_in``'s resolution-free fast path)."""
+    return table.entries_disjoint_on("id")
 
 
 def _near_dup_pairs(

