@@ -60,6 +60,108 @@ def _bench_cdc_merge(spark, sf_dir: str) -> float:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _bench_cdc_merge_with_indexes(
+    spark, sf_dir: str, phases_out: dict | None = None
+) -> float:
+    """Declarative-index ingest end-to-end: a merge-mode job with one
+    bm25 and one ivf index declared (output_config.indexes,
+    maintenance_every=2) absorbs 4 insert batches plus 1 update batch
+    through process_files — so the index-maintenance premium (bm25
+    remove-then-append on updates, ivf keyed upsert, periodic
+    compaction cadence) is on the record next to the bare
+    ingest_cdc_merge entry.  Phases: bootstrap (first batch: table +
+    index fit), inserts (3 disjoint batches), update_replace (re-merge
+    of the first batch's ids with new text → bm25 replace path)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from s3_sqs_data_ingestion_demo_spark.config import JobConfig
+    from s3_sqs_data_ingestion_demo_spark import job as J
+    from s3_sqs_data_ingestion_demo_spark.queries import t as read_table
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="sg_bench_ixmerge_")
+    try:
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        emb = read_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        base = docs.join(emb, "doc_id").withColumn("seq", F.lit(1))
+        ids = sorted(r.doc_id for r in base.select("doc_id").collect())
+        n = len(ids)
+        bounds = [ids[0], ids[n // 4], ids[n // 2], ids[3 * n // 4], 2**62]
+        for b in range(4):
+            lo, hi = bounds[b], bounds[b + 1]
+            base.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("overwrite").json(f"{d}/land/b{b}")
+        # update batch: first quarter's ids, new text, later seq
+        base.filter(F.col("doc_id") < bounds[1]).withColumn(
+            "text", F.concat(F.lit("updated revision "), F.col("text"))
+        ).withColumn("seq", F.lit(2)).coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{d}/land/b4")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+        ManagedTable.create(
+            spark, f"{d}/tbl", schema,
+            key_cols=["doc_id"], order_column="seq", table_type="MOR",
+        )
+        cfg = JobConfig.from_dict(
+            {
+                "input_config": {"format": "json"},
+                "output_config": {
+                    "table_path": f"{d}/tbl",
+                    "mode": "merge",
+                    "key_columns": ["doc_id"],
+                    "order_column": "seq",
+                    "indexes": [
+                        {"type": "bm25", "path": f"{d}/bm25",
+                         "maintenance_every": 2},
+                        {"type": "ivf", "path": f"{d}/ivf",
+                         "vector_column": "embedding", "ivf_cells": 8,
+                         "maintenance_every": 2},
+                    ],
+                },
+            }
+        )
+
+        def _files(b):
+            import glob as _glob
+
+            return sorted(_glob.glob(f"{d}/land/b{b}/part-*.json"))
+
+        phases: dict = {}
+        start = _time.perf_counter()
+        t0 = _time.perf_counter()
+        J.process_files(spark, cfg, _files(0))
+        phases["bootstrap"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
+        for b in (1, 2, 3):
+            J.process_files(spark, cfg, _files(b))
+        phases["inserts"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
+        J.process_files(spark, cfg, _files(4))
+        phases["update_replace"] = round(_time.perf_counter() - t0, 3)
+        elapsed = round(_time.perf_counter() - start, 3)
+        if phases_out is not None:
+            phases_out.clear()
+            phases_out.update(phases)
+        return elapsed
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _bench_streaming_neardup(
     spark, sf_dir: str, phases_out: dict | None = None, **mode_kwargs
 ) -> float:
@@ -173,25 +275,49 @@ def main() -> None:
     _bench_cdc_merge(spark, "/root/testdata/sf0.001")
     timings["ingest_cdc_merge"] = _bench_cdc_merge(spark, sf_dir)
 
+    _bench_cdc_merge_with_indexes(spark, "/root/testdata/sf0.001")
+
     # Per-phase decomposition of the streaming entries is recorded in
     # the artifact ("phases" key): signatures / pairs / index_write /
-    # pairs_write (+ maintenance for table mode) — the table-vs-dir
-    # premium is then attributable from the artifact alone to the
-    # snapshot machinery (index_write delta + maintenance) vs the pair
-    # computation.
+    # pairs_write (+ maintenance for table mode), PLUS per-batch path
+    # provenance (batches_fast_path / batches_seq_fallback) — the
+    # table-vs-dir premium is then attributable from the artifact alone
+    # to the snapshot machinery vs the pair computation, and a
+    # fallback-contaminated run is visible as such.
+    #
+    # BEST-OF-3, attempts recorded: the dir baseline alone swings
+    # 5.6–8.0 s run-to-run under ambient load (measured across r6's
+    # settled runs), so a single sample of either entry can misstate
+    # the table-mode premium by more than the premium itself.  The
+    # recorded number is min(attempts); the full attempt list stays in
+    # the artifact ("stream_attempts") so the swing is auditable.
     phases: dict[str, dict] = {}
-    _bench_streaming_neardup(spark, "/root/testdata/sf0.001")
-    phases["ingest_streaming_neardup"] = {}
-    timings["ingest_streaming_neardup"] = _bench_streaming_neardup(
-        spark, sf_dir, phases_out=phases["ingest_streaming_neardup"]
+    stream_attempts: dict[str, list[float]] = {}
+
+    def _stream_best_of(name: str, reps: int = 3, **kw) -> float:
+        _bench_streaming_neardup(spark, "/root/testdata/sf0.001", **kw)  # warm
+        best, best_ph = None, {}
+        attempts = []
+        for _ in range(reps):
+            ph: dict = {}
+            el = _bench_streaming_neardup(spark, sf_dir, phases_out=ph, **kw)
+            attempts.append(el)
+            if best is None or el < best:
+                best, best_ph = el, ph
+        stream_attempts[name] = attempts
+        phases[name] = best_ph
+        return best
+
+    phases["ingest_cdc_merge_with_indexes"] = {}
+    timings["ingest_cdc_merge_with_indexes"] = _bench_cdc_merge_with_indexes(
+        spark, sf_dir, phases_out=phases["ingest_cdc_merge_with_indexes"]
     )
 
-    table_kw = dict(index_mode="table", compact_every=4)
-    _bench_streaming_neardup(spark, "/root/testdata/sf0.001", **table_kw)
-    phases["ingest_streaming_neardup_table"] = {}
-    timings["ingest_streaming_neardup_table"] = _bench_streaming_neardup(
-        spark, sf_dir,
-        phases_out=phases["ingest_streaming_neardup_table"], **table_kw,
+    timings["ingest_streaming_neardup"] = _stream_best_of(
+        "ingest_streaming_neardup"
+    )
+    timings["ingest_streaming_neardup_table"] = _stream_best_of(
+        "ingest_streaming_neardup_table", index_mode="table", compact_every=4
     )
 
     # NB: an async-maintenance variant of the table entry was measured
@@ -212,10 +338,12 @@ def main() -> None:
     from s3_sqs_data_ingestion_demo_spark.operators import plan_cache
 
     iso_phases: dict[str, dict] = {}
+    iso_attempts: dict[str, list[float]] = {}
 
     def _iso_stream(name, **kw):
         ph: dict = {}
         el = _bench_streaming_neardup(spark, sf_dir, phases_out=ph, **kw)
+        iso_attempts.setdefault(name, []).append(round(el, 3))
         # keep the phase breakdown of the BEST isolated attempt
         prev = iso_phases.get(name)
         if prev is None or el <= prev.get("_elapsed", float("inf")):
@@ -224,6 +352,9 @@ def main() -> None:
 
     ingest_fns = {
         "ingest_cdc_merge": lambda: _bench_cdc_merge(spark, sf_dir),
+        "ingest_cdc_merge_with_indexes": lambda: _bench_cdc_merge_with_indexes(
+            spark, sf_dir
+        ),
         "ingest_streaming_neardup": lambda: _iso_stream(
             "ingest_streaming_neardup"
         ),
@@ -279,9 +410,13 @@ def main() -> None:
         clear_kmeans_memo,
     )
 
+    stream_names = ("ingest_streaming_neardup", "ingest_streaming_neardup_table")
     for name in worst:
         best = None
-        for _ in range(2):
+        # best-of-3 for the streaming entries (the dir baseline's own
+        # run-to-run swing exceeds the table-mode premium under
+        # ambient pressure); best-of-2 elsewhere
+        for _ in range(3 if name in stream_names else 2):
             # quiesce before EVERY attempt: best-of-2 must not let the
             # second attempt ride caches/memos the first repopulated
             plan_cache.clear()
@@ -310,12 +445,18 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "isolated": isolated,
                 "phases": phases,
                 "isolated_phases": {
                     k: {p: v for p, v in d.items() if p != "_elapsed"}
                     for k, d in iso_phases.items()
                 },
+                "stream_attempts": stream_attempts,
+                "isolated_stream_attempts": iso_attempts,
+                # isolated LAST among the big sections: the driver
+                # records only the final 2000 chars of this line, and
+                # the isolated re-times + streaming provenance are the
+                # artifact's self-adjudication record
+                "isolated": isolated,
                 "sf": sf,
                 # duplicated at the tail: the driver records only the
                 # LAST 2000 chars of this line, and the leading keys

@@ -122,6 +122,12 @@ class IndexConfig:
     vector_column: str = "embedding"  # ivf only
     ivf_cells: int = 8  # ivf only: k for the bootstrap fit
     maintenance_every: int = 0  # fold/compact the index every N batches
+    # ivf only: at maintenance cadence, REFIT the centroids from the
+    # stored vectors when the largest cell holds more than this share
+    # of the index (drift signal — see operators/ann_index.py
+    # max_cell_share).  0 disables; sensible values sit a few × above
+    # the balanced share 1/ivf_cells.
+    rebuild_max_cell_share: float = 0.0
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "IndexConfig":
@@ -138,6 +144,7 @@ class IndexConfig:
             vector_column=str(d.get("vector_column", "embedding")),
             ivf_cells=int(d.get("ivf_cells", 8)),
             maintenance_every=int(d.get("maintenance_every", 0)),
+            rebuild_max_cell_share=float(d.get("rebuild_max_cell_share", 0.0)),
         )
 
 

@@ -252,6 +252,8 @@ def _maintain_indexes(
                 if ix.maintenance_every:
                     from .operators.ann_index import (  # noqa: PLC0415
                         load_ivf_index,
+                        max_cell_share,
+                        rebuild_ivf_index,
                     )
 
                     _, at = load_ivf_index(spark, ix.path)
@@ -259,6 +261,18 @@ def _maintain_indexes(
                         at.data_commits_since_maintenance()
                         >= ix.maintenance_every
                     ):
+                        # drift-triggered REFIT: when the largest cell
+                        # outgrows the configured share, centroids no
+                        # longer partition the corpus and probe pruning
+                        # degrades — rebuild from the stored vectors;
+                        # otherwise plain cell-clustered compaction
+                        # (which restores read_where_in's fast path)
+                        if ix.rebuild_max_cell_share and (
+                            max_cell_share(spark, ix.path)
+                            > ix.rebuild_max_cell_share
+                        ):
+                            rebuild_ivf_index(spark, ix.path)
+                            _, at = load_ivf_index(spark, ix.path)
                         at.compact(cluster_by=["cell_id"])
             if deletes is not None:
                 from .operators.ann_index import load_ivf_index  # noqa: PLC0415

@@ -221,8 +221,42 @@ def ivf_index_topk(
 def cell_balance(spark: SparkSession, path: str) -> DataFrame:
     """Per-cell occupancy report — the rebuild trigger: centroids
     fitted at build time drift as the corpus grows, and a cell whose
-    share balloons degrades probe pruning.  (cell_id, n_vectors)."""
+    share balloons degrades probe pruning.  (cell_id, n_vectors).
+    Full index scan BY DESIGN: this is the explicit rebuild audit, run
+    at maintenance cadence, never on the query path."""
     _, at = load_ivf_index(spark, path)
     return at.read().groupBy("cell_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+
+
+def max_cell_share(spark: SparkSession, path: str) -> float:
+    """The drift score a maintenance policy thresholds on: the largest
+    cell's share of all indexed vectors (1/k when perfectly balanced,
+    → 1.0 as drift concentrates the corpus in one cell).  One k-row
+    aggregate; 0.0 for an empty index."""
+    rows = cell_balance(spark, path).collect()
+    total = sum(r.n_vectors for r in rows)
+    return (max(r.n_vectors for r in rows) / total) if total else 0.0
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    path: str,
+    k: int | None = None,
+    iters: int = 5,
+) -> tuple[ManagedTable, ManagedTable]:
+    """Refit the centroids from the STORED vectors and rewrite the
+    assignments — the explicit answer to drift (``cell_balance`` /
+    ``max_cell_share``).  ``k`` defaults to the current cell count.
+    Reading the old assignments while overwriting them is safe:
+    overwrite lands as a new snapshot and the prior snapshot's files
+    survive until ``expire_snapshots``."""
+    ct, at = load_ivf_index(spark, path)
+    if k is None:
+        k = ct.read().count()
+    corpus = at.read().select("vec_id", "embedding")
+    return build_ivf_index(
+        spark, path, corpus, k=int(k), iters=iters,
+        id_col="vec_id", vec_col="embedding",
     )

@@ -179,14 +179,18 @@ def append_to_search_index(
     tag_done = batch_tag is not None and st.has_commit_tag(
         batch_tag, max_scan=_TAG_REPLAY_WINDOW
     )
+    if not replace and tag_done:
+        return
+    # ONE tokenize pass per batch: postings materialize eagerly and
+    # every stats aggregate below derives from the checkpointed frame
+    # (the sentinel rows make it total: each doc has ≥1 posting)
+    postings, _ = _doc_postings(docs, text_col, id_col)
+    postings = postings.localCheckpoint(eager=True)
+    stats = _doc_stats(postings)
     if not replace:
-        if tag_done:
-            return
-        postings, stats = _doc_postings(docs, text_col, id_col)
         pt.merge(postings)
         st.append(stats, tag=batch_tag)
         return
-    postings, stats = _doc_postings(docs, text_col, id_col)
     keys = (
         docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
     )
@@ -194,35 +198,57 @@ def append_to_search_index(
     # redelivery this can include rows the crashed attempt merged —
     # tombstoning them is safe because the merge below re-lands them
     # with a newer commit seq (re-inserts survive tombstones).
-    victims = (
-        pt.read().join(keys, "doc_id", "left_semi").localCheckpoint(eager=True)
-    )
+    victims = _victim_postings(pt, keys)
     if not tag_done:
         # tag not committed => no prior attempt reached the merge (the
         # stats row commits before it), so the victims are purely
         # pre-batch rows and their per-doc dl is the dl the stats
-        # counted when they were indexed
-        vrow = (
-            victims.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.coalesce(F.sum("dl"), F.lit(0)).alias("total_dl"),
-            )
-            .collect()[0]
+        # counted when they were indexed.  The net row is a crossJoin
+        # of two 1-row aggregates over already-materialized frames —
+        # no driver collect.
+        vagg = _doc_stats(victims).select(
+            F.col("n_docs").alias("_vn"), F.col("total_dl").alias("_vdl")
         )
-        srow = stats.collect()[0]
-        net = spark.createDataFrame(
-            [
-                (
-                    int(srow.n_docs) - int(vrow.n_docs),
-                    int(srow.total_dl) - int(vrow.total_dl),
-                )
-            ],
-            _STATS_SCHEMA,
+        net = stats.crossJoin(vagg).select(
+            (F.col("n_docs") - F.col("_vn")).cast("long").alias("n_docs"),
+            (F.col("total_dl") - F.col("_vdl")).cast("long").alias("total_dl"),
         )
         st.append(net, tag=batch_tag)
     pt.delete_keys(victims.select("term", "doc_id"))
     pt.merge(postings)
+
+
+def _doc_stats(postings: DataFrame) -> DataFrame:
+    """1-row (n_docs, total_dl) derived from a postings frame — exact
+    because the sentinel rows make postings TOTAL over the batch's
+    docs (every doc has ≥1 posting carrying its dl)."""
+    return (
+        postings.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
+        )
+    )
+
+
+def _victim_postings(pt: ManagedTable, keys: DataFrame) -> DataFrame:
+    """Live postings of the given doc_ids, MATERIALIZED once — and
+    manifest-pruned by the batch's id RANGE before the semi-join:
+    ``doc_id`` is part of the postings key, so per-entry (min, max)
+    stats skip every data root that cannot hold any batch id.  For the
+    dominant shapes this collapses the scan entirely: a monotone-id
+    corpus's insert batches carry ids above every indexed entry
+    (victims resolve to an empty scan, not an O(index) pass), and
+    update batches open only the entries that ever saw those ids.
+    The range collect is one 2-value row — O(1) driver-side."""
+    lo_hi = keys.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    if lo_hi[0] is None:
+        return pt.spark.createDataFrame([], pt.meta.schema)
+    return (
+        pt.read_where("doc_id", lo=lo_hi[0], hi=lo_hi[1])
+        .join(keys, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
 
 
 def remove_documents_bulk(
@@ -247,12 +273,10 @@ def remove_documents_bulk(
     attempts would rotate the version out of the tag."""
     pt, st = load_search_index(spark, path)
     keys = ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
-    # materialize ONCE: the agg, the emptiness decision, and the
-    # tombstone write below all reuse this frame — without it the
-    # full postings scan + semi-join would execute three times
-    victims = (
-        pt.read().join(keys, "doc_id", "left_semi").localCheckpoint(eager=True)
-    )
+    # materialized ONCE (the agg, the emptiness decision, and the
+    # tombstone write all reuse the frame) and manifest-pruned to the
+    # batch's id range — see _victim_postings
+    victims = _victim_postings(pt, keys)
     # One bounded 1-row agg feeds BOTH the stats decrement and the
     # removal tag: the victim-set identity is an order-insensitive
     # distributed digest (bit_xor of xxhash64 + count), never a per-id
@@ -329,9 +353,10 @@ def rebuild_search_index(
     are both overwritten from ``docs`` — the index layout stays this
     module's private knowledge."""
     pt, st = create_search_index(spark, path)
-    postings, stats = _doc_postings(docs, text_col, id_col)
+    postings, _ = _doc_postings(docs, text_col, id_col)
+    postings = postings.localCheckpoint(eager=True)  # one tokenize pass
     pt.overwrite(postings)
-    st.overwrite(stats)
+    st.overwrite(_doc_stats(postings))
 
 
 def compact_search_index(spark: SparkSession, path: str) -> None:

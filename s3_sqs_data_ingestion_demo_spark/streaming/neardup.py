@@ -251,7 +251,16 @@ def process_near_dup_batch_table(
     # stop generating pairs — unlike stale duplicates, a deleted doc's
     # signatures would pass exact verification, so the mask is
     # correctness, not just efficiency.  Free when nothing was deleted.
-    if _entries_disjoint_on_id(table):
+    disjoint = _entries_disjoint_on_id(table)
+    # per-batch path PROVENANCE in the phase record: the bench artifact
+    # must show which path each micro-batch took (fast vs fallback), so
+    # a table-vs-dir premium is attributable from the artifact alone —
+    # a fallback-heavy run explains a pairs-phase delta that a
+    # fast-path run cannot have.
+    if timings is not None:
+        key = "batches_fast_path" if disjoint else "batches_seq_fallback"
+        timings[key] = timings.get(key, 0) + 1
+    if disjoint:
         # Duplicate-free fast path: every live entry's manifest id
         # range is pairwise disjoint (harvested driver-side from
         # parquet footers at commit time), so no id can have two live

@@ -289,3 +289,68 @@ def test_merge_mode_indexes_require_order_column(tmp_path):
                 "indexes": [{"type": "bm25", "path": f"{tmp_path}/idx"}],
             },
         })
+
+
+def test_ivf_drift_triggers_declared_rebuild(spark, tmp_path):
+    """A declared ivf index with rebuild_max_cell_share refits itself
+    when drifted appends concentrate the corpus in one cell: the
+    centroids advance past the bootstrap fit and the post-rebuild
+    balance improves."""
+    import json as _json
+
+    from s3_sqs_data_ingestion_demo_spark.operators.ann_index import (
+        load_ivf_index,
+        max_cell_share,
+    )
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+    from pyspark.sql import types as T
+
+    d = str(tmp_path)
+
+    def land(name, rows):
+        with open(f"{d}/{name}", "w") as fh:
+            for doc_id, emb in rows:
+                fh.write(_json.dumps({"doc_id": doc_id, "embedding": emb}) + "\n")
+        return f"{d}/{name}"
+
+    # bootstrap: two tight clusters in DIFFERENT DIRECTIONS (cell
+    # assignment is cosine against unit centroids, so separation must
+    # be angular, not radial) → k=2 splits them 4/4
+    b0 = land("b0.json", [(i, [1.0, 0.01 * i]) for i in range(4)]
+              + [(10 + i, [0.01 * i, 1.0]) for i in range(4)])
+    # drift: 16 more vectors at ~51° — all nearer the second cluster's
+    # direction, piling into one cell (share 20/24 > 0.6)
+    b1 = land("b1.json", [(100 + i, [0.8 + 0.01 * i, 1.0]) for i in range(16)])
+    ManagedTable.create(
+        spark, f"{d}/tbl",
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]),
+        key_cols=["doc_id"],
+    )
+    cfg = JobConfig.from_dict({
+        "input_config": {"format": "json"},
+        "output_config": {
+            "table_path": f"{d}/tbl",
+            "mode": "append",
+            "key_columns": ["doc_id"],
+            "indexes": [{
+                "type": "ivf", "path": f"{d}/ivf",
+                "vector_column": "embedding", "ivf_cells": 2,
+                "maintenance_every": 1, "rebuild_max_cell_share": 0.6,
+            }],
+        },
+    })
+    J.process_files(spark, cfg, [b0])
+    ct, at = load_ivf_index(spark, f"{d}/ivf")
+    cent_v = ct._current_version()
+    share_before_drift = max_cell_share(spark, f"{d}/ivf")
+    assert share_before_drift <= 0.6  # balanced bootstrap
+    J.process_files(spark, cfg, [b1])
+    ct2, at2 = load_ivf_index(spark, f"{d}/ivf")
+    # the drifted batch pushed one cell past the share bar → refit ran
+    assert ct2._current_version() > cent_v
+    assert max_cell_share(spark, f"{d}/ivf") <= 20 / 24
+    # every vector still assigned exactly once
+    assert at2.read().select("vec_id").distinct().count() == 24

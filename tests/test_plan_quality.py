@@ -308,3 +308,37 @@ def test_cluster_representatives_one_corpus_window(spark):
     tree = plan_of(spark, "cluster_representatives_documents")
     assert "CartesianProduct" not in tree
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_bm25_index_query_pushes_term_filter(spark, tmp_path):
+    """The persisted-index query path's pruning claim, pinned: after
+    ``compact(cluster_by=["term"])`` the query's term filter must be
+    PUSHED into every postings FileScan (file/row-group skip via tight
+    per-file term ranges) — a refactor that lifts the filter above the
+    MOR resolution window would silently turn this into a
+    full-postings scan per query."""
+    from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+        append_to_search_index,
+        bm25_index_topk,
+        compact_search_index,
+    )
+
+    d = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"data model training alpha{i % 7} beta{i % 5}")
+         for i in range(100)],
+        "doc_id long, text string",
+    )
+    append_to_search_index(spark, d, docs)
+    compact_search_index(spark, d)
+    res = bm25_index_topk(spark, d, ("data", "alpha1"), 5)
+    tree = res._jdf.queryExecution().executedPlan().toString()
+    postings_scans = [
+        ln for ln in tree.split("\n")
+        if "FileScan parquet" in ln and "term" in ln.split("]")[0]
+    ]
+    assert postings_scans, tree[:1500]
+    for ln in postings_scans:
+        assert "In(term, [" in ln.split("PushedFilters:", 1)[-1], ln
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert res.count() == 5
