@@ -219,7 +219,7 @@ def q_cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
       UNION ALL SELECT 'tax', l_tax FROM lineitem
     ) GROUP BY measure
     """,
-    driver=False,
+    driver=True,  # r07: rotated into the driver gate
 )
 def q_unpivot_lineitem_charges(spark: SparkSession, sf: str) -> DataFrame:
     """UNPIVOT (wide → long) via ``stack``: one generator projection,
@@ -1184,7 +1184,7 @@ def q_hll_user_rollup(spark: SparkSession, sf: str) -> DataFrame:
            CAST(o.value IS NULL AS INTEGER) AS is_gap
     FROM grid g LEFT JOIN obs o USING (user_id, bucket)
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
     rank=20,
 )
 def q_resample_user_values(spark: SparkSession, sf: str) -> DataFrame:
@@ -1229,7 +1229,7 @@ def q_resample_user_values(spark: SparkSession, sf: str) -> DataFrame:
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
     rank=20,
 )
 def q_window_function_surface(spark: SparkSession, sf: str) -> DataFrame:
@@ -1296,7 +1296,7 @@ _OK_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM")
     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
       ON o.o_custkey = c.c_custkey
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
     rank=20,
 )
 def q_constraint_checks(spark: SparkSession, sf: str) -> DataFrame:
@@ -1366,7 +1366,7 @@ _KMV_K = 64
                       ELSE {_KMV_K - 1} / (u_k / {1 << 60}.0) END, 4) + 0.0
     FROM g_est
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
     rank=20,
 )
 def q_kmv_user_sketch(spark: SparkSession, sf: str) -> DataFrame:
@@ -1434,7 +1434,7 @@ def q_kmv_user_sketch(spark: SparkSession, sf: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
            CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
     rank=20,
 )
 def q_funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
@@ -1486,7 +1486,7 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
     FROM activity
     GROUP BY cohort_week, week_offset
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
     rank=20,
 )
 def q_cohort_weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
@@ -1525,7 +1525,7 @@ def q_cohort_weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                             (o_orderpriority), (o_orderstatus), ())
     """,
-    driver=False,
+    driver=True,  # r07: rotated into the driver gate
 )
 def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit GROUPING SETS (the generalization rollup/cube compile
@@ -1678,7 +1678,7 @@ _EWMA_EXPR = (
     SELECT user_id, event_id, {_EWMA_EXPR} AS ewma_fp4
     FROM l
     """,
-    driver=False,
+    driver=True,  # r07: rotated into the driver gate
 )
 def q_ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
     """Exponentially-weighted moving average per user (truncated at 4
@@ -1728,7 +1728,7 @@ def q_ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
            TRUE AS p95_sketch_ok
     FROM lineitem GROUP BY l_returnflag
     """,
-    driver=False,
+    driver=True,  # r07: rotated into the driver gate
 )
 def q_approx_quantile_check(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate quantiles (Greenwald-Khanna sketch) with a hard
@@ -1782,7 +1782,7 @@ def q_approx_quantile_check(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n
     FROM dev GROUP BY l_returnflag
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
     rank=20,
 )
 def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:

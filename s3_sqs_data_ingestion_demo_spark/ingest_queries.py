@@ -211,6 +211,7 @@ _ROLLUP_SRC_SCHEMA = T.StructType(
     GROUP BY o_orderstatus
     """,
     rank=20,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
 )
 def incremental_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Incrementally-maintained aggregate table (operators/rollup.py)

@@ -953,7 +953,7 @@ def pack_sequences_documents(spark: SparkSession, sf: str) -> DataFrame:
                AS contaminated
     FROM sizes z LEFT JOIN hits h ON z.id = h.id
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
     rank=20,
 )
 def contamination_check_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -1306,7 +1306,8 @@ _QUANT_ORACLE = """
     """
 
 
-@query("embedding_quantize_int8", _QUANT_ORACLE, driver=True, rank=20)
+# r07: rotated out (long-green; pytest parity + bench)
+@query("embedding_quantize_int8", _QUANT_ORACLE, driver=False, rank=20)
 def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric int8 embedding quantization
     (operators/similarity.py quantize_int8) under the driver gate:
@@ -1872,7 +1873,8 @@ _IMPORTANCE_ORACLE = f"""
     """
 
 
-@query("importance_sample_documents", _IMPORTANCE_ORACLE, driver=False)
+# r07: rotated into the driver gate
+@query("importance_sample_documents", _IMPORTANCE_ORACLE, driver=True)
 def importance_sample_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-weighted corpus thinning (operators/sampling.py
     importance_sample): keep each document with probability equal to
@@ -2163,7 +2165,8 @@ FROM w
 """
 
 
-@query("temperature_mix_sources", _TEMPMIX_ORACLE, driver=False)
+# r07: rotated into the driver gate
+@query("temperature_mix_sources", _TEMPMIX_ORACLE, driver=True)
 def temperature_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled (alpha=1/2) per-source sampling weights — the
     multilingual-LM mixing rule p_i ∝ sqrt(n_i) that upweights rare
@@ -2278,7 +2281,8 @@ _LEAK_SPLIT_ORACLE = (
 ).format(split_case=_split_case_sql(_SPLIT_WEIGHTS))
 
 
-@query("leakage_safe_split_documents", _LEAK_SPLIT_ORACLE, driver=False)
+# r07: rotated into the driver gate
+@query("leakage_safe_split_documents", _LEAK_SPLIT_ORACLE, driver=True)
 def leakage_safe_split_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup-aware train/val/test split: the split hash runs over
     the duplicate-CLUSTER key (connected components of the jaccard
@@ -2766,7 +2770,7 @@ def bm25_index_search_documents(spark: SparkSession, sf: str) -> DataFrame:
              WHERE first_doc * 8 < n_ids * cp)         AS n_distinct_terms
     FROM cps
     """,
-    driver=False,  # r06: new — parity-covered; rotation candidate
+    driver=True,  # r07: rotated into the driver gate
 )
 def vocab_growth_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Heaps-law vocabulary growth curve: distinct terms vs tokens
@@ -2842,7 +2846,7 @@ def vocab_growth_documents(spark: SparkSession, sf: str) -> DataFrame:
              AS anisotropy_ppm
     FROM n
     """,
-    driver=False,  # r06: new — parity-covered; rotation candidate
+    driver=True,  # r07: rotated into the driver gate
 )
 def embedding_health_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space health report: corpus size, mean L2 norm
@@ -2909,7 +2913,7 @@ def embedding_health_embeddings(spark: SparkSession, sf: str) -> DataFrame:
            CAST({_uh_sql("doc_id")} * n_copies < 1.0 AS INTEGER) AS kept
     FROM h JOIN grp USING (text_hash)
     """,
-    driver=False,  # r06: new — parity-covered; rotation candidate
+    driver=True,  # r07: rotated into the driver gate
 )
 def soft_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Probabilistic exact-dup DOWNWEIGHTING (soft dedup): instead of
