@@ -373,3 +373,35 @@ def test_entries_disjoint_on_id_gates_seq_resolution(spark, tmp_path):
     )
     process_near_dup_batch_table(b1, tbl2, threshold=0.4)
     assert _entries_disjoint_on_id(tbl2) is False
+
+
+def test_phase_record_carries_path_provenance(spark, tmp_path):
+    """The phase record must say which path each batch took — a bench
+    artifact can then attribute a pairs-phase delta to fallback
+    contamination (or rule it out) without appealing to NOTES."""
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    idx = os.path.join(str(tmp_path), "index")
+    tbl = ManagedTable.create(
+        spark, idx, _index_schema(16), key_cols=["id"], table_type="MOR",
+    )
+    timings: dict = {}
+    b1 = spark.createDataFrame([(1, LONG_A), (2, LONG_B)], SCHEMA)
+    process_near_dup_batch_table(b1, tbl, threshold=0.4, timings=timings)
+    b2 = spark.createDataFrame([(3, LONG_A_NEAR)], SCHEMA)
+    process_near_dup_batch_table(b2, tbl, threshold=0.4, timings=timings)
+    assert timings.get("batches_fast_path") == 2
+    assert "batches_seq_fallback" not in timings
+    # re-ingesting an existing id still rides the fast path ITSELF
+    # (the gate reads the pre-merge index, and the batch's own ids are
+    # anti-joined out) — but its merge overlaps the entry ranges, so
+    # the NEXT batch must record the fallback
+    b3 = spark.createDataFrame([(2, LONG_B)], SCHEMA)
+    process_near_dup_batch_table(b3, tbl, threshold=0.4, timings=timings)
+    assert timings.get("batches_fast_path") == 3
+    b4 = spark.createDataFrame([(4, LONG_A)], SCHEMA)
+    process_near_dup_batch_table(b4, tbl, threshold=0.4, timings=timings)
+    assert timings.get("batches_fast_path") == 3
+    assert timings.get("batches_seq_fallback") == 1
+    for phase in ("signatures", "pairs", "index_write"):
+        assert phase in timings
