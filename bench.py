@@ -64,10 +64,11 @@ def _bench_cdc_merge_with_indexes(
     spark, sf_dir: str, phases_out: dict | None = None
 ) -> float:
     """Declarative-index ingest end-to-end: a merge-mode job with one
-    bm25 and one ivf index declared (output_config.indexes,
+    bm25, one ivf and one minhash index declared (output_config.indexes,
     maintenance_every=2) absorbs 4 insert batches plus 1 update batch
     through process_files — so the index-maintenance premium (bm25
-    remove-then-append on updates, ivf keyed upsert, periodic
+    remove-then-append on updates, ivf keyed upsert, minhash signature
+    upsert + near-dup pair emission into the keyed pairs log, periodic
     compaction cadence) is on the record next to the bare
     ingest_cdc_merge entry.  Phases: bootstrap (first batch: table +
     index fit), inserts (3 disjoint batches), update_replace (re-merge
@@ -130,6 +131,9 @@ def _bench_cdc_merge_with_indexes(
                          "maintenance_every": 2},
                         {"type": "ivf", "path": f"{d}/ivf",
                          "vector_column": "embedding", "ivf_cells": 8,
+                         "maintenance_every": 2},
+                        {"type": "minhash", "path": f"{d}/mh",
+                         "pairs_path": f"{d}/mh_pairs",
                          "maintenance_every": 2},
                     ],
                 },

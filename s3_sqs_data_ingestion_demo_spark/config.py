@@ -110,17 +110,25 @@ class IndexConfig:
     (``output_config.indexes``): every ingested batch is ALSO folded
     into the named retrieval index — ``bm25`` (operators/
     search_index.py: keyed postings merges, tag-guarded exactly-once
-    additive stats) or ``ivf`` (operators/ann_index.py: no-refit
-    keyed vector appends; the first batch bootstraps the centroids).
+    additive stats), ``ivf`` (operators/ann_index.py: no-refit
+    keyed vector appends; the first batch bootstraps the centroids) or
+    ``minhash`` (streaming/neardup.py: keyed MinHash-LSH signature
+    table; each batch's verified near-dup pairs optionally land in a
+    ``pairs_path`` log table — the ingest-time duplicate alarm).
     This is how a lakehouse ingest keeps its secondary indexes
     trailing the table by one batch without an external scheduler."""
 
-    type: str = "bm25"  # "bm25" | "ivf"
+    type: str = "bm25"  # "bm25" | "ivf" | "minhash"
     path: str = ""
     id_column: str = "doc_id"
-    text_column: str = "text"  # bm25 only
+    text_column: str = "text"  # bm25 + minhash
     vector_column: str = "embedding"  # ivf only
     ivf_cells: int = 8  # ivf only: k for the bootstrap fit
+    # minhash only: keyed MOR log of verified near-dup pairs, one row
+    # per canonical (doc_id_a < doc_id_b) pair — empty disables pair
+    # emission (the signature index is still maintained for ad-hoc use)
+    pairs_path: str = ""
+    minhash_threshold: float = 0.5  # minhash only: verified-jaccard gate
     maintenance_every: int = 0  # fold/compact the index every N batches
     # ivf only: at maintenance cadence, REFIT the centroids from the
     # stored vectors when the largest cell holds more than this share
@@ -132,10 +140,17 @@ class IndexConfig:
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "IndexConfig":
         t = str(d.get("type", "bm25")).lower()
-        if t not in ("bm25", "ivf"):
-            raise ValueError(f"unknown index type {t!r} (want bm25 | ivf)")
+        if t not in ("bm25", "ivf", "minhash"):
+            raise ValueError(
+                f"unknown index type {t!r} (want bm25 | ivf | minhash)"
+            )
         if not d.get("path"):
             raise ValueError("output_config.indexes entries need a path")
+        thr = float(d.get("minhash_threshold", 0.5))
+        if not (0.0 < thr <= 1.0):
+            raise ValueError(
+                f"minhash_threshold must be in (0, 1], got {thr}"
+            )
         return cls(
             type=t,
             path=str(d["path"]),
@@ -143,6 +158,8 @@ class IndexConfig:
             text_column=str(d.get("text_column", "text")),
             vector_column=str(d.get("vector_column", "embedding")),
             ivf_cells=int(d.get("ivf_cells", 8)),
+            pairs_path=str(d.get("pairs_path", "")),
+            minhash_threshold=thr,
             maintenance_every=int(d.get("maintenance_every", 0)),
             rebuild_max_cell_share=float(d.get("rebuild_max_cell_share", 0.0)),
         )

@@ -228,7 +228,7 @@ def _maintain_indexes(
                     >= ix.maintenance_every
                 ):
                     compact_search_index(spark, ix.path)
-        else:  # "ivf" — validated at config parse
+        elif ix.type == "ivf":
             from .operators.ann_index import (  # noqa: PLC0415
                 append_to_ivf_index,
                 build_ivf_index,
@@ -283,6 +283,116 @@ def _maintain_indexes(
                         F.col(ix.id_column).cast("long").alias("vec_id")
                     )
                 )
+        else:  # "minhash" — validated at config parse
+            _maintain_minhash_index(spark, ix, df, mode, deletes)
+
+
+_PAIRS_SCHEMA_DDL = (
+    "doc_id_a long, doc_id_b long, jaccard double"
+)
+
+
+def _maintain_minhash_index(spark, ix, df, mode: str, deletes) -> None:
+    """Fold one ingested batch into a declared ``minhash`` near-dup
+    index: the MinHash-LSH signature table of streaming/neardup.py,
+    maintained from the BATCH ingest path instead of a stream, plus an
+    optional keyed pairs-log table — the ingest-time duplicate alarm.
+
+    Mode mapping (why it differs from bm25's):
+
+    - ``append``/``merge``: one ``table.merge`` keyed on id.  Unlike
+      BM25 postings — keyed (term, doc_id), where a shrunken document
+      leaves stale term rows unless removed first — the signature
+      index holds exactly ONE row per doc, so a merge-mode update
+      replaces the signature wholesale and no remove-then-append
+      dance is needed.
+    - ``overwrite``: the signature table is truncated and the full
+      frame re-processed against the now-empty index, so the emitted
+      pairs are the corpus SELF-dedup (within-frame band collisions
+      are generated by design: candidates join new ∪ old keys).
+    - CDC deletes tombstone the victims' signatures in the same batch
+      step (``remove_documents``): a deleted doc must stop pairing —
+      its signatures would still pass exact verification.
+
+    Replay safety needs no batch tag: the signature merge is a keyed
+    upsert (idempotent), and the pairs log is itself a keyed MOR table
+    on the canonical (doc_id_a < doc_id_b) pair, so a redelivered
+    batch's recomputed pairs resolve to one row per pair at read time.
+    The log records DETECTION events — a pair's jaccard reflects the
+    texts at detection; it is not rewritten when a member is later
+    updated or deleted (consumers join against live docs).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from .streaming.neardup import (  # noqa: PLC0415
+        _NUM_HASHES,
+        _index_schema,
+        process_near_dup_batch_table,
+        remove_documents,
+    )
+    from .table import ManagedTable  # noqa: PLC0415
+
+    table = ManagedTable.create_if_absent(
+        spark,
+        ix.path,
+        _index_schema(_NUM_HASHES),
+        key_cols=["id"],
+        table_type="MOR",
+        properties={"write.max-delta-files": "4"},
+    )
+    pt = None
+    if ix.pairs_path:
+        pt = ManagedTable.create_if_absent(
+            spark,
+            ix.pairs_path,
+            T.StructType.fromDDL(_PAIRS_SCHEMA_DDL),
+            key_cols=["doc_id_a", "doc_id_b"],
+            table_type="MOR",
+        )
+    if mode == "overwrite":
+        # rebuild: empty index, then one batch-vs-empty process below —
+        # the pairs that come back are the full-corpus self-dedup
+        table.overwrite(
+            spark.createDataFrame([], _index_schema(_NUM_HASHES))
+        )
+    if pt is None:
+        # signature-only maintenance: no pair emission requested, so
+        # candidate generation + verification are skipped entirely —
+        # just the keyed signature upsert (ad-hoc consumers query the
+        # table directly)
+        from .streaming.neardup import _batch_signatures  # noqa: PLC0415
+
+        table.merge(
+            _batch_signatures(
+                df, ix.text_column, ix.id_column, 3, _NUM_HASHES
+            )
+        )
+    else:
+        pairs = process_near_dup_batch_table(
+            df, table,
+            text_col=ix.text_column, id_col=ix.id_column,
+            threshold=ix.minhash_threshold,
+        )
+        if mode == "overwrite":
+            pt.overwrite(pairs)
+        else:
+            pt.merge(pairs)
+    if deletes is not None:
+        remove_documents(
+            table,
+            deletes.select(
+                F.col(ix.id_column).cast("long").alias(ix.id_column)
+            ),
+            id_col=ix.id_column,
+        )
+    if ix.maintenance_every and (
+        table.data_commits_since_maintenance() >= ix.maintenance_every
+    ):
+        # fold merge deltas + tombstones; band-key pruning at scale
+        # comes from _collision_candidates' broadcast semi-restrict,
+        # not file skipping, so no cluster_by is needed here
+        table.compact()
 
 
 def _maybe_maintain(table: ManagedTable, config: JobConfig) -> int | None:

@@ -9,7 +9,7 @@ sides cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup as D
@@ -465,7 +465,8 @@ def _simhash_oracle(max_hamming: int = 8, max_band_freq: int = 10_000) -> str:
     """
 
 
-@query("simhash_near_dup_documents", _simhash_oracle(8))
+@query("simhash_near_dup_documents", _simhash_oracle(8),
+       driver=False)  # r07: rotated out (6 green rounds; pytest parity + bench)
 def simhash_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup: 60-bit sign-vector signatures (portable
     md5-derived token hashes), 4×15-bit band candidate buckets, exact
@@ -1497,7 +1498,8 @@ _TFIDF_ORACLE = f"""
     """
 
 
-@query("tfidf_top_terms_documents", _TFIDF_ORACLE, driver=True, rank=20)
+@query("tfidf_top_terms_documents", _TFIDF_ORACLE, rank=20,
+       driver=False)  # r07: rotated out (3 green rounds; pytest parity + bench)
 def tfidf_top_terms_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document top-3 characteristic terms by exact-integer TF-IDF
     (operators/search.py tfidf_top_terms): one (doc, term) explode
@@ -2940,3 +2942,185 @@ def soft_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
         "n_copies",
         (u * F.col("n_copies") < 1.0).cast("int").alias("kept"),
     )
+
+
+# --------------------------------------------------------------------
+# Filtered vector search + reciprocal-rank fusion
+# --------------------------------------------------------------------
+
+@query(
+    "filtered_ann_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+      FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id AND d.lang = 'en'
+    ), s AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv) / (qn * cn), 4) AS cosine_sim
+      FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+    driver=True,  # r07: new
+)
+def filtered_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED vector search: top-5 cosine neighbors restricted to a
+    metadata predicate (here: the joined document's lang = 'en') — the
+    retrieval shape every production vector store serves ("nearest
+    English docs", "nearest docs from source X").
+
+    PRE-filter, not post-filter: the predicate restricts the corpus
+    BEFORE the distance pass, so (a) the FLOP cost is
+    O(|filtered| × |queries| × dim), not O(|corpus| ...), and (b) the
+    result never under-fills k the way post-filtering an unfiltered
+    top-k does (filtering 5 neighbors down to the English ones can
+    leave 1).  Plan: the lang predicate pushes into the documents
+    parquet scan, the key-projected doc_id side broadcasts into a
+    semi-join against the embeddings corpus, and the filtered corpus
+    flows into the same broadcast-queries / one-pass / window top-k
+    shape as ann_cosine_topk.  At 100 TB the semi-join side stays a
+    key projection (never the text payload), and an IVF variant would
+    apply the same semi-join to the assignments table — cell pruning
+    and metadata pruning compose."""
+    e = t(spark, sf, "embeddings")
+    d = t(spark, sf, "documents")
+    en_ids = d.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = e.join(F.broadcast(en_ids), "vec_id", "left_semi")
+    return S.cosine_topk(e.filter(F.col("vec_id") < 10), corpus, k=5)
+
+
+_RRF_K = 60
+_RRF_TOPN = 20  # depth of each input ranking
+
+
+_RRF_ORACLE = f"""
+    WITH dl0 AS (
+      SELECT doc_id, len({_TOKS}) AS dl, {_TOKS} AS tk FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl0
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(tk) AS term FROM dl0)
+      WHERE term IN ({{terms}})
+      GROUP BY 1, 2, 3
+    ), dft AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), idf AS (
+      SELECT term,
+             CAST(FLOOR(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                        * 1000000 + 0.5) AS BIGINT) AS idf_u
+      FROM dft, stats
+    ), bm25_scored AS (
+      SELECT tf.doc_id,
+             CAST(SUM((idf_u * (36 * tf * total_dl))
+               // (16 * tf * total_dl + 5 * total_dl + 15 * dl * n_docs))
+               AS BIGINT) AS score_u
+      FROM tf JOIN idf USING (term), stats
+      GROUP BY tf.doc_id
+    ), bm25_ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id)
+               AS brank
+      FROM bm25_scored
+      ORDER BY score_u DESC, doc_id LIMIT {_RRF_TOPN}
+    ), qv AS (
+      SELECT embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS vn
+      FROM embeddings WHERE vec_id = 0
+    ), cos AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_dot_product(qv.v, embedding::DOUBLE[])
+                   / (qv.vn * sqrt(list_dot_product(embedding::DOUBLE[],
+                                                    embedding::DOUBLE[]))), 4)
+               AS cosine_sim
+      FROM embeddings, qv WHERE vec_id <> 0
+    ), vec_ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id)
+               AS vrank
+      FROM cos
+      ORDER BY cosine_sim DESC, doc_id LIMIT {_RRF_TOPN}
+    ), fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             COALESCE(1000000 // ({_RRF_K} + b.brank), 0)
+               + COALESCE(1000000 // ({_RRF_K} + v.vrank), 0) AS rrf_u,
+             b.brank AS bm25_rank, v.vrank AS vec_rank
+      FROM bm25_ranked b FULL OUTER JOIN vec_ranked v USING (doc_id)
+    )
+    SELECT doc_id, CAST(rrf_u AS BIGINT) AS rrf_u,
+           CAST(bm25_rank AS INTEGER) AS bm25_rank,
+           CAST(vec_rank AS INTEGER) AS vec_rank
+    FROM fused
+    ORDER BY rrf_u DESC, doc_id LIMIT 10
+    """.replace("{terms}", _in_list(_BM25_TERMS))
+
+
+@query("rrf_fusion_documents", _RRF_ORACLE, driver=True)  # r07: new
+def rrf_fusion_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion — the OTHER standard hybrid-retrieval
+    combiner (hybrid_search_documents is the rerank shape; RRF is the
+    rank-level fusion shape used when scores aren't comparable):
+    top-20 BM25 ranking for a keyword query fused with the top-20
+    cosine ranking against a query embedding, each doc scoring
+    Σ 1_000_000 // (60 + rank) in exact integer micro-units over the
+    lists it appears in (Cormack et al. 2009's 1/(k+r) with k=60,
+    integer-quantized so the fusion is bit-identical cross-engine).
+
+    Plan: the two input rankings are each a bounded top-N
+    (TakeOrderedAndProject over the scored relation — BM25's term
+    filter prunes its scan; the cosine side is one broadcast-query
+    corpus pass), so the fusion's FULL OUTER join runs over ≤ 2N rows
+    — driver-scale frames, broadcast both ways, no corpus shuffle.
+    At 100 TB the inputs stay bounded (N=20) however large the corpus;
+    only the two scored passes scale."""
+    from .operators import search as SRCH  # noqa: PLC0415
+
+    docs = t(spark, sf, "documents")
+    e = t(spark, sf, "embeddings")
+    w_b = F.row_number().over(
+        Window.orderBy(F.col("score_u").desc(), F.col("doc_id"))
+    )
+    bm25 = (
+        SRCH.bm25_topk(docs, _BM25_TERMS, k=_RRF_TOPN)
+        .select("doc_id", "score_u")
+        .withColumn("brank", w_b)
+    )
+    cos = S.cosine_topk(
+        e.filter(F.col("vec_id") == 0), e, k=_RRF_TOPN
+    ).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vrank")
+    )
+    # `div` = exact INTEGER division (matching the oracle's `//`) —
+    # floor(1e6 / x) in doubles could land one ulp under the true
+    # quotient and floor to n-1 on one engine only
+    fused = (
+        bm25.select("doc_id", "brank")
+        .join(cos, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + brank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + vrank)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_u"),
+            F.col("brank").cast("int").alias("bm25_rank"),
+            F.col("vrank").cast("int").alias("vec_rank"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_u").desc(), "doc_id").limit(10)

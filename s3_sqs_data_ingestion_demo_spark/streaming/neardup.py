@@ -45,14 +45,14 @@ retry after a successful append (or a re-sent document) can never
 join a doc against its own stale signatures.
 
 ID-ordering contract: pairs are emitted canonically as
-``doc_id_a < doc_id_b`` with ``doc_id_b`` in the current batch, which
-assumes doc ids are NON-DECREASING across batches (each new document
-gets an id above everything indexed — the natural shape of an ingest
-sequence).  A brand-new document arriving with an id LOWER than
-existing index entries would have its cross-batch pairs dropped by
-the canonical filter.  Re-ingesting an EXISTING id (revival after
-``remove_documents``) is fine — the doc was already indexed, so no
-pair information is lost.
+``doc_id_a < doc_id_b`` via least/greatest over the collision — one
+side is always in the current batch, but the batch side may carry
+EITHER the lower or the higher id, so out-of-order arrivals and
+merge-mode updates (an existing id re-texted, pairing anew against
+higher-id partners) emit their pairs too.  Ids still SHOULD trend
+non-decreasing for the manifest-stats fast path
+(``_entries_disjoint_on_id``) to engage, but that is a performance
+contract, not a correctness one.
 """
 
 from __future__ import annotations
@@ -373,11 +373,20 @@ def _collision_candidates(
     )
     bk_all_ok = bk_all.join(hot, ["band", "key"], "left_anti")
     bk_new_ok = bk_new.join(hot, ["band", "key"], "left_anti")
+    # Canonicalize as (least, greatest) rather than filtering
+    # id_a < id_b with id_b pinned to the batch side: a batch doc with
+    # an id BELOW its index partner (a merge-mode UPDATE re-texting an
+    # old id, or an out-of-order arrival) must still emit its pair.
+    # For monotone-id streams the two forms are identical; new-new
+    # collisions arrive from both directions and collapse in distinct.
     return (
-        bk_new_ok.select("band", "key", F.col("id").alias("id_b"))
-        .join(bk_all_ok.select("band", "key", F.col("id").alias("id_a")), ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bk_new_ok.select("band", "key", F.col("id").alias("id_n"))
+        .join(bk_all_ok.select("band", "key", F.col("id").alias("id_o")), ["band", "key"])
+        .filter(F.col("id_o") != F.col("id_n"))
+        .select(
+            F.least("id_o", "id_n").alias("id_a"),
+            F.greatest("id_o", "id_n").alias("id_b"),
+        )
         .distinct()
     )
 
