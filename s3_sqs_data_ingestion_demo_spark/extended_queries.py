@@ -1872,7 +1872,8 @@ _REF_ORACLE = "\nUNION ALL\n".join(
 )
 
 
-@query("q_referential_scorecard", _REF_ORACLE, driver=False)
+@query("q_referential_scorecard", _REF_ORACLE,
+       driver=True)  # r07: rotated into the driver gate
 def q_referential_scorecard(spark: SparkSession, sf: str) -> DataFrame:
     """Referential-integrity scorecard across the whole star schema:
     one row per foreign-key edge with child cardinality and orphan
@@ -2080,7 +2081,7 @@ def q_datetime_function_surface(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COALESCE(SUM(n_b), 0) AS BIGINT) AS orders_1997
     FROM j
     """,
-    driver=False,
+    driver=True,  # r07: rotated into the driver gate
 )
 def q_full_outer_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
     """FULL OUTER JOIN reconciliation — the remaining join type of the

@@ -434,3 +434,92 @@ def merge_delete_reinsert(spark: SparkSession, sf: str) -> DataFrame:
     return tbl.read().select(
         "o_orderkey", "o_orderstatus", "price_cents", "change_seq"
     )
+
+
+def _minhash_ingest_oracle() -> str:
+    # full-corpus LSH oracle (pipeline_queries._minhash_oracle) at the
+    # streaming module's defaults: the INCREMENTAL path must find
+    # exactly the pairs one full-corpus pass finds
+    from .pipeline_queries import _minhash_oracle  # noqa: PLC0415
+
+    return _minhash_oracle(
+        num_hashes=16, bands=4, threshold=0.12, max_band_freq=10_000
+    )
+
+
+@query(
+    "minhash_index_ingest_pairs",
+    None,  # placeholder; set right below (needs the generator above)
+    driver=True,  # r07: new — gates the incremental near-dup index path
+)
+def minhash_index_ingest_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The INCREMENTAL near-dup index path, driver-gated end-to-end:
+    4 monotone doc_id slices of ``documents`` fold one after another
+    into a fresh table-backed signature index
+    (streaming/neardup.process_near_dup_batch_table — the same code
+    the declarative ``minhash`` index and the streaming sink run), and
+    the union of the per-batch verified pairs must equal the
+    FULL-CORPUS LSH pass bit-for-bit (the oracle is the same SQL as
+    minhash_lsh_near_dup_documents).
+
+    This is the core claim of ingest-time dedup: a pair (a, b)
+    collides incrementally iff it collides in one full pass — the
+    later-arriving member finds the earlier one in the index (or both
+    collide within a batch), band keys and signatures are the same
+    md5-derived family, and verification reads the same stored
+    shingle arrays.  Batches are monotone id RANGES, so every batch
+    after the first also exercises the disjoint-id fast path
+    (manifest-stats-proven seq-free reads).
+
+    Equivalence caveat (documented, not hit here): the hot-band cap
+    is evaluated against the population seen SO FAR, so a key that
+    only crosses ``max_band_freq`` late emits its early pairs
+    incrementally while a full pass suppresses the whole bucket.
+    Exact equality therefore holds while every band key stays under
+    the cap — true by orders of magnitude at gate scale (cap 10,000
+    vs ≤5,000 docs)."""
+    from .streaming.neardup import (  # noqa: PLC0415
+        _NUM_HASHES,
+        _index_schema,
+        process_near_dup_batch_table,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_mhix_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    table = ManagedTable.create(
+        spark,
+        path,
+        _index_schema(_NUM_HASHES),
+        key_cols=["id"],
+        table_type="MOR",
+        properties={"write.max-delta-files": "4"},
+    )
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    bounds = [0, hi // 4, hi // 2, 3 * hi // 4, hi]
+    parts = []
+    for b in range(4):
+        batch = docs.filter(
+            (F.col("doc_id") >= bounds[b]) & (F.col("doc_id") < bounds[b + 1])
+        )
+        # pairs materialize eagerly (localCheckpoint inside), so the
+        # union below stays valid however the index mutates later
+        parts.append(
+            process_near_dup_batch_table(batch, table, threshold=0.12)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# late-bound oracle: the generator lives in pipeline_queries, which
+# imports from queries (not from here) — no cycle, but the decorator
+# above runs at module import before we can reference it inline
+from .queries import REGISTRY as _REG  # noqa: E402,PLC0415
+
+_REG["minhash_index_ingest_pairs"].oracle = _minhash_ingest_oracle()

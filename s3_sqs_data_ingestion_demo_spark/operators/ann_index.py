@@ -160,12 +160,25 @@ def ivf_index_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    id_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k against the PERSISTED index: probe ``nprobe``
     cells per query, score only their members.  Same output shape as
     ``cosine_topk`` — (query_id, neighbor_id, cosine_sim, rank) — so
     recall is directly measurable against the exact baseline.  The
-    corpus-side fold is already paid: assignments carry their norms."""
+    corpus-side fold is already paid: assignments carry their norms.
+
+    ``id_filter``: optional FILTERED search — a one-column frame of
+    eligible ids (any column name; cast to long) semi-joined against
+    the probed members, so metadata predicates ("only English docs",
+    "only source X") compose with cell pruning: the scan cost stays
+    O(probed cells) and the filter then restricts WITHIN that bounded
+    slice.  Distances to ineligible vectors are never computed, and k
+    is filled from eligible members only (pre-filter semantics — a
+    post-filter of an unfiltered top-k could under-fill k).  Note the
+    approximation caveat every IVF deployment documents: a highly
+    selective filter thins the probed cells, so recall at fixed
+    ``nprobe`` drops — raise ``nprobe`` as selectivity rises."""
     ct, at = load_ivf_index(spark, path)
     cent = ct.read().select("cell_id", unit(_dvec("centroid")).alias("_cent"))
     q = queries.select(
@@ -196,6 +209,14 @@ def ivf_index_topk(
         F.col("vec_id").alias("neighbor_id"), "cell_id",
         F.col("embedding").alias("_cv"), F.col("vnorm").alias("_cn"),
     )
+    if id_filter is not None:
+        eligible = id_filter.select(
+            F.col(id_filter.columns[0]).cast("long").alias("neighbor_id")
+        )
+        # semi-join BEFORE scoring: ineligible members never reach the
+        # distance fold (the members side is already cell-pruned and
+        # bounded, so AQE picks the join side to broadcast)
+        members = members.join(eligible, "neighbor_id", "left_semi")
     scored = (
         probes.join(members, "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -262,7 +262,7 @@ def jaccard_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
            CAST(MIN(r) = id AS INTEGER) AS is_canonical
     FROM reach GROUP BY id
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (3 green rounds; pytest parity + bench)
     rank=20,
 )
 def near_dup_clusters_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -916,7 +916,7 @@ def domain_mix_documents(spark: SparkSession, sf: str) -> DataFrame:
            CAST(FLOOR((b.base + c.cum - c.n_tokens) / 512.0) AS BIGINT) AS seq_id
     FROM cum c JOIN bases b USING (shard)
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (3 green rounds; pytest parity + bench)
     rank=20,
 )
 def pack_sequences_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -1156,7 +1156,8 @@ SELECT CAST((SELECT COUNT(*) FROM stats) AS BIGINT)                    AS n_medi
 """
 
 
-@query("media_pipeline_documents", _MEDIA_ORACLE, rank=20)
+@query("media_pipeline_documents", _MEDIA_ORACLE, rank=20,
+       driver=False)  # r07: rotated out (3 green rounds; pytest parity + bench)
 def media_pipeline_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal column plumbing (operators/multimodal.py) under the
     driver gate: synthesize a deterministic media table from
@@ -1405,7 +1406,7 @@ def bigram_nll_documents(spark: SparkSession, sf: str) -> DataFrame:
     JOIN sizes nb ON nb.id = id_b
     WHERE n_common * 1.0 / least(na.n_sh, nb.n_sh) >= 0.35
     """,
-    driver=False,
+    driver=True,  # r07: rotated into the driver gate
 )
 def containment_near_dup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Containment (smaller-in-larger) near-dup
@@ -1615,7 +1616,8 @@ def span_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     return span_dedup_stats(t(spark, sf, "documents"))
 
 
-@query("segment_dedup_documents", _SEGDEDUP_ORACLE, driver=True, rank=20)
+@query("segment_dedup_documents", _SEGDEDUP_ORACLE, rank=20,
+       driver=False)  # r07: rotated out (3 green rounds; pytest parity + bench)
 def segment_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus boilerplate removal (operators/dedup.py
     segment_dedup_stats): CCNet/C4-style cross-document repeated-
@@ -1679,7 +1681,8 @@ _REPSIG_ORACLE = f"""
     """
 
 
-@query("repetition_signals_documents", _REPSIG_ORACLE, driver=True, rank=20)
+@query("repetition_signals_documents", _REPSIG_ORACLE, rank=20,
+       driver=False)  # r07: rotated out (3 green rounds; pytest parity + bench)
 def repetition_signals_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition signals (operators/text.py
     repetition_signals): duplicate-token fraction, most-common-token
@@ -1918,7 +1921,8 @@ _NEG_ORACLE = f"""
     """
 
 
-@query("contrastive_negatives_documents", _NEG_ORACLE, driver=False)
+@query("contrastive_negatives_documents", _NEG_ORACLE,
+       driver=True)  # r07: rotated into the driver gate
 def contrastive_negatives_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive-training negative sampling (operators/sampling.py
     negative_samples): k=4 deterministic negatives per anchor from a

@@ -131,3 +131,35 @@ def test_index_topk_reads_only_probed_cells_multi_entry(spark, tmp_path):
     tree = res._jdf.queryExecution().executedPlan().toString()
     assert "In(cell_id" in tree or "cell_id IN" in tree or "EqualTo(cell_id" in tree
     assert total >= 2
+
+
+def test_filtered_search_restricts_and_fills_k(spark, tmp_path):
+    """Filtered search (id_filter): only eligible ids come back, k is
+    filled from eligible members (pre-filter semantics), and at
+    nprobe = n_cells — every cell probed — the result is EXACTLY the
+    brute-force top-k over the filtered corpus."""
+    e = _emb(spark)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(spark, path, e, k=4)
+    queries = e.filter(F.col("vec_id") < 5)
+    eligible = e.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+
+    got = ivf_index_topk(
+        spark, path, queries, k=5, nprobe=4, id_filter=eligible
+    )
+    rows = got.collect()
+    ok_ids = {r.vec_id for r in eligible.collect()}
+    assert rows and all(r.neighbor_id in ok_ids for r in rows)
+    # every query fills k (the filtered corpus is large enough)
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in rows)
+    assert set(per_q.values()) == {5}
+
+    # all cells probed => identical to exact search over the filtered
+    # corpus (same ordering contract: rounded cosine desc, neighbor id)
+    exact = cosine_topk(
+        queries, e.join(eligible, "vec_id", "left_semi"), k=5
+    )
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in rows} == want

@@ -342,3 +342,37 @@ def test_bm25_index_query_pushes_term_filter(spark, tmp_path):
         assert "In(term, [" in ln.split("PushedFilters:", 1)[-1], ln
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
     assert res.count() == 5
+
+
+def test_filtered_ann_prefilters_corpus_with_pushed_predicate(spark):
+    """Filtered vector search must PRE-filter: the lang predicate is
+    pushed into the documents parquet scan (which reads only doc_id +
+    lang, never text), the id set broadcasts into a semi-join, and the
+    corpus never rides a shuffle before the distance pass — no
+    cartesian, no sort-merge, no Python."""
+    tree = plan_of(spark, "filtered_ann_topk")
+    assert "CartesianProduct" not in tree
+    assert "SortMergeJoin" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    # the documents side: pruned to (doc_id, lang) with the predicate
+    # pushed to the scan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in tree
+    assert "EqualTo(lang,en)" in tree
+
+
+def test_rrf_fusion_bounded_inputs_no_corpus_shuffle_in_fusion(spark):
+    """RRF's fusion inputs are both bounded top-N lists: each input
+    ranking ends in a bounded top-k (TakeOrderedAndProject / window
+    over ≤N rows), so whatever join strategy Spark picks for the FULL
+    OUTER fusion (full-outer equi-joins can't broadcast) only ever
+    sees ≤2N rows.  The corpus-scale relations must never meet a
+    cartesian or Python eval; the bounded-ness is pinned by requiring
+    a bounded top-k on both branches BELOW the fusion join."""
+    tree = plan_of(spark, "rrf_fusion_documents")
+    assert "CartesianProduct" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    summary = tree.split("\n\n")[0]
+    # bounded tops: the bm25 branch's top-N and the final top-10 are
+    # TakeOrderedAndProject; the cosine branch bounds via its rank
+    # window (rank <= N on a 1-query broadcast pass)
+    assert summary.count("TakeOrderedAndProject") >= 2
