@@ -65,14 +65,26 @@ def _bench_cdc_merge_with_indexes(
 ) -> float:
     """Declarative-index ingest end-to-end: a merge-mode job with one
     bm25, one ivf and one minhash index declared (output_config.indexes,
-    maintenance_every=2) absorbs 4 insert batches plus 1 update batch
+    maintenance_every=4 — fires once over the 5-batch run, matching the
+    streaming entry's compact_every) absorbs 4 insert batches plus 1 update batch
     through process_files — so the index-maintenance premium (bm25
     remove-then-append on updates, ivf keyed upsert, minhash signature
     upsert + near-dup pair emission into the keyed pairs log, periodic
     compaction cadence) is on the record next to the bare
     ingest_cdc_merge entry.  Phases: bootstrap (first batch: table +
     index fit), inserts (3 disjoint batches), update_replace (re-merge
-    of the first batch's ids with new text → bm25 replace path)."""
+    of the first batch's ids with new text → bm25 replace path), plus
+    cumulative per-index attribution (index_bm25 / index_ivf /
+    index_minhash) from job._maintain_indexes.
+
+    Cost shape note: at sf0.1 each 12.5k-row batch pays ~9 snapshot
+    commits (table merge + 2 bm25 + 1 ivf + 2 minhash + cadence
+    compactions), so the entry is COMMIT-dominated — fixed per-commit
+    cost (write + fsync + CAS), amortized away at production batch
+    sizes where the data pass dominates.  The batch frame is
+    materialized once and shared by the sink and all three indexes
+    (job.process_files localCheckpoint), so the source is parsed once
+    per batch, not once per consumer."""
     import shutil
     import tempfile
     import time as _time
@@ -128,13 +140,13 @@ def _bench_cdc_merge_with_indexes(
                     "order_column": "seq",
                     "indexes": [
                         {"type": "bm25", "path": f"{d}/bm25",
-                         "maintenance_every": 2},
+                         "maintenance_every": 4},
                         {"type": "ivf", "path": f"{d}/ivf",
                          "vector_column": "embedding", "ivf_cells": 8,
-                         "maintenance_every": 2},
+                         "maintenance_every": 4},
                         {"type": "minhash", "path": f"{d}/mh",
                          "pairs_path": f"{d}/mh_pairs",
-                         "maintenance_every": 2},
+                         "maintenance_every": 4},
                     ],
                 },
             }
@@ -148,14 +160,14 @@ def _bench_cdc_merge_with_indexes(
         phases: dict = {}
         start = _time.perf_counter()
         t0 = _time.perf_counter()
-        J.process_files(spark, cfg, _files(0))
+        J.process_files(spark, cfg, _files(0), index_phases=phases)
         phases["bootstrap"] = round(_time.perf_counter() - t0, 3)
         t0 = _time.perf_counter()
         for b in (1, 2, 3):
-            J.process_files(spark, cfg, _files(b))
+            J.process_files(spark, cfg, _files(b), index_phases=phases)
         phases["inserts"] = round(_time.perf_counter() - t0, 3)
         t0 = _time.perf_counter()
-        J.process_files(spark, cfg, _files(4))
+        J.process_files(spark, cfg, _files(4), index_phases=phases)
         phases["update_replace"] = round(_time.perf_counter() - t0, 3)
         elapsed = round(_time.perf_counter() - start, 3)
         if phases_out is not None:

@@ -69,6 +69,7 @@ def process_files(
     files: list[str],
     lineage: bool = False,
     debug_show: bool = False,
+    index_phases: dict | None = None,
 ) -> int:
     """One micro-batch: read files → optional transform/merge SQL →
     write in the configured mode (reference: spark-job/read.py:251-281).
@@ -134,16 +135,32 @@ def process_files(
                 version = table.delete_keys(deletes)
             return _maybe_maintain(table, config) or version
         df = apply_transform_query(spark, df, text)
+    if len(out.indexes) >= 2:
+        # ONE source materialization per batch: without it, the table
+        # write and every declared index each re-run the full source
+        # scan + CDC dedup (a json batch with N indexes is parsed N+1
+        # times — measured ~1.5× the whole ingest cost at 3 indexes).
+        # The frame is trigger-bounded by contract, so executor-local
+        # storage holds it; downstream windows/joins then run over the
+        # materialized rows instead of the raw files.  At ONE index the
+        # checkpoint loses: it materializes every column (the table
+        # write needs them all) to save a single re-scan — measured a
+        # wash-to-slower, so the re-scan stays.
+        df = df.localCheckpoint(eager=True)
+        if deletes is not None:
+            deletes = deletes.localCheckpoint(eager=True)
     table = ensure_target(spark, config)
     version = table.write(df, out.mode)
     if deletes is not None:
         version = table.delete_keys(deletes)
-    _maintain_indexes(spark, config, df, files, deletes)
+    _maintain_indexes(spark, config, df, files, deletes,
+                      phases_out=index_phases)
     return _maybe_maintain(table, config) or version
 
 
 def _maintain_indexes(
-    spark, config: JobConfig, df, files: list[str], deletes=None
+    spark, config: JobConfig, df, files: list[str], deletes=None,
+    phases_out: dict | None = None,
 ) -> None:
     """Fold the batch into every declared secondary index
     (``output_config.indexes``), MODE-AWARE so the index tracks the
@@ -191,7 +208,10 @@ def _maintain_indexes(
             df = dedup_latest(df, keys, out.order_column)
         elif keys:
             df = df.dropDuplicates(keys)
+    import time as _time  # noqa: PLC0415
+
     for ix in config.output_config.indexes:
+        _ix_t0 = _time.perf_counter()
         if ix.type == "bm25":
             from .operators.search_index import (  # noqa: PLC0415
                 append_to_search_index,
@@ -285,6 +305,11 @@ def _maintain_indexes(
                 )
         else:  # "minhash" — validated at config parse
             _maintain_minhash_index(spark, ix, df, mode, deletes)
+        if phases_out is not None:
+            k = f"index_{ix.type}"
+            phases_out[k] = round(
+                phases_out.get(k, 0.0) + _time.perf_counter() - _ix_t0, 3
+            )
 
 
 _PAIRS_SCHEMA_DDL = (
