@@ -419,6 +419,11 @@ def main() -> None:
         }
         worst_ratios = sorted(ratios, key=ratios.get, reverse=True)[:6]
         worst = list(dict.fromkeys(worst + worst_ratios))
+    # the two streaming entries are ALWAYS isolated (they fund the
+    # recorded stream_table_premium), whatever the slow/ratio lists say
+    worst = list(dict.fromkeys(
+        worst + ["ingest_streaming_neardup", "ingest_streaming_neardup_table"]
+    ))
     isolated: dict[str, float] = {}
     from s3_sqs_data_ingestion_demo_spark.operators.bpe import clear_bpe_memo
     from s3_sqs_data_ingestion_demo_spark.operators.dedup import clear_ccomp_memo
@@ -473,6 +478,23 @@ def main() -> None:
                 # the isolated re-times + streaming provenance are the
                 # artifact's self-adjudication record
                 "isolated": isolated,
+                # THE authoritative table-vs-dir comparison: both sides
+                # quiesced, best-of-3, measured back-to-back in this
+                # same isolated section — the sweep ratio can absorb
+                # mid-sweep ambient drift that hits one entry and not
+                # the other (observed 1.21 vs 1.37 across two otherwise
+                # identical runs), so the premium is recorded explicitly
+                # rather than left for the reader to pick a numerator
+                "stream_table_premium": (
+                    round(
+                        isolated["ingest_streaming_neardup_table"]
+                        / isolated["ingest_streaming_neardup"],
+                        3,
+                    )
+                    if isolated.get("ingest_streaming_neardup")
+                    and isolated.get("ingest_streaming_neardup_table")
+                    else None
+                ),
                 "sf": sf,
                 # duplicated at the tail: the driver records only the
                 # LAST 2000 chars of this line, and the leading keys
