@@ -151,6 +151,13 @@ class IndexConfig:
             raise ValueError(
                 f"minhash_threshold must be in (0, 1], got {thr}"
             )
+        share = float(d.get("rebuild_max_cell_share", 0.0))
+        if not (0.0 <= share <= 1.0):
+            raise ValueError(
+                "rebuild_max_cell_share is a cell-occupancy FRACTION: "
+                f"want 0 (disabled) or (0, 1], got {share} — a negative "
+                "value would refit on every cadence, >1 would never fire"
+            )
         return cls(
             type=t,
             path=str(d["path"]),
@@ -161,7 +168,7 @@ class IndexConfig:
             pairs_path=str(d.get("pairs_path", "")),
             minhash_threshold=thr,
             maintenance_every=int(d.get("maintenance_every", 0)),
-            rebuild_max_cell_share=float(d.get("rebuild_max_cell_share", 0.0)),
+            rebuild_max_cell_share=share,
         )
 
 

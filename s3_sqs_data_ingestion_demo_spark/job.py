@@ -374,35 +374,20 @@ def _maintain_minhash_index(spark, ix, df, mode: str, deletes) -> None:
             T.StructType.fromDDL(_PAIRS_SCHEMA_DDL),
             key_cols=["doc_id_a", "doc_id_b"],
             table_type="MOR",
+            # trigger-bounded pair deltas: same file-count bound as the
+            # signature table, folded at the same cadence below
+            properties={"write.max-delta-files": "4"},
         )
     if mode == "overwrite":
         # rebuild: empty index, then one batch-vs-empty process below —
-        # the pairs that come back are the full-corpus self-dedup
+        # the pairs that come back are the corpus self-dedup
         table.overwrite(
             spark.createDataFrame([], _index_schema(_NUM_HASHES))
         )
-    if pt is None:
-        # signature-only maintenance: no pair emission requested, so
-        # candidate generation + verification are skipped entirely —
-        # just the keyed signature upsert (ad-hoc consumers query the
-        # table directly)
-        from .streaming.neardup import _batch_signatures  # noqa: PLC0415
-
-        table.merge(
-            _batch_signatures(
-                df, ix.text_column, ix.id_column, 3, _NUM_HASHES
-            )
-        )
-    else:
-        pairs = process_near_dup_batch_table(
-            df, table,
-            text_col=ix.text_column, id_col=ix.id_column,
-            threshold=ix.minhash_threshold,
-        )
-        if mode == "overwrite":
-            pt.overwrite(pairs)
-        else:
-            pt.merge(pairs)
+    # deletes apply BEFORE pair generation: a doc deleted in THIS batch
+    # must not pair either (its signature would still pass exact
+    # verification) — the CDC split guarantees a deleted key is never
+    # in df, so tombstoning first loses nothing
     if deletes is not None:
         remove_documents(
             table,
@@ -411,6 +396,36 @@ def _maintain_minhash_index(spark, ix, df, mode: str, deletes) -> None:
             ),
             id_col=ix.id_column,
         )
+    # all-deletes CDC batches (and header-only files) arrive EMPTY:
+    # processing one would commit a rowless, stats-less delta that
+    # flips every later disjointness proof to the slow path — and
+    # there is nothing to index anyway.  (With >=2 indexes df is
+    # already localCheckpointed, so the probe is a cached lookup.)
+    if not df.isEmpty():
+        if pt is None:
+            # signature-only maintenance: no pair emission requested,
+            # so candidate generation + verification are skipped
+            # entirely — just the keyed signature upsert (ad-hoc
+            # consumers query the table directly)
+            from .streaming.neardup import (  # noqa: PLC0415
+                _batch_signatures,
+            )
+
+            table.merge(
+                _batch_signatures(
+                    df, ix.text_column, ix.id_column, 3, _NUM_HASHES
+                )
+            )
+        else:
+            pairs = process_near_dup_batch_table(
+                df, table,
+                text_col=ix.text_column, id_col=ix.id_column,
+                threshold=ix.minhash_threshold,
+            )
+            if mode == "overwrite":
+                pt.overwrite(pairs)
+            else:
+                pt.merge(pairs)
     if ix.maintenance_every and (
         table.data_commits_since_maintenance() >= ix.maintenance_every
     ):
@@ -418,6 +433,11 @@ def _maintain_minhash_index(spark, ix, df, mode: str, deletes) -> None:
         # comes from _collision_candidates' broadcast semi-restrict,
         # not file skipping, so no cluster_by is needed here
         table.compact()
+        if pt is not None:
+            # the pairs log accumulates one keyed delta per detecting
+            # batch — fold it at the same cadence so replay-dedup
+            # resolution stays bounded over the ingest's lifetime
+            pt.compact()
 
 
 def _maybe_maintain(table: ManagedTable, config: JobConfig) -> int | None:

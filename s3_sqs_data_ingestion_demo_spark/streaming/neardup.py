@@ -164,10 +164,12 @@ def process_near_dup_batch(
     timings: dict | None = None,
 ) -> DataFrame:
     """One micro-batch step: emit (doc_id_a, doc_id_b, jaccard) pairs
-    where doc_id_b is IN THIS BATCH and doc_id_a is any earlier doc
-    (or an earlier row of the same batch), then append the batch's
-    signatures to the index.  Returns the verified pairs DataFrame
-    (already materialized — the index append is a side effect that
+    — canonically ordered doc_id_a < doc_id_b, at least one side in
+    this batch (for a monotone-id stream that side is doc_id_b, but a
+    batch doc with a lower id than its index partner lands on the a
+    side; do NOT read doc_id_b as "the newcomer") — then append the
+    batch's signatures to the index.  Returns the verified pairs
+    DataFrame (already materialized — the index append is a side effect that
     must happen after pair computation reads the PREVIOUS index).
 
     ``batch_id`` (set by the streaming sink) keys the index append to a

@@ -633,7 +633,12 @@ class ManagedTable:
         for e in entries if entries is not None else self._read_manifest():
             if e.get("kind") == "tombstone":
                 continue
-            s = (e.get("stats") or {}).get(col)
+            est = e.get("stats") or {}
+            if est.get("__rows") == 0:
+                # provably empty entry (rowless merge delta /
+                # overwrite-to-empty): contains no key, cannot overlap
+                continue
+            s = est.get(col)
             if not s:
                 return False
             ranges.append((s[0], s[1]))
@@ -841,6 +846,7 @@ class ManagedTable:
         file_cols = {f.name for f in cols if f.name not in part_set}
         stats: dict[str, list] = {}
         dropped: set[str] = set()
+        n_rows = 0
 
         def _update(name, mn, mx):
             if hasattr(mn, "isoformat"):
@@ -863,6 +869,7 @@ class ManagedTable:
                     os.path.join(root, "**", "*.parquet"), recursive=True
                 ):
                     md = pq.ParquetFile(path).metadata
+                    n_rows += md.num_rows
                     for rg in range(md.num_row_groups):
                         grp = md.row_group(rg)
                         for ci in range(grp.num_columns):
@@ -903,6 +910,14 @@ class ManagedTable:
             # and a blanket except here once masked real harvest bugs
             self._warn_stats_skipped(f"{type(exc).__name__}: {exc}")
             return None
+        # "__rows" rides the stats dict (the name cannot collide with a
+        # real column: readers access stats by column name only).  It
+        # exists for exactly one proof: a ZERO-row entry — an empty
+        # merge delta or an overwrite-to-empty — cannot contain any
+        # key, so disjointness checks may skip it instead of failing
+        # on its (necessarily absent) column stats.
+        if file_cols:
+            stats["__rows"] = n_rows
         return stats or None
 
     _stats_warned = False

@@ -234,3 +234,82 @@ def test_signature_only_maintenance_without_pairs_path(spark, tmp_path):
     mh = ManagedTable.load(spark, f"{d}/mh")
     assert mh.read().count() == 2
     assert not os.path.exists(f"{d}/pairs")
+
+
+def test_within_batch_delete_never_pairs(spark, tmp_path):
+    """A doc deleted in the SAME batch that carries a near-dup of it
+    must not pair: deletes tombstone signatures BEFORE pair
+    generation (review finding r07)."""
+    d = str(tmp_path)
+    _doc_table(spark, f"{d}/tbl", with_ts=True)
+    _write_cdc(f"{d}/b1.csv", [
+        ("I", 1, 1, LONG_A),
+        ("I", 1, 2, LONG_B),
+    ])
+    _write_cdc(f"{d}/b2.csv", [
+        ("D", 2, 1, "ignored"),
+        ("I", 2, 9, LONG_A_NEAR),  # near doc 1 — deleted THIS batch
+    ])
+    cfg = _cfg(d, mode="merge", order_column="ts",
+               cdc_delete_values=["D"])
+    J.process_files(spark, cfg, [f"{d}/b1.csv"])
+    J.process_files(spark, cfg, [f"{d}/b2.csv"])
+    assert _pairs(spark, d) == []
+
+
+def test_all_deletes_batch_keeps_fast_path(spark, tmp_path):
+    """An all-deletes CDC batch arrives EMPTY at the index: no rowless
+    signature delta may be committed (a stats-less empty entry would
+    flip every later disjointness proof to the slow path), and the
+    delete itself still un-indexes."""
+    d = str(tmp_path)
+    _doc_table(spark, f"{d}/tbl", with_ts=True)
+    _write_cdc(f"{d}/b1.csv", [
+        ("I", 1, 1, LONG_A),
+        ("I", 1, 2, LONG_B),
+    ])
+    _write_cdc(f"{d}/b2.csv", [("D", 2, 2, "ignored")])  # deletes only
+    _write_cdc(f"{d}/b3.csv", [("I", 3, 9, LONG_A_NEAR)])
+    cfg = _cfg(d, mode="merge", order_column="ts",
+               cdc_delete_values=["D"])
+    J.process_files(spark, cfg, [f"{d}/b1.csv"])
+    J.process_files(spark, cfg, [f"{d}/b2.csv"])
+    mh = ManagedTable.load(spark, f"{d}/mh")
+    # only the delete tombstone landed — no rowless data delta
+    kinds = [e.get("kind") for e in mh._read_manifest()]
+    assert kinds.count("delta") == 1, kinds
+    # ... and batch 3 still pairs with doc 1 (fast path or not, the
+    # result is right; the rowless-delta absence is what this pins)
+    J.process_files(spark, cfg, [f"{d}/b3.csv"])
+    assert _pairs(spark, d) == [(1, 9)]
+
+
+def test_maintenance_folds_pairs_log_too(spark, tmp_path):
+    d = str(tmp_path)
+    _doc_table(spark, f"{d}/tbl")
+    cfg = _cfg(d)
+    cfg.output_config.indexes[0].maintenance_every = 2
+    batches = [
+        [(1, LONG_A)], [(2, LONG_A_NEAR)], [(3, LONG_A)], [(4, LONG_B)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_docs(f"{d}/b{i}.csv", rows)
+        J.process_files(spark, cfg, [f"{d}/b{i}.csv"])
+    pt = ManagedTable.load(spark, f"{d}/pairs")
+    assert pt.data_commits_since_maintenance() < 2
+    assert _pairs(spark, d) == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_rebuild_share_validated_at_parse():
+    import pytest
+
+    for bad in (-0.6, 60):
+        with pytest.raises(ValueError, match="rebuild_max_cell_share"):
+            JobConfig.from_dict({
+                "output_config": {
+                    "indexes": [{
+                        "type": "ivf", "path": "/x",
+                        "rebuild_max_cell_share": bad,
+                    }],
+                },
+            })

@@ -403,7 +403,7 @@ def test_stats_harvest_runs_zero_spark_jobs(spark, tmp_path):
     before = len(tracker.getJobIdsForGroup(None) or [])
     stats = t._collect_entry_stats(root)
     after = len(tracker.getJobIdsForGroup(None) or [])
-    assert stats == {"id": [0, 9]}
+    assert stats == {"id": [0, 9], "__rows": 10}
     assert after == before, "stats harvest must be driver-side only"
 
 
