@@ -1628,7 +1628,7 @@ def q_heavy_hitter_users(spark: SparkSession, sf: str) -> DataFrame:
            CAST(v IS NULL AS INTEGER) AS is_gap
     FROM g
     """,
-    driver=False,
+    driver=True,  # r07: rotated into the driver gate (final never-gated batch)
 )
 def q_resample_interpolate(spark: SparkSession, sf: str) -> DataFrame:
     """Linear-interpolation resample (operators/timeseries.py,
@@ -1922,7 +1922,7 @@ def q_referential_scorecard(spark: SparkSession, sf: str) -> DataFrame:
            CAST(rnk AS INTEGER) AS rnk, event_type, CAST(c AS BIGINT) AS c
     FROM ranked WHERE rnk <= 3
     """,
-    driver=False,
+    driver=True,  # r07: rotated into the driver gate (final never-gated batch)
 )
 def q_trending_event_types(spark: SparkSession, sf: str) -> DataFrame:
     """Trending-items report: top-3 event types per hour (grouped
@@ -1973,7 +1973,7 @@ def q_trending_event_types(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COALESCE(SUM(o_custkey), 0) AS BIGINT) AS key_sum
     FROM ix
     """,
-    driver=False,
+    driver=True,  # r07: rotated into the driver gate (final never-gated batch)
 )
 def q_multiset_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     """Multiset set operations (EXCEPT ALL / INTERSECT ALL): bag
@@ -2020,7 +2020,7 @@ def q_multiset_set_ops(spark: SparkSession, sf: str) -> DataFrame:
            strftime(date_trunc('week', ts), '%Y-%m-%d')     AS week_start
     FROM events WHERE user_id < 5
     """,
-    driver=False,
+    driver=True,  # r07: rotated into the driver gate (final never-gated batch)
 )
 def q_datetime_function_surface(spark: SparkSession, sf: str) -> DataFrame:
     """The datetime scalar surface in one query: quarter/hour/minute/
@@ -2168,7 +2168,7 @@ def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS n_f_entries
     FROM orders WHERE o_orderkey % 1000 = 0
     """,
-    driver=False,
+    driver=True,  # r07: rotated into the driver gate (final never-gated batch)
 )
 def q_map_function_surface(spark: SparkSession, sf: str) -> DataFrame:
     """The map-typed scalar surface in one query: create_map,
@@ -2296,6 +2296,7 @@ def q_theta_band_join(spark: SparkSession, sf: str) -> DataFrame:
     QUALIFY ROW_NUMBER() OVER (ORDER BY rank_fp DESC, node) <= 20
     """,
     rank=25,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
 )
 def pagerank_purchase_graph(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank centrality over the symmetrized customer↔supplier

@@ -1003,7 +1003,7 @@ _UNIGRAM_ORACLE = f"""
 @query(
     "unigram_nll_documents",
     _UNIGRAM_ORACLE,
-    driver=True,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
     rank=20,
 )
 def unigram_nll_documents(spark: SparkSession, sf: str) -> DataFrame:
@@ -1372,7 +1372,8 @@ _BIGRAM_ORACLE = f"""
     """
 
 
-@query("bigram_nll_documents", _BIGRAM_ORACLE, driver=False)
+@query("bigram_nll_documents", _BIGRAM_ORACLE,
+       driver=True)  # r07: rotated into the driver gate (final never-gated batch)
 def bigram_nll_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated bigram-LM quality scoring
     (operators/scoring.py bigram_nll_scores): one rung up the n-gram
@@ -1723,6 +1724,7 @@ def _semantic_pairs(spark: SparkSession, sf: str) -> DataFrame:
     FROM exact_pairs
     """,
     rank=30,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
 )
 def semantic_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
     """Hard check for SemDeDup-style semantic dedup
@@ -1765,7 +1767,7 @@ def semantic_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
     WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
       AND levenshtein(a.c_name, b.c_name) <= 1
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (long-green; pytest parity + bench)
     rank=20,
 )
 def fuzzy_name_pairs_customers(spark: SparkSession, sf: str) -> DataFrame:
@@ -1810,7 +1812,7 @@ _DRIFT_ORACLE = f"""
     """
 
 
-@query("token_drift_documents", _DRIFT_ORACLE, driver=True, rank=20)
+@query("token_drift_documents", _DRIFT_ORACLE, driver=False, rank=20)  # r07: rotated out (long-green)
 def token_drift_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus drift monitoring: the top-20 tokens whose relative
     frequency shifted most between two document cohorts (here doc_id
@@ -1960,7 +1962,7 @@ _NOVELTY_ORACLE = (
 )
 
 
-@query("ngram_novelty_documents", _NOVELTY_ORACLE, driver=True, rank=20)
+@query("ngram_novelty_documents", _NOVELTY_ORACLE, driver=False, rank=20)  # r07: rotated out
 def ngram_novelty_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Unique-content fraction per document (operators/dedup.py
     ngram_novelty): the share of a doc's distinct 3-gram shingles
