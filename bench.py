@@ -471,6 +471,10 @@ def main() -> None:
             clear_kmeans_memo()
             clear_ccomp_memo()
             spark.catalog.clearCache()
+            # full-GC hint: this block runs at the END of a 140-query
+            # session, where accumulated heap pressure otherwise adds
+            # GC pauses that land unevenly across the pair
+            spark.sparkContext._jvm.System.gc()
             _iso_stream(name, **kw)
     for name in stream_names:
         isolated[name] = round(min(iso_attempts[name]), 3)
