@@ -440,6 +440,87 @@ def _maintain_minhash_index(spark, ix, df, mode: str, deletes) -> None:
             pt.compact()
 
 
+def forget_keys(spark, config: JobConfig, ids) -> int:
+    """Takedown / right-to-be-forgotten: remove the given key values
+    from the target table AND every declared secondary index in one
+    call — the compliance flow a lakehouse deployment runs when a
+    document must disappear, not just stop being served.
+
+    ``ids``: a DataFrame carrying the table's key column(s) (extra
+    columns ignored).  Per surface:
+
+    - table: ``delete_keys`` — MOR keyed tombstone delta, O(ids).
+    - bm25 index: ``remove_documents_bulk`` — posting tombstones plus
+      ONE tag-guarded negative stats row (idempotent under re-runs).
+    - ivf index: assignments ``delete_keys`` on vec_id.
+    - minhash index: ``remove_documents`` signature tombstones, AND
+      the pairs log is SCRUBBED — any logged pair referencing a
+      forgotten doc is tombstoned, because a takedown usually demands
+      that references disappear too, not only the document row (the
+      normal delete path deliberately leaves the detection log
+      intact; see _maintain_minhash_index).
+
+    Everything lands as keyed MOR tombstones / tagged appends, so a
+    crashed or re-run forget converges (re-deletes are no-ops, the
+    stats decrement is tag-guarded).  Cost is O(ids + matching pairs),
+    never an O(table) rewrite on MOR surfaces; ``compact()`` at the
+    next maintenance folds the tombstones away.  Re-ingesting a
+    forgotten id later revives it everywhere (newer commit seq), which
+    is the documented semantic of every removal path here.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    out = config.output_config
+    keys = list(out.key_columns)
+    if not keys:
+        raise ValueError("forget_keys requires output_config.key_columns")
+    table = ManagedTable.load(spark, out.table_path)
+    version = table.delete_keys(ids.select(*keys))
+    for ix in out.indexes:
+        vids = ids.select(
+            F.col(ix.id_column).cast("long").alias(ix.id_column)
+        )
+        if ix.type == "bm25":
+            from .operators.search_index import (  # noqa: PLC0415
+                remove_documents_bulk,
+            )
+
+            remove_documents_bulk(spark, ix.path, vids, id_col=ix.id_column)
+        elif ix.type == "ivf":
+            from .operators.ann_index import load_ivf_index  # noqa: PLC0415
+
+            _, at = load_ivf_index(spark, ix.path)
+            at.delete_keys(
+                vids.select(F.col(ix.id_column).alias("vec_id"))
+            )
+        else:  # minhash
+            from .streaming.neardup import remove_documents  # noqa: PLC0415
+
+            mh = ManagedTable.load(spark, ix.path)
+            remove_documents(mh, vids, id_col=ix.id_column)
+            if ix.pairs_path and ManagedTable.exists(ix.pairs_path):
+                pt = ManagedTable.load(spark, ix.pairs_path)
+                # pairs referencing a forgotten doc: the a-side filter
+                # rides the manifest stats on the key column doc_id_a;
+                # the b-side pays a scan of the (bounded, compacted)
+                # pairs log — a takedown is not a hot path
+                idl = vids.select(
+                    F.col(ix.id_column).cast("long").alias("_fid")
+                )
+                hit = (
+                    pt.read()
+                    .join(
+                        F.broadcast(idl),
+                        (F.col("doc_id_a") == F.col("_fid"))
+                        | (F.col("doc_id_b") == F.col("_fid")),
+                        "left_semi",
+                    )
+                    .select("doc_id_a", "doc_id_b")
+                )
+                pt.delete_keys(hit)
+    return version
+
+
 def _maybe_maintain(table: ManagedTable, config: JobConfig) -> int | None:
     """Inline declarative maintenance (output_config.maintenance):
     compact — optionally Z-order-clustered — every Nth committed

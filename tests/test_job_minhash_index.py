@@ -313,3 +313,77 @@ def test_rebuild_share_validated_at_parse():
                     }],
                 },
             })
+
+
+def test_forget_keys_removes_from_table_and_every_index(spark, tmp_path):
+    """Takedown flow (job.forget_keys): one call removes the ids from
+    the table, the bm25/ivf/minhash indexes, AND scrubs pairs-log rows
+    referencing them."""
+    from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+        bm25_index_topk,
+    )
+    from s3_sqs_data_ingestion_demo_spark.operators.ann_index import (
+        load_ivf_index,
+    )
+
+    d = str(tmp_path)
+    ManagedTable.create(
+        spark, f"{d}/tbl",
+        T.StructType([
+            T.StructField("doc_id", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]),
+        key_cols=["doc_id"],
+    )
+    cfg = JobConfig.from_dict({
+        "input_config": {"format": "json"},
+        "output_config": {
+            "table_path": f"{d}/tbl",
+            "mode": "append",
+            "key_columns": ["doc_id"],
+            "indexes": [
+                {"type": "bm25", "path": f"{d}/bm"},
+                {"type": "ivf", "path": f"{d}/ivf",
+                 "vector_column": "embedding", "ivf_cells": 2},
+                {"type": "minhash", "path": f"{d}/mh",
+                 "pairs_path": f"{d}/pairs"},
+            ],
+        },
+    })
+    import json as _json
+
+    rows = [
+        {"doc_id": 1, "text": LONG_A, "embedding": [1.0, 0.0]},
+        {"doc_id": 2, "text": LONG_B, "embedding": [0.0, 1.0]},
+        {"doc_id": 7, "text": LONG_A_NEAR, "embedding": [0.9, 0.1]},
+    ]
+    with open(f"{d}/b1.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    J.process_files(spark, cfg, [f"{d}/b1.json"])
+    assert _pairs(spark, d) == [(1, 7)]
+
+    ids = spark.createDataFrame([(1,)], "doc_id int")
+    J.forget_keys(spark, cfg, ids)
+
+    # table: gone
+    live = sorted(
+        r.doc_id
+        for r in ManagedTable.load(spark, f"{d}/tbl").read().collect()
+    )
+    assert live == [2, 7]
+    # bm25: a term unique to doc 1's text no longer returns it
+    got = [r.doc_id
+           for r in bm25_index_topk(spark, f"{d}/bm", ("quick",), 5).collect()]
+    assert 1 not in got and 7 in got
+    # ivf: assignments no longer hold vec 1
+    _, at = load_ivf_index(spark, f"{d}/ivf")
+    assert sorted(r.vec_id for r in at.read().collect()) == [2, 7]
+    # minhash: signature tombstoned, pairs log scrubbed
+    mh = ManagedTable.load(spark, f"{d}/mh")
+    assert sorted(r.id for r in mh.read().collect()) == [2, 7]
+    assert _pairs(spark, d) == []
+    # idempotent: re-running the forget converges
+    J.forget_keys(spark, cfg, ids)
+    assert _pairs(spark, d) == []
