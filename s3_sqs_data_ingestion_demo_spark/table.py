@@ -1289,6 +1289,70 @@ class ManagedTable:
         snaps = glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json"))
         return sorted(int(os.path.basename(s)[1:-5]) for s in snaps)
 
+    def snapshots(self) -> DataFrame:
+        """Iceberg-style ``snapshots`` metadata relation: one row per
+        retained snapshot — (version, kind, n_entries, n_deltas,
+        n_tombstones, tag, committed_at ISO seconds from the manifest
+        file's mtime).  Driver-assembled like every manifest operation
+        in this table layer; bounded by ``expire_snapshots``.  The
+        operational audit surface: what committed, when, what shape."""
+        import datetime as _dt  # noqa: PLC0415
+
+        rows = []
+        for v in self.history():
+            p = os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json")
+            with open(p, encoding="utf-8") as fh:
+                doc = json.load(fh)
+            entries = doc.get("entries", [])
+            kinds = [e.get("kind") for e in entries]
+            rows.append((
+                v,
+                doc.get("kind"),
+                len(entries),
+                kinds.count("delta"),
+                kinds.count("tombstone"),
+                doc.get("tag"),
+                _dt.datetime.fromtimestamp(
+                    os.path.getmtime(p), tz=_dt.timezone.utc
+                ).isoformat(timespec="seconds"),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "version int, kind string, n_entries int, n_deltas int, "
+            "n_tombstones int, tag string, committed_at string",
+        )
+
+    def files(self) -> DataFrame:
+        """Iceberg-style ``files`` metadata relation for the CURRENT
+        snapshot: one row per live data file — (entry_root, entry_kind,
+        file, size_bytes, key_min, key_max from the entry's manifest
+        stats).  Driver-assembled (an os.walk over the live roots, no
+        Spark job), O(live files) like the manifest layer itself — the
+        file-layout audit behind compaction decisions."""
+        key = self.meta.key_cols[0] if self.meta.key_cols else None
+        rows = []
+        for e in self._read_manifest():
+            root = os.path.join(self.path, e["root"])
+            stats = (e.get("stats") or {}).get(key) if key else None
+            for dirpath, _dirs, names in os.walk(root):
+                for n in sorted(names):
+                    if not n.endswith(".parquet"):
+                        continue
+                    p = os.path.join(dirpath, n)
+                    rows.append((
+                        e["root"],
+                        e.get("kind") or "base",
+                        os.path.relpath(p, self.path),
+                        os.path.getsize(p),
+                        str(stats[0]) if stats else None,
+                        str(stats[1]) if stats else None,
+                    ))
+        return self.spark.createDataFrame(
+            rows,
+            "entry_root string, entry_kind string, file string, "
+            "size_bytes long, key_min string, key_max string",
+        )
+
     def _manifest_at(self, version: int) -> list[dict]:
         with open(
             os.path.join(self.path, _SNAPDIR, f"v{version:08d}.json"), encoding="utf-8"

@@ -722,3 +722,38 @@ def test_read_where_in_fallback_is_exact_on_duplicate_versions(spark, tmp_path):
     t.compact(cluster_by=["grp"])
     assert t.entries_disjoint_on("id")
     assert [r.id for r in t.read_where_in("grp", [2]).collect()] == [1]
+
+
+def test_metadata_tables_snapshots_and_files(spark, tmp_path):
+    """Iceberg-style inspection relations: snapshots() rows track the
+    commit history (kinds, entry counts, tags); files() lists the
+    current snapshot's live data files with their manifest key
+    bounds."""
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "tbl"), SCHEMA,
+        key_cols=["id"], order_column="ts", table_type="MOR",
+    )
+    t.append(df_of(spark, [(1, "a", 1.0, 1), (2, "a", 2.0, 1)]),
+             tag="batch-1")
+    t.merge(df_of(spark, [(3, "b", 3.0, 2)]))
+    t.delete_keys(df_of(spark, [(2, "a", 2.0, 3)]).select("id"))
+
+    snaps = t.snapshots().collect()
+    assert [r.version for r in snaps] == t.history()
+    by_v = {r.version: r for r in snaps}
+    assert by_v[2].tag == "batch-1"
+    assert by_v[max(by_v)].n_tombstones == 1
+    assert all(r.committed_at for r in snaps)
+
+    files = t.files().collect()
+    assert files and all(f.file.endswith(".parquet") for f in files)
+    assert all(f.size_bytes > 0 for f in files)
+    kinds = {f.entry_kind for f in files}
+    assert "delta" in kinds
+    # manifest key bounds ride along where harvested
+    bounded = [f for f in files if f.key_min is not None]
+    assert bounded
+    # tombstone entries carry no data files of their own (delete_keys
+    # writes the victim keys as a delta-kind tombstone entry root)
+    total = sum(1 for _ in files)
+    assert total >= 2
