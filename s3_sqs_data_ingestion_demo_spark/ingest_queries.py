@@ -517,6 +517,106 @@ def minhash_index_ingest_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+@query(
+    "wap_audited_ingest_orders",
+    f"""
+    WITH b1 AS ({_B1_SQL}),
+    b3 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 50.0 AS price,
+             CAST(2 AS BIGINT) AS change_seq
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    final AS (
+      SELECT * FROM b1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b3)
+      UNION ALL
+      SELECT * FROM b3
+    )
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(price, 2) + 0.0 AS price, change_seq
+    FROM final
+    """,
+    rank=30,
+    driver=True,  # r07: new — gates the write-audit-publish flow
+)
+def wap_audited_ingest_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish end-to-end (table.py stage/audit_staged/
+    publish_staged — the Iceberg WAP pattern over the manifest layer):
+    three batches flow through an audited MOR ingest, and the BAD one
+    must leave zero trace.
+
+    1. bootstrap (keys %3≠0, seq 1): staged as append, audited clean
+       (not_null / range / post-merge unique), published;
+    2. poisoned CDC batch (keys %2=0, seq 2) where every 10th key
+       carries a NEGATIVE price: staged as a MOR merge delta, the
+       range(price ≥ 0) rule fires at publish time → AuditFailedError,
+       stage discarded — the table must not contain any %2-only key or
+       updated price from this batch;
+    3. clean CDC batch (keys %5=0, price +50, seq 2): staged, audited,
+       published — latest_wins resolution takes it over bootstrap rows.
+
+    The oracle states the final table relationally from batches 1 and
+    3 alone — batch 2 appearing anywhere breaks the hash.  Scale: the
+    stage writes the batch at full parallelism ONCE; audit reads the
+    staged delta + live manifest (no extra table rewrite); publish is
+    a driver-side tagged CAS commit, so the audit window costs no data
+    movement and concurrent commits don't invalidate the stage (MOR
+    delta = version-independent)."""
+    from .table import AuditFailedError  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_wap_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = ManagedTable.create(
+        spark, path, _SCHEMA,
+        key_cols=["o_orderkey"], order_column="change_seq",
+        merge_policy="latest_wins", table_type="MOR",
+    )
+    rules = [
+        {"rule": "not_null", "column": "o_orderstatus"},
+        {"rule": "range", "column": "price", "min": 0.0},
+        {"rule": "unique", "columns": ["o_orderkey"]},
+    ]
+    o = t(spark, sf, "orders")
+
+    sid = tbl.stage(_bootstrap(spark, sf), mode="append")
+    tbl.publish_staged(sid, rules=rules)
+
+    bad = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 10 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice") + 100.0)
+        .cast("double")
+        .alias("price"),
+        F.lit(2).cast("long").alias("change_seq"),
+    )
+    sid = tbl.stage(bad, mode="merge")
+    try:
+        tbl.publish_staged(sid, rules=rules)
+        raise RuntimeError("poisoned batch passed the audit gate")
+    except AuditFailedError:
+        tbl.discard_staged(sid)
+
+    good = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.col("o_totalprice") + 50.0).cast("double").alias("price"),
+        F.lit(2).cast("long").alias("change_seq"),
+    )
+    sid = tbl.stage(good, mode="merge")
+    tbl.publish_staged(sid, rules=rules)
+
+    return tbl.read().select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.round(F.col("price"), 2) + F.lit(0.0)).alias("price"),
+        "change_seq",
+    )
+
+
 # late-bound oracle: the generator lives in pipeline_queries, which
 # imports from queries (not from here) — no cycle, but the decorator
 # above runs at module import before we can reference it inline

@@ -2481,7 +2481,9 @@ def _pii_oracle() -> str:
     """
 
 
-@query("pii_scrub_documents", _pii_oracle(), driver=True, rank=25)
+@query("pii_scrub_documents", _pii_oracle(),
+       driver=False,  # r07: rotated out for wap_audited_ingest_orders
+       rank=25)       # (long-green r5-r6; pytest parity + bench cover it)
 def pii_scrub_documents(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction over `documents` (operators/text.py pii_scrub):
     per-doc email/SSN/phone/IPv4 match counts + md5 of the scrubbed

@@ -62,6 +62,20 @@ from .operators.merge import dedup_latest, merge_upsert
 _META = "_meta.json"
 _CURRENT = "_current"
 _SNAPDIR = "_snapshots"
+_STAGEDIR = "_staged"
+
+
+class AuditFailedError(RuntimeError):
+    """A staged snapshot failed its publish-time audit.
+
+    Carries the per-rule violation report in ``report`` (list of
+    (rule_id, n_violations) dicts).  The staged snapshot is left in
+    place so the operator can inspect ``read_staged`` and either fix
+    the rules/data or ``discard_staged``."""
+
+    def __init__(self, msg: str, report: list[dict]):
+        super().__init__(msg)
+        self.report = report
 
 
 class CommitConflictError(RuntimeError):
@@ -1273,6 +1287,258 @@ class ManagedTable:
         entry = self._write_data(survivors, self._new_root())
         return self._commit_snapshot([entry], base_version=base)
 
+    # --------------------------------------------- write-audit-publish
+    # Iceberg's WAP (write-audit-publish) pattern: a writer lands its
+    # data files and a STAGED manifest that readers never see, an audit
+    # job validates the staged state, and publish is one atomic commit
+    # (or the stage is discarded with zero effect on the table).  Same
+    # shape as `spark.wap.id` + `cherrypick_snapshot` on Iceberg,
+    # expressed over this table's manifest layer.
+    #
+    # Supported stage modes are the VERSION-INDEPENDENT writes — append,
+    # overwrite, and merge on MOR tables (an O(batch) delta whose seq is
+    # stamped at publish) — so a publish never goes stale while the
+    # audit runs: concurrent commits interleave freely and the publish
+    # retries its CAS like any other entry commit.  COW merge is
+    # refused loudly: its rewrite is computed AGAINST one base manifest,
+    # and any commit landing during the audit window would silently
+    # revert it — stage on a MOR table (compact() folds the delta) or
+    # run an unstaged merge instead.
+
+    def _staged_path(self, staged_id: str) -> str:
+        return os.path.join(self.path, _STAGEDIR, f"{staged_id}.json")
+
+    def _staged_doc(self, staged_id: str) -> dict:
+        try:
+            with open(self._staged_path(staged_id), encoding="utf-8") as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            raise KeyError(
+                f"no staged snapshot {staged_id!r} at {self.path} — "
+                "already published, discarded, or never staged"
+            ) from None
+
+    def _staged_roots(self, exclude: str | None = None) -> set[str]:
+        """Data roots referenced by live staged docs — protected from
+        vacuum/expire GC until published or discarded."""
+        roots: set[str] = set()
+        for p in glob.glob(os.path.join(self.path, _STAGEDIR, "*.json")):
+            if exclude and os.path.basename(p) == f"{exclude}.json":
+                continue
+            try:
+                with open(p, encoding="utf-8") as fh:
+                    for e in json.load(fh).get("entries", []):
+                        if e.get("root"):
+                            roots.add(e["root"])
+            except (OSError, ValueError):
+                continue
+        return roots
+
+    def stage(self, df: DataFrame, mode: str = "append") -> str:
+        """Write ``df``'s data files and a staged (reader-invisible)
+        manifest; returns the staged id for ``read_staged`` /
+        ``publish_staged`` / ``discard_staged``.  The data write runs
+        at full cluster parallelism here — publish is a driver-side
+        manifest commit, so the audit window adds no data movement."""
+        if mode not in ("append", "overwrite", "merge"):
+            raise ValueError(f"unknown stage mode: {mode!r}")
+        if mode == "merge":
+            if self.meta.table_type.upper() != "MOR":
+                raise ValueError(
+                    "stage(mode='merge') requires a MOR table: a COW "
+                    "merge rewrite is computed against one base manifest "
+                    "and goes stale if anything commits during the audit "
+                    "window — create the table with table_type='MOR' "
+                    "(compact() folds the published delta) or merge "
+                    "without staging"
+                )
+            if not self.meta.key_cols:
+                raise ValueError("merge staging requires key columns")
+            order_col = self.meta.order_column
+            if order_col and order_col in df.columns:
+                source = dedup_latest(df, self.meta.key_cols, order_col)
+            else:
+                source = df
+            src = align_to_schema(source, self.meta.schema)
+        else:
+            src = align_to_schema(df, self.meta.schema)
+        staged_id = uuid.uuid4().hex[:12]
+        entries: list[dict] = []
+        if not src.isEmpty():
+            root = os.path.join(self.path, "data", f"stg-{staged_id}")
+            entry = self._write_data(src, root)
+            if mode == "merge":
+                entry["kind"] = "delta"
+            entries.append(entry)
+        os.makedirs(os.path.join(self.path, _STAGEDIR), exist_ok=True)
+        doc = {
+            "id": staged_id,
+            "mode": mode,
+            "base_version": self._current_version(),
+            "entries": entries,
+        }
+        tmp = self._staged_path(staged_id) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh, indent=2)
+        os.replace(tmp, self._staged_path(staged_id))
+        return staged_id
+
+    def read_staged(self, staged_id: str, what: str = "table") -> DataFrame:
+        """The audit view: ``what="table"`` (default) assembles the
+        table state AS IF the stage were published now — audits see
+        post-merge/post-overwrite reality, not just the increment;
+        ``what="delta"`` reads only the staged rows (cheaper when the
+        rules are batch-local)."""
+        doc = self._staged_doc(staged_id)
+        staged = [dict(e) for e in doc["entries"]]
+        if what == "delta":
+            return self._assemble(
+                [dict(e, kind=None) for e in staged]
+                if doc["mode"] == "merge"
+                else staged
+            )
+        if what != "table":
+            raise ValueError(f"unknown staged view: {what!r}")
+        if doc["mode"] == "overwrite":
+            return self._assemble(staged)
+        base = self._current_version()
+        entries = list(self._manifest_at(base))
+        for e in staged:
+            if e.get("kind") == "delta":
+                e["seq"] = base + 1  # provisional: as-of-now resolution
+        return self._assemble(entries + staged)
+
+    def audit_staged(
+        self,
+        staged_id: str,
+        rules: list[dict],
+        refs: dict[str, DataFrame] | None = None,
+        what: str = "table",
+    ) -> DataFrame:
+        """Run the declarative constraint gate over the staged view;
+        returns the (rule_id, n_violations) report."""
+        from .operators.quality_checks import check_constraints  # noqa: PLC0415
+
+        return check_constraints(self.read_staged(staged_id, what), rules, refs)
+
+    def publish_staged(
+        self,
+        staged_id: str,
+        rules: list[dict] | None = None,
+        refs: dict[str, DataFrame] | None = None,
+        audit_what: str = "table",
+    ) -> int:
+        """Atomically publish a staged snapshot, optionally gated on an
+        audit: with ``rules``, the constraint report must be violation-
+        free or ``AuditFailedError`` raises and the stage stays put
+        (inspect / fix / discard).  Publish is idempotent under crash
+        replay: the commit is tagged ``wap-<id>``, so a re-publish that
+        finds the tag only removes the leftover staged doc."""
+        doc = self._staged_doc(staged_id)
+        if rules:
+            report = [
+                r.asDict()
+                for r in self.audit_staged(
+                    staged_id, rules, refs, what=audit_what
+                ).collect()
+            ]
+            failed = [r for r in report if r["n_violations"] > 0]
+            if failed:
+                raise AuditFailedError(
+                    f"staged snapshot {staged_id} failed audit: "
+                    + "; ".join(
+                        f"{r['rule_id']}={r['n_violations']}" for r in failed
+                    )
+                    + " — stage kept for inspection (read_staged / "
+                    "discard_staged)",
+                    report,
+                )
+        wap_tag = f"wap-{staged_id}"
+        if not self.has_commit_tag(wap_tag):
+            entries = doc["entries"]
+            if doc["mode"] == "overwrite":
+                retries = int(self.meta.properties.get("commit.retries", 3))
+                for attempt in range(retries + 1):
+                    try:
+                        self._commit_snapshot(
+                            list(entries),
+                            tag=wap_tag,
+                            cleanup_on_conflict=False,
+                            base_version=self._current_version(),
+                        )
+                        break
+                    except CommitConflictError:
+                        if attempt >= retries:
+                            raise
+            elif entries:
+                # append / MOR-merge delta: version-independent single
+                # entry — the standard retrying entry commit, with the
+                # delta seq stamped per attempt
+                [entry] = entries
+                self._commit_entry_with_retry(
+                    dict(entry),
+                    tag=wap_tag,
+                    delta_seq=(entry.get("kind") == "delta"),
+                )
+            # empty-append stage: publishing nothing is a no-op (no
+            # version churn), matching append()'s empty-batch contract
+        try:
+            os.remove(self._staged_path(staged_id))
+        except FileNotFoundError:
+            pass
+        return self._current_version()
+
+    def discard_staged(self, staged_id: str) -> None:
+        """Drop a staged snapshot: remove its doc, then its data roots
+        — unless a snapshot manifest or another staged doc references
+        them (never the case for roots this stage wrote, which are
+        id-unique, but checked anyway: GC here must be provably safe)."""
+        import shutil  # noqa: PLC0415
+
+        doc = self._staged_doc(staged_id)
+        try:
+            os.remove(self._staged_path(staged_id))
+        except FileNotFoundError:
+            pass
+        referenced: set[str] = set()
+        for m in glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")):
+            try:
+                with open(m, encoding="utf-8") as fh:
+                    for e in json.load(fh)["entries"]:
+                        referenced.add(e["root"])
+            except (OSError, ValueError, KeyError):
+                continue
+        referenced |= self._staged_roots(exclude=staged_id)
+        for e in doc["entries"]:
+            if e.get("root") and e["root"] not in referenced:
+                shutil.rmtree(
+                    os.path.join(self.path, e["root"]), ignore_errors=True
+                )
+
+    def list_staged(self) -> list[dict]:
+        """Live staged snapshots — (id, mode, base_version, n_entries),
+        oldest first by doc mtime.  The operational view behind 'what
+        is awaiting audit' and age-based stage cleanup policies."""
+        out = []
+        for p in sorted(
+            glob.glob(os.path.join(self.path, _STAGEDIR, "*.json")),
+            key=lambda p: os.path.getmtime(p),
+        ):
+            try:
+                with open(p, encoding="utf-8") as fh:
+                    doc = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            out.append(
+                {
+                    "id": doc["id"],
+                    "mode": doc["mode"],
+                    "base_version": doc["base_version"],
+                    "n_entries": len(doc.get("entries", [])),
+                }
+            )
+        return out
+
     # ------------------------------------------------------------ misc
     def write(self, df: DataFrame, mode: str) -> int:
         """Mode dispatch (reference: spark-job/read.py:229-246) —
@@ -1552,6 +1818,9 @@ class ManagedTable:
                         referenced.add(e["root"])
             except (OSError, ValueError, KeyError):
                 continue
+        # staged-but-unpublished WAP roots are live state, not orphans:
+        # their audit window may be arbitrarily long
+        referenced |= self._staged_roots()
         removed: list[str] = []
         data_dir = os.path.join(self.path, "data")
         now = time.time()
@@ -1588,6 +1857,7 @@ class ManagedTable:
             ) as fh:
                 for e in json.load(fh)["entries"]:
                     referenced.add(e["root"])
+        referenced |= self._staged_roots()  # WAP stages awaiting publish
         expired = [v for v in versions if v not in keep]
         for v in expired:
             os.remove(os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json"))
