@@ -429,11 +429,12 @@ class ManagedTable:
         os.remove(quarantine)
         return True
 
-    def _cleanup_unreferenced(self, entries: list[dict]) -> None:
-        """Remove data roots among ``entries`` that no committed
-        manifest references (a conflict-losing commit's own output)."""
-        import shutil  # noqa: PLC0415
-
+    def _committed_roots(self) -> set[str]:
+        """Data roots referenced by any retained snapshot manifest —
+        the shared base of every GC decision (conflict cleanup, stage
+        discard, orphan vacuum).  Unreadable manifests contribute
+        nothing (conservative callers must union other live sources,
+        e.g. ``_staged_roots``, themselves)."""
         referenced: set[str] = set()
         for m in glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")):
             try:
@@ -442,6 +443,16 @@ class ManagedTable:
                         referenced.add(e["root"])
             except (OSError, ValueError, KeyError):
                 continue
+        return referenced
+
+    def _cleanup_unreferenced(self, entries: list[dict]) -> None:
+        """Remove data roots among ``entries`` that no committed
+        manifest AND no live staged doc references (a conflict-losing
+        commit's own output; a staged-but-unpublished WAP root is live
+        state even though no manifest names it yet)."""
+        import shutil  # noqa: PLC0415
+
+        referenced = self._committed_roots() | self._staged_roots()
         for e in entries:
             if e.get("root") and e["root"] not in referenced:
                 shutil.rmtree(
@@ -1435,53 +1446,69 @@ class ManagedTable:
         replay: the commit is tagged ``wap-<id>``, so a re-publish that
         finds the tag only removes the leftover staged doc."""
         doc = self._staged_doc(staged_id)
-        if rules:
-            report = [
-                r.asDict()
-                for r in self.audit_staged(
-                    staged_id, rules, refs, what=audit_what
-                ).collect()
-            ]
-            failed = [r for r in report if r["n_violations"] > 0]
-            if failed:
-                raise AuditFailedError(
-                    f"staged snapshot {staged_id} failed audit: "
-                    + "; ".join(
-                        f"{r['rule_id']}={r['n_violations']}" for r in failed
-                    )
-                    + " — stage kept for inspection (read_staged / "
-                    "discard_staged)",
-                    report,
-                )
         wap_tag = f"wap-{staged_id}"
+        # Idempotency probe FIRST: a crash-replay re-publish must not
+        # re-audit — the published staged root is already in the live
+        # manifest, so auditing (current + staged) would see every
+        # staged row twice and e.g. a unique rule would spuriously fail
+        # a publish whose only remaining work is removing the doc.
         if not self.has_commit_tag(wap_tag):
+            if rules:
+                report = [
+                    r.asDict()
+                    for r in self.audit_staged(
+                        staged_id, rules, refs, what=audit_what
+                    ).collect()
+                ]
+                failed = [r for r in report if r["n_violations"] > 0]
+                if failed:
+                    raise AuditFailedError(
+                        f"staged snapshot {staged_id} failed audit: "
+                        + "; ".join(
+                            f"{r['rule_id']}={r['n_violations']}" for r in failed
+                        )
+                        + " — stage kept for inspection (read_staged / "
+                        "discard_staged)",
+                        report,
+                    )
             entries = doc["entries"]
-            if doc["mode"] == "overwrite":
+            # empty-append stage: publishing nothing is a no-op (no
+            # version churn), matching append()'s empty-batch contract
+            if entries:
+                # One retry loop for all three modes, two properties the
+                # generic _commit_entry_with_retry lacks: (a) the wap tag
+                # is RE-PROBED per attempt — a concurrent publisher of
+                # the SAME staged id that wins the CAS must not be
+                # followed by a second commit of the same root (an
+                # append would permanently duplicate every row); (b) a
+                # terminal conflict NEVER garbage-collects the staged
+                # root (the generic helper's terminal cleanup would —
+                # only staged docs reference it, and the stage must
+                # survive for a later re-publish).
                 retries = int(self.meta.properties.get("commit.retries", 3))
                 for attempt in range(retries + 1):
+                    if attempt > 0 and self.has_commit_tag(wap_tag):
+                        break  # racing publisher of this stage won
+                    base = self._current_version()
+                    if doc["mode"] == "overwrite":
+                        new_entries = [dict(e) for e in entries]
+                    else:
+                        [entry] = entries
+                        e = dict(entry)
+                        if e.get("kind") == "delta":
+                            e["seq"] = base + 1
+                        new_entries = self._manifest_at(base) + [e]
                     try:
                         self._commit_snapshot(
-                            list(entries),
+                            new_entries,
                             tag=wap_tag,
                             cleanup_on_conflict=False,
-                            base_version=self._current_version(),
+                            base_version=base,
                         )
                         break
                     except CommitConflictError:
                         if attempt >= retries:
                             raise
-            elif entries:
-                # append / MOR-merge delta: version-independent single
-                # entry — the standard retrying entry commit, with the
-                # delta seq stamped per attempt
-                [entry] = entries
-                self._commit_entry_with_retry(
-                    dict(entry),
-                    tag=wap_tag,
-                    delta_seq=(entry.get("kind") == "delta"),
-                )
-            # empty-append stage: publishing nothing is a no-op (no
-            # version churn), matching append()'s empty-batch contract
         try:
             os.remove(self._staged_path(staged_id))
         except FileNotFoundError:
@@ -1500,15 +1527,9 @@ class ManagedTable:
             os.remove(self._staged_path(staged_id))
         except FileNotFoundError:
             pass
-        referenced: set[str] = set()
-        for m in glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")):
-            try:
-                with open(m, encoding="utf-8") as fh:
-                    for e in json.load(fh)["entries"]:
-                        referenced.add(e["root"])
-            except (OSError, ValueError, KeyError):
-                continue
-        referenced |= self._staged_roots(exclude=staged_id)
+        referenced = self._committed_roots() | self._staged_roots(
+            exclude=staged_id
+        )
         for e in doc["entries"]:
             if e.get("root") and e["root"] not in referenced:
                 shutil.rmtree(
@@ -1519,10 +1540,18 @@ class ManagedTable:
         """Live staged snapshots — (id, mode, base_version, n_entries),
         oldest first by doc mtime.  The operational view behind 'what
         is awaiting audit' and age-based stage cleanup policies."""
+        def _mtime(p: str) -> float:
+            # a doc published/discarded between glob and sort is not
+            # an error — this is the view OF concurrent activity
+            try:
+                return os.path.getmtime(p)
+            except OSError:
+                return 0.0
+
         out = []
         for p in sorted(
             glob.glob(os.path.join(self.path, _STAGEDIR, "*.json")),
-            key=lambda p: os.path.getmtime(p),
+            key=_mtime,
         ):
             try:
                 with open(p, encoding="utf-8") as fh:
@@ -1810,17 +1839,9 @@ class ManagedTable:
         import shutil  # noqa: PLC0415
         import time  # noqa: PLC0415
 
-        referenced: set[str] = set()
-        for m in glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")):
-            try:
-                with open(m, encoding="utf-8") as fh:
-                    for e in json.load(fh)["entries"]:
-                        referenced.add(e["root"])
-            except (OSError, ValueError, KeyError):
-                continue
         # staged-but-unpublished WAP roots are live state, not orphans:
         # their audit window may be arbitrarily long
-        referenced |= self._staged_roots()
+        referenced = self._committed_roots() | self._staged_roots()
         removed: list[str] = []
         data_dir = os.path.join(self.path, "data")
         now = time.time()

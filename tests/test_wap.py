@@ -182,6 +182,94 @@ def test_read_staged_unknown_id_raises(spark, tmp_path):
         t.read_staged("deadbeef")
 
 
+def test_terminal_publish_conflict_preserves_stage(spark, tmp_path):
+    """A publish that exhausts its CAS retries (e.g. a wedged slot
+    inside the orphan grace window) must leave the stage fully intact
+    — doc present, data root present, read_staged working — so a
+    later re-publish can succeed.  The generic entry-commit helper's
+    terminal cleanup would delete the root (only the staged doc
+    references it); publish must not."""
+    from s3_sqs_data_ingestion_demo_spark import table as table_mod
+
+    t = _mk(spark, tmp_path, properties={"commit.retries": "1"})
+    t.append(_df(spark, [(1, "a", 1)]))
+    sid = t.stage(_df(spark, [(2, "b", 2)]), mode="append")
+
+    real = t._commit_snapshot
+
+    def always_conflict(*a, **kw):
+        raise table_mod.CommitConflictError("wedged slot (injected)")
+
+    t._commit_snapshot = always_conflict
+    with pytest.raises(table_mod.CommitConflictError):
+        t.publish_staged(sid)
+    t._commit_snapshot = real
+
+    # stage survived the terminal failure
+    assert [s["id"] for s in t.list_staged()] == [sid]
+    assert t.read_staged(sid, what="delta").count() == 1
+    t.publish_staged(sid)
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+
+def test_crash_replay_publish_with_rules_does_not_spuriously_fail(
+    spark, tmp_path
+):
+    """Replayed publish WITH audit rules: the tag probe must run
+    BEFORE the audit — the staged root is already live in the
+    manifest, so re-auditing (current + staged) would double every
+    staged row and fire a phantom unique violation."""
+    t = _mk(spark, tmp_path)
+    sid = t.stage(_df(spark, [(1, "a", 1), (2, "b", 2)]), mode="append")
+    rules = [{"rule": "unique", "columns": ["k"]}]
+    doc_path = t._staged_path(sid)
+    with open(doc_path, encoding="utf-8") as fh:
+        doc_backup = fh.read()
+    v = t.publish_staged(sid, rules=rules)
+    # crash leftover: the staged doc resurfaces after the commit
+    with open(doc_path, "w", encoding="utf-8") as fh:
+        fh.write(doc_backup)
+    assert t.publish_staged(sid, rules=rules) == v  # no AuditFailedError
+    assert t.read().count() == 2
+    assert not os.path.exists(doc_path)
+
+
+def test_concurrent_publish_of_same_stage_commits_once(spark, tmp_path):
+    """Two publishers replaying the SAME staged id: the loser's CAS
+    retry must re-probe the wap tag and stop — a second commit of the
+    same append root would permanently duplicate every row."""
+    from s3_sqs_data_ingestion_demo_spark.table import (
+        CommitConflictError,
+        ManagedTable,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.append(_df(spark, [(1, "a", 1)]))
+    sid = t.stage(_df(spark, [(2, "b", 2)]), mode="append")
+
+    real = t._commit_snapshot
+    state = {"raced": False}
+
+    def racing_winner(entries, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # the competing publisher lands the SAME stage first...
+            other = ManagedTable.load(t.spark, t.path)
+            other._commit_snapshot(entries, **kw)
+            # ...and this publisher loses the slot
+            raise CommitConflictError("lost CAS to twin publisher")
+        return real(entries, **kw)
+
+    t._commit_snapshot = racing_winner
+    t.publish_staged(sid)
+    t._commit_snapshot = real
+
+    # exactly one tagged commit; no duplicated rows
+    snaps = t.snapshots()
+    assert snaps.filter(f"tag = 'wap-{sid}'").count() == 1
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+
 def test_discard_keeps_roots_shared_with_other_stages(spark, tmp_path):
     """GC safety net: discard never removes a root another live staged
     doc references (constructed by hand — stage roots are id-unique)."""
