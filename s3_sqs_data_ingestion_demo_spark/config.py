@@ -173,6 +173,59 @@ class IndexConfig:
 
 
 @dataclass
+class AuditConfig:
+    """Declarative write-audit-publish gate (``output_config.audit``):
+    every batch is STAGED (reader-invisible, table.py stage), the
+    constraint rules run over the staged view, and only a clean batch
+    publishes — the Iceberg WAP pattern wired into the ingest loop.
+
+    - ``rules``: quality_checks rule dicts (not_null / range /
+      accepted_values / unique / foreign_key).
+    - ``refs``: {name: parquet path} lookup tables for foreign_key
+      rules (read once per batch; broadcast-joined under AQE).
+    - ``view``: what the rules see — ``delta`` (the staged batch, the
+      cheap default) or ``table`` (the WOULD-BE post-publish table
+      state, for global invariants like post-merge uniqueness).
+    - ``on_fail``: ``fail`` (raise — batch pipelines), ``skip_batch``
+      (drop the batch, keep streaming; the SQS message still commits,
+      so a poison batch cannot redeliver forever) or ``quarantine``
+      (land the offending batch in a side table at
+      ``quarantine_path``, annotated with the violated rules — the
+      triage queue of a production feed).
+    """
+
+    rules: list[dict] = field(default_factory=list)
+    refs: dict[str, str] = field(default_factory=dict)
+    view: str = "delta"  # "delta" | "table"
+    on_fail: str = "fail"  # "fail" | "skip_batch" | "quarantine"
+    quarantine_path: str = ""
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "AuditConfig":
+        view = str(d.get("view", "delta"))
+        if view not in ("delta", "table"):
+            raise ValueError(f"audit.view must be delta|table, got {view!r}")
+        on_fail = str(d.get("on_fail", "fail"))
+        if on_fail not in ("fail", "skip_batch", "quarantine"):
+            raise ValueError(
+                "audit.on_fail must be fail|skip_batch|quarantine, "
+                f"got {on_fail!r}"
+            )
+        qp = str(d.get("quarantine_path", ""))
+        if on_fail == "quarantine" and not qp:
+            raise ValueError(
+                "audit.on_fail='quarantine' needs audit.quarantine_path"
+            )
+        return cls(
+            rules=[dict(r) for r in (d.get("rules") or [])],
+            refs={str(k): str(v) for k, v in (d.get("refs") or {}).items()},
+            view=view,
+            on_fail=on_fail,
+            quarantine_path=qp,
+        )
+
+
+@dataclass
 class OutputConfig:
     """Sink half of the job spec (reference: spark-job/job.json:28-39)."""
 
@@ -195,6 +248,7 @@ class OutputConfig:
     # Empty list = reference behavior (deletes upsert like any row).
     cdc_op_column: str = "Op"
     cdc_delete_values: list[str] = field(default_factory=list)
+    audit: AuditConfig = field(default_factory=AuditConfig)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "OutputConfig":
@@ -221,6 +275,7 @@ class OutputConfig:
             ],
             cdc_op_column=d.get("cdc_op_column", "Op"),
             cdc_delete_values=[str(v) for v in (d.get("cdc_delete_values") or [])],
+            audit=AuditConfig.from_dict(d.get("audit") or {}),
         )._validated()
 
     def _validated(self) -> "OutputConfig":
@@ -262,6 +317,35 @@ class OutputConfig:
                 "the index cannot dedup duplicate-key batches "
                 "identically"
             )
+        if self.audit.rules:
+            # WAP staging only supports the version-independent writes:
+            # a COW merge rewrite computed against one base manifest
+            # goes stale during the audit window (table.py stage).
+            # Refuse HERE — raising per batch would poison-loop the
+            # SQS path (same rationale as every check in this method).
+            if self.mode == "merge" and self.table_type.upper() != "MOR":
+                raise ValueError(
+                    "output_config.audit with mode='merge' requires "
+                    "table_type='MOR': staged COW merges cannot be "
+                    "published safely after the audit window "
+                    "(table.py stage)"
+                )
+            if self.merge_query:
+                try:
+                    text = _read_text(self.merge_query)
+                except (OSError, RuntimeError):
+                    text = None
+                if text is not None:
+                    from .plans import is_merge_into  # noqa: PLC0415
+
+                    if is_merge_into(text):
+                        raise ValueError(
+                            "output_config.audit is not supported with a "
+                            "verbatim MERGE INTO merge_query — the MERGE "
+                            "executes directly against the table, so "
+                            "there is no staged snapshot to audit; use "
+                            "key_columns merge mode (the shim) instead"
+                        )
         if self.cdc_delete_values and self.indexes:
             for ix in self.indexes:
                 if ix.id_column not in self.key_columns:

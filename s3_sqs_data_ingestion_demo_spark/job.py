@@ -130,6 +130,15 @@ def process_files(
                     "transform_query so the indexed frame matches "
                     "the table"
                 )
+            if out.audit.rules:
+                # parse-time check covers readable merge SQL; an
+                # S3-only file lands here — still before any write
+                raise ValueError(
+                    "output_config.audit is not supported with a "
+                    "verbatim MERGE INTO merge_query — the MERGE "
+                    "executes directly against the table, so there is "
+                    "no staged snapshot to audit"
+                )
             version = execute_merge_into(spark, table, df, text)
             if deletes is not None:
                 version = table.delete_keys(deletes)
@@ -150,12 +159,76 @@ def process_files(
         if deletes is not None:
             deletes = deletes.localCheckpoint(eager=True)
     table = ensure_target(spark, config)
-    version = table.write(df, out.mode)
+    if out.audit.rules:
+        version, accepted = _audited_write(spark, config, table, df)
+        if not accepted:
+            # the WHOLE batch is rejected: no deletes, no index folds,
+            # no maintenance cadence tick — the table (and everything
+            # derived from it) saw nothing
+            return version
+    else:
+        version = table.write(df, out.mode)
     if deletes is not None:
         version = table.delete_keys(deletes)
     _maintain_indexes(spark, config, df, files, deletes,
                       phases_out=index_phases)
     return _maybe_maintain(table, config) or version
+
+
+def _audited_write(
+    spark: SparkSession, config: JobConfig, table: ManagedTable, df: DataFrame
+) -> tuple[int, bool]:
+    """Write-audit-publish for one batch (``output_config.audit``):
+    stage → constraint gate → publish, with the configured rejection
+    policy.  Returns (version, accepted)."""
+    from .table import AuditFailedError  # noqa: PLC0415
+
+    out = config.output_config
+    aud = out.audit
+    sid = table.stage(df, mode=out.mode)
+    refs = {
+        name: spark.read.parquet(path) for name, path in aud.refs.items()
+    }
+    try:
+        v = table.publish_staged(
+            sid, rules=aud.rules, refs=refs or None, audit_what=aud.view
+        )
+        return v, True
+    except AuditFailedError as e:
+        failed = "; ".join(
+            f"{r['rule_id']}={r['n_violations']}"
+            for r in e.report
+            if r["n_violations"]
+        )
+        if aud.on_fail == "quarantine":
+            # land the offending batch (the staged delta — post-
+            # transform, pre-publish) in the side table, annotated
+            # with what fired; append BEFORE discarding the stage,
+            # which still owns the parquet being read
+            from pyspark.sql import functions as F  # noqa: PLC0415
+            from pyspark.sql import types as T  # noqa: PLC0415
+
+            qdf = table.read_staged(sid, what="delta").withColumn(
+                "_audit_failures", F.lit(failed)
+            )
+            qschema = T.StructType(
+                list(table.meta.schema.fields)
+                + [T.StructField("_audit_failures", T.StringType(), True)]
+            )
+            qt = ManagedTable.create_if_absent(
+                spark, aud.quarantine_path, qschema,
+                compression=table.meta.compression,
+            )
+            qt.append(qdf)
+        table.discard_staged(sid)
+        if aud.on_fail == "fail":
+            raise
+        log.warning(
+            "audit rejected batch (%s): %s — %s",
+            aud.on_fail, failed, "quarantined" if aud.on_fail == "quarantine"
+            else "dropped",
+        )
+        return table._current_version(), False
 
 
 def _maintain_indexes(
