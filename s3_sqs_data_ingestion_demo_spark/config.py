@@ -237,6 +237,10 @@ class OutputConfig:
     # read-time resolution, foldable via compaction — table.py)
     compression: str = "zstd"  # honored (reference read it but never applied)
     partition: list[str] = field(default_factory=list)
+    # hidden partitioning (Iceberg transforms): {"ts_day": "day(ts)"} —
+    # names listed in ``partition`` whose values are DERIVED from a
+    # schema column at write time and never appear in the table schema
+    partition_transforms: dict[str, str] = field(default_factory=dict)
     key_columns: list[str] = field(default_factory=list)
     order_column: str | None = None  # recency column for dedup/latest-wins
     merge_policy: str = "unconditional"  # "unconditional" | "latest_wins"
@@ -263,6 +267,10 @@ class OutputConfig:
             table_type=d.get("table_type", "COW"),
             compression=d.get("compression", "zstd"),
             partition=list(part),
+            partition_transforms={
+                str(k): str(v)
+                for k, v in (d.get("partition_transforms") or {}).items()
+            },
             key_columns=list(d.get("key_columns") or []),
             order_column=d.get("order_column"),
             merge_policy=d.get("merge_policy", "unconditional"),

@@ -617,6 +617,73 @@ def wap_audited_ingest_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "hidden_partition_week_events",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-14 23:59:59'
+    GROUP BY event_type
+    """,
+    rank=30,
+    driver=True,  # r07: new — gates hidden (transform) partitioning
+)
+def hidden_partition_week_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Hidden partitioning end-to-end (table.py partition_transforms —
+    Iceberg's signature ``day(ts)`` transform): the events feed lands
+    in a table whose STORAGE is day-partitioned by a column that never
+    exists in the schema, then a one-week range query on ``ts`` runs
+    through ``read_where`` — which maps the timestamp bounds into
+    partition-value space and subsets the hive dirs to the 7 touched
+    days before any file is opened (plus manifest-stats skipping, plus
+    parquet row-group pruning on the residual predicate).
+
+    Scale: this is THE time-series table layout at 100 TB — a year of
+    data is ~365 partitions, a week's query opens 7, and the user
+    never maintains a derived date column or remembers to filter on
+    it.  The oracle computes the same week directly on the raw
+    events."""
+    import datetime as _dt  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_hp_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = ManagedTable.create(
+        spark, path, schema,
+        partition_cols=["ts_day"],
+        partition_transforms={"ts_day": "day(ts)"},
+    )
+    tbl.append(
+        t(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    )
+    week = tbl.read_where(
+        "ts",
+        _dt.datetime(2024, 1, 8, 0, 0, 0),
+        _dt.datetime(2024, 1, 14, 23, 59, 59),
+    )
+    return week.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+    )
+
+
 # late-bound oracle: the generator lives in pipeline_queries, which
 # imports from queries (not from here) — no cycle, but the decorator
 # above runs at module import before we can reference it inline

@@ -60,6 +60,7 @@ def ensure_target(spark: SparkSession, config: JobConfig) -> ManagedTable:
         table_type=out.table_type,
         compression=out.compression,
         properties=out.table_properties,
+        partition_transforms=out.partition_transforms,
     )
 
 

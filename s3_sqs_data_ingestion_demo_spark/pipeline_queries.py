@@ -2497,7 +2497,9 @@ def pii_scrub_documents(spark: SparkSession, sf: str) -> DataFrame:
     return pii_scrub(t(spark, sf, "documents"))
 
 
-@query("tokenizer_fertility_documents", _fertility_oracle(8), driver=True, rank=25)
+@query("tokenizer_fertility_documents", _fertility_oracle(8),
+       driver=False,  # r07: rotated out for hidden_partition_week_events
+       rank=25)       # (long-green r5-r6; pytest parity + bench cover it)
 def tokenizer_fertility_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language tokenizer fertility (tokens/word, chars/token in
     exact ppm) after replaying the corpus-trained 8-merge BPE list —

@@ -48,6 +48,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import urllib.parse
 import uuid
 from collections.abc import Sequence
@@ -118,10 +119,71 @@ class TableMeta:
     table_type: str = "COW"  # accepted for parity; executed as COW
     compression: str = "zstd"
     properties: dict[str, str] = field(default_factory=dict)
+    # Hidden partitioning (Iceberg partition transforms): maps a
+    # partition column in ``partition_cols`` to a transform over a
+    # SOURCE column of the logical schema — "day(ts)" / "month(ts)" /
+    # "hour(ts)" / "bucket(16, id)" / "truncate(8, name)".  The
+    # derived column exists only in the storage layout (hive dirs),
+    # never in the logical schema: writers derive it, readers drop it,
+    # and predicates on the SOURCE column prune the dirs (see
+    # ``read_where``).  Identity partitions (no transform entry)
+    # behave exactly as before.
+    partition_transforms: dict[str, str] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
+
+
+# transform spec grammar: kind(source) or kind(param, source)
+_TRANSFORM_RE = re.compile(
+    r"^\s*(day|month|hour|bucket|truncate)\s*\(\s*"
+    r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
+
+
+def parse_transform(spec: str) -> tuple[str, int | None, str]:
+    """``"day(ts)"`` → ("day", None, "ts"); ``"bucket(16, id)"`` →
+    ("bucket", 16, "id").  Fails loudly on anything else."""
+    m = _TRANSFORM_RE.match(spec)
+    if not m:
+        raise ValueError(
+            f"bad partition transform {spec!r} — want day(col) | "
+            "month(col) | hour(col) | bucket(N, col) | truncate(W, col)"
+        )
+    kind, param, source = m.group(1), m.group(2), m.group(3)
+    if kind in ("bucket", "truncate"):
+        if param is None or int(param) <= 0:
+            raise ValueError(f"{kind} transform needs a positive width: {spec!r}")
+        return kind, int(param), source
+    if param is not None:
+        raise ValueError(f"{kind} transform takes no width: {spec!r}")
+    return kind, None, source
+
+
+def transform_expr(spec: str, dtype: T.DataType | None = None):
+    """The JVM-side Column computing a transform's partition value.
+    Date-ish transforms render zero-padded strings whose LEXICOGRAPHIC
+    order equals time order — the property dir pruning relies on."""
+    kind, param, source = parse_transform(spec)
+    c = F.col(source)
+    if kind == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    if kind == "month":
+        return F.date_format(c, "yyyy-MM")
+    if kind == "hour":
+        return F.date_format(c, "yyyy-MM-dd-HH")
+    if kind == "bucket":
+        # xxhash64 is seed-stable across Spark versions; pmod keeps the
+        # value in [0, N) for negative hashes
+        return F.pmod(F.xxhash64(c), F.lit(param)).cast("int")
+    # truncate: numbers floor to a multiple of W; strings take the
+    # W-char prefix — both monotone, so range pruning stays valid
+    if isinstance(dtype, T.StringType):
+        return F.substring(c, 1, param)
+    return (c - F.pmod(c, F.lit(param))).cast(
+        dtype.simpleString() if dtype is not None else "long"
+    )
 
 
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -166,15 +228,42 @@ class ManagedTable:
         table_type: str = "COW",
         compression: str = "zstd",
         properties: dict[str, str] | None = None,
+        partition_transforms: dict[str, str] | None = None,
     ) -> "ManagedTable":
         """Create an empty table from a schema contract (reference DDL
         path: spark-job/read.py:199-228; unlike the reference, the
-        configured compression codec is actually honored)."""
+        configured compression codec is actually honored).
+
+        ``partition_transforms`` maps partition-column names to hidden
+        transforms over logical columns (Iceberg partition specs):
+        ``{"ts_day": "day(ts)"}`` partitions storage by the day of
+        ``ts`` without ``ts_day`` ever appearing in the schema."""
         if cls.exists(path):
             raise FileExistsError(f"table already exists at {path}")
+        transforms = dict(partition_transforms or {})
+        names = schema.fieldNames()
+        for pcol, spec in transforms.items():
+            if pcol in names:
+                raise ValueError(
+                    f"transform partition column {pcol!r} collides with a "
+                    "schema column — hidden partitions are storage-only; "
+                    "use an identity partition for a real column"
+                )
+            _, _, source = parse_transform(spec)  # validates the spec
+            if source not in names:
+                raise ValueError(
+                    f"partition transform {spec!r}: source column "
+                    f"{source!r} not in schema"
+                )
         for c in partition_cols:
-            if c not in schema.fieldNames():
+            if c not in names and c not in transforms:
                 raise ValueError(f"partition column {c!r} not in schema")
+        for pcol in transforms:
+            if pcol not in partition_cols:
+                raise ValueError(
+                    f"transform column {pcol!r} must be listed in "
+                    "partition_cols"
+                )
         meta = TableMeta(
             schema_json=json.dumps(schema.jsonValue()),
             partition_cols=list(partition_cols),
@@ -184,6 +273,7 @@ class ManagedTable:
             table_type=table_type,
             compression=compression,
             properties=dict(properties or {}),
+            partition_transforms=transforms,
         )
         os.makedirs(os.path.join(path, _SNAPDIR), exist_ok=True)
         with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
@@ -619,6 +709,114 @@ class ManagedTable:
             return False
         return not (hi is not None and mn > hi)
 
+    def _transformed_bounds(self, spec: str, lo, hi):
+        """Map a [lo, hi] range on a transform's SOURCE column to the
+        corresponding bounds in partition-value space, or None when the
+        transform/bound shape can't be pruned (caller keeps the dir).
+        Monotone transforms (date renders, truncate) map ranges; bucket
+        maps only point lookups (lo == hi)."""
+        kind, param, _ = parse_transform(spec)
+        if kind in ("day", "month", "hour"):
+            fmt = {
+                "day": "%Y-%m-%d", "month": "%Y-%m", "hour": "%Y-%m-%d-%H",
+            }[kind]
+            try:
+                return (
+                    lo.strftime(fmt) if lo is not None else None,
+                    hi.strftime(fmt) if hi is not None else None,
+                )
+            except AttributeError:
+                return None  # bound isn't date-like; don't prune
+        if kind == "truncate":
+            if lo is not None and isinstance(lo, str) or (
+                hi is not None and isinstance(hi, str)
+            ):
+                return (
+                    lo[:param] if lo is not None else None,
+                    hi[:param] if hi is not None else None,
+                )
+            try:
+                return (
+                    lo - (lo % param) if lo is not None else None,
+                    hi - (hi % param) if hi is not None else None,
+                )
+            except TypeError:
+                return None
+        if kind == "bucket" and lo is not None and lo == hi:
+            # one bounded 1-row job computes the bucket of the point
+            # with the exact JVM hash the writer used — the literal is
+            # cast to the SOURCE column's type first (xxhash64 hashes
+            # the physical representation: an int literal and a long
+            # column hash differently)
+            probe = F.lit(lo)
+            dtype = self._source_dtype(spec)
+            if dtype is not None:
+                probe = probe.cast(dtype)
+            b = (
+                self.spark.range(1)
+                .select(F.pmod(F.xxhash64(probe), F.lit(param)).cast("int"))
+                .collect()[0][0]
+            )
+            return (b, b)
+        return None
+
+    def _prune_entry_parts(self, entry: dict, col: str, lo, hi):
+        """Hidden-partition dir pruning: subset an entry's hive parts
+        to those whose transform-partition value can intersect the
+        [lo, hi] range on the SOURCE column ``col``.  Returns the
+        (possibly subset) entry, or None when no part survives.  Null
+        partition dirs are ALWAYS kept — MOR tombstones null their
+        non-key columns, so a tombstone masking an in-range row lives
+        in the null dir and pruning it would resurrect deleted keys."""
+        parts = entry.get("parts")
+        if not parts or (lo is None and hi is None):
+            return entry
+        specs = [
+            (pcol, spec)
+            for pcol, spec in self.meta.partition_transforms.items()
+            if parse_transform(spec)[2] == col
+        ]
+        if not specs:
+            return entry
+        kept = []
+        for part in parts:
+            seg_vals = {}
+            for seg in part.split("/"):
+                name, _, raw = seg.partition("=")
+                seg_vals[name] = raw
+            keep = True
+            for pcol, spec in specs:
+                raw = seg_vals.get(pcol)
+                if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                    continue  # unknown or null dir: keep (see docstring)
+                val = urllib.parse.unquote(raw)
+                bounds = self._transformed_bounds(spec, lo, hi)
+                if bounds is None:
+                    continue
+                lo_t, hi_t = bounds
+                kind = parse_transform(spec)[0]
+                if kind in ("bucket", "truncate") and not isinstance(
+                    lo_t if lo_t is not None else hi_t, str
+                ):
+                    try:
+                        val = type(lo_t if lo_t is not None else hi_t)(val)
+                    except (TypeError, ValueError):
+                        continue
+                if (lo_t is not None and val < lo_t) or (
+                    hi_t is not None and val > hi_t
+                ):
+                    keep = False
+                    break
+            if keep:
+                kept.append(part)
+        if not kept:
+            return None
+        if len(kept) == len(parts):
+            return entry
+        out = dict(entry, parts=kept)
+        # entry-level stats remain valid bounds for any subset
+        return out
+
     def read_where(self, col: str, lo=None, hi=None) -> DataFrame:
         """Point/range read with MANIFEST-LEVEL pruning (the skip
         Iceberg gets from manifest stats): data roots whose per-entry
@@ -628,15 +826,24 @@ class ManagedTable:
         history.  The predicate is ALSO applied to the assembled rows,
         so results are exact whether or not stats exist.
 
+        Hidden partitioning composes here: when ``col`` is the source
+        of a partition transform, each surviving entry's hive dirs are
+        additionally subset to the partitions the range can touch
+        (``_prune_entry_parts``) — the Iceberg behavior where a
+        predicate on ``ts`` prunes ``day(ts)`` partitions the user
+        never sees.
+
         Correctness with MOR resolution: an entry that cannot contain
         the key contributes no version of it, so skipping it never
         changes the winning row; tombstone entries are pruned by the
-        same rule."""
-        entries = [
-            e
-            for e in self._read_manifest()
-            if self._entry_may_contain(e, col, lo, hi)
-        ]
+        same rule (and their null dirs are always kept)."""
+        entries = []
+        for e in self._read_manifest():
+            if not self._entry_may_contain(e, col, lo, hi):
+                continue
+            e = self._prune_entry_parts(e, col, lo, hi)
+            if e is not None:
+                entries.append(e)
         out = self._assemble(entries)
         c = F.col(col)
         if lo is not None:
@@ -963,6 +1170,26 @@ class ManagedTable:
                 stacklevel=3,
             )
 
+    def _source_dtype(self, spec: str) -> T.DataType | None:
+        _, _, source = parse_transform(spec)
+        for f in self.meta.schema.fields:
+            if f.name == source:
+                return f.dataType
+        return None
+
+    def _with_partition_cols(self, df: DataFrame) -> DataFrame:
+        """Add the hidden (transform-derived) partition columns — the
+        writer-side half of hidden partitioning.  Identity partitions
+        are already real columns; derived ones are computed here and
+        exist only between this projection and the hive directory
+        name."""
+        for pcol, spec in self.meta.partition_transforms.items():
+            if pcol not in df.columns:
+                df = df.withColumn(
+                    pcol, transform_expr(spec, self._source_dtype(spec))
+                )
+        return df
+
     def _write_data(self, df: DataFrame, root: str) -> dict:
         # File-count bounding (table property "write.max-delta-files"):
         # tables fed by trigger-bounded increments (streaming signature
@@ -977,6 +1204,11 @@ class ManagedTable:
         max_files = self.meta.properties.get("write.max-delta-files")
         if max_files:
             df = df.coalesce(max(1, int(max_files)))
+        if self.meta.partition_cols:
+            # hidden-partition columns are derived here, become hive
+            # dirs below, and are dropped again on read — they never
+            # exist in the logical schema
+            df = self._with_partition_cols(df)
         writer = df.write.option("compression", self.meta.compression)
         # File-size targeting (table property "write.target-file-rows"):
         # caps rows per parquet file so snapshots land as evenly-sized
@@ -1110,7 +1342,15 @@ class ManagedTable:
         cap = int(
             self.meta.properties.get("merge.max-affected-partitions", 10_000)
         )
-        part_rows = src.select(*parts_cols).distinct().limit(cap + 1).collect()
+        # hidden partitions: derive the batch's transform values the
+        # same way the writer will, so pruning matches the layout
+        part_rows = (
+            self._with_partition_cols(src)
+            .select(*parts_cols)
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+        )
         if len(part_rows) > cap:
             merged = merge_upsert(
                 self._assemble(entries), src, keys, merge_order, policy
@@ -1212,7 +1452,8 @@ class ManagedTable:
                 self.meta.properties.get("merge.max-affected-partitions", 10_000)
             )
             part_rows = (
-                self._assemble(entries).filter(match).select(*parts_cols)
+                self._with_partition_cols(self._assemble(entries).filter(match))
+                .select(*parts_cols)
                 .distinct().limit(cap + 1).collect()
             )
             if not part_rows:
