@@ -1571,7 +1571,7 @@ def q_grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
              AS exact_guaranteed
     FROM ranked WHERE rn <= 10
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (green r5+r6; pytest parity + bench)
     rank=25,
 )
 def q_heavy_hitter_users(spark: SparkSession, sf: str) -> DataFrame:

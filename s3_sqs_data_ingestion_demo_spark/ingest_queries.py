@@ -256,6 +256,86 @@ def incremental_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_rollup_upsert_orders",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) + 500 AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+    rank=20,
+)
+def incremental_rollup_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance over an UPSERT + DELETE stream —
+    the retraction path (operators/rollup.py + table.read_changes_cdf):
+    bootstrap-append, then a merge batch that both updates rows INTO a
+    different group ('X' — contributions must move between groups via
+    pre-image retraction + post-image addition) and inserts new keys,
+    then a tombstoned delete batch; the rollup is refreshed after each
+    from the table's change feed, never re-aggregated.  Sums live in
+    integer cents carried as doubles (exact to 2^53), so incremental
+    add/subtract is bit-exact against the oracle's full re-aggregation
+    of the final state.  Scale shape per refresh: O(window rows +
+    matching base keys + affected groups) — the base pre-image read is
+    key-restricted below the MOR resolution window and manifest-stats
+    pruned."""
+    from .operators.rollup import create_rollup, refresh_rollup  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_rollup_ivm_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    dst = create_rollup(src, os.path.join(base, "rollup"),
+                        ["o_orderstatus"], ["price_cents"])
+    src.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    src.merge(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    src.delete_keys(
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    return dst.read().select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+    )
+
+
 _SCD_SCHEMA = T.StructType(
     [
         T.StructField("o_orderkey", T.LongType(), False),

@@ -121,6 +121,11 @@ def build_ivf_index(
             # stats: funds read_where_in's manifest skip on the query
             # path (cell_id is the scan column, vec_id the key)
             "write.stats-columns": "cell_id",
+            # cell_id-clustered compaction scatters vec_id, so
+            # takedowns (point lookups by vec_id) get parquet-bloom
+            # row-group skips instead of min/max
+            "write.bloom-columns": "vec_id",
+            "write.bloom-ndv": "100000",
         },
     )
     at.overwrite(_assign_to_cells(corpus, ct.read(), id_col, vec_col))

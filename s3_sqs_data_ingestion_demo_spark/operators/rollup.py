@@ -78,27 +78,41 @@ def refresh_rollup(
     returns the new rollup version (current version when there was
     nothing to consume).
 
-    Fails loudly if the consumed window contains merge (delta) commits
-    — additive maintenance cannot represent updates without
-    retractions (see module docstring)."""
+    Append-only windows consume the plain change feed (one aggregate
+    over the new files, weight +1 per row).  Windows containing merge
+    deltas, tombstoned deletes, or rewrites consume the CDF instead
+    (``read_changes_cdf``): pre-images and deletes contribute weight
+    -1 — the retraction — and post-images/inserts +1, so updates move
+    a row's contribution between groups exactly.  Groups whose count
+    reaches zero are deleted from the rollup, not left as zero rows.
+    Refresh cost stays O(window + matching base keys + affected
+    groups)."""
     last = int(dst.meta.properties.get(_STATE_KEY, 1))
     cur = src._current_version()
     if cur <= last:
         return dst._current_version()
-    # append-only guard: every entry added in (last, cur] must be a
-    # plain append, not a merge delta
     old_entries = src._manifest_at(last)
-    for e in src._manifest_at(cur):
-        if e not in old_entries and e.get("kind") == "delta":
-            raise ValueError(
-                "refresh_rollup consumes an append-only change stream; "
-                f"source window v{last}->v{cur} contains merge commits "
-                "(updates need retraction handling)"
-            )
-    delta = src.read_changes(last, cur)
+    new_entries = src._manifest_at(cur)
+    pure_append = all(e in new_entries for e in old_entries) and not any(
+        e not in old_entries and e.get("kind") in ("delta", "tombstone")
+        for e in new_entries
+    )
+    if pure_append:
+        delta = src.read_changes(last, cur).withColumn("_w", F.lit(1))
+    else:
+        cdf = src.read_changes_cdf(last, cur)
+        delta = cdf.withColumn(
+            "_w",
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"), 1
+            ).otherwise(-1),
+        ).drop("_change_type")
     agg = delta.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("_d_n"),
-        *[F.sum(F.col(c).cast("double")).alias(f"_d_{c}") for c in sum_cols],
+        F.sum("_w").alias("_d_n"),
+        *[
+            F.sum(F.col("_w") * F.col(c).cast("double")).alias(f"_d_{c}")
+            for c in sum_cols
+        ],
     )
     # current values of ONLY the affected groups (rollup tables are
     # group-cardinality-sized; the join is on the rollup's key)
@@ -110,12 +124,19 @@ def refresh_rollup(
             (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_d_n")).alias("n_rows"),
             *[
                 (
-                    F.coalesce(F.col(f"sum_{c}"), F.lit(0.0)) + F.col(f"_d_{c}")
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+                    + F.coalesce(F.col(f"_d_{c}"), F.lit(0.0))
                 ).alias(f"sum_{c}")
                 for c in sum_cols
             ],
         )
+        # group-cardinality-bounded frame read twice (upsert + the
+        # emptied-group delete) — pin it once
+        .localCheckpoint(eager=True)
     )
-    version = dst.merge(combined)
+    version = dst.merge(combined.filter(F.col("n_rows") > 0))
+    emptied = combined.filter(F.col("n_rows") <= 0).select(*group_cols)
+    if not emptied.isEmpty():
+        version = dst.delete_keys(emptied)
     dst.set_properties(**{_STATE_KEY: cur})
     return version

@@ -123,7 +123,15 @@ def create_search_index(
         _POSTINGS_SCHEMA,
         key_cols=["term", "doc_id"],
         table_type="MOR",
-        properties={"write.max-delta-files": "8"},
+        properties={
+            "write.max-delta-files": "8",
+            # postings are term-clustered by compaction, so doc_id is
+            # scattered across every file: removals/takedowns (point
+            # lookups BY doc_id) can't ride min/max stats.  Parquet
+            # blooms on doc_id give them row-group skips instead.
+            "write.bloom-columns": "doc_id",
+            "write.bloom-ndv": "100000",
+        },
     )
     st = ManagedTable.create_if_absent(
         spark, _stats_path(path), _STATS_SCHEMA,

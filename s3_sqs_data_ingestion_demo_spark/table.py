@@ -48,7 +48,9 @@ from __future__ import annotations
 import glob
 import json
 import os
+import random
 import re
+import time
 import urllib.parse
 import uuid
 from collections.abc import Sequence
@@ -601,7 +603,18 @@ class ManagedTable:
                 # data roots are writer-unique, so the already-written
                 # root re-commits verbatim against the fresh manifest —
                 # the loop re-anchors base (and the MOR seq) and tries
-                # the next version slot
+                # the next version slot.  A lost race is only PROGRESS
+                # once the winner publishes: until CURRENT advances,
+                # re-anchoring lands on the same slot and the same
+                # O_EXCL failure, so a tight loop can exhaust the whole
+                # retry budget against one mid-publish competitor.
+                # Back off (bounded, jittered) while no new version is
+                # visible; retry immediately once it is.
+                if self._current_version() == base:
+                    time.sleep(
+                        min(0.25, 0.005 * (2**attempt))
+                        * (0.5 + random.random())
+                    )
         raise AssertionError("unreachable")  # pragma: no cover
 
     # ------------------------------------------------------------ read
@@ -623,7 +636,9 @@ class ManagedTable:
         # types, order, and null-fill; skip the no-op cast projection
         return reader.parquet(root)
 
-    def _assemble(self, entries: list[dict]) -> DataFrame:
+    def _assemble(
+        self, entries: list[dict], restrict_keys: DataFrame | None = None
+    ) -> DataFrame:
         """Union the manifest's entries; when delta entries are present
         (MOR tables), resolve row versions at read time; when
         tombstone entries are present (MOR deletes), drop rows whose
@@ -636,6 +651,13 @@ class ManagedTable:
         appends, reads pay one key-shuffle of the live data until
         ``compact()`` rewrites deltas (and folds tombstones away) into
         the base.
+
+        ``restrict_keys`` (a distinct frame of the table's key columns)
+        limits the result to those keys via a semi-join applied BELOW
+        the resolution window — safe because resolution partitions by
+        exactly those keys, so dropping whole key-groups early never
+        changes which version wins.  Used by the change feed to read
+        pre/post images of only the affected keys.
         """
         tomb_entries = [e for e in entries if e.get("kind") == "tombstone"]
         data_entries = [e for e in entries if e.get("kind") != "tombstone"]
@@ -644,11 +666,14 @@ class ManagedTable:
         needs_seq = tomb_entries or any(
             e.get("kind") == "delta" for e in data_entries
         )
+        key_list = list(self.meta.key_cols)
         if not needs_seq:
             dfs = [self._read_entry(e) for e in data_entries]
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d)
+            if restrict_keys is not None:
+                out = out.join(restrict_keys, key_list, "left_semi")
             return out
 
         dfs = [
@@ -658,6 +683,8 @@ class ManagedTable:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        if restrict_keys is not None:
+            out = out.join(restrict_keys, key_list, "left_semi")
         keys = self.meta.key_cols
         order_exprs = []
         if (
@@ -1220,6 +1247,31 @@ class ManagedTable:
         target_rows = self.meta.properties.get("write.target-file-rows")
         if target_rows:
             writer = writer.option("maxRecordsPerFile", int(target_rows))
+        # Point-lookup skipping (table property "write.bloom-columns"):
+        # per-column parquet bloom filters, written by the parquet
+        # encoder itself so they scale with the file instead of the
+        # manifest (a manifest-level bloom saturates on any bulk entry;
+        # the file-level filter is sized per row group).  The scan side
+        # needs no code: Spark's parquet reader consults blooms for
+        # pushed =/IN predicates (parquet.filter.bloom.enabled defaults
+        # true), so ``read_where_in``/``delete_keys``/``forget_keys``
+        # skip row groups that min/max stats can't rule out — the
+        # non-monotone-key (uuid-ish) case where range stats are
+        # useless.  Costs write-side memory per distinct value, so it
+        # is opt-in per table, aimed at the keyed index tables.
+        bloom_cols = self.meta.properties.get("write.bloom-columns")
+        if bloom_cols:
+            ndv = self.meta.properties.get("write.bloom-ndv")
+            for c in (x.strip() for x in bloom_cols.split(",")):
+                if not c:
+                    continue
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{c}", "true"
+                )
+                if ndv:
+                    writer = writer.option(
+                        f"parquet.bloom.filter.expected.ndv#{c}", int(ndv)
+                    )
         if self.meta.partition_cols:
             writer = writer.partitionBy(*self.meta.partition_cols)
         try:
@@ -1935,6 +1987,152 @@ class ManagedTable:
             added = [e for e in new if e not in old]
             return self._assemble(added)
         return self._assemble(new).exceptAll(self._assemble(old))
+
+    def read_changes_cdf(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Net-effect change feed WITH row images (Delta-CDF shape):
+        each row carries ``_change_type`` in {insert, update_preimage,
+        update_postimage, delete} describing how the table's live state
+        moved across the window — the feed an incrementally-maintained
+        aggregate consumes (pre-images are the retractions additive
+        maintenance needs to handle updates and deletes).
+
+        Semantics are WINDOW NET-EFFECT keyed by the table's key
+        columns: a key upserted three times in the window emits one
+        pre + one post image; a key deleted then re-inserted emits an
+        update; an upsert landing a byte-identical row emits nothing.
+        (Delta's CDF is per-commit; the windowed net effect is what
+        downstream maintenance consumes and is strictly cheaper — no
+        per-commit replay.)  Keyed classification assumes the keyed
+        contract — one live row per key; append-only windows bypass it
+        (plain appends never replace rows, so they are pure inserts
+        even when keys repeat).
+
+        Cost on the MOR fast path (old manifest intact; window adds
+        only append/delta/tombstone entries): O(window data + matching
+        base rows).  Affected keys come from the new entries alone; the
+        base is read restricted to those keys — a semi-join pushed
+        BELOW the resolution window — over only the entries whose
+        first-key-column stats intersect the affected key range
+        (manifest min/max skip, the same pruning ``read_where`` rides).
+        Rewriting windows (COW merge, overwrite; a compaction's
+        content-neutral rewrite cancels out) fall back to a full keyed
+        diff — the trade ``read_changes`` already documents; keyless
+        tables diff as multisets (``exceptAll`` both ways).
+        """
+        to_version = (
+            self._current_version() if to_version is None else to_version
+        )
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} is newer than {to_version}"
+            )
+        schema = self.meta.schema
+        cols = schema.fieldNames()
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_change_type", T.StringType(), False)]
+        )
+        empty = self.spark.createDataFrame([], out_schema)
+        if from_version == to_version:
+            return empty
+        old = self._manifest_at(from_version)
+        new = self._manifest_at(to_version)
+        keys = list(self.meta.key_cols)
+
+        def _classify(pre: DataFrame, post: DataFrame) -> DataFrame:
+            nonkey = [c for c in cols if c not in keys]
+
+            def _pack(df: DataFrame, name: str) -> DataFrame:
+                img = (
+                    F.struct(*[F.col(c) for c in nonkey])
+                    if nonkey
+                    # all-key schema: the key IS the row; any non-null
+                    # marker makes presence detectable after the join
+                    else F.lit(True)
+                )
+                return df.select(*keys, img.alias(name))
+
+            j = _pack(pre, "_pre").join(_pack(post, "_post"), keys, "full_outer")
+
+            def _emit(side: str, ctype: str, frame: DataFrame) -> DataFrame:
+                sel = [
+                    F.col(c)
+                    if c in keys
+                    else F.col(side).getField(c).alias(c)
+                    for c in cols
+                ]
+                return frame.select(
+                    *sel, F.lit(ctype).alias("_change_type")
+                )
+
+            ins = _emit(
+                "_post",
+                "insert",
+                j.filter(F.col("_pre").isNull() & F.col("_post").isNotNull()),
+            )
+            dels = _emit(
+                "_pre",
+                "delete",
+                j.filter(F.col("_post").isNull() & F.col("_pre").isNotNull()),
+            )
+            changed = j.filter(
+                F.col("_pre").isNotNull()
+                & F.col("_post").isNotNull()
+                & ~F.col("_pre").eqNullSafe(F.col("_post"))
+            )
+            return (
+                ins.unionByName(_emit("_pre", "update_preimage", changed))
+                .unionByName(_emit("_post", "update_postimage", changed))
+                .unionByName(dels)
+            )
+
+        if all(e in new for e in old):
+            added = [e for e in new if e not in old]
+            if not added:
+                return empty
+            if not any(
+                e.get("kind") in ("delta", "tombstone") for e in added
+            ):
+                return self._assemble(added).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            if not keys:  # deltas/tombstones only exist on keyed tables
+                raise RuntimeError(
+                    "manifest window contains delta/tombstone entries on a "
+                    "keyless table — corrupt metadata"
+                )
+            kdfs = [self._read_entry(e).select(*keys) for e in added]
+            affected = kdfs[0]
+            for d in kdfs[1:]:
+                affected = affected.unionByName(d)
+            # window-bounded frame reused by two semi-joins and a
+            # bounds agg: pin it once (and give AQE a known size, so
+            # small windows broadcast)
+            affected = affected.distinct().localCheckpoint(eager=True)
+            k0 = keys[0]
+            row = affected.agg(F.min(k0), F.max(k0)).collect()[0]
+            lo, hi = row[0], row[1]
+            pruned_old = [
+                e for e in old if self._entry_may_contain(e, k0, lo, hi)
+            ]
+            pruned_new = [
+                e for e in new if self._entry_may_contain(e, k0, lo, hi)
+            ]
+            pre = self._assemble(pruned_old, restrict_keys=affected)
+            post = self._assemble(pruned_new, restrict_keys=affected)
+            return _classify(pre, post)
+
+        pre = self._assemble(old)
+        post = self._assemble(new)
+        if keys:
+            return _classify(pre, post)
+        return post.exceptAll(pre).withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(
+            pre.exceptAll(post).withColumn("_change_type", F.lit("delete"))
+        )
 
     # ------------------------------------------------ schema evolution
     def add_columns(self, new_fields: Sequence[T.StructField]) -> None:

@@ -119,7 +119,46 @@ def test_rollup_incremental_equals_full_recompute(spark, tmp_path):
     assert {r.grp: (r.n_rows, r.sum_v) for r in dst.read().collect()} == got2
 
 
-def test_rollup_refuses_update_streams(spark, tmp_path):
+def test_rollup_update_stream_retractions(spark, tmp_path):
+    """Updates maintain the rollup via CDF retractions: an in-group
+    value change adjusts the sum only; a group-moving update shifts
+    the row's whole contribution between groups."""
+    src = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "src"), SRC_SCHEMA,
+        key_cols=["id"], table_type="MOR",
+    )
+    dst = create_rollup(src, os.path.join(str(tmp_path), "r"), ["grp"], ["v"])
+    src.append(_rows(spark, [(1, "a", 10), (2, "a", 5), (3, "b", 1)]))
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    # in-group update (1: 10->99) + group move (3: b->a) + insert (4)
+    src.merge(_rows(spark, [(1, "a", 99), (3, "a", 1), (4, "c", 7)]))
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    got = {r.grp: (r.n_rows, r.sum_v) for r in dst.read().collect()}
+    assert got == {"a": (3, 105.0), "c": (1, 7.0)}
+    # group "b" emptied by the move: its row is DELETED, not zeroed
+    assert "b" not in got
+
+
+def test_rollup_delete_stream_retractions(spark, tmp_path):
+    src = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "src"), SRC_SCHEMA,
+        key_cols=["id"], table_type="MOR",
+    )
+    dst = create_rollup(src, os.path.join(str(tmp_path), "r"), ["grp"], ["v"])
+    src.append(_rows(spark, [(1, "a", 10), (2, "a", 5), (3, "b", 1)]))
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    src.delete_keys(spark.createDataFrame([(2,), (3,)], "id long"))
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    got = {r.grp: (r.n_rows, r.sum_v) for r in dst.read().collect()}
+    assert got == {"a": (1, 10.0)}
+    # a later re-insert revives the emptied group through the same feed
+    src.append(_rows(spark, [(5, "b", 42)]))
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    got = {r.grp: (r.n_rows, r.sum_v) for r in dst.read().collect()}
+    assert got == {"a": (1, 10.0), "b": (1, 42.0)}
+
+
+def test_rollup_noop_upsert_window_changes_nothing(spark, tmp_path):
     src = ManagedTable.create(
         spark, os.path.join(str(tmp_path), "src"), SRC_SCHEMA,
         key_cols=["id"], table_type="MOR",
@@ -127,9 +166,14 @@ def test_rollup_refuses_update_streams(spark, tmp_path):
     dst = create_rollup(src, os.path.join(str(tmp_path), "r"), ["grp"], ["v"])
     src.append(_rows(spark, [(1, "a", 10)]))
     refresh_rollup(src, dst, ["grp"], ["v"])
-    src.merge(_rows(spark, [(1, "a", 99)]))  # an UPDATE, needs retraction
-    with pytest.raises(ValueError, match="append-only"):
-        refresh_rollup(src, dst, ["grp"], ["v"])
+    v_dst = dst._current_version()
+    src.merge(_rows(spark, [(1, "a", 10)]))  # byte-identical upsert
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    got = {r.grp: (r.n_rows, r.sum_v) for r in dst.read().collect()}
+    assert got == {"a": (1, 10.0)}
+    # the CDF suppressed the no-op, so the fold had nothing to write
+    # beyond (at most) a rowless state bump — the group values hold
+    assert dst._current_version() >= v_dst
 
 
 def test_rollup_state_survives_reload(spark, tmp_path):
