@@ -1099,8 +1099,11 @@ class ManagedTable:
             for f in self.meta.schema.fields
             if f.name in key_set and isinstance(f.dataType, self._STATS_TYPES)
         ]
-        if not cols or self.meta.properties.get("write.collect-stats") == "false":
+        if self.meta.properties.get("write.collect-stats") == "false":
             return None
+        # no stats-eligible columns (e.g. keyless table): the footer
+        # pass still runs for "__rows" alone — it funds the
+        # metadata-only count_rows() and the emptiness proofs
         part_set = set(self.meta.partition_cols)
         file_cols = {f.name for f in cols if f.name not in part_set}
         stats: dict[str, list] = {}
@@ -1123,25 +1126,26 @@ class ManagedTable:
             self._warn_stats_skipped("pyarrow is not importable")
             return None
         try:
-            if file_cols:
-                for path in glob.glob(
-                    os.path.join(root, "**", "*.parquet"), recursive=True
-                ):
-                    md = pq.ParquetFile(path).metadata
-                    n_rows += md.num_rows
-                    for rg in range(md.num_row_groups):
-                        grp = md.row_group(rg)
-                        for ci in range(grp.num_columns):
-                            chunk = grp.column(ci)
-                            name = chunk.path_in_schema
-                            if name not in file_cols or name in dropped:
-                                continue
-                            st = chunk.statistics
-                            if st is None or not st.has_min_max:
-                                dropped.add(name)
-                                stats.pop(name, None)
-                                continue
-                            _update(name, st.min, st.max)
+            for path in glob.glob(
+                os.path.join(root, "**", "*.parquet"), recursive=True
+            ):
+                md = pq.ParquetFile(path).metadata
+                n_rows += md.num_rows
+                if not file_cols:
+                    continue
+                for rg in range(md.num_row_groups):
+                    grp = md.row_group(rg)
+                    for ci in range(grp.num_columns):
+                        chunk = grp.column(ci)
+                        name = chunk.path_in_schema
+                        if name not in file_cols or name in dropped:
+                            continue
+                        st = chunk.statistics
+                        if st is None or not st.has_min_max:
+                            dropped.add(name)
+                            stats.pop(name, None)
+                            continue
+                        _update(name, st.min, st.max)
             # partition-column keys: bounds come from the hive dir
             # names (typed via the table contract, like Spark's
             # partition-column resolution under an explicit schema)
@@ -1170,13 +1174,12 @@ class ManagedTable:
             self._warn_stats_skipped(f"{type(exc).__name__}: {exc}")
             return None
         # "__rows" rides the stats dict (the name cannot collide with a
-        # real column: readers access stats by column name only).  It
-        # exists for exactly one proof: a ZERO-row entry — an empty
-        # merge delta or an overwrite-to-empty — cannot contain any
-        # key, so disjointness checks may skip it instead of failing
-        # on its (necessarily absent) column stats.
-        if file_cols:
-            stats["__rows"] = n_rows
+        # real column: readers access stats by column name only).  Two
+        # consumers: the disjointness proofs (a ZERO-row entry — an
+        # empty merge delta or an overwrite-to-empty — cannot contain
+        # any key, so they skip it instead of failing on its absent
+        # column stats) and the metadata-only ``count_rows``.
+        stats["__rows"] = n_rows
         return stats or None
 
     _stats_warned = False
@@ -1293,10 +1296,9 @@ class ManagedTable:
             "root": os.path.relpath(root, self.path),
             "parts": self._list_parts(root) if self.meta.partition_cols else None,
         }
-        if self.meta.key_cols:
-            stats = self._collect_entry_stats(root)
-            if stats:
-                entry["stats"] = stats
+        stats = self._collect_entry_stats(root)
+        if stats:
+            entry["stats"] = stats
         return entry
 
     def _list_parts(self, root: str) -> list[str]:
@@ -1877,6 +1879,84 @@ class ManagedTable:
         snaps = glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json"))
         return sorted(int(os.path.basename(s)[1:-5]) for s in snaps)
 
+    def count_rows(self) -> int:
+        """COUNT(*) from manifest statistics alone — zero Spark jobs,
+        zero file opens — whenever the count is provable from metadata:
+        no delta/tombstone entries pending (MOR resolution can collapse
+        or drop rows) and every entry carries its ``__rows`` stat.
+        Falls back to the exact scan otherwise.  The same
+        metadata-count pushdown Iceberg serves planners; at 100 TB the
+        difference is a dict sum vs a full-table scan."""
+        entries = self._read_manifest()
+        if all(e.get("kind") not in ("delta", "tombstone") for e in entries):
+            per_entry = [
+                (e.get("stats") or {}).get("__rows") for e in entries
+            ]
+            if all(n is not None for n in per_entry):
+                return int(sum(per_entry))
+        return self.read().count()
+
+    # ------------------------------------------------------- named refs
+    def _ref_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"invalid ref name: {name!r}")
+        return os.path.join(self.path, "_refs", f"{name}.json")
+
+    def create_ref(
+        self, name: str, version: int | None = None, replace: bool = False
+    ) -> int:
+        """Pin a snapshot under a durable name (Iceberg tag): time
+        travel by meaning ('audited-2026-08', 'train-v3') instead of
+        by number, and a retention shield — ``expire_snapshots`` never
+        drops a ref'd version.  Creation is O_EXCL (two racers can't
+        silently swap a ref); ``replace=True`` updates atomically via
+        rename."""
+        v = self._current_version() if version is None else int(version)
+        if v not in self.history():
+            raise ValueError(f"version {v} does not exist")
+        p = self._ref_path(name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        doc = json.dumps({"version": v})
+        if replace:
+            tmp = f"{p}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(doc)
+            os.replace(tmp, p)
+            return v
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ValueError(
+                f"ref {name!r} already exists (use replace=True)"
+            ) from None
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(doc)
+        return v
+
+    def drop_ref(self, name: str) -> None:
+        try:
+            os.remove(self._ref_path(name))
+        except FileNotFoundError:
+            raise ValueError(f"ref {name!r} does not exist") from None
+
+    def refs(self) -> dict[str, int]:
+        out = {}
+        for p in glob.glob(os.path.join(self.path, "_refs", "*.json")):
+            try:
+                with open(p, encoding="utf-8") as fh:
+                    out[os.path.basename(p)[:-5]] = int(
+                        json.load(fh)["version"]
+                    )
+            except (OSError, ValueError, KeyError):
+                continue
+        return out
+
+    def read_ref(self, name: str) -> DataFrame:
+        ref = self.refs().get(name)
+        if ref is None:
+            raise ValueError(f"ref {name!r} does not exist")
+        return self.read_version(ref)
+
     def snapshots(self) -> DataFrame:
         """Iceberg-style ``snapshots`` metadata relation: one row per
         retained snapshot — (version, kind, n_entries, n_deltas,
@@ -2310,6 +2390,9 @@ class ManagedTable:
         versions = self.history()
         keep = set(versions[-max(1, keep_last):])
         keep.add(self._current_version())
+        # named refs are retention shields: a tagged snapshot survives
+        # expiration however old (drop the ref to release it)
+        keep |= {v for v in self.refs().values() if v in versions}
         referenced: set[str] = set()
         for v in keep:
             with open(

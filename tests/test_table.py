@@ -757,3 +757,61 @@ def test_metadata_tables_snapshots_and_files(spark, tmp_path):
     # writes the victim keys as a delta-kind tombstone entry root)
     total = sum(1 for _ in files)
     assert total >= 2
+
+
+def test_count_rows_metadata_only_and_fallback(spark, tmp_path, monkeypatch):
+    t = make(spark, str(tmp_path), partitioned=False, policy="latest_wins")
+    t.append(df_of(spark, [(i, "p", 1.0, 1) for i in range(10)]))
+    t.append(df_of(spark, [(i, "p", 1.0, 1) for i in range(10, 15)]))
+    # metadata-only: no scan may happen (reads would go via _read_entry)
+    called = []
+    monkeypatch.setattr(
+        ManagedTable,
+        "_read_entry",
+        lambda self, e: called.append(e) or (_ for _ in ()).throw(
+            AssertionError("count_rows must not open data files")
+        ),
+    )
+    assert t.count_rows() == 15
+    monkeypatch.undo()
+    # a pending MOR delta makes the count unprovable from metadata:
+    # the same call falls back to the exact resolved scan
+    t.merge(df_of(spark, [(0, "p", 2.0, 2), (99, "p", 1.0, 1)]))
+    assert t.count_rows() == 16  # 1 update (no growth) + 1 insert
+    t.compact()
+    assert t.count_rows() == 16  # folded: metadata-only again
+
+
+def test_count_rows_keyless_table(spark, tmp_path):
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "nk"), SCHEMA, key_cols=[]
+    )
+    t.append(df_of(spark, [(1, "p", 1.0, 1), (1, "p", 1.0, 1)]))
+    assert t.count_rows() == 2  # __rows harvested without key columns
+
+
+def test_named_refs_pin_versions_and_survive_expiration(spark, tmp_path):
+    t = make(spark, str(tmp_path), partitioned=False)
+    t.append(df_of(spark, [(1, "p", 1.0, 1)]))
+    tagged = t.create_ref("train-v1")
+    t.append(df_of(spark, [(2, "p", 1.0, 1)]))
+    t.append(df_of(spark, [(3, "p", 1.0, 1)]))
+    assert t.refs() == {"train-v1": tagged}
+    assert sorted(r.id for r in t.read_ref("train-v1").collect()) == [1]
+    # expiration keeps the tagged snapshot however old
+    expired = t.expire_snapshots(keep_last=1)
+    assert tagged not in expired
+    assert sorted(r.id for r in t.read_ref("train-v1").collect()) == [1]
+    # O_EXCL semantics + replace, drop releases retention
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_ref("train-v1")
+    t.create_ref("train-v1", replace=True)
+    assert t.refs()["train-v1"] == t._current_version()
+    t.drop_ref("train-v1")
+    assert t.refs() == {}
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read_ref("train-v1")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.create_ref("x", version=9999)
+    with pytest.raises(ValueError, match="invalid ref name"):
+        t.create_ref("../escape")
