@@ -226,6 +226,39 @@ class AuditConfig:
 
 
 @dataclass
+class RollupConfig:
+    """One declaratively-maintained aggregate table
+    (``output_config.rollups``): after every ingested batch the named
+    summary table is refreshed from the TARGET TABLE'S change feed
+    (operators/rollup.py) — count + sums per group, updates/deletes
+    handled via CDF retractions.  Because the rollup consumes the
+    table's committed state (never the raw batch), it stays coherent
+    under every write mode including the verbatim MERGE INTO path,
+    and a redelivered batch whose merge lands byte-identical rows
+    nets to zero.  Keep the source table MOR: COW merge windows push
+    the feed onto its full-diff fallback."""
+
+    path: str = ""
+    group_columns: list[str] = field(default_factory=list)
+    sum_columns: list[str] = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "RollupConfig":
+        if not d.get("path"):
+            raise ValueError("output_config.rollups entries need a path")
+        groups = [str(c) for c in (d.get("group_columns") or [])]
+        if not groups:
+            raise ValueError(
+                "output_config.rollups entries need group_columns"
+            )
+        return cls(
+            path=str(d["path"]),
+            group_columns=groups,
+            sum_columns=[str(c) for c in (d.get("sum_columns") or [])],
+        )
+
+
+@dataclass
 class OutputConfig:
     """Sink half of the job spec (reference: spark-job/job.json:28-39)."""
 
@@ -247,6 +280,7 @@ class OutputConfig:
     table_properties: dict[str, str] = field(default_factory=dict)
     maintenance: MaintenanceConfig = field(default_factory=MaintenanceConfig)
     indexes: list["IndexConfig"] = field(default_factory=list)
+    rollups: list["RollupConfig"] = field(default_factory=list)
     # CDC delete handling: rows whose op column carries one of these
     # values DELETE their keys instead of upserting (DMS-style feeds).
     # Empty list = reference behavior (deletes upsert like any row).
@@ -280,6 +314,9 @@ class OutputConfig:
             maintenance=MaintenanceConfig.from_dict(d.get("maintenance") or {}),
             indexes=[
                 IndexConfig.from_dict(i) for i in (d.get("indexes") or [])
+            ],
+            rollups=[
+                RollupConfig.from_dict(r) for r in (d.get("rollups") or [])
             ],
             cdc_op_column=d.get("cdc_op_column", "Op"),
             cdc_delete_values=[str(v) for v in (d.get("cdc_delete_values") or [])],

@@ -42,26 +42,48 @@ def build_spark(config: JobConfig, app_name: str = "s3-sqs-ingestion-spark") -> 
 
 def ensure_target(spark: SparkSession, config: JobConfig) -> ManagedTable:
     """Bootstrap the target table from the Avro contract if absent
-    (reference: spark-job/read.py:199-228)."""
+    (reference: spark-job/read.py:199-228).  Declared rollup tables
+    bootstrap HERE too — their DDL validates group/sum columns against
+    the contract, and a config error must surface at startup, never
+    mid-batch (the SQS poison-redelivery shape)."""
     out = config.output_config
     if ManagedTable.exists(out.table_path):
-        return ManagedTable.load(spark, out.table_path)
-    if not out.schema:
-        raise ValueError("creating a new table requires output_config.schema (.avsc)")
-    schema = avro_to_spark_schema(load_text(out.schema))
-    return ManagedTable.create(
-        spark,
-        out.table_path,
-        schema,
-        partition_cols=out.partition,
-        key_cols=out.key_columns,
-        order_column=out.order_column,
-        merge_policy=out.merge_policy,
-        table_type=out.table_type,
-        compression=out.compression,
-        properties=out.table_properties,
-        partition_transforms=out.partition_transforms,
-    )
+        table = ManagedTable.load(spark, out.table_path)
+    else:
+        if not out.schema:
+            raise ValueError(
+                "creating a new table requires output_config.schema (.avsc)"
+            )
+        schema = avro_to_spark_schema(load_text(out.schema))
+        table = ManagedTable.create(
+            spark,
+            out.table_path,
+            schema,
+            partition_cols=out.partition,
+            key_cols=out.key_columns,
+            order_column=out.order_column,
+            merge_policy=out.merge_policy,
+            table_type=out.table_type,
+            compression=out.compression,
+            properties=out.table_properties,
+            partition_transforms=out.partition_transforms,
+        )
+    if out.rollups:
+        from .operators.rollup import create_rollup  # noqa: PLC0415
+
+        for r in out.rollups:
+            if not ManagedTable.exists(r.path):
+                # consume_from=1: the first refresh folds the table's
+                # EXISTING content through the change feed, so a rollup
+                # declared on a populated table starts correct
+                create_rollup(
+                    table,
+                    r.path,
+                    r.group_columns,
+                    r.sum_columns,
+                    consume_from=1,
+                )
+    return table
 
 
 def process_files(
@@ -143,6 +165,9 @@ def process_files(
             version = execute_merge_into(spark, table, df, text)
             if deletes is not None:
                 version = table.delete_keys(deletes)
+            # rollups consume the TABLE's change feed, so unlike
+            # indexes they stay coherent under the verbatim MERGE
+            _maintain_rollups(spark, config, table)
             return _maybe_maintain(table, config) or version
         df = apply_transform_query(spark, df, text)
     if len(out.indexes) >= 2:
@@ -173,7 +198,29 @@ def process_files(
         version = table.delete_keys(deletes)
     _maintain_indexes(spark, config, df, files, deletes,
                       phases_out=index_phases)
+    # refresh BEFORE the compaction cadence: the feed splits windows at
+    # maintenance commits anyway, but consuming first keeps this
+    # batch's refresh on the cheapest same-manifest path
+    _maintain_rollups(spark, config, table)
     return _maybe_maintain(table, config) or version
+
+
+def _maintain_rollups(
+    spark: SparkSession, config: JobConfig, table: ManagedTable
+) -> None:
+    """Refresh every declared summary table (``output_config.rollups``)
+    from the target table's change feed — O(batch window + affected
+    groups) per batch, version-cursor idempotent (a refresh that
+    crashed before advancing its cursor re-consumes the same window;
+    a redelivered merge of identical rows nets to zero)."""
+    out = config.output_config
+    if not out.rollups:
+        return
+    from .operators.rollup import refresh_rollup  # noqa: PLC0415
+
+    for r in out.rollups:
+        dst = ManagedTable.load(spark, r.path)
+        refresh_rollup(table, dst, r.group_columns, r.sum_columns)
 
 
 def _audited_write(

@@ -44,9 +44,15 @@ def create_rollup(
     path: str,
     group_cols: list[str],
     sum_cols: list[str],
+    consume_from: int | None = None,
 ) -> ManagedTable:
     """DDL for the summary table: keyed by the group columns, MOR so
-    refreshes are O(delta) appends."""
+    refreshes are O(delta) appends.
+
+    ``consume_from`` anchors the change-feed cursor: default = the
+    source's CURRENT version (track new data only); pass ``1`` (the
+    empty created snapshot) to have the first refresh bootstrap the
+    rollup from the source's existing content via the same feed."""
     group_fields = [
         f for f in src.meta.schema.fields if f.name in set(group_cols)
     ]
@@ -64,7 +70,15 @@ def create_rollup(
         # "write.max-delta-files")
         properties={"write.max-delta-files": "4"},
     )
-    dst.set_properties(**{_STATE_KEY: src._current_version()})
+    dst.set_properties(
+        **{
+            _STATE_KEY: (
+                src._current_version()
+                if consume_from is None
+                else int(consume_from)
+            )
+        }
+    )
     return dst
 
 
@@ -91,22 +105,56 @@ def refresh_rollup(
     cur = src._current_version()
     if cur <= last:
         return dst._current_version()
-    old_entries = src._manifest_at(last)
-    new_entries = src._manifest_at(cur)
-    pure_append = all(e in new_entries for e in old_entries) and not any(
-        e not in old_entries and e.get("kind") in ("delta", "tombstone")
-        for e in new_entries
-    )
-    if pure_append:
-        delta = src.read_changes(last, cur).withColumn("_w", F.lit(1))
-    else:
-        cdf = src.read_changes_cdf(last, cur)
-        delta = cdf.withColumn(
-            "_w",
-            F.when(
-                F.col("_change_type").isin("insert", "update_postimage"), 1
-            ).otherwise(-1),
-        ).drop("_change_type")
+
+    # Split the consumed window at "maintenance" commits (compaction:
+    # content-neutral rewrites).  A rewrite inside the window would
+    # push read_changes_cdf onto its full-diff fallback; skipping the
+    # neutral step keeps every segment on the O(segment) fast path —
+    # the same reasoning every lakehouse change feed applies to
+    # rewrite-only snapshots.  Per-segment deltas compose additively.
+    vs = [v for v in src.history() if last <= v <= cur]
+    segments: list[tuple[int, int]] = []
+    lo = prev = vs[0]
+    for v in vs[1:]:
+        if src._snapshot_kind(v) == "maintenance":
+            if lo != prev:
+                segments.append((lo, prev))
+            lo = v
+        prev = v
+    if lo != vs[-1]:
+        segments.append((lo, vs[-1]))
+    if not segments:  # maintenance-only window: nothing to fold
+        dst.set_properties(**{_STATE_KEY: cur})
+        return dst._current_version()
+
+    def _segment_delta(seg_lo: int, seg_hi: int) -> DataFrame:
+        old_entries = src._manifest_at(seg_lo)
+        new_entries = src._manifest_at(seg_hi)
+        pure_append = all(e in new_entries for e in old_entries) and not any(
+            e not in old_entries and e.get("kind") in ("delta", "tombstone")
+            for e in new_entries
+        )
+        if pure_append:
+            return src.read_changes(seg_lo, seg_hi).withColumn(
+                "_w", F.lit(1)
+            )
+        return (
+            src.read_changes_cdf(seg_lo, seg_hi)
+            .withColumn(
+                "_w",
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    1,
+                ).otherwise(-1),
+            )
+            .drop("_change_type")
+        )
+
+    delta = _segment_delta(*segments[0])
+    for seg in segments[1:]:
+        delta = delta.unionByName(_segment_delta(*seg))
     agg = delta.groupBy(*group_cols).agg(
         F.sum("_w").alias("_d_n"),
         *[

@@ -266,3 +266,36 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     out = {r.column: r for r in profile_table(df).collect()}
     assert out["k"].n_rows == 4 and out["k"].n_null == 1 and out["k"].n_distinct == 3
     assert out["v"].n_rows == 4 and out["v"].n_null == 1 and out["v"].n_distinct == 2
+
+
+def test_rollup_window_splits_at_compaction_commits(spark, tmp_path, monkeypatch):
+    """A compaction inside the consumed window must NOT push the feed
+    onto its full-diff fallback: the refresh splits the window at the
+    content-neutral maintenance commit and consumes two fast-path
+    segments."""
+    src = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "src"), SRC_SCHEMA,
+        key_cols=["id"], table_type="MOR",
+    )
+    dst = create_rollup(src, os.path.join(str(tmp_path), "r"), ["grp"], ["v"])
+    src.append(_rows(spark, [(1, "a", 10), (2, "b", 5)]))
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    src.merge(_rows(spark, [(1, "a", 20)]))   # segment 1
+    v_pre = src._current_version()
+    src.compact()                              # maintenance barrier
+    v_cmp = src._current_version()
+    src.merge(_rows(spark, [(2, "c", 5), (3, "a", 1)]))  # segment 2
+    v_cur = src._current_version()
+
+    windows = []
+    orig = ManagedTable.read_changes_cdf
+
+    def spy(self, a, b=None):
+        windows.append((a, b))
+        return orig(self, a, b)
+
+    monkeypatch.setattr(ManagedTable, "read_changes_cdf", spy)
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    assert windows == [(v_pre - 1, v_pre), (v_cmp, v_cur)]
+    got = {r.grp: (r.n_rows, r.sum_v) for r in dst.read().collect()}
+    assert got == {"a": (2, 21.0), "c": (1, 5.0)}
