@@ -287,6 +287,13 @@ class OutputConfig:
     cdc_op_column: str = "Op"
     cdc_delete_values: list[str] = field(default_factory=list)
     audit: AuditConfig = field(default_factory=AuditConfig)
+    # Ingest-time schema evolution: a batch carrying columns the table
+    # lacks ADDS them (nullable), a batch whose column type widens
+    # losslessly (int→bigint, float→double) WIDENS the contract — no
+    # file rewrites either way (table.evolve_schema).  Off by default:
+    # the contract-pinned behavior (extra batch columns dropped by the
+    # align step) is the reference's semantics.
+    schema_evolution: bool = False
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "OutputConfig":
@@ -321,34 +328,46 @@ class OutputConfig:
             cdc_op_column=d.get("cdc_op_column", "Op"),
             cdc_delete_values=[str(v) for v in (d.get("cdc_delete_values") or [])],
             audit=AuditConfig.from_dict(d.get("audit") or {}),
+            schema_evolution=bool(d.get("schema_evolution", False)),
         )._validated()
+
+    def _merge_query_is_merge_into(self) -> bool:
+        """Parse-time probe: does ``merge_query`` hold a verbatim MERGE
+        INTO statement?  An unreadable file (e.g. S3-only) answers
+        False here and defers to the runtime guards in
+        ``job.process_files``, which fail the batch before any write."""
+        if not self.merge_query:
+            return False
+        try:
+            text = _read_text(self.merge_query)
+        except (OSError, RuntimeError):
+            return False
+        from .plans import is_merge_into  # noqa: PLC0415
+
+        return is_merge_into(text)
 
     def _validated(self) -> "OutputConfig":
         # Static coherence checks AT PARSE TIME: raising mid-batch
         # (after the table write committed) would turn a config error
         # into an infinite poison-redelivery loop in the SQS path.
-        if self.indexes and self.merge_query:
-            # Probe the merge SQL once at parse: a verbatim MERGE INTO
-            # reshapes the batch before it lands, so a declared index
-            # would be built from a different frame than the table —
-            # refuse HERE, not per batch at run time.  An unreadable
-            # file defers to the runtime guard (job.process_files),
-            # which fails the batch before any write.
-            try:
-                text = _read_text(self.merge_query)
-            except (OSError, RuntimeError):
-                text = None
-            if text is not None:
-                from .plans import is_merge_into  # noqa: PLC0415
-
-                if is_merge_into(text):
-                    raise ValueError(
-                        "output_config.indexes is not supported with a "
-                        "verbatim MERGE INTO merge_query — move the "
-                        "source projection into input_config."
-                        "transform_query so the indexed frame matches "
-                        "the table"
-                    )
+        if self.indexes and self._merge_query_is_merge_into():
+            # a verbatim MERGE INTO reshapes the batch before it lands,
+            # so a declared index would be built from a different frame
+            # than the table — refuse HERE, not per batch at run time
+            raise ValueError(
+                "output_config.indexes is not supported with a "
+                "verbatim MERGE INTO merge_query — move the "
+                "source projection into input_config."
+                "transform_query so the indexed frame matches "
+                "the table"
+            )
+        if self.schema_evolution and self._merge_query_is_merge_into():
+            raise ValueError(
+                "output_config.schema_evolution is not supported with "
+                "a verbatim MERGE INTO merge_query — the statement's "
+                "fixed column list cannot see evolved columns; use "
+                "key_columns merge mode (the shim) instead"
+            )
         if self.indexes and self.mode == "merge" and not self.order_column:
             # table.merge and the index maintenance must dedup a batch
             # carrying two versions of one key by the SAME rule, or the
@@ -375,22 +394,14 @@ class OutputConfig:
                     "published safely after the audit window "
                     "(table.py stage)"
                 )
-            if self.merge_query:
-                try:
-                    text = _read_text(self.merge_query)
-                except (OSError, RuntimeError):
-                    text = None
-                if text is not None:
-                    from .plans import is_merge_into  # noqa: PLC0415
-
-                    if is_merge_into(text):
-                        raise ValueError(
-                            "output_config.audit is not supported with a "
-                            "verbatim MERGE INTO merge_query — the MERGE "
-                            "executes directly against the table, so "
-                            "there is no staged snapshot to audit; use "
-                            "key_columns merge mode (the shim) instead"
-                        )
+            if self._merge_query_is_merge_into():
+                raise ValueError(
+                    "output_config.audit is not supported with a "
+                    "verbatim MERGE INTO merge_query — the MERGE "
+                    "executes directly against the table, so "
+                    "there is no staged snapshot to audit; use "
+                    "key_columns merge mode (the shim) instead"
+                )
         if self.cdc_delete_values and self.indexes:
             for ix in self.indexes:
                 if ix.id_column not in self.key_columns:

@@ -2378,7 +2378,7 @@ def pagerank_purchase_graph(spark: SparkSession, sf: str) -> DataFrame:
                 AS BIGINT) AS global_cc_ppm
     FROM tot CROSS JOIN tri
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (green r5+r6) for schema_evolution_ingest_documents
     rank=25,
 )
 def triangle_census_coordered_parts(spark: SparkSession, sf: str) -> DataFrame:

@@ -764,6 +764,100 @@ def hidden_partition_week_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "schema_evolution_ingest_documents",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CASE WHEN doc_id % 2 = 1 OR doc_id % 10 = 0
+                THEN lang END AS lang,
+           CAST(CASE WHEN doc_id % 2 = 1 OR doc_id % 10 = 0
+                     THEN 2 ELSE 1 END AS BIGINT) AS seq
+    FROM documents
+    """,
+    rank=30,
+    driver=True,  # r07: new — gates ingest-time schema evolution
+)
+def schema_evolution_ingest_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingest-time schema evolution end-to-end
+    (``output_config.schema_evolution`` → ``ManagedTable.evolve_schema``):
+    a merge-mode job absorbs a batch whose schema GREW — a new ``lang``
+    column appears and ``n_chars`` widens int→bigint — and the table
+    evolves instead of silently dropping the new data.
+
+    1. bootstrap batch (even doc_ids, seq 1): (doc_id, source,
+       n_chars INT) — the table is created at this narrow contract;
+    2. evolved batch (odd doc_ids + every 10th id as an UPDATE, seq
+       2): (doc_id, source, n_chars BIGINT, lang STRING) — processed
+       through the SAME job config, which adds ``lang`` (nullable) and
+       widens ``n_chars`` before the merge lands.
+
+    The final read must serve BOTH generations under the evolved
+    contract: bootstrap-only rows null-fill ``lang`` and promote their
+    int32 ``n_chars`` at scan time (no file was rewritten — the
+    evolution is metadata-only, table.py ``widen_column``).  The
+    oracle restates the final table from the raw documents relation.
+
+    Scale: evolution cost is one ``_meta.json`` rewrite regardless of
+    table size — the 100 TB alternative (rewrite every file to the new
+    schema) is exactly what this design avoids; old files promote in
+    the parquet reader (SPARK-40876), new files land wide."""
+    import glob as _glob  # noqa: PLC0415
+
+    from . import job as J  # noqa: PLC0415
+    from .config import JobConfig  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_sev_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    docs = t(spark, sf, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("long"),
+        "source",
+        F.col("n_chars").cast("int"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    b2 = docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    ).select(
+        F.col("doc_id").cast("long"),
+        "source",
+        F.col("n_chars").cast("long"),
+        "lang",
+        F.lit(2).cast("long").alias("seq"),
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{path}/land/b1")
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{path}/land/b2")
+    ManagedTable.create(
+        spark, f"{path}/tbl", b1.schema,
+        key_cols=["doc_id"], order_column="seq", table_type="MOR",
+    )
+    cfg = JobConfig.from_dict(
+        {
+            "input_config": {"format": "parquet"},
+            "output_config": {
+                "table_path": f"{path}/tbl",
+                "mode": "merge",
+                "key_columns": ["doc_id"],
+                "order_column": "seq",
+                "schema_evolution": True,
+            },
+        }
+    )
+    for b in ("b1", "b2"):
+        J.process_files(
+            spark, cfg,
+            sorted(_glob.glob(f"{path}/land/{b}/part-*.parquet")),
+        )
+    return ManagedTable.load(spark, f"{path}/tbl").read().select(
+        "doc_id", "source", "n_chars", "lang", "seq"
+    )
+
+
 # late-bound oracle: the generator lives in pipeline_queries, which
 # imports from queries (not from here) — no cycle, but the decorator
 # above runs at module import before we can reference it inline

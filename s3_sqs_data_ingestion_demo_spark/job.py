@@ -162,6 +162,14 @@ def process_files(
                     "executes directly against the table, so there is "
                     "no staged snapshot to audit"
                 )
+            if out.schema_evolution:
+                # same parse-time/S3-only split as the audit guard
+                raise ValueError(
+                    "output_config.schema_evolution is not supported "
+                    "with a verbatim MERGE INTO merge_query — the "
+                    "statement's fixed column list cannot see evolved "
+                    "columns"
+                )
             version = execute_merge_into(spark, table, df, text)
             if deletes is not None:
                 version = table.delete_keys(deletes)
@@ -185,6 +193,17 @@ def process_files(
         if deletes is not None:
             deletes = deletes.localCheckpoint(eager=True)
     table = ensure_target(spark, config)
+    if out.schema_evolution:
+        # Evolve BEFORE the write: new batch columns become nullable
+        # table columns, lossless widenings (int→bigint, float→double)
+        # widen the contract — both metadata-only, no file rewrites
+        # (old files null-fill / promote at read).  Idempotent, so a
+        # replayed batch (crash between sink write and source commit)
+        # finds nothing to change.  Runs AFTER the transform query —
+        # what evolves is the frame the table actually lands.
+        actions = table.evolve_schema(df.schema)
+        for a in actions:
+            log.info("schema evolution (%s): %s", out.table_path, a)
     if out.audit.rules:
         version, accepted = _audited_write(spark, config, table, df)
         if not accepted:

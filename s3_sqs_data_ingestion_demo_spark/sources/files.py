@@ -71,7 +71,14 @@ def read_batch(
         if "rowtag" not in opt_keys:
             reader = reader.option("rowTag", "row")
         return _reject_corrupt_only(reader.format("xml").load(paths), fmt, paths)
-    df = getattr(reader, fmt)(paths)
+    if fmt == "parquet":
+        # the one reader with a varargs signature (csv/json/orc/text
+        # accept a list) — passing the list unexpanded lands it in the
+        # reader's option map and throws an opaque JVM
+        # ClassCastException at analysis time
+        df = reader.parquet(*paths)
+    else:
+        df = getattr(reader, fmt)(paths)
     if fmt in ("csv", "json") and schema is None:
         df = _reject_corrupt_only(df, fmt, paths)
     return df

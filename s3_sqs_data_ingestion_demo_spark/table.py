@@ -188,6 +188,24 @@ def transform_expr(spec: str, dtype: T.DataType | None = None):
     )
 
 
+# Lossless type widenings (Iceberg's evolution matrix, executable here
+# because Spark 4's parquet readers promote these physically at scan
+# time, SPARK-40876): a widened column's OLD files keep their narrow
+# physical type forever — no rewrite — and every read serves the wide
+# logical type.  Anything outside this set (long→int, string→int,
+# double→float) loses data or fails per-file casts, so it is refused.
+_WIDEN_OK = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def can_widen(frm: T.DataType, to: T.DataType) -> bool:
+    return (frm.simpleString(), to.simpleString()) in _WIDEN_OK
+
+
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project/cast ``df`` onto ``schema`` (explicit align-and-cast step;
     the reference relied on implicit MERGE analyzer casts, SURVEY §1.3)."""
@@ -2215,6 +2233,16 @@ class ManagedTable:
         )
 
     # ------------------------------------------------ schema evolution
+    def _persist_meta(self) -> None:
+        """Atomic rewrite of the table contract (``_meta.json``).
+        Metadata ops are SINGLE-WRITER by contract (the ingest job
+        loop): unlike data commits they do not CAS — concurrent
+        evolution from two writers is an operator error, documented."""
+        tmp = os.path.join(self.path, f"{_META}.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(self.meta.__dict__, fh, indent=2)
+        os.replace(tmp, os.path.join(self.path, _META))
+
     def add_columns(self, new_fields: Sequence[T.StructField]) -> None:
         """Additive schema evolution: append nullable columns to the
         contract.  Existing data files are never rewritten — reads
@@ -2226,16 +2254,110 @@ class ManagedTable:
         for f in new_fields:
             if f.name in names:
                 raise ValueError(f"column {f.name!r} already exists")
+            if f.name in self.meta.partition_cols:
+                # hidden-partition columns are storage-only names; a
+                # logical column reusing one would collide in the hive
+                # dirs (same refusal as ManagedTable.create)
+                raise ValueError(
+                    f"column {f.name!r} collides with a partition column"
+                )
             if not f.nullable:
                 raise ValueError(
                     f"new column {f.name!r} must be nullable (old files have no values)"
                 )
         new_schema = T.StructType(list(schema.fields) + list(new_fields))
         self.meta.schema_json = json.dumps(new_schema.jsonValue())
-        tmp = os.path.join(self.path, f"{_META}.tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(self.meta.__dict__, fh, indent=2)
-        os.replace(tmp, os.path.join(self.path, _META))
+        self._persist_meta()
+
+    def widen_column(self, name: str, new_type: T.DataType) -> None:
+        """Lossless type widening (int→bigint, float→double, …): the
+        contract's type changes, NO data file is rewritten — old files
+        keep their narrow physical type and Spark's parquet readers
+        promote them at scan time (the schema-explicit ``_read_entry``
+        read).  Manifest min/max stats stay valid: they are plain
+        values and every comparison happens post-promotion.
+
+        Refused for ``bucket(...)`` transform sources: the bucket dir
+        is the JVM hash of the TYPED value and ``hash(1) ≠
+        hash(1L)``, so widening would silently split a key's rows
+        across buckets and break partition pruning."""
+        schema = self.meta.schema
+        field_map = {f.name: f for f in schema.fields}
+        if name not in field_map:
+            raise ValueError(f"column {name!r} does not exist")
+        old = field_map[name].dataType
+        if old == new_type:
+            return
+        if not can_widen(old, new_type):
+            raise ValueError(
+                f"cannot widen {name!r}: {old.simpleString()} → "
+                f"{new_type.simpleString()} is not a lossless widening"
+            )
+        for spec in self.meta.partition_transforms.values():
+            kind, _, src = parse_transform(spec)
+            if src == name and kind == "bucket":
+                raise ValueError(
+                    f"cannot widen {name!r}: it feeds the bucket "
+                    f"transform {spec!r}, whose partition value is the "
+                    "hash of the typed value — widening would break "
+                    "bucket pruning for existing files"
+                )
+        new_schema = T.StructType(
+            [
+                T.StructField(name, new_type, f.nullable, f.metadata)
+                if f.name == name
+                else f
+                for f in schema.fields
+            ]
+        )
+        self.meta.schema_json = json.dumps(new_schema.jsonValue())
+        self._persist_meta()
+
+    def evolve_schema(self, incoming: T.StructType) -> list[str]:
+        """Reconcile the contract with an incoming batch schema — the
+        ingest-time evolution step (``output_config.schema_evolution``):
+
+        - batch column absent from the table  → ``add_columns`` (nullable)
+        - batch type strictly wider (lossless) → ``widen_column``
+        - batch type equal or strictly narrower → no-op (the write-path
+          ``align_to_schema`` upcasts the batch)
+        - anything else (string vs int, double→float, nested drift) →
+          loud ``ValueError`` — a silent lossy cast would corrupt data
+
+        Idempotent: replaying the same batch finds nothing to change.
+        Returns the applied actions (for logging)."""
+        actions: list[str] = []
+        current = {f.name: f for f in self.meta.schema.fields}
+        adds: list[T.StructField] = []
+        for f in incoming.fields:
+            have = current.get(f.name)
+            if have is None:
+                adds.append(T.StructField(f.name, f.dataType, True))
+                continue
+            if have.dataType == f.dataType:
+                continue
+            if can_widen(have.dataType, f.dataType):
+                self.widen_column(f.name, f.dataType)
+                actions.append(
+                    f"widen {f.name}: {have.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}"
+                )
+            elif can_widen(f.dataType, have.dataType):
+                continue  # narrower batch upcasts on write
+            else:
+                raise ValueError(
+                    f"schema evolution cannot reconcile column "
+                    f"{f.name!r}: table has "
+                    f"{have.dataType.simpleString()}, batch has "
+                    f"{f.dataType.simpleString()} — neither side widens "
+                    "losslessly into the other"
+                )
+        if adds:
+            self.add_columns(adds)
+            actions.extend(
+                f"add {f.name} {f.dataType.simpleString()}" for f in adds
+            )
+        return actions
 
     def set_properties(self, **kv: str) -> None:
         """Merge table properties into the persisted metadata (atomic
@@ -2243,10 +2365,7 @@ class ManagedTable:
         slot incremental consumers use (e.g. a rollup's last-refreshed
         source version)."""
         self.meta.properties.update({k: str(v) for k, v in kv.items()})
-        tmp = os.path.join(self.path, f"{_META}.tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(self.meta.__dict__, fh, indent=2)
-        os.replace(tmp, os.path.join(self.path, _META))
+        self._persist_meta()
 
     # ----------------------------------------------------- maintenance
     def compact(

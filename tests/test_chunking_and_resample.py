@@ -227,6 +227,28 @@ def test_xml_batch_roundtrip(spark, tmp_path):
     assert [r["id"] for r in out2.collect()] == [3]
 
 
+def test_parquet_multifile_batch_roundtrip(spark, tmp_path):
+    """Multi-file parquet batches through read_batch: the parquet
+    reader is the ONE varargs signature in DataFrameReader — passing
+    the file list unexpanded used to land it in the option map and die
+    with a JVM ClassCastException (regression)."""
+    import os
+
+    from s3_sqs_data_ingestion_demo_spark.sources.files import read_batch
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, name string"
+    )
+    d = os.path.join(str(tmp_path), "pq")
+    src.repartition(3).write.parquet(d)
+    files = [
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    ]
+    assert len(files) >= 2
+    out = read_batch(spark, files, fmt="parquet")
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
 def test_unknown_format_fails_loudly(spark):
     from s3_sqs_data_ingestion_demo_spark.sources.files import read_batch
 

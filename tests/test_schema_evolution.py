@@ -1,41 +1,286 @@
-"""Additive schema evolution on ManagedTable."""
+"""Schema evolution: additive columns (``add_columns``), lossless type
+widening (``widen_column``), batch-driven reconciliation
+(``evolve_schema``), and the ingest-time knob
+(``output_config.schema_evolution``).
 
+Design under test (table.py): evolution is METADATA-ONLY — no data
+file is ever rewritten.  Old files null-fill added columns and
+type-promote widened ones at scan time (the schema-explicit parquet
+read, SPARK-40876 widening), which is how Iceberg serves evolution
+from old manifests.  Lossy changes (long→int, string↔int,
+double→float) are refused loudly: a silent cast would corrupt data.
+"""
+
+import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
-from tests.test_table import SCHEMA, df_of
+from s3_sqs_data_ingestion_demo_spark import job as J
+from s3_sqs_data_ingestion_demo_spark.config import JobConfig
+from s3_sqs_data_ingestion_demo_spark.table import ManagedTable, can_widen
+
+INT, LONG, FLT, DBL, STR = (
+    T.IntegerType(), T.LongType(), T.FloatType(), T.DoubleType(),
+    T.StringType(),
+)
 
 
-def test_add_column_old_files_read_as_null(spark, tmp_path):
-    t = ManagedTable.create(
-        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
-        partition_cols=["part"], key_cols=["id"], order_column="ts",
+def _tbl(spark, path, fields, **kw):
+    return ManagedTable.create(spark, path, T.StructType(fields), **kw)
+
+
+# ---------------------------------------------------------- widening
+
+
+def test_widen_int_to_long_serves_both_generations(spark, tmp_path):
+    t = _tbl(spark, f"{tmp_path}/t", [
+        T.StructField("id", INT, True),
+        T.StructField("v", FLT, True),
+    ])
+    t.append(spark.createDataFrame([(1, 1.5), (2, 2.5)], t.meta.schema))
+    t.widen_column("id", LONG)
+    t.widen_column("v", DBL)
+    big = 2**40  # does not fit in int32: proves the type really widened
+    t.append(spark.createDataFrame(
+        [(big, 9.5)],
+        T.StructType([T.StructField("id", LONG), T.StructField("v", DBL)]),
+    ))
+    out = t.read()
+    assert dict(out.dtypes) == {"id": "bigint", "v": "double"}
+    assert sorted(r.id for r in out.collect()) == [1, 2, big]
+    # persisted: a fresh load sees the widened contract
+    assert dict(ManagedTable.load(spark, t.path).read().dtypes)["id"] == "bigint"
+
+
+def test_widen_refuses_lossy_changes(spark, tmp_path):
+    t = _tbl(spark, f"{tmp_path}/t", [
+        T.StructField("a", LONG, True),
+        T.StructField("s", STR, True),
+        T.StructField("d", DBL, True),
+    ])
+    for col, bad in (("a", INT), ("s", INT), ("d", FLT), ("a", DBL)):
+        with pytest.raises(ValueError, match="lossless"):
+            t.widen_column(col, bad)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.widen_column("nope", LONG)
+
+
+def test_widen_same_type_is_noop(spark, tmp_path):
+    t = _tbl(spark, f"{tmp_path}/t", [T.StructField("a", INT, True)])
+    t.widen_column("a", INT)  # no error, no change
+    assert t.meta.schema["a"].dataType == INT
+
+
+def test_widen_refuses_bucket_transform_source(spark, tmp_path):
+    t = _tbl(
+        spark, f"{tmp_path}/t",
+        [T.StructField("id", INT, True), T.StructField("x", STR, True)],
+        partition_cols=["id_b"],
+        partition_transforms={"id_b": "bucket(4, id)"},
     )
-    t.append(df_of(spark, [(1, "a", 1.0, 1)]))
-    t.add_columns([T.StructField("tag", T.StringType(), True)])
+    # hash(int) != hash(long) in Spark — widening would scatter a key's
+    # rows across bucket dirs and silently break partition pruning
+    with pytest.raises(ValueError, match="bucket"):
+        t.widen_column("id", LONG)
 
-    # old data surfaces the new column as null
-    reloaded = ManagedTable.load(spark, t.path)
-    rows = reloaded.read().collect()
-    assert rows[0].tag is None
 
-    # new writes carry it; merge across old+new files works
-    new_schema = reloaded.meta.schema
-    reloaded.merge(
-        spark.createDataFrame([(1, "a", 5.0, 2, "hot"), (2, "b", 2.0, 1, "cold")], new_schema)
+def test_widen_keeps_old_manifest_stats_usable(spark, tmp_path):
+    """Pruned reads on a widened column still honor entries written
+    before the widening (their min/max stats were harvested as the
+    narrow type)."""
+    t = _tbl(spark, f"{tmp_path}/t", [T.StructField("id", INT, True)])
+    t.append(spark.createDataFrame([(i,) for i in range(10)], t.meta.schema))
+    t.widen_column("id", LONG)
+    t.append(spark.createDataFrame(
+        [(x,) for x in (100, 2**40)],
+        T.StructType([T.StructField("id", LONG)]),
+    ))
+    got = sorted(r.id for r in t.read_where("id", 5, 200).collect())
+    assert got == [5, 6, 7, 8, 9, 100]
+
+
+# ----------------------------------------------------- evolve_schema
+
+
+def test_evolve_adds_and_widens_and_is_idempotent(spark, tmp_path):
+    t = _tbl(spark, f"{tmp_path}/t", [
+        T.StructField("id", INT, True),
+        T.StructField("name", STR, True),
+    ])
+    incoming = T.StructType([
+        T.StructField("id", LONG, True),      # widen
+        T.StructField("name", STR, True),     # unchanged
+        T.StructField("score", DBL, False),   # add (forced nullable)
+    ])
+    actions = t.evolve_schema(incoming)
+    assert sorted(actions) == ["add score double", "widen id: int -> bigint"]
+    f = {x.name: x for x in t.meta.schema.fields}
+    assert f["id"].dataType == LONG
+    assert f["score"].dataType == DBL and f["score"].nullable
+    assert t.evolve_schema(incoming) == []  # replayed batch: no-op
+
+
+def test_evolve_narrower_batch_is_noop(spark, tmp_path):
+    t = _tbl(spark, f"{tmp_path}/t", [T.StructField("id", LONG, True)])
+    assert t.evolve_schema(
+        T.StructType([T.StructField("id", INT, True)])
+    ) == []  # align_to_schema upcasts the batch on write instead
+
+
+def test_evolve_incompatible_type_raises(spark, tmp_path):
+    t = _tbl(spark, f"{tmp_path}/t", [T.StructField("id", STR, True)])
+    with pytest.raises(ValueError, match="neither side widens"):
+        t.evolve_schema(T.StructType([T.StructField("id", INT, True)]))
+
+
+def test_add_columns_rejects_hidden_partition_collision(spark, tmp_path):
+    t = _tbl(
+        spark, f"{tmp_path}/t",
+        [T.StructField("id", INT, True)],
+        partition_cols=["id_b"],
+        partition_transforms={"id_b": "bucket(4, id)"},
     )
-    got = {r.id: r.tag for r in reloaded.read().collect()}
-    assert got == {1: "hot", 2: "cold"}
+    with pytest.raises(ValueError, match="partition column"):
+        t.add_columns([T.StructField("id_b", STR, True)])
 
 
-def test_add_column_guards(spark, tmp_path):
-    t = ManagedTable.create(
-        spark, os.path.join(str(tmp_path), "t"), SCHEMA, key_cols=["id"]
+def test_can_widen_matrix():
+    assert can_widen(INT, LONG) and can_widen(FLT, DBL)
+    assert can_widen(T.ShortType(), LONG)
+    assert not can_widen(LONG, INT)
+    assert not can_widen(INT, DBL)  # Iceberg's matrix: int→double lossy-ish, refused
+    assert not can_widen(STR, LONG)
+
+
+# -------------------------------------------------- job-level (ingest)
+
+
+def _job_cfg(tmp, evolution=True, mode="merge"):
+    return JobConfig.from_dict({
+        "input_config": {"format": "parquet"},
+        "output_config": {
+            "table_path": f"{tmp}/tbl",
+            "mode": mode,
+            "key_columns": ["id"],
+            "order_column": "seq",
+            "schema_evolution": evolution,
+        },
+    })
+
+
+def _land(spark, tmp, name, rows, schema):
+    p = f"{tmp}/land/{name}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    import glob
+    return sorted(glob.glob(f"{p}/part-*.parquet"))
+
+
+BASE = T.StructType([
+    T.StructField("id", INT, True),
+    T.StructField("name", STR, True),
+    T.StructField("seq", LONG, True),
+])
+EVOLVED = T.StructType([
+    T.StructField("id", LONG, True),             # widened
+    T.StructField("name", STR, True),
+    T.StructField("seq", LONG, True),
+    T.StructField("score", DBL, True),           # added
+])
+
+
+def test_job_evolution_add_and_widen_through_merge(spark, tmp_path):
+    ManagedTable.create(spark, f"{tmp_path}/tbl", BASE,
+                        key_cols=["id"], order_column="seq")
+    cfg = _job_cfg(tmp_path)
+    b1 = _land(spark, tmp_path, "b1",
+               [(1, "a", 1), (2, "b", 1)], BASE)
+    b2 = _land(spark, tmp_path, "b2",
+               [(2, "b2", 2, 0.5), (2**40, "c", 2, 0.9)], EVOLVED)
+    J.process_files(spark, cfg, b1)
+    J.process_files(spark, cfg, b2)
+    t = ManagedTable.load(spark, f"{tmp_path}/tbl")
+    out = {r.id: r for r in t.read().collect()}
+    assert dict(t.read().dtypes) == {
+        "id": "bigint", "name": "string", "seq": "bigint", "score": "double",
+    }
+    assert out[1].score is None and out[1].name == "a"   # pre-evolution row
+    assert out[2].score == 0.5 and out[2].name == "b2"   # upserted
+    assert out[2**40].score == 0.9                        # wide key inserted
+
+
+def test_job_evolution_replay_is_idempotent(spark, tmp_path):
+    ManagedTable.create(spark, f"{tmp_path}/tbl", BASE,
+                        key_cols=["id"], order_column="seq")
+    cfg = _job_cfg(tmp_path)
+    b1 = _land(spark, tmp_path, "b1", [(1, "a", 1)], BASE)
+    b2 = _land(spark, tmp_path, "b2", [(1, "a2", 2, 1.5)], EVOLVED)
+    J.process_files(spark, cfg, b1)
+    J.process_files(spark, cfg, b2)
+    J.process_files(spark, cfg, b2)  # redelivered batch: evolves nothing
+    t = ManagedTable.load(spark, f"{tmp_path}/tbl")
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].name == "a2" and rows[0].score == 1.5
+
+
+def test_job_without_evolution_drops_extra_columns(spark, tmp_path):
+    """The default (reference semantics): the contract pins the shape
+    and extra batch columns are dropped by the align step."""
+    ManagedTable.create(spark, f"{tmp_path}/tbl", BASE,
+                        key_cols=["id"], order_column="seq")
+    cfg = _job_cfg(tmp_path, evolution=False)
+    b2 = _land(spark, tmp_path, "b2", [(1, "a", 1, 0.5)], EVOLVED)
+    J.process_files(spark, cfg, b2)
+    t = ManagedTable.load(spark, f"{tmp_path}/tbl")
+    assert "score" not in t.read().columns
+    assert dict(t.read().dtypes)["id"] == "int"
+
+
+def test_job_evolution_refused_with_verbatim_merge_into(spark, tmp_path):
+    sql = f"{tmp_path}/merge.sql"
+    with open(sql, "w") as fh:
+        fh.write("MERGE INTO tgt USING src ON tgt.id = src.id "
+                 "WHEN MATCHED THEN UPDATE SET *")
+    with pytest.raises(ValueError, match="schema_evolution"):
+        JobConfig.from_dict({
+            "input_config": {"format": "parquet"},
+            "output_config": {
+                "table_path": f"{tmp_path}/tbl",
+                "mode": "merge",
+                "merge_query": sql,
+                "schema_evolution": True,
+            },
+        })
+
+
+def test_cdf_spans_an_evolution(spark, tmp_path):
+    """The change feed stays coherent across an add-column boundary:
+    pre-evolution images serve the CURRENT schema (null-filled), so a
+    post-evolution upsert diffs cleanly against a pre-evolution base."""
+    t = _tbl(
+        spark, f"{tmp_path}/t",
+        [T.StructField("id", INT, True), T.StructField("v", STR, True)],
+        key_cols=["id"],
     )
-    with pytest.raises(ValueError, match="already exists"):
-        t.add_columns([T.StructField("id", T.IntegerType(), True)])
-    with pytest.raises(ValueError, match="nullable"):
-        t.add_columns([T.StructField("x", T.IntegerType(), False)])
+    v_base = t.append(spark.createDataFrame([(1, "a"), (2, "b")], t.meta.schema))
+    t.evolve_schema(T.StructType(
+        list(t.meta.schema.fields) + [T.StructField("score", DBL, True)]
+    ))
+    v_after = t.merge(spark.createDataFrame(
+        [(1, "a2", 7.0)],
+        T.StructType([
+            T.StructField("id", INT), T.StructField("v", STR),
+            T.StructField("score", DBL),
+        ]),
+    ))
+    ch = {
+        r["_change_type"]: r
+        for r in t.read_changes_cdf(v_base, v_after).collect()
+    }
+    assert set(ch) == {"update_preimage", "update_postimage"}
+    assert ch["update_preimage"].score is None
+    assert ch["update_postimage"].score == 7.0
