@@ -2428,7 +2428,7 @@ def triangle_census_coordered_parts(spark: SparkSession, sf: str) -> DataFrame:
     QUALIFY ROW_NUMBER()
       OVER (ORDER BY jaccard_ppm DESC, item_a, item_b) <= 20
     """,
-    driver=True,
+    driver=False,  # r07: rotated out (green r5+r6) for partition_evolution_week_events
     rank=25,
 )
 def supplier_cooccurrence_similarity(spark: SparkSession, sf: str) -> DataFrame:

@@ -765,6 +765,77 @@ def hidden_partition_week_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "partition_evolution_week_events",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-21 23:59:59'
+    GROUP BY event_type
+    """,
+    rank=30,
+    driver=True,  # r07: new — gates partition-spec evolution
+)
+def partition_evolution_week_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-spec EVOLUTION end-to-end (table.py
+    ``set_partition_spec`` — Iceberg's metadata-only layout change):
+    half the events land under ``day(ts)`` partitioning, the spec
+    evolves to ``month(ts)``, the other half lands under the new
+    layout, and a one-week range query then prunes EACH generation
+    under the spec it was written with (``_prune_entry_parts`` resolves
+    the entry's own transforms) — old entries subset to 7 day dirs, new
+    entries to 1 month dir, no file rewritten by the evolution.
+
+    Scale: re-partitioning a 100 TB table because days got too small
+    (or too big) must not rewrite 100 TB — the spec change is one
+    metadata commit, old data keeps serving correctly pruned, and
+    ``compact()`` migrates the layout incrementally at maintenance
+    cadence.  The oracle computes the same week on the raw events."""
+    import datetime as _dt  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_pse_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    tbl = ManagedTable.create(
+        spark, path, schema,
+        partition_cols=["ts_day"],
+        partition_transforms={"ts_day": "day(ts)"},
+    )
+    ev = t(spark, sf, "events").select("event_id", "ts", "event_type", "value")
+    tbl.append(ev.filter(F.col("event_id") % 2 == 0))
+    tbl.set_partition_spec(
+        partition_cols=["ts_month"],
+        partition_transforms={"ts_month": "month(ts)"},
+    )
+    tbl.append(ev.filter(F.col("event_id") % 2 == 1))
+    week = tbl.read_where(
+        "ts",
+        _dt.datetime(2024, 1, 15, 0, 0, 0),
+        _dt.datetime(2024, 1, 21, 23, 59, 59),
+    )
+    return week.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+    )
+
+
+@query(
     "schema_evolution_ingest_documents",
     """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,

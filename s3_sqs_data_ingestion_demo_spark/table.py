@@ -131,6 +131,15 @@ class TableMeta:
     # ``read_where``).  Identity partitions (no transform entry)
     # behave exactly as before.
     partition_transforms: dict[str, str] = field(default_factory=dict)
+    # Partition-spec EVOLUTION (Iceberg spec ids): ``spec_id`` names
+    # the CURRENT spec (the partition_cols/partition_transforms
+    # above); every superseded spec is kept in ``partition_specs``
+    # under its stringified id, and manifest entries record the spec
+    # they were written under (``entry["spec"]``, absent = 0) so reads
+    # prune each entry by ITS OWN layout.  Old metas deserialize with
+    # spec_id 0 / empty history — fully back-compatible.
+    spec_id: int = 0
+    partition_specs: dict[str, dict] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -206,6 +215,49 @@ def can_widen(frm: T.DataType, to: T.DataType) -> bool:
     return (frm.simpleString(), to.simpleString()) in _WIDEN_OK
 
 
+def _subset_stats(stats: dict) -> dict:
+    """Entry stats carried into a PARTS-SUBSET entry: per-column
+    (min, max) remain valid bounds for any subset, but ``__rows``
+    counts the whole original entry and must be dropped — a subset
+    entry advertising the full count would corrupt the metadata-only
+    ``count_rows()`` and the emptiness proofs."""
+    return {k: v for k, v in stats.items() if k != "__rows"}
+
+
+def _validate_partition_spec(
+    schema: T.StructType,
+    partition_cols: Sequence[str],
+    partition_transforms: dict[str, str] | None,
+) -> dict[str, str]:
+    """Shared spec validation for ``create`` and
+    ``set_partition_spec``; returns the normalized transforms map."""
+    transforms = dict(partition_transforms or {})
+    names = schema.fieldNames()
+    for pcol, spec in transforms.items():
+        if pcol in names:
+            raise ValueError(
+                f"transform partition column {pcol!r} collides with a "
+                "schema column — hidden partitions are storage-only; "
+                "use an identity partition for a real column"
+            )
+        _, _, source = parse_transform(spec)  # validates the spec
+        if source not in names:
+            raise ValueError(
+                f"partition transform {spec!r}: source column "
+                f"{source!r} not in schema"
+            )
+    for c in partition_cols:
+        if c not in names and c not in transforms:
+            raise ValueError(f"partition column {c!r} not in schema")
+    for pcol in transforms:
+        if pcol not in partition_cols:
+            raise ValueError(
+                f"transform column {pcol!r} must be listed in "
+                "partition_cols"
+            )
+    return transforms
+
+
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project/cast ``df`` onto ``schema`` (explicit align-and-cast step;
     the reference relied on implicit MERGE analyzer casts, SURVEY §1.3)."""
@@ -260,30 +312,9 @@ class ManagedTable:
         ``ts`` without ``ts_day`` ever appearing in the schema."""
         if cls.exists(path):
             raise FileExistsError(f"table already exists at {path}")
-        transforms = dict(partition_transforms or {})
-        names = schema.fieldNames()
-        for pcol, spec in transforms.items():
-            if pcol in names:
-                raise ValueError(
-                    f"transform partition column {pcol!r} collides with a "
-                    "schema column — hidden partitions are storage-only; "
-                    "use an identity partition for a real column"
-                )
-            _, _, source = parse_transform(spec)  # validates the spec
-            if source not in names:
-                raise ValueError(
-                    f"partition transform {spec!r}: source column "
-                    f"{source!r} not in schema"
-                )
-        for c in partition_cols:
-            if c not in names and c not in transforms:
-                raise ValueError(f"partition column {c!r} not in schema")
-        for pcol in transforms:
-            if pcol not in partition_cols:
-                raise ValueError(
-                    f"transform column {pcol!r} must be listed in "
-                    "partition_cols"
-                )
+        transforms = _validate_partition_spec(
+            schema, partition_cols, partition_transforms
+        )
         meta = TableMeta(
             schema_json=json.dumps(schema.jsonValue()),
             partition_cols=list(partition_cols),
@@ -816,9 +847,11 @@ class ManagedTable:
         parts = entry.get("parts")
         if not parts or (lo is None and hi is None):
             return entry
+        # prune under the spec the ENTRY was written with — after a
+        # partition-spec evolution, old entries keep their old layout
         specs = [
             (pcol, spec)
-            for pcol, spec in self.meta.partition_transforms.items()
+            for pcol, spec in self._entry_spec(entry)[1].items()
             if parse_transform(spec)[2] == col
         ]
         if not specs:
@@ -1043,7 +1076,12 @@ class ManagedTable:
         # expression (JVM-side, no shuffle).  Partitioned tables keep
         # the per-entry union: hive partition columns need one
         # ``basePath`` per root, which a single scan cannot express.
-        if not self.meta.partition_cols:
+        # (Entries written under a SUPERSEDED partitioned spec keep
+        # hive subdirs even when the current spec is unpartitioned —
+        # they need the per-entry basePath union too.)
+        if not self.meta.partition_cols and not any(
+            e.get("parts") for e in entries
+        ):
             roots = [os.path.join(self.path, e["root"]) for e in entries]
             # the schema-explicit read already enforces the contract's
             # types, order, and null-fill of evolved-away columns — an
@@ -1314,6 +1352,10 @@ class ManagedTable:
             "root": os.path.relpath(root, self.path),
             "parts": self._list_parts(root) if self.meta.partition_cols else None,
         }
+        if self.meta.spec_id:
+            # record which partition spec this entry's layout follows
+            # (absent = spec 0, the common never-evolved case)
+            entry["spec"] = self.meta.spec_id
         stats = self._collect_entry_stats(root)
         if stats:
             entry["stats"] = stats
@@ -1397,7 +1439,16 @@ class ManagedTable:
             return self._commit_entry_with_retry(entry, delta_seq=True)
 
         parts_cols = self.meta.partition_cols
-        if not parts_cols:
+        # Mixed partition specs (after set_partition_spec): the batch's
+        # dir strings render under the CURRENT spec and can never match
+        # an old-layout entry's parts, so the pruned path would leave a
+        # matched key's old row in place — a duplicate.  Degrade to the
+        # full rewrite, which also MIGRATES the whole table to the
+        # current spec; the next merge prunes again.
+        mixed_specs = parts_cols and any(
+            not self._entry_on_current_spec(e) for e in entries
+        )
+        if not parts_cols or mixed_specs:
             merged = merge_upsert(
                 self._assemble(entries), src, keys, merge_order, policy
             )
@@ -1442,9 +1493,14 @@ class ManagedTable:
             if kept:
                 kept_entry = {"root": e["root"], "parts": kept}
                 # carry manifest stats forward: entry-level (min, max)
-                # stay valid bounds for any subset of the entry's parts
+                # stay valid bounds for any subset of the entry's
+                # parts — but NOT __rows, which counts the whole entry
+                # and would make the metadata-only count_rows()
+                # overcount (it falls back to the exact scan instead)
                 if e.get("stats"):
-                    kept_entry["stats"] = e["stats"]
+                    kept_entry["stats"] = _subset_stats(e["stats"])
+                if e.get("spec"):
+                    kept_entry["spec"] = e["spec"]
                 kept_entries.append(kept_entry)
             for p in hit:
                 affected_paths.append((os.path.join(self.path, e["root"]), p))
@@ -1519,6 +1575,14 @@ class ManagedTable:
         parts_cols = self.meta.partition_cols
         base = self._current_version()
         entries = self._manifest_at(base)
+        # mixed partition specs: old-layout parts can't match the
+        # current spec's dir strings — victims in old entries would
+        # silently survive the pruned path; full filtered rewrite
+        # (which also migrates the layout) is the correct degrade
+        if parts_cols and any(
+            not self._entry_on_current_spec(e) for e in entries
+        ):
+            parts_cols = []
         if parts_cols:
             cap = int(
                 self.meta.properties.get("merge.max-affected-partitions", 10_000)
@@ -1544,7 +1608,14 @@ class ManagedTable:
                     hit = [p for p in parts if p in affected]
                     kept = [p for p in parts if p not in affected]
                     if kept:
-                        kept_entries.append({"root": e["root"], "parts": kept})
+                        kept_entry = {"root": e["root"], "parts": kept}
+                        if e.get("stats"):
+                            # (min, max) stay valid for any parts
+                            # subset; __rows would overcount (see merge)
+                            kept_entry["stats"] = _subset_stats(e["stats"])
+                        if e.get("spec"):
+                            kept_entry["spec"] = e["spec"]
+                        kept_entries.append(kept_entry)
                     for p in hit:
                         affected_paths.append(
                             (os.path.join(self.path, e["root"]), p)
@@ -2032,11 +2103,13 @@ class ManagedTable:
                         os.path.getsize(p),
                         str(stats[0]) if stats else None,
                         str(stats[1]) if stats else None,
+                        int(e.get("spec", 0)),
                     ))
         return self.spark.createDataFrame(
             rows,
             "entry_root string, entry_kind string, file string, "
-            "size_bytes long, key_min string, key_max string",
+            "size_bytes long, key_min string, key_max string, "
+            "spec_id int",
         )
 
     def _manifest_at(self, version: int) -> list[dict]:
@@ -2359,6 +2432,56 @@ class ManagedTable:
             )
         return actions
 
+    def set_partition_spec(
+        self,
+        partition_cols: Sequence[str] = (),
+        partition_transforms: dict[str, str] | None = None,
+    ) -> int:
+        """Partition-spec EVOLUTION (Iceberg's signature metadata op):
+        future writes land under the new layout, existing files stay
+        in theirs — NOTHING is rewritten.  Every manifest entry records
+        the spec it was written under, so reads prune each entry by its
+        own transforms (``_prune_entry_parts``), and the partition-
+        pruned COW fast paths (merge / delete_where) detect mixed specs
+        and degrade to the full rewrite — which itself MIGRATES every
+        row to the current spec, as does ``compact()``.
+
+        The canonical 100 TB scenario: a table partitioned ``day(ts)``
+        grows past the point where days are too small (or too big) —
+        evolve to ``month(ts)`` (or ``hour(ts)``) and new data lands
+        right; old data keeps serving, correctly pruned, until a
+        maintenance compaction folds it into the new layout.  Returns
+        the new spec id."""
+        transforms = _validate_partition_spec(
+            self.meta.schema, partition_cols, partition_transforms
+        )
+        self.meta.partition_specs[str(self.meta.spec_id)] = {
+            "partition_cols": list(self.meta.partition_cols),
+            "partition_transforms": dict(self.meta.partition_transforms),
+        }
+        self.meta.spec_id += 1
+        self.meta.partition_cols = list(partition_cols)
+        self.meta.partition_transforms = transforms
+        self._persist_meta()
+        return self.meta.spec_id
+
+    def _entry_spec(self, entry: dict) -> tuple[list[str], dict[str, str]]:
+        """The (partition_cols, partition_transforms) the entry was
+        WRITTEN under — current spec for current entries, the recorded
+        history for superseded ones."""
+        sid = int(entry.get("spec", 0))
+        if sid != self.meta.spec_id:
+            hist = self.meta.partition_specs.get(str(sid))
+            if hist is not None:
+                return (
+                    list(hist.get("partition_cols") or []),
+                    dict(hist.get("partition_transforms") or {}),
+                )
+        return self.meta.partition_cols, self.meta.partition_transforms
+
+    def _entry_on_current_spec(self, entry: dict) -> bool:
+        return int(entry.get("spec", 0)) == self.meta.spec_id
+
     def set_properties(self, **kv: str) -> None:
         """Merge table properties into the persisted metadata (atomic
         rewrite, same protocol as ``add_columns``) — the small state
@@ -2422,6 +2545,10 @@ class ManagedTable:
         # retry loop recompute) instead of silently dropping its rows
         base = self._current_version()
         df = self._assemble(self._manifest_at(base))
+        # derive hidden (transform) partition columns up front so the
+        # clustering repartitions below can name them; partitionBy in
+        # _write_data consumes them into hive dirs, never into files
+        df = self._with_partition_cols(df)
         if zorder_by:
             from .operators.layout import zorder_key  # noqa: PLC0415
 
