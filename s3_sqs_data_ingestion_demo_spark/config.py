@@ -350,7 +350,9 @@ class OutputConfig:
         # Static coherence checks AT PARSE TIME: raising mid-batch
         # (after the table write committed) would turn a config error
         # into an infinite poison-redelivery loop in the SQS path.
-        if self.indexes and self._merge_query_is_merge_into():
+        # one probe (file read + parse) shared by the three checks below
+        merge_into = self._merge_query_is_merge_into()
+        if self.indexes and merge_into:
             # a verbatim MERGE INTO reshapes the batch before it lands,
             # so a declared index would be built from a different frame
             # than the table — refuse HERE, not per batch at run time
@@ -361,7 +363,7 @@ class OutputConfig:
                 "transform_query so the indexed frame matches "
                 "the table"
             )
-        if self.schema_evolution and self._merge_query_is_merge_into():
+        if self.schema_evolution and merge_into:
             raise ValueError(
                 "output_config.schema_evolution is not supported with "
                 "a verbatim MERGE INTO merge_query — the statement's "
@@ -394,7 +396,7 @@ class OutputConfig:
                     "published safely after the audit window "
                     "(table.py stage)"
                 )
-            if self._merge_query_is_merge_into():
+            if merge_into:
                 raise ValueError(
                     "output_config.audit is not supported with a "
                     "verbatim MERGE INTO merge_query — the MERGE "

@@ -14,6 +14,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from .config import JobConfig, load_text
 from .plans import apply_transform_query, execute_merge_into, is_merge_into
@@ -193,6 +194,7 @@ def process_files(
         if deletes is not None:
             deletes = deletes.localCheckpoint(eager=True)
     table = ensure_target(spark, config)
+    evo_prior_schema = None
     if out.schema_evolution:
         # Evolve BEFORE the write: new batch columns become nullable
         # table columns, lossless widenings (int→bigint, float→double)
@@ -201,7 +203,24 @@ def process_files(
         # replayed batch (crash between sink write and source commit)
         # finds nothing to change.  Runs AFTER the transform query —
         # what evolves is the frame the table actually lands.
-        actions = table.evolve_schema(df.schema)
+        # OPERATIONAL columns are excluded: a CDC op marker (consumed
+        # by the delete split above) and harness-injected lineage
+        # columns are not batch data — without the exclusion the first
+        # batch would permanently add them to the contract.
+        evo_schema = df.schema
+        op_cols = set()
+        if out.cdc_delete_values:
+            op_cols.add(out.cdc_op_column)
+        if lineage:
+            op_cols.update(("_ingest_file", "_ingest_ts"))
+        if op_cols:
+            evo_schema = StructType(
+                [f for f in evo_schema.fields if f.name not in op_cols]
+            )
+        evo_prior_schema = table.meta.schema_json
+        actions = table.evolve_schema(evo_schema)
+        if not actions:
+            evo_prior_schema = None
         for a in actions:
             log.info("schema evolution (%s): %s", out.table_path, a)
     if out.audit.rules:
@@ -209,7 +228,20 @@ def process_files(
         if not accepted:
             # the WHOLE batch is rejected: no deletes, no index folds,
             # no maintenance cadence tick — the table (and everything
-            # derived from it) saw nothing
+            # derived from it) saw nothing.  That includes THIS batch's
+            # schema evolution: a rejected batch must not leave its
+            # (possibly garbage) columns in the contract.  Rolling the
+            # metadata back is safe — no data landed under the evolved
+            # schema (the staged delta was discarded; quarantine copies
+            # were read before this point) and metadata ops are
+            # single-writer by contract.
+            if evo_prior_schema is not None:
+                table.meta.schema_json = evo_prior_schema
+                table._persist_meta()
+                log.warning(
+                    "schema evolution rolled back with the rejected "
+                    "batch (%s)", out.table_path,
+                )
             return version
     else:
         version = table.write(df, out.mode)

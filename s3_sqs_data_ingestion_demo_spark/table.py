@@ -856,6 +856,16 @@ class ManagedTable:
         ]
         if not specs:
             return entry
+        # per-transform bounds are invariant across parts — compute
+        # them ONCE (a bucket probe runs a 1-row Spark job; inside the
+        # loop it would run once per partition directory)
+        pruners = []
+        for pcol, spec in specs:
+            bounds = self._transformed_bounds(spec, lo, hi)
+            if bounds is not None:
+                pruners.append((pcol, parse_transform(spec)[0], bounds))
+        if not pruners:
+            return entry
         kept = []
         for part in parts:
             seg_vals = {}
@@ -863,16 +873,11 @@ class ManagedTable:
                 name, _, raw = seg.partition("=")
                 seg_vals[name] = raw
             keep = True
-            for pcol, spec in specs:
+            for pcol, kind, (lo_t, hi_t) in pruners:
                 raw = seg_vals.get(pcol)
                 if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
                     continue  # unknown or null dir: keep (see docstring)
                 val = urllib.parse.unquote(raw)
-                bounds = self._transformed_bounds(spec, lo, hi)
-                if bounds is None:
-                    continue
-                lo_t, hi_t = bounds
-                kind = parse_transform(spec)[0]
                 if kind in ("bucket", "truncate") and not isinstance(
                     lo_t if lo_t is not None else hi_t, str
                 ):
@@ -989,6 +994,11 @@ class ManagedTable:
             len(live) == len(all_entries)
             and len(keys) == 1
             and not self.meta.partition_cols
+            # old entries written under a superseded PARTITIONED spec
+            # keep hive subdirs; mixing them with bare roots in one
+            # multi-root scan fails partition discovery (same guard as
+            # _read_unresolved_union)
+            and not any(e.get("parts") for e in live)
             and self.entries_disjoint_on(keys[0], live)
         ):
             kept = [
@@ -2324,15 +2334,23 @@ class ManagedTable:
         Iceberg serves add-column evolution from old manifests."""
         schema = self.meta.schema
         names = set(schema.fieldNames())
+        # collision surface spans every spec with live entries: a new
+        # logical column matching an OLD hive dir name would be
+        # populated from directory values on old entries (Spark
+        # partition discovery) instead of null-filling
+        part_names = set()
+        for s in self._live_specs():
+            part_names.update(s.get("partition_cols") or [])
         for f in new_fields:
             if f.name in names:
                 raise ValueError(f"column {f.name!r} already exists")
-            if f.name in self.meta.partition_cols:
+            if f.name in part_names:
                 # hidden-partition columns are storage-only names; a
                 # logical column reusing one would collide in the hive
                 # dirs (same refusal as ManagedTable.create)
                 raise ValueError(
-                    f"column {f.name!r} collides with a partition column"
+                    f"column {f.name!r} collides with a partition column "
+                    "(current or still-live superseded spec)"
                 )
             if not f.nullable:
                 raise ValueError(
@@ -2366,15 +2384,22 @@ class ManagedTable:
                 f"cannot widen {name!r}: {old.simpleString()} → "
                 f"{new_type.simpleString()} is not a lossless widening"
             )
-        for spec in self.meta.partition_transforms.values():
-            kind, _, src = parse_transform(spec)
-            if src == name and kind == "bucket":
-                raise ValueError(
-                    f"cannot widen {name!r}: it feeds the bucket "
-                    f"transform {spec!r}, whose partition value is the "
-                    "hash of the typed value — widening would break "
-                    "bucket pruning for existing files"
-                )
+        # scan CURRENT + still-live superseded specs: old bucket
+        # entries keep pruning by the hash of the NARROW type until a
+        # compaction migrates them — widening underneath them would
+        # make point reads silently miss rows
+        for s in self._live_specs():
+            for spec in (s.get("partition_transforms") or {}).values():
+                kind, _, src = parse_transform(spec)
+                if src == name and kind == "bucket":
+                    raise ValueError(
+                        f"cannot widen {name!r}: it feeds the bucket "
+                        f"transform {spec!r} (current or still-live "
+                        "superseded spec), whose partition value is "
+                        "the hash of the typed value — widening would "
+                        "break bucket pruning for existing files; "
+                        "compact() first to migrate the layout"
+                    )
         new_schema = T.StructType(
             [
                 T.StructField(name, new_type, f.nullable, f.metadata)
@@ -2464,6 +2489,27 @@ class ManagedTable:
         self.meta.partition_transforms = transforms
         self._persist_meta()
         return self.meta.spec_id
+
+    def _live_specs(self) -> list[dict]:
+        """The CURRENT partition spec plus every superseded spec that
+        still owns LIVE manifest entries — the layouts a read can
+        actually encounter.  Schema-evolution checks must consider all
+        of them: an old spec's hidden dir names and bucket hashes stay
+        load-bearing until compaction migrates its entries away."""
+        out = [{
+            "partition_cols": list(self.meta.partition_cols),
+            "partition_transforms": dict(self.meta.partition_transforms),
+        }]
+        if self.meta.partition_specs:
+            live_ids = {
+                int(e.get("spec", 0)) for e in self._read_manifest()
+            }
+            live_ids.discard(self.meta.spec_id)
+            for sid in sorted(live_ids):
+                hist = self.meta.partition_specs.get(str(sid))
+                if hist:
+                    out.append(hist)
+        return out
 
     def _entry_spec(self, entry: dict) -> tuple[list[str], dict[str, str]]:
         """The (partition_cols, partition_transforms) the entry was

@@ -194,6 +194,74 @@ def test_files_relation_reports_spec_ids(spark, tmp_path):
     assert {r.spec_id for r in t.files().collect()} == {0, 1}
 
 
+def test_add_column_refused_for_live_superseded_spec_dir_name(
+    spark, tmp_path
+):
+    """A new logical column matching an OLD spec's hidden dir name
+    would be populated from directory values on old entries (partition
+    discovery) instead of null-filling — refused while those entries
+    live, allowed once compact() migrates them away."""
+    t = _mk(
+        spark, tmp_path,
+        partition_cols=["ts_day"],
+        partition_transforms={"ts_day": "day(ts)"},
+    )
+    t.append(spark.createDataFrame(_rows([1], [1]), SCHEMA))
+    t.set_partition_spec(
+        partition_cols=["ts_month"],
+        partition_transforms={"ts_month": "month(ts)"},
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        t.add_columns([T.StructField("ts_day", T.StringType(), True)])
+    t.compact()  # migrates the old entry to the month layout
+    t.add_columns([T.StructField("ts_day", T.StringType(), True)])
+    assert t.read().filter(F.col("ts_day").isNotNull()).count() == 0
+
+
+def test_widen_refused_for_live_superseded_bucket_spec(spark, tmp_path):
+    """Old bucket entries prune by the hash of the NARROW type until a
+    compaction migrates them — widening underneath would make point
+    reads silently miss rows."""
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ])
+    t = ManagedTable.create(
+        spark, str(tmp_path) + "/t", schema,
+        partition_cols=["id_b"],
+        partition_transforms={"id_b": "bucket(4, id)"},
+    )
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(8)], schema))
+    t.set_partition_spec()  # unpartitioned going forward
+    with pytest.raises(ValueError, match="bucket"):
+        t.widen_column("id", T.LongType())
+    t.compact()
+    t.widen_column("id", T.LongType())
+    assert dict(t.read().dtypes)["id"] == "bigint"
+    assert sorted(r.id for r in t.read_where("id", 3, 3).collect()) == [3]
+
+
+def test_read_where_in_mixed_layout_roots(spark, tmp_path):
+    """The single multi-root fast path cannot mix partitioned and bare
+    roots (conflicting partition discovery) — after an evolution to
+    unpartitioned it must take the per-entry path."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ])
+    t = ManagedTable.create(
+        spark, str(tmp_path) + "/t", schema,
+        partition_cols=["id_b"],
+        partition_transforms={"id_b": "bucket(2, id)"},
+        key_cols=["id"],
+    )
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], schema))
+    t.set_partition_spec()
+    t.append(spark.createDataFrame([(10, 10.0), (11, 11.0)], schema))
+    got = sorted(r.id for r in t.read_where_in("id", [2, 10]).collect())
+    assert got == [2, 10]
+
+
 def test_count_rows_exact_after_pruned_merge(spark, tmp_path):
     """Regression: the COW pruned merge carried the whole-entry
     ``__rows`` stat into its parts-subset kept entry, so the

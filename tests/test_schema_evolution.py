@@ -257,6 +257,74 @@ def test_job_evolution_refused_with_verbatim_merge_into(spark, tmp_path):
         })
 
 
+def test_job_evolution_excludes_operational_columns(spark, tmp_path):
+    """CDC op markers and lineage columns are consumed by the harness,
+    not batch data — evolution must not add them to the contract."""
+    ManagedTable.create(spark, f"{tmp_path}/tbl", BASE,
+                        key_cols=["id"], order_column="seq")
+    cfg = JobConfig.from_dict({
+        "input_config": {"format": "parquet"},
+        "output_config": {
+            "table_path": f"{tmp_path}/tbl",
+            "mode": "merge",
+            "key_columns": ["id"],
+            "order_column": "seq",
+            "schema_evolution": True,
+            "cdc_delete_values": ["D"],
+        },
+    })
+    with_op = T.StructType(list(EVOLVED.fields) + [
+        T.StructField("Op", STR, True),
+    ])
+    files = _land(spark, tmp_path, "b1",
+                  [(1, "a", 1, 0.5, "I"), (2, "b", 1, 0.7, "D")], with_op)
+    J.process_files(spark, cfg, files, lineage=True)
+    t = ManagedTable.load(spark, f"{tmp_path}/tbl")
+    cols = set(t.read().columns)
+    assert "Op" not in cols and "_ingest_file" not in cols
+    assert "score" in cols  # genuine new column still evolved in
+    rows = t.read().collect()  # the 'D' row deleted, not upserted
+    assert [r.id for r in rows] == [1]
+
+
+def test_audit_rejected_batch_rolls_back_evolution(spark, tmp_path):
+    """A rejected batch must leave NOTHING behind — including its
+    schema evolution: a typo'd junk column from a bad batch must not
+    live in the contract forever."""
+    ManagedTable.create(spark, f"{tmp_path}/tbl", BASE,
+                        key_cols=["id"], order_column="seq")
+    cfg = JobConfig.from_dict({
+        "input_config": {"format": "parquet"},
+        "output_config": {
+            "table_path": f"{tmp_path}/tbl",
+            "mode": "append",
+            "schema_evolution": True,
+            "audit": {
+                "rules": [{"rule": "not_null", "column": "name"}],
+                "on_fail": "skip_batch",
+            },
+        },
+    })
+    bad_schema = T.StructType(list(BASE.fields) + [
+        T.StructField("n_charss", DBL, True),  # the typo'd column
+    ])
+    bad = _land(spark, tmp_path, "bad",
+                [(1, None, 1, 0.5)], bad_schema)
+    J.process_files(spark, cfg, bad)
+    t = ManagedTable.load(spark, f"{tmp_path}/tbl")
+    assert "n_charss" not in t.meta.schema.fieldNames()
+    assert t.read().count() == 0
+    # an ACCEPTED batch's evolution sticks
+    good = _land(spark, tmp_path, "good",
+                 [(2, "ok", 1, 0.9)],
+                 T.StructType(list(BASE.fields) + [
+                     T.StructField("score", DBL, True)]))
+    J.process_files(spark, cfg, good)
+    t = ManagedTable.load(spark, f"{tmp_path}/tbl")
+    assert "score" in t.meta.schema.fieldNames()
+    assert t.read().collect()[0].score == 0.9
+
+
 def test_cdf_spans_an_evolution(spark, tmp_path):
     """The change feed stays coherent across an add-column boundary:
     pre-evolution images serve the CURRENT schema (null-filled), so a
