@@ -1305,6 +1305,21 @@ class ManagedTable:
             # dirs below, and are dropped again on read — they never
             # exist in the logical schema
             df = self._with_partition_cols(df)
+        # Declared write sort order (table property
+        # "write.sort-columns", Iceberg's write.sort.order): sort rows
+        # WITHIN each output task on the declared columns so per-file
+        # parquet min/max are tight from the first commit — selective
+        # reads skip files/row-groups without waiting for a
+        # compact(cluster_by=...) maintenance pass.  No shuffle: this
+        # is a per-task sort, not a range repartition (the cheap
+        # always-on half of clustering; compaction still does the
+        # global range layout).  Partition columns lead the sort so a
+        # partitioned write groups each task's rows per hive dir.
+        sort_cols = self.meta.properties.get("write.sort-columns")
+        if sort_cols:
+            cols = [c.strip() for c in sort_cols.split(",") if c.strip()]
+            lead = [c for c in self.meta.partition_cols if c not in cols]
+            df = df.sortWithinPartitions(*lead, *cols)
         writer = df.write.option("compression", self.meta.compression)
         # File-size targeting (table property "write.target-file-rows"):
         # caps rows per parquet file so snapshots land as evenly-sized
