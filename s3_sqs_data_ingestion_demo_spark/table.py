@@ -140,6 +140,11 @@ class TableMeta:
     # spec_id 0 / empty history — fully back-compatible.
     spec_id: int = 0
     partition_specs: dict[str, dict] = field(default_factory=dict)
+    # Names removed by drop_column: reads are name-based, so a NEW
+    # column reusing a dropped name would silently resurrect the old
+    # files' values (Iceberg avoids this with field ids; we refuse the
+    # re-add instead — see add_columns).
+    dropped_columns: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -2359,6 +2364,16 @@ class ManagedTable:
         for f in new_fields:
             if f.name in names:
                 raise ValueError(f"column {f.name!r} already exists")
+            if f.name in self.meta.dropped_columns:
+                # reads are name-based: a new column under a dropped
+                # name would resurrect the old files' values instead
+                # of null-filling (Iceberg's field-id problem; we
+                # refuse the re-add instead)
+                raise ValueError(
+                    f"column {f.name!r} was previously dropped — "
+                    "re-adding the name would resurrect old file "
+                    "values; pick a new name"
+                )
             if f.name in part_names:
                 # hidden-partition columns are storage-only names; a
                 # logical column reusing one would collide in the hive
@@ -2424,6 +2439,46 @@ class ManagedTable:
             ]
         )
         self.meta.schema_json = json.dumps(new_schema.jsonValue())
+        self._persist_meta()
+
+    def drop_column(self, name: str) -> None:
+        """Drop a column from the contract — metadata-only, like every
+        evolution here: no file is rewritten, the schema-explicit read
+        simply stops projecting the column (old files' values become
+        unreachable, including via time travel — the Delta behavior,
+        where history is served under the CURRENT schema).
+
+        Refused for load-bearing columns: merge keys, the order
+        column, and any partition-transform source of a spec that
+        still has live entries.  The name is remembered and can never
+        be re-added (``add_columns`` refuses it): reads are name-based,
+        so a re-add would silently resurrect the old files' values."""
+        schema = self.meta.schema
+        if name not in schema.fieldNames():
+            raise ValueError(f"column {name!r} does not exist")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the table's only column")
+        if name in self.meta.key_cols:
+            raise ValueError(f"cannot drop key column {name!r}")
+        if name == self.meta.order_column:
+            raise ValueError(f"cannot drop order column {name!r}")
+        for s in self._live_specs():
+            if name in (s.get("partition_cols") or []):
+                raise ValueError(
+                    f"cannot drop identity partition column {name!r}"
+                )
+            for spec in (s.get("partition_transforms") or {}).values():
+                if parse_transform(spec)[2] == name:
+                    raise ValueError(
+                        f"cannot drop {name!r}: it feeds the partition "
+                        f"transform {spec!r} (current or still-live "
+                        "superseded spec)"
+                    )
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        self.meta.schema_json = json.dumps(new_schema.jsonValue())
+        self.meta.dropped_columns.append(name)
         self._persist_meta()
 
     def evolve_schema(self, incoming: T.StructType) -> list[str]:

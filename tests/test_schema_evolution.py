@@ -325,6 +325,111 @@ def test_audit_rejected_batch_rolls_back_evolution(spark, tmp_path):
     assert t.read().collect()[0].score == 0.9
 
 
+def test_drop_column_metadata_only(spark, tmp_path):
+    t = _tbl(spark, f"{tmp_path}/t", [
+        T.StructField("id", LONG, True),
+        T.StructField("junk", STR, True),
+        T.StructField("v", DBL, True),
+    ])
+    t.append(spark.createDataFrame([(1, "x", 1.0), (2, "y", 2.0)],
+                                   t.meta.schema))
+    t.drop_column("junk")
+    out = t.read()
+    assert out.columns == ["id", "v"] and out.count() == 2
+    # history serves the CURRENT schema too (Delta behavior)
+    assert "junk" not in ManagedTable.load(spark, t.path).read().columns
+    # the name can never come back: old files would resurrect values
+    with pytest.raises(ValueError, match="previously dropped"):
+        t.add_columns([T.StructField("junk", STR, True)])
+    # writes after the drop land without the column
+    t.append(spark.createDataFrame([(3, 3.0)], t.meta.schema))
+    assert t.read().count() == 3
+
+
+def test_drop_column_refuses_load_bearing(spark, tmp_path):
+    t = ManagedTable.create(
+        spark, f"{tmp_path}/t",
+        T.StructType([
+            T.StructField("id", LONG, True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("seq", LONG, True),
+            T.StructField("v", DBL, True),
+        ]),
+        key_cols=["id"], order_column="seq",
+        partition_cols=["ts_day"],
+        partition_transforms={"ts_day": "day(ts)"},
+    )
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_column("id")
+    with pytest.raises(ValueError, match="order column"):
+        t.drop_column("seq")
+    with pytest.raises(ValueError, match="partition transform"):
+        t.drop_column("ts")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.drop_column("nope")
+
+
+def test_evolve_schema_property_roundtrip(spark, tmp_path):
+    """Property: for any evolution-compatible schema pair, writing a
+    batch of each shape and reading back serves every row under the
+    reconciled contract with null-fill/upcast semantics."""
+    from hypothesis import given, settings, strategies as st
+
+    types = [INT, LONG, FLT, DBL, STR]
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(types), st.sampled_from(types)),
+            min_size=1, max_size=4,
+        ),
+        st.integers(min_value=0, max_value=2**30),
+    )
+    def prop(pairs, seed):
+        from s3_sqs_data_ingestion_demo_spark.table import can_widen
+
+        base_fields = [
+            T.StructField(f"c{i}", a, True) for i, (a, _) in enumerate(pairs)
+        ]
+        inc_fields = [
+            T.StructField(f"c{i}", b, True) for i, (_, b) in enumerate(pairs)
+        ]
+        compatible = all(
+            a == b or can_widen(a, b) or can_widen(b, a)
+            for a, b in pairs
+        )
+        path = f"{tmp_path}/p{seed}_{abs(hash(tuple(str(p) for p in pairs))) % 10**8}"
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        t = ManagedTable.create(spark, path, T.StructType(base_fields))
+
+        def _row(fields):
+            out = []
+            for f in fields:
+                out.append("s" if f.dataType == STR else (
+                    1.5 if f.dataType in (FLT, DBL) else 7))
+            return tuple(out)
+
+        t.append(spark.createDataFrame([_row(base_fields)],
+                                       T.StructType(base_fields)))
+        incoming = T.StructType(inc_fields)
+        if not compatible:
+            with pytest.raises(ValueError):
+                t.evolve_schema(incoming)
+            return
+        t.evolve_schema(incoming)
+        t.append(spark.createDataFrame([_row(inc_fields)], incoming))
+        out = t.read()
+        assert out.count() == 2
+        # reconciled type is the wider of each pair
+        got = dict(out.dtypes)
+        for i, (a, b) in enumerate(pairs):
+            want = b if can_widen(a, b) else a
+            assert got[f"c{i}"] == want.simpleString()
+
+    prop()
+
+
 def test_cdf_spans_an_evolution(spark, tmp_path):
     """The change feed stays coherent across an add-column boundary:
     pre-evolution images serve the CURRENT schema (null-filled), so a
