@@ -217,7 +217,105 @@ _WIDEN_OK = {
 
 
 def can_widen(frm: T.DataType, to: T.DataType) -> bool:
+    if isinstance(frm, T.DecimalType) and isinstance(to, T.DecimalType):
+        # Iceberg's decimal rule: precision may grow, scale must hold —
+        # every old value is exactly representable, no rounding
+        # semantics enter.  (Spark 4's parquet reader can rescale too,
+        # but a scale change alters the rendered value; refused.)
+        return to.scale == frm.scale and to.precision > frm.precision
     return (frm.simpleString(), to.simpleString()) in _WIDEN_OK
+
+
+def merge_types(cur: T.DataType, inc: T.DataType, path: str = "") -> T.DataType:
+    """Reconcile two types for schema evolution, recursively:
+
+    - equal → unchanged; one widens losslessly into the other → the
+      wider (``can_widen``: integral upcasts, float→double, decimal
+      precision growth)
+    - struct vs struct → field-wise union: shared fields reconcile
+      recursively, fields unique to either side are kept (nullable —
+      the absent side null-fills, on read for old files and on write
+      for old-shaped batches)
+    - array vs array → element types reconcile
+    - anything else → loud ``ValueError`` (a silent lossy cast would
+      corrupt data)
+
+    The read side is free: Spark 4's parquet readers null-fill missing
+    nested fields and apply widening promotions inside structs/arrays
+    (verified on this build).  The write side goes through
+    ``align_to_schema``'s structural rebuild."""
+    if cur == inc:
+        return cur
+    if can_widen(cur, inc):
+        return inc
+    if can_widen(inc, cur):
+        return cur
+    if isinstance(cur, T.StructType) and isinstance(inc, T.StructType):
+        inc_map = {f.name: f for f in inc.fields}
+        cur_names = {f.name for f in cur.fields}
+        fields = []
+        for f in cur.fields:
+            g = inc_map.get(f.name)
+            if g is None:
+                fields.append(f)
+            else:
+                fields.append(
+                    T.StructField(
+                        f.name,
+                        merge_types(
+                            f.dataType, g.dataType, f"{path}{f.name}."
+                        ),
+                        True,
+                    )
+                )
+        fields.extend(
+            T.StructField(g.name, g.dataType, True)
+            for g in inc.fields
+            if g.name not in cur_names
+        )
+        return T.StructType(fields)
+    if isinstance(cur, T.ArrayType) and isinstance(inc, T.ArrayType):
+        return T.ArrayType(
+            merge_types(cur.elementType, inc.elementType, f"{path}[]"),
+            True,
+        )
+    raise ValueError(
+        f"schema evolution cannot reconcile {path or 'column'}: "
+        f"{cur.simpleString()} vs {inc.simpleString()} — neither side "
+        "widens losslessly into the other"
+    )
+
+
+def _align_expr(c, frm: T.DataType, to: T.DataType):
+    """Column expression aligning a value of type ``frm`` onto ``to``.
+    Scalars cast (Spark semantics, unchanged); structs REBUILD —
+    Spark's struct cast refuses differing field counts, so missing
+    subfields null-fill explicitly, with a null-struct guard (a NULL
+    struct row must stay NULL, not become a row of nulls); arrays
+    align per element."""
+    if frm == to:
+        return c
+    if isinstance(to, T.StructType) and isinstance(frm, T.StructType):
+        frm_map = {f.name: f for f in frm.fields}
+        subs = []
+        for f in to.fields:
+            g = frm_map.get(f.name)
+            if g is None:
+                subs.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                subs.append(
+                    _align_expr(
+                        c.getField(f.name), g.dataType, f.dataType
+                    ).alias(f.name)
+                )
+        return F.when(c.isNull(), F.lit(None).cast(to)).otherwise(
+            F.struct(*subs)
+        )
+    if isinstance(to, T.ArrayType) and isinstance(frm, T.ArrayType):
+        return F.transform(
+            c, lambda x: _align_expr(x, frm.elementType, to.elementType)
+        ).cast(to)
+    return c.cast(to)
 
 
 def _subset_stats(stats: dict) -> dict:
@@ -265,11 +363,20 @@ def _validate_partition_spec(
 
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project/cast ``df`` onto ``schema`` (explicit align-and-cast step;
-    the reference relied on implicit MERGE analyzer casts, SURVEY §1.3)."""
+    the reference relied on implicit MERGE analyzer casts, SURVEY §1.3).
+    Struct columns whose shape differs are rebuilt field-wise
+    (``_align_expr``) so old-shaped batches keep writing after an
+    additive struct evolution; scalar alignment is the same cast as
+    before."""
+    have = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for f in schema.fields:
-        if f.name in df.columns:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        if f.name in have:
+            cols.append(
+                _align_expr(F.col(f.name), have[f.name], f.dataType).alias(
+                    f.name
+                )
+            )
         elif f.nullable:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         else:
@@ -2414,10 +2521,16 @@ class ManagedTable:
                 f"cannot widen {name!r}: {old.simpleString()} → "
                 f"{new_type.simpleString()} is not a lossless widening"
             )
-        # scan CURRENT + still-live superseded specs: old bucket
-        # entries keep pruning by the hash of the NARROW type until a
-        # compaction migrates them — widening underneath them would
-        # make point reads silently miss rows
+        self._check_not_live_bucket_source(name)
+        self._set_column_type(name, new_type)
+
+    def _check_not_live_bucket_source(self, name: str) -> None:
+        """Refuse a type change on a bucket-transform source: the
+        partition value is the JVM hash of the TYPED value, and old
+        bucket entries keep pruning by the hash of the NARROW type
+        until a compaction migrates them — changing the type
+        underneath would make point reads silently miss rows.  Scans
+        the CURRENT spec plus still-live superseded ones."""
         for s in self._live_specs():
             for spec in (s.get("partition_transforms") or {}).values():
                 kind, _, src = parse_transform(spec)
@@ -2430,6 +2543,9 @@ class ManagedTable:
                         "break bucket pruning for existing files; "
                         "compact() first to migrate the layout"
                     )
+
+    def _set_column_type(self, name: str, new_type: T.DataType) -> None:
+        schema = self.meta.schema
         new_schema = T.StructType(
             [
                 T.StructField(name, new_type, f.nullable, f.metadata)
@@ -2486,10 +2602,13 @@ class ManagedTable:
         ingest-time evolution step (``output_config.schema_evolution``):
 
         - batch column absent from the table  → ``add_columns`` (nullable)
-        - batch type strictly wider (lossless) → ``widen_column``
+        - batch type reconcilable via ``merge_types`` — lossless scalar
+          widening, decimal precision growth, additive struct fields
+          (recursively, arrays included) → the column's type evolves to
+          the reconciled (wider/union) type
         - batch type equal or strictly narrower → no-op (the write-path
-          ``align_to_schema`` upcasts the batch)
-        - anything else (string vs int, double→float, nested drift) →
+          ``align_to_schema`` upcasts / struct-rebuilds the batch)
+        - anything else (string vs int, double→float, scale changes) →
           loud ``ValueError`` — a silent lossy cast would corrupt data
 
         Idempotent: replaying the same batch finds nothing to change.
@@ -2502,24 +2621,21 @@ class ManagedTable:
             if have is None:
                 adds.append(T.StructField(f.name, f.dataType, True))
                 continue
-            if have.dataType == f.dataType:
-                continue
-            if can_widen(have.dataType, f.dataType):
-                self.widen_column(f.name, f.dataType)
-                actions.append(
-                    f"widen {f.name}: {have.dataType.simpleString()} -> "
-                    f"{f.dataType.simpleString()}"
-                )
-            elif can_widen(f.dataType, have.dataType):
-                continue  # narrower batch upcasts on write
-            else:
+            try:
+                merged = merge_types(have.dataType, f.dataType)
+            except ValueError as e:
                 raise ValueError(
                     f"schema evolution cannot reconcile column "
-                    f"{f.name!r}: table has "
-                    f"{have.dataType.simpleString()}, batch has "
-                    f"{f.dataType.simpleString()} — neither side widens "
-                    "losslessly into the other"
-                )
+                    f"{f.name!r}: {e}"
+                ) from None
+            if merged == have.dataType:
+                continue  # equal or narrower batch: write-path aligns
+            self._check_not_live_bucket_source(f.name)
+            self._set_column_type(f.name, merged)
+            actions.append(
+                f"evolve {f.name}: {have.dataType.simpleString()} -> "
+                f"{merged.simpleString()}"
+            )
         if adds:
             self.add_columns(adds)
             actions.extend(

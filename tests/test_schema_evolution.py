@@ -116,7 +116,7 @@ def test_evolve_adds_and_widens_and_is_idempotent(spark, tmp_path):
         T.StructField("score", DBL, False),   # add (forced nullable)
     ])
     actions = t.evolve_schema(incoming)
-    assert sorted(actions) == ["add score double", "widen id: int -> bigint"]
+    assert sorted(actions) == ["add score double", "evolve id: int -> bigint"]
     f = {x.name: x for x in t.meta.schema.fields}
     assert f["id"].dataType == LONG
     assert f["score"].dataType == DBL and f["score"].nullable
@@ -323,6 +323,106 @@ def test_audit_rejected_batch_rolls_back_evolution(spark, tmp_path):
     t = ManagedTable.load(spark, f"{tmp_path}/tbl")
     assert "score" in t.meta.schema.fieldNames()
     assert t.read().collect()[0].score == 0.9
+
+
+def test_widen_decimal_precision(spark, tmp_path):
+    from decimal import Decimal
+
+    t = _tbl(spark, f"{tmp_path}/t",
+             [T.StructField("amt", T.DecimalType(10, 2), True)])
+    t.append(spark.createDataFrame([(Decimal("12345678.99"),)],
+                                   t.meta.schema))
+    t.widen_column("amt", T.DecimalType(20, 2))
+    big = Decimal("123456789012345678.50")
+    t.append(spark.createDataFrame(
+        [(big,)],
+        T.StructType([T.StructField("amt", T.DecimalType(20, 2))]),
+    ))
+    out = t.read()
+    assert dict(out.dtypes)["amt"] == "decimal(20,2)"
+    assert sorted(r.amt for r in out.collect()) == [
+        Decimal("12345678.99"), big,
+    ]
+    # scale changes alter the rendered value: refused
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("amt", T.DecimalType(30, 4))
+
+
+STRUCT_V1 = T.StructType([T.StructField("a", INT, True)])
+STRUCT_V2 = T.StructType([
+    T.StructField("a", LONG, True),       # nested widen
+    T.StructField("b", STR, True),        # nested add
+])
+
+
+def test_evolve_struct_adds_fields_and_widens_nested(spark, tmp_path):
+    t = _tbl(spark, f"{tmp_path}/t", [
+        T.StructField("id", LONG, True),
+        T.StructField("meta", STRUCT_V1, True),
+    ])
+    t.append(spark.createDataFrame(
+        [(1, (7,)), (2, None)], t.meta.schema  # incl. a NULL struct row
+    ))
+    actions = t.evolve_schema(T.StructType([
+        T.StructField("id", LONG, True),
+        T.StructField("meta", STRUCT_V2, True),
+    ]))
+    assert actions == [
+        "evolve meta: struct<a:int> -> struct<a:bigint,b:string>"
+    ]
+    # new-shape batch lands; OLD-shape batch still writes (struct
+    # rebuild in align_to_schema) — and the null struct row stays null
+    t.append(spark.createDataFrame(
+        [(3, (2**40, "x"))],
+        T.StructType([T.StructField("id", LONG),
+                      T.StructField("meta", STRUCT_V2)]),
+    ))
+    t.append(spark.createDataFrame(
+        [(4, (5,)), (5, None)],
+        T.StructType([T.StructField("id", LONG),
+                      T.StructField("meta", STRUCT_V1)]),
+    ))
+    rows = {r.id: r.meta for r in t.read().collect()}
+    assert rows[1] == (7, None)          # old file: nested null-fill + widen
+    assert rows[2] is None               # null struct stays null (read)
+    assert rows[3] == (2**40, "x")
+    assert rows[4] == (5, None)          # old-shape write after evolution
+    assert rows[5] is None               # null struct stays null (write)
+
+
+def test_evolve_array_of_struct(spark, tmp_path):
+    t = _tbl(spark, f"{tmp_path}/t", [
+        T.StructField("id", LONG, True),
+        T.StructField("spans", T.ArrayType(STRUCT_V1), True),
+    ])
+    t.append(spark.createDataFrame([(1, [(3,), (4,)])], t.meta.schema))
+    t.evolve_schema(T.StructType([
+        T.StructField("id", LONG, True),
+        T.StructField("spans", T.ArrayType(STRUCT_V2), True),
+    ]))
+    t.append(spark.createDataFrame(
+        [(2, [(9, "y")])],
+        T.StructType([T.StructField("id", LONG),
+                      T.StructField("spans", T.ArrayType(STRUCT_V2))]),
+    ))
+    rows = {r.id: r.spans for r in t.read().collect()}
+    assert rows[1] == [(3, None), (4, None)]
+    assert rows[2] == [(9, "y")]
+
+
+def test_evolve_struct_incompatible_nested_raises(spark, tmp_path):
+    t = _tbl(spark, f"{tmp_path}/t", [
+        T.StructField("meta", STRUCT_V1, True),
+        T.StructField("id", LONG, True),
+    ])
+    with pytest.raises(ValueError, match="meta"):
+        t.evolve_schema(T.StructType([
+            T.StructField(
+                "meta",
+                T.StructType([T.StructField("a", STR, True)]),  # int vs str
+                True,
+            ),
+        ]))
 
 
 def test_drop_column_metadata_only(spark, tmp_path):
