@@ -257,7 +257,9 @@ def merge_types(cur: T.DataType, inc: T.DataType, path: str = "") -> T.DataType:
         for f in cur.fields:
             g = inc_map.get(f.name)
             if g is None:
-                fields.append(f)
+                # nullable like the inc-unique fields below: the
+                # incoming-shaped batches will null-fill this field
+                fields.append(T.StructField(f.name, f.dataType, True))
             else:
                 fields.append(
                     T.StructField(
@@ -297,6 +299,20 @@ def _align_expr(c, frm: T.DataType, to: T.DataType):
         return c
     if isinstance(to, T.StructType) and isinstance(frm, T.StructType):
         frm_map = {f.name: f for f in frm.fields}
+        # extra BATCH subfields fail loudly, matching the struct-cast
+        # behavior this rebuild replaced: contracts only grow nested
+        # fields, so an unknown subfield is always producer drift —
+        # dropping it silently would lose nested data with no signal
+        # that schema evolution is needed.  (Extra TOP-LEVEL batch
+        # columns stay silently dropped — the reference's semantics.)
+        extra = [f.name for f in frm.fields if f.name not in
+                 {x.name for x in to.fields}]
+        if extra:
+            raise ValueError(
+                f"batch struct carries subfields {extra} not in the "
+                "table contract — enable output_config.schema_evolution "
+                "or fix the producer"
+            )
         subs = []
         for f in to.fields:
             g = frm_map.get(f.name)
@@ -1398,7 +1414,9 @@ class ManagedTable:
                 )
         return df
 
-    def _write_data(self, df: DataFrame, root: str) -> dict:
+    def _write_data(
+        self, df: DataFrame, root: str, apply_sort_property: bool = True
+    ) -> dict:
         # File-count bounding (table property "write.max-delta-files"):
         # tables fed by trigger-bounded increments (streaming signature
         # indexes, incremental rollup folds) receive SMALL relations
@@ -1427,7 +1445,15 @@ class ManagedTable:
         # always-on half of clustering; compaction still does the
         # global range layout).  Partition columns lead the sort so a
         # partitioned write groups each task's rows per hive dir.
-        sort_cols = self.meta.properties.get("write.sort-columns")
+        # (suppressed via apply_sort_property=False when the caller
+        # already imposed a layout — compact(zorder_by/cluster_by)
+        # would otherwise have its within-task clustering silently
+        # re-sorted away)
+        sort_cols = (
+            self.meta.properties.get("write.sort-columns")
+            if apply_sort_property
+            else None
+        )
         if sort_cols:
             cols = [c.strip() for c in sort_cols.split(",") if c.strip()]
             lead = [c for c in self.meta.partition_cols if c not in cols]
@@ -2590,6 +2616,20 @@ class ManagedTable:
                         f"transform {spec!r} (current or still-live "
                         "superseded spec)"
                     )
+        # table properties naming the column would break every
+        # subsequent write (sort) or silently lose their effect
+        # (bloom/stats) — make the operator retarget them first
+        for prop in (
+            "write.sort-columns", "write.bloom-columns",
+            "write.stats-columns",
+        ):
+            cols = self.meta.properties.get(prop, "")
+            if name in [c.strip() for c in cols.split(",") if c.strip()]:
+                raise ValueError(
+                    f"cannot drop {name!r}: it is referenced by table "
+                    f"property {prop}={cols!r} — update the property "
+                    "first (set_properties)"
+                )
         new_schema = T.StructType(
             [f for f in schema.fields if f.name != name]
         )
@@ -2619,6 +2659,14 @@ class ManagedTable:
         for f in incoming.fields:
             have = current.get(f.name)
             if have is None:
+                if f.name in self.meta.dropped_columns:
+                    # dropping was an explicit operator decision: later
+                    # batches (or REPLAYED pre-drop batches — the
+                    # idempotency contract) still carrying the column
+                    # just have it dropped by the align step, same as
+                    # any extra column; re-adding stays refused via the
+                    # explicit add_columns API only
+                    continue
                 adds.append(T.StructField(f.name, f.dataType, True))
                 continue
             try:
@@ -2818,7 +2866,12 @@ class ManagedTable:
             df = df.repartition(*self.meta.partition_cols)
         else:
             df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
-        entry = self._write_data(df, self._new_root())
+        entry = self._write_data(
+            df, self._new_root(),
+            # an explicit clustering IS the layout — the declared
+            # write-sort must not re-sort it within tasks
+            apply_sort_property=not (zorder_by or cluster_by),
+        )
         return self._commit_snapshot([entry], kind="maintenance", base_version=base)
 
     def vacuum_orphans(self, min_age_seconds: float = 86400.0) -> list[str]:

@@ -530,6 +530,94 @@ def test_evolve_schema_property_roundtrip(spark, tmp_path):
     prop()
 
 
+def test_drop_column_refuses_property_references(spark, tmp_path):
+    t = _tbl(
+        spark, f"{tmp_path}/t",
+        [T.StructField("id", LONG, True), T.StructField("v", DBL, True)],
+    )
+    t.set_properties(**{"write.sort-columns": "v"})
+    with pytest.raises(ValueError, match="write.sort-columns"):
+        t.drop_column("v")
+    t.set_properties(**{"write.sort-columns": ""})
+    t.drop_column("v")
+    t.append(spark.createDataFrame([(1,)], t.meta.schema))  # writes still work
+    assert t.read().columns == ["id"]
+
+
+def test_evolve_ignores_dropped_names_for_replay(spark, tmp_path):
+    """A replayed pre-drop batch (or a lagging producer) still carries
+    the dropped column — evolution must not resurrect or fail on it."""
+    t = _tbl(spark, f"{tmp_path}/t", [
+        T.StructField("id", LONG, True),
+        T.StructField("junk", STR, True),
+    ])
+    t.drop_column("junk")
+    actions = t.evolve_schema(T.StructType([
+        T.StructField("id", LONG, True),
+        T.StructField("junk", STR, True),
+    ]))
+    assert actions == []
+    assert "junk" not in t.meta.schema.fieldNames()
+
+
+def test_merged_struct_fields_all_nullable(spark, tmp_path):
+    """Fields missing from EITHER side of a struct merge become
+    nullable: the absent side null-fills them."""
+    from s3_sqs_data_ingestion_demo_spark.table import merge_types
+
+    cur = T.StructType([T.StructField("a", INT, False)])
+    inc = T.StructType([T.StructField("b", STR, False)])
+    merged = merge_types(cur, inc)
+    assert all(f.nullable for f in merged.fields)
+    assert [f.name for f in merged.fields] == ["a", "b"]
+
+
+def test_align_rejects_extra_nested_subfields(spark, tmp_path):
+    """Without schema_evolution, a batch struct carrying UNKNOWN
+    subfields fails loudly (the struct cast it replaced also failed) —
+    silent nested data loss would hide the need for evolution."""
+    t = _tbl(spark, f"{tmp_path}/t", [
+        T.StructField("id", LONG, True),
+        T.StructField("meta", STRUCT_V1, True),
+    ])
+    batch = spark.createDataFrame(
+        [(1, (1, "drift"))],
+        T.StructType([
+            T.StructField("id", LONG),
+            T.StructField("meta", T.StructType([
+                T.StructField("a", INT), T.StructField("z", STR),
+            ])),
+        ]),
+    )
+    with pytest.raises(Exception, match="subfields.*not in the"):
+        t.append(batch)
+
+
+def test_compact_clustering_beats_declared_sort(spark, tmp_path):
+    """compact(cluster_by=...) must keep its clustering: the declared
+    write-sort would otherwise re-sort within tasks and scatter the
+    clustered column across every split file."""
+    t = ManagedTable.create(
+        spark, f"{tmp_path}/t",
+        T.StructType([T.StructField("id", LONG, True),
+                      T.StructField("grp", LONG, True)]),
+        properties={"write.sort-columns": "id"},
+    )
+    import pyspark.sql.functions as SF
+    t.append(spark.range(400).select(
+        SF.col("id"), (SF.col("id") % 7).alias("grp")
+    ))
+    t.compact(cluster_by=["grp"], target_partitions=4)
+    import glob as g, os
+    entry = t._read_manifest()[-1]
+    root = os.path.join(t.path, entry["root"])
+    files = g.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    # clustering held: every file covers a narrow grp range
+    for f in files:
+        vals = [r.grp for r in spark.read.parquet(f).select("grp").collect()]
+        assert vals == sorted(vals), "file not sorted on the cluster key"
+
+
 def test_cdf_spans_an_evolution(spark, tmp_path):
     """The change feed stays coherent across an add-column boundary:
     pre-evolution images serve the CURRENT schema (null-filled), so a
