@@ -618,6 +618,55 @@ def test_compact_clustering_beats_declared_sort(spark, tmp_path):
         assert vals == sorted(vals), "file not sorted on the cluster key"
 
 
+def test_job_evolution_composes_with_declared_indexes(spark, tmp_path):
+    """Schema evolution and declarative index maintenance in ONE job:
+    a batch that grows the schema still folds into the bm25 index, the
+    index tracks the table's text across the update, and the evolved
+    column lands."""
+    from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+        bm25_index_topk,
+    )
+
+    DOCS = T.StructType([
+        T.StructField("doc_id", LONG, True),
+        T.StructField("text", STR, True),
+        T.StructField("seq", LONG, True),
+    ])
+    ManagedTable.create(spark, f"{tmp_path}/tbl", DOCS,
+                        key_cols=["doc_id"], order_column="seq",
+                        table_type="MOR")
+    cfg = JobConfig.from_dict({
+        "input_config": {"format": "parquet"},
+        "output_config": {
+            "table_path": f"{tmp_path}/tbl",
+            "mode": "merge",
+            "key_columns": ["doc_id"],
+            "order_column": "seq",
+            "schema_evolution": True,
+            "indexes": [{"type": "bm25", "path": f"{tmp_path}/bm25"}],
+        },
+    })
+    b1 = _land(spark, tmp_path, "b1",
+               [(1, "spark shuffles data", 1), (2, "parquet files", 1)],
+               DOCS)
+    with_lang = T.StructType(list(DOCS.fields) + [
+        T.StructField("lang", STR, True),
+    ])
+    b2 = _land(spark, tmp_path, "b2",
+               [(2, "arrow batches stream", 2, "en")], with_lang)
+    J.process_files(spark, cfg, b1)
+    J.process_files(spark, cfg, b2)
+    t = ManagedTable.load(spark, f"{tmp_path}/tbl")
+    rows = {r.doc_id: r for r in t.read().collect()}
+    assert rows[2].lang == "en" and rows[1].lang is None
+    # the index followed the update: old terms of doc 2 un-indexed,
+    # new terms searchable
+    hits = bm25_index_topk(spark, f"{tmp_path}/bm25", ("arrow",), k=5)
+    assert [r.doc_id for r in hits.collect()] == [2]
+    stale = bm25_index_topk(spark, f"{tmp_path}/bm25", ("parquet",), k=5)
+    assert stale.count() == 0
+
+
 def test_cdf_spans_an_evolution(spark, tmp_path):
     """The change feed stays coherent across an add-column boundary:
     pre-evolution images serve the CURRENT schema (null-filled), so a
