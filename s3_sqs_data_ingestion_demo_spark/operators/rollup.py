@@ -6,18 +6,23 @@ consuming the source's CHANGE FEED (``read_changes`` file-level fast
 path) instead of re-aggregating the world — refresh cost is
 O(new data), not O(table).
 
-Supported aggregates: count + sums (the additive family).  Additive
-maintenance is only sound for APPEND-ONLY change streams: an update
-stream needs retractions (old-image subtraction) which this feed does
-not carry, so the refresh detects merge (delta) commits in the
-consumed window and fails loudly rather than double-counting.
+Supported aggregates: count + sums (the additive family).  Append-only
+change windows fold the plain change feed (weight +1 per row); windows
+containing merge deltas, tombstoned deletes, or rewrites consume the
+CDF (``read_changes_cdf``) instead, where pre-images and deletes carry
+weight -1 — the RETRACTION — so updates move a row's contribution
+between groups exactly and emptied groups are deleted.
 
 Scale shape per refresh: one aggregate over the delta (partial,
 map-side combined), one semi-join read of the affected rollup groups
 (group-key equi-join; rollup tables are group-cardinality-sized), one
-keyed merge back.  The source version consumed is persisted in the
-rollup table's properties, so refresh is restartable and idempotent —
-a crashed refresh re-reads the same window.
+keyed merge back.  Crash safety: the fold commits under a tag derived
+from the consumed source window (``rollup-<lo>-<hi>``) BEFORE the
+consume cursor advances in a separate metadata write — a refresh that
+crashed between the two replays the same window, finds the tag via
+``has_commit_tag``, and skips the fold instead of re-adding a delta
+the rollup already contains.  Keep ``expire_snapshots``' horizon
+longer than the restart window or the tag probe loses its witness.
 """
 
 from __future__ import annotations
@@ -100,10 +105,30 @@ def refresh_rollup(
     a row's contribution between groups exactly.  Groups whose count
     reaches zero are deleted from the rollup, not left as zero rows.
     Refresh cost stays O(window + matching base keys + affected
-    groups)."""
+    groups).
+
+    The fold is exactly-once under crash replay: the combined frame
+    (INCLUDING emptied groups, at count 0) merges under a
+    window-derived commit tag, then the emptied groups are deleted,
+    then the cursor advances.  A replayed window whose tag is already
+    live skips straight to the (idempotent) emptied-group sweep and
+    the cursor write — never re-folding a delta the rollup already
+    absorbed."""
     last = int(dst.meta.properties.get(_STATE_KEY, 1))
     cur = src._current_version()
     if cur <= last:
+        return dst._current_version()
+
+    window_tag = f"rollup-{last}-{cur}"
+    # Crash replay (died between the tagged fold commit and the cursor
+    # write): the delta is already in the rollup.  Finish the two
+    # idempotent steps and advance.  The probe is bounded — a replayed
+    # fold is by definition the newest activity on the rollup table.
+    if dst.has_commit_tag(window_tag, max_scan=16):
+        zero = dst.read().filter(F.col("n_rows") <= 0).select(*group_cols)
+        if not zero.isEmpty():
+            dst.delete_keys(zero)
+        dst.set_properties(**{_STATE_KEY: cur})
         return dst._current_version()
 
     # Split the consumed window at "maintenance" commits (compaction:
@@ -182,7 +207,11 @@ def refresh_rollup(
         # emptied-group delete) — pin it once
         .localCheckpoint(eager=True)
     )
-    version = dst.merge(combined.filter(F.col("n_rows") > 0))
+    # Emptied groups (count 0) are INCLUDED in the tagged merge so a
+    # crash before their delete leaves a visible marker the replay
+    # sweep can finish from — excluding them would strand their stale
+    # pre-fold rows if the delete never ran.
+    version = dst.merge(combined, tag=window_tag)
     emptied = combined.filter(F.col("n_rows") <= 0).select(*group_cols)
     if not emptied.isEmpty():
         version = dst.delete_keys(emptied)

@@ -1556,6 +1556,7 @@ class ManagedTable:
         order_column: str | None = None,
         policy: str | None = None,
         assume_nonempty: bool = False,
+        tag: str | None = None,
     ) -> int:
         """Upsert ``source`` into the table (reference merge sink:
         spark-job/read.py:237-239 + spark-job/mergeSQL.sql).
@@ -1564,6 +1565,9 @@ class ManagedTable:
         column is available (reference: spark-job/mergeSQL.sql:14-21);
         then matched keys are replaced per the merge policy.  Only the
         hive partitions present in ``source`` are read and rewritten.
+        ``tag`` stamps the committing snapshot for ``has_commit_tag``
+        idempotency probes (same contract as ``append``); an empty
+        batch no-ops WITHOUT committing the tag.
         """
         keys = list(key_cols or self.meta.key_cols)
         if not keys:
@@ -1599,7 +1603,7 @@ class ManagedTable:
         if self.meta.table_type.upper() == "MOR":
             entry = self._write_data(src, self._new_root())
             entry["kind"] = "delta"
-            return self._commit_entry_with_retry(entry, delta_seq=True)
+            return self._commit_entry_with_retry(entry, tag=tag, delta_seq=True)
 
         parts_cols = self.meta.partition_cols
         # Mixed partition specs (after set_partition_spec): the batch's
@@ -1616,7 +1620,7 @@ class ManagedTable:
                 self._assemble(entries), src, keys, merge_order, policy
             )
             entry = self._write_data(merged, self._new_root())
-            return self._commit_snapshot([entry], base_version=base)
+            return self._commit_snapshot([entry], base_version=base, tag=tag)
 
         # Partition-pruned COW: collect only the distinct partition
         # VALUES of the batch.  The collect is capped (table property
@@ -1642,7 +1646,7 @@ class ManagedTable:
                 self._assemble(entries), src, keys, merge_order, policy
             )
             entry = self._write_data(merged, self._new_root())
-            return self._commit_snapshot([entry], base_version=base)
+            return self._commit_snapshot([entry], base_version=base, tag=tag)
         affected = {
             "/".join(f"{c}={_escape_part_value(r[c])}" for c in parts_cols)
             for r in part_rows
@@ -1686,7 +1690,9 @@ class ManagedTable:
 
         merged = merge_upsert(target_affected, src, keys, merge_order, policy)
         new_entry = self._write_data(merged, self._new_root())
-        return self._commit_snapshot(kept_entries + [new_entry], base_version=base)
+        return self._commit_snapshot(
+            kept_entries + [new_entry], base_version=base, tag=tag
+        )
 
     # ---------------------------------------------------------- delete
     def delete_where(self, condition) -> int:
@@ -1809,13 +1815,15 @@ class ManagedTable:
         entry = self._write_data(survivors, self._new_root())
         return self._commit_snapshot([entry], base_version=base)
 
-    def delete_keys(self, keys_df: DataFrame) -> int:
+    def delete_keys(self, keys_df: DataFrame, tag: str | None = None) -> int:
         """Delete by KEY SET — the CDC delete path (a DMS batch's
         ``Op='D'`` rows name keys, not predicates).  MOR: the keys land
         directly as a tombstone delta — O(batch), NO table read at all
         (the whole point: a delete-heavy CDC stream costs the same as
         an insert-heavy one).  COW: anti-join rewrite (pays the usual
-        copy-on-write price)."""
+        copy-on-write price).  ``tag`` stamps the committing snapshot
+        for ``has_commit_tag`` idempotency probes; an empty key set
+        no-ops WITHOUT committing the tag."""
         keys = self.meta.key_cols
         if not keys:
             raise ValueError("delete_keys requires key columns")
@@ -1837,13 +1845,13 @@ class ManagedTable:
             )
             entry = self._write_data(tomb, self._new_root())
             entry["kind"] = "tombstone"
-            return self._commit_entry_with_retry(entry, delta_seq=True)
+            return self._commit_entry_with_retry(entry, tag=tag, delta_seq=True)
         base = self._current_version()
         survivors = self._assemble(self._manifest_at(base)).join(
             victims, list(keys), "left_anti"
         )
         entry = self._write_data(survivors, self._new_root())
-        return self._commit_snapshot([entry], base_version=base)
+        return self._commit_snapshot([entry], base_version=base, tag=tag)
 
     # --------------------------------------------- write-audit-publish
     # Iceberg's WAP (write-audit-publish) pattern: a writer lands its
