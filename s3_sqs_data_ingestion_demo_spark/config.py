@@ -404,6 +404,27 @@ class OutputConfig:
                     "there is no staged snapshot to audit; use "
                     "key_columns merge mode (the shim) instead"
                 )
+        if self.rollups and self.table_type.upper() != "MOR":
+            # The rollup feed consumes the table's change feed; a
+            # rewriting write (COW merge/MERGE INTO, COW deletes)
+            # pushes read_changes_cdf onto its full-table keyed-diff
+            # fallback EVERY batch — answers stay correct but refresh
+            # cost silently becomes O(table), the per-batch pathology
+            # this method exists to refuse at parse time (same
+            # standard as the audit+COW-merge refusal above).
+            if (
+                self.mode == "merge"
+                or merge_into
+                or self.cdc_delete_values
+            ):
+                raise ValueError(
+                    "output_config.rollups with a rewriting write "
+                    "path (mode='merge', a verbatim MERGE INTO "
+                    "merge_query, or cdc_delete_values) requires "
+                    "table_type='MOR': on a COW table every batch "
+                    "degrades the rollup's change feed to a "
+                    "full-table diff (operators/rollup.py)"
+                )
         if self.cdc_delete_values and self.indexes:
             for ix in self.indexes:
                 if ix.id_column not in self.key_columns:

@@ -146,3 +146,33 @@ def test_build_spark_routes_profile_conf(monkeypatch):
     assert out == "sentinel"
     assert seen["profile"] == "ingest-scale"
     assert seen["conf"] == {"x": "1"}
+
+
+def test_rollups_on_rewriting_cow_table_refused_at_parse_time():
+    """Declaring rollups on a COW table with a rewriting write path
+    (merge / MERGE INTO / CDC deletes) silently degrades the change
+    feed to a full-table diff EVERY batch — refused at parse time,
+    same standard as the audit+COW-merge refusal (config.py)."""
+    import pytest as _pytest
+
+    def cfg(**out_extra):
+        out = {
+            "table_path": "/tmp/wh/t",
+            "key_columns": ["id"],
+            "order_column": "seq",
+            "rollups": [
+                {"path": "/tmp/wh/roll", "group_columns": ["g"]}
+            ],
+        }
+        out.update(out_extra)
+        return JobConfig.from_dict(
+            {"input_config": {}, "output_config": out}
+        )
+
+    with _pytest.raises(ValueError, match="rollups.*requires.*MOR"):
+        cfg(mode="merge", table_type="COW")
+    with _pytest.raises(ValueError, match="rollups.*requires.*MOR"):
+        cfg(mode="append", table_type="COW", cdc_delete_values=["D"])
+    # MOR merge and append-only COW both stay on the fast path — legal
+    cfg(mode="merge", table_type="MOR")
+    cfg(mode="append", table_type="COW")
