@@ -224,7 +224,30 @@ def process_files(
         for a in actions:
             log.info("schema evolution (%s): %s", out.table_path, a)
     if out.audit.rules:
-        version, accepted = _audited_write(spark, config, table, df)
+        import hashlib  # noqa: PLC0415
+
+        batch_tag = hashlib.md5(
+            "\n".join(sorted(files)).encode()
+        ).hexdigest()
+        try:
+            version, accepted = _audited_write(
+                spark, config, table, df, batch_tag=batch_tag
+            )
+        except Exception:
+            # on_fail='fail' re-raises from INSIDE _audited_write, so
+            # the rejected-batch rollback below would never run and the
+            # batch's evolved columns would stay in the contract —
+            # inconsistent with the drop/quarantine policies.  Roll
+            # back here too (idempotent re-evolution on redelivery
+            # makes this safe for non-audit failures as well).
+            if evo_prior_schema is not None:
+                table.meta.schema_json = evo_prior_schema
+                table._persist_meta()
+                log.warning(
+                    "schema evolution rolled back with the failed "
+                    "batch (%s)", out.table_path,
+                )
+            raise
         if not accepted:
             # the WHOLE batch is rejected: no deletes, no index folds,
             # no maintenance cadence tick — the table (and everything
@@ -275,11 +298,22 @@ def _maintain_rollups(
 
 
 def _audited_write(
-    spark: SparkSession, config: JobConfig, table: ManagedTable, df: DataFrame
+    spark: SparkSession,
+    config: JobConfig,
+    table: ManagedTable,
+    df: DataFrame,
+    batch_tag: str | None = None,
 ) -> tuple[int, bool]:
     """Write-audit-publish for one batch (``output_config.audit``):
     stage → constraint gate → publish, with the configured rejection
-    policy.  Returns (version, accepted)."""
+    policy.  Returns (version, accepted).
+
+    ``batch_tag`` (the source-file digest) makes the quarantine append
+    exactly-once under redelivery: a crash after the quarantine landed
+    but before the stage was discarded replays the batch, hits the tag
+    guard, and skips the duplicate forensic row.  The crashed run's
+    stage itself is left behind (its id is unknowable on replay) —
+    ``list_staged`` surfaces it for age-based cleanup."""
     from .table import AuditFailedError  # noqa: PLC0415
 
     out = config.output_config
@@ -299,27 +333,43 @@ def _audited_write(
             for r in e.report
             if r["n_violations"]
         )
-        if aud.on_fail == "quarantine":
-            # land the offending batch (the staged delta — post-
-            # transform, pre-publish) in the side table, annotated
-            # with what fired; append BEFORE discarding the stage,
-            # which still owns the parquet being read
-            from pyspark.sql import functions as F  # noqa: PLC0415
-            from pyspark.sql import types as T  # noqa: PLC0415
+        try:
+            if aud.on_fail == "quarantine":
+                # land the offending batch (the staged delta — post-
+                # transform, pre-publish) in the side table, annotated
+                # with what fired; append BEFORE discarding the stage,
+                # which still owns the parquet being read
+                from pyspark.sql import functions as F  # noqa: PLC0415
+                from pyspark.sql import types as T  # noqa: PLC0415
 
-            qdf = table.read_staged(sid, what="delta").withColumn(
-                "_audit_failures", F.lit(failed)
-            )
-            qschema = T.StructType(
-                list(table.meta.schema.fields)
-                + [T.StructField("_audit_failures", T.StringType(), True)]
-            )
-            qt = ManagedTable.create_if_absent(
-                spark, aud.quarantine_path, qschema,
-                compression=table.meta.compression,
-            )
-            qt.append(qdf)
-        table.discard_staged(sid)
+                qdf = table.read_staged(sid, what="delta").withColumn(
+                    "_audit_failures", F.lit(failed)
+                )
+                qschema = T.StructType(
+                    list(table.meta.schema.fields)
+                    + [T.StructField("_audit_failures", T.StringType(), True)]
+                )
+                qt = ManagedTable.create_if_absent(
+                    spark, aud.quarantine_path, qschema,
+                    compression=table.meta.compression,
+                )
+                # the quarantine contract follows the TARGET's: a batch
+                # whose evolution added/widened columns must not have
+                # them silently dropped (or ANSI-cast narrower, which
+                # can throw mid-append) by a schema pinned at the side
+                # table's first creation
+                qt.evolve_schema(qschema)
+                qtag = (
+                    f"audit-quarantine-{batch_tag}" if batch_tag else None
+                )
+                if qtag is None or not qt.has_commit_tag(
+                    qtag, max_scan=64
+                ):
+                    qt.append(qdf, tag=qtag)
+        finally:
+            # a quarantine failure must not leak the staged snapshot —
+            # its data roots are GC-protected while the doc lives
+            table.discard_staged(sid)
         if aud.on_fail == "fail":
             raise
         log.warning(

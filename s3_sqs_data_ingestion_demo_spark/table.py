@@ -1454,8 +1454,16 @@ class ManagedTable:
             if apply_sort_property
             else None
         )
-        if sort_cols:
-            cols = [c.strip() for c in sort_cols.split(",") if c.strip()]
+        # gate on the PARSED list, not the raw property: a degenerate
+        # value (e.g. " , ") is truthy but names zero columns, and an
+        # argless sortWithinPartitions on an unpartitioned table would
+        # fail every subsequent write
+        cols = (
+            [c.strip() for c in sort_cols.split(",") if c.strip()]
+            if sort_cols
+            else []
+        )
+        if cols:
             lead = [c for c in self.meta.partition_cols if c not in cols]
             df = df.sortWithinPartitions(*lead, *cols)
         writer = df.write.option("compression", self.meta.compression)

@@ -234,3 +234,74 @@ def test_parse_time_rejects_bad_policy_and_missing_quarantine_path():
         _cfg("/tmp/x", audit={"rules": RULES, "on_fail": "quarantine"})
     with pytest.raises(ValueError, match="view"):
         _cfg("/tmp/x", audit={"rules": RULES, "view": "sideways"})
+
+
+def test_quarantine_replay_is_exactly_once(spark, setup, monkeypatch):
+    """Crash between the quarantine append and the stage discard: the
+    redelivered batch hits the batch-tag guard and must NOT land a
+    duplicate forensic row."""
+    d, good, bad = setup
+    cfg = _cfg(
+        d,
+        audit={
+            "rules": RULES,
+            "on_fail": "quarantine",
+            "quarantine_path": f"{d}/quarantine",
+        },
+    )
+    orig = ManagedTable.discard_staged
+    armed = {"on": True}
+
+    def crashing_discard(self, staged_id):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("simulated crash before stage discard")
+        return orig(self, staged_id)
+
+    monkeypatch.setattr(ManagedTable, "discard_staged", crashing_discard)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        J.process_files(spark, cfg, [bad])
+    # redelivery: quarantine row must not duplicate
+    J.process_files(spark, cfg, [bad])
+    q = ManagedTable.load(spark, f"{d}/quarantine").read()
+    assert sorted(r.id for r in q.collect()) == [3, 4]
+    # a DIFFERENT bad batch still quarantines (tag is per batch)
+    bad2 = f"{d}/bad2.csv"
+    _write_csv(bad2, [(9, None, 1)])
+    J.process_files(spark, cfg, [bad2])
+    q = ManagedTable.load(spark, f"{d}/quarantine").read()
+    assert sorted(r.id for r in q.collect()) == [3, 4, 9]
+
+
+def test_quarantine_append_failure_does_not_leak_stage(
+    spark, setup, monkeypatch
+):
+    """An in-process quarantine failure discards the stage on the way
+    out (finally) — staged data roots must not stay GC-protected."""
+    d, good, bad = setup
+    cfg = _cfg(
+        d,
+        audit={
+            "rules": RULES,
+            "on_fail": "quarantine",
+            "quarantine_path": f"{d}/quarantine",
+        },
+    )
+    orig = ManagedTable.append
+    armed = {"on": True}
+
+    def crashing_append(self, df, tag=None):
+        if armed["on"] and self.path == f"{d}/quarantine":
+            armed["on"] = False
+            raise RuntimeError("simulated quarantine append failure")
+        return orig(self, df, tag=tag)
+
+    monkeypatch.setattr(ManagedTable, "append", crashing_append)
+    with pytest.raises(RuntimeError, match="quarantine append"):
+        J.process_files(spark, cfg, [bad])
+    t = ManagedTable.load(spark, f"{d}/tbl")
+    assert t.list_staged() == []  # no leak
+    # stream recovers on redelivery
+    J.process_files(spark, cfg, [bad])
+    q = ManagedTable.load(spark, f"{d}/quarantine").read()
+    assert sorted(r.id for r in q.collect()) == [3, 4]

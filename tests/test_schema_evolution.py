@@ -694,3 +694,73 @@ def test_cdf_spans_an_evolution(spark, tmp_path):
     assert set(ch) == {"update_preimage", "update_postimage"}
     assert ch["update_preimage"].score is None
     assert ch["update_postimage"].score == 7.0
+
+
+def test_audit_on_fail_fail_also_rolls_back_evolution(spark, tmp_path):
+    """on_fail='fail' re-raises from inside the audited write — the
+    rollback must still run (it used to be skipped on this policy,
+    leaving the rejected batch's junk column in the contract)."""
+    from s3_sqs_data_ingestion_demo_spark.table import AuditFailedError
+
+    ManagedTable.create(spark, f"{tmp_path}/tbl", BASE,
+                        key_cols=["id"], order_column="seq")
+    cfg = JobConfig.from_dict({
+        "input_config": {"format": "parquet"},
+        "output_config": {
+            "table_path": f"{tmp_path}/tbl",
+            "mode": "append",
+            "schema_evolution": True,
+            "audit": {
+                "rules": [{"rule": "not_null", "column": "name"}],
+                "on_fail": "fail",
+            },
+        },
+    })
+    bad_schema = T.StructType(list(BASE.fields) + [
+        T.StructField("n_charss", DBL, True),
+    ])
+    bad = _land(spark, tmp_path, "bad", [(1, None, 1, 0.5)], bad_schema)
+    with pytest.raises(AuditFailedError):
+        J.process_files(spark, cfg, bad)
+    t = ManagedTable.load(spark, f"{tmp_path}/tbl")
+    assert "n_charss" not in t.meta.schema.fieldNames()
+    assert t.read().count() == 0
+    assert t.list_staged() == []
+
+
+def test_quarantine_schema_follows_target_evolution(spark, tmp_path):
+    """The quarantine contract is pinned at its first creation; a later
+    rejected batch whose evolution added a column must land WITH that
+    column (it used to be silently dropped by align-to-stale-schema)."""
+    ManagedTable.create(spark, f"{tmp_path}/tbl", BASE,
+                        key_cols=["id"], order_column="seq")
+    cfg = JobConfig.from_dict({
+        "input_config": {"format": "parquet"},
+        "output_config": {
+            "table_path": f"{tmp_path}/tbl",
+            "mode": "append",
+            "schema_evolution": True,
+            "audit": {
+                "rules": [{"rule": "not_null", "column": "name"}],
+                "on_fail": "quarantine",
+                "quarantine_path": f"{tmp_path}/quarantine",
+            },
+        },
+    })
+    # batch 1: base-shaped reject — creates the quarantine table
+    b1 = _land(spark, tmp_path, "b1", [(1, None, 1)], BASE)
+    J.process_files(spark, cfg, b1)
+    # batch 2: reject carrying a NEW column the quarantine never saw
+    wide = T.StructType(list(BASE.fields) + [
+        T.StructField("score", DBL, True),
+    ])
+    b2 = _land(spark, tmp_path, "b2", [(2, None, 2, 0.7)], wide)
+    J.process_files(spark, cfg, b2)
+    q = ManagedTable.load(spark, f"{tmp_path}/quarantine").read()
+    rows = {r.id: r for r in q.collect()}
+    assert sorted(rows) == [1, 2]
+    assert rows[2]["score"] == 0.7      # evolved column preserved
+    assert rows[1]["score"] is None     # old row null-fills
+    # the rejected batches rolled their evolution back off the TARGET
+    t = ManagedTable.load(spark, f"{tmp_path}/tbl")
+    assert "score" not in t.meta.schema.fieldNames()

@@ -84,3 +84,16 @@ def test_write_sort_unknown_column_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(Exception, match="nope|UNRESOLVED"):
         t.append(_shuffled(spark))
+
+
+def test_degenerate_sort_property_is_a_no_op_not_a_wedge(spark, tmp_path):
+    """A truthy-but-empty value (' , ') names zero columns; the write
+    must treat it as unsorted instead of calling an argless
+    sortWithinPartitions that fails every subsequent write."""
+    t = ManagedTable.create(spark, f"{tmp_path}/t", SCHEMA, key_cols=["id"])
+    # set_properties validation may refuse it outright — bypass to the
+    # raw property to model a hand-edited/legacy _meta.json
+    t.meta.properties["write.sort-columns"] = " , "
+    t._persist_meta()
+    t.append(_shuffled(spark, 50))
+    assert ManagedTable.load(spark, f"{tmp_path}/t").read().count() == 50
