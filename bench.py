@@ -71,7 +71,12 @@ def _bench_cdc_merge_with_indexes(
     remove-then-append on updates, ivf keyed upsert, minhash signature
     upsert + near-dup pair emission into the keyed pairs log, periodic
     compaction cadence) is on the record next to the bare
-    ingest_cdc_merge entry.  Phases: bootstrap (first batch: table +
+    ingest_cdc_merge entry.  The three folds run CONCURRENTLY
+    (job._maintain_indexes thread pool — disjoint index tables, Spark
+    schedules jobs from separate driver threads in parallel), so the
+    per-index phase times overlap: their sum exceeds the entry's wall
+    time by design, and the wall is ~the slowest fold, not the sum
+    (measured ~24.9 s serial → ~11.4 s overlapped at sf0.1).  Phases: bootstrap (first batch: table +
     index fit), inserts (3 disjoint batches), update_replace (re-merge
     of the first batch's ids with new text → bm25 replace path), plus
     cumulative per-index attribution (index_bm25 / index_ivf /

@@ -432,7 +432,7 @@ def _maintain_indexes(
             df = df.dropDuplicates(keys)
     import time as _time  # noqa: PLC0415
 
-    for ix in config.output_config.indexes:
+    def _fold_one(ix) -> float:
         _ix_t0 = _time.perf_counter()
         if ix.type == "bm25":
             from .operators.search_index import (  # noqa: PLC0415
@@ -527,11 +527,47 @@ def _maintain_indexes(
                 )
         else:  # "minhash" — validated at config parse
             _maintain_minhash_index(spark, ix, df, mode, deletes)
-        if phases_out is not None:
-            k = f"index_{ix.type}"
-            phases_out[k] = round(
-                phases_out.get(k, 0.0) + _time.perf_counter() - _ix_t0, 3
-            )
+        return _time.perf_counter() - _ix_t0
+
+    ixs = list(config.output_config.indexes)
+    # Independent index folds overlap: each targets its OWN table
+    # (disjoint snapshot state), and Spark schedules jobs submitted
+    # from separate driver threads concurrently — with 3 declared
+    # indexes the serial critical path was ~the sum of three folds.
+    # Parallel only when every path is distinct (two declared indexes
+    # sharing a path would race their table commits); errors surface
+    # after ALL folds settle — completed folds are tag/keyed-upsert
+    # idempotent, so the batch redelivery that follows re-runs them
+    # harmlessly.
+    elapsed: dict[int, float] = {}
+    if len(ixs) >= 2 and len({ix.path for ix in ixs}) == len(ixs):
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(
+            max_workers=len(ixs), thread_name_prefix="index-fold"
+        ) as pool:
+            futs = [pool.submit(_fold_one, ix) for ix in ixs]
+            first_err: Exception | None = None
+            for i, fut in enumerate(futs):
+                try:
+                    elapsed[i] = fut.result()
+                except Exception as e:  # noqa: BLE001
+                    if first_err is None:
+                        first_err = e
+                    else:
+                        log.warning(
+                            "additional index fold failure (%s): %s",
+                            ixs[i].path, e,
+                        )
+        if first_err is not None:
+            raise first_err
+    else:
+        for i, ix in enumerate(ixs):
+            elapsed[i] = _fold_one(ix)
+    if phases_out is not None:
+        for i, dt in elapsed.items():
+            k = f"index_{ixs[i].type}"
+            phases_out[k] = round(phases_out.get(k, 0.0) + dt, 3)
 
 
 _PAIRS_SCHEMA_DDL = (
