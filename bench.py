@@ -438,16 +438,45 @@ def main() -> None:
     # one side of the ratio only (observed: premium 1.07 vs 1.37
     # across two otherwise identical settled runs)
     worst = [n for n in worst if n not in stream_names]
+
+    def _quiesce() -> None:
+        plan_cache.clear()
+        clear_bpe_memo()
+        clear_kmeans_memo()
+        clear_ccomp_memo()
+        spark.catalog.clearCache()
+        # full-GC hint: the isolated block runs at the END of a
+        # 140-query session, where accumulated heap pressure otherwise
+        # adds GC pauses the sweep numbers never saw
+        spark.sparkContext._jvm.System.gc()
+
+    # PAIRED isolation for the re-time list, same protocol as the
+    # streaming premium below: every attempt is interleaved with a
+    # STABLE REFERENCE PROBE (q01, untouched across rounds) under the
+    # same quiesce, so the artifact itself can adjudicate
+    # pressure-vs-regression — a suspect entry that slowed while its
+    # adjacent ref probes also slowed is ambient; a slow entry between
+    # nominal ref probes is a real regression.  Ref times land in
+    # "isolated_ref" keyed per entry.
+    _REF_PROBE = "q01_pricing_summary"
+    isolated_ref: dict[str, float] = {}
+
+    def _time_ref() -> float:
+        start = time.perf_counter()
+        REGISTRY[_REF_PROBE].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - start
+
     for name in worst:
-        best = None
+        best = ref_best = None
         for _ in range(2):
             # quiesce before EVERY attempt: best-of-2 must not let the
             # second attempt ride caches/memos the first repopulated
-            plan_cache.clear()
-            clear_bpe_memo()
-            clear_kmeans_memo()
-            clear_ccomp_memo()
-            spark.catalog.clearCache()
+            _quiesce()
+            r = _time_ref()
+            ref_best = r if ref_best is None else min(ref_best, r)
+            _quiesce()
             if name in ingest_fns:
                 # ingest benches time their measured section themselves
                 # (bootstrap/setup excluded) — use that, same as the
@@ -461,6 +490,7 @@ def main() -> None:
                 el = time.perf_counter() - start
             best = el if best is None else min(best, el)
         isolated[name] = round(best, 3)
+        isolated_ref[name] = round(ref_best, 3)
 
     # PAIRED premium probe: alternate dir/table attempts back-to-back
     # (d t d t d t), quiesced before each, so whatever the ambient
@@ -471,15 +501,7 @@ def main() -> None:
             ("ingest_streaming_neardup_table",
              {"index_mode": "table", "compact_every": 4}),
         ):
-            plan_cache.clear()
-            clear_bpe_memo()
-            clear_kmeans_memo()
-            clear_ccomp_memo()
-            spark.catalog.clearCache()
-            # full-GC hint: this block runs at the END of a 140-query
-            # session, where accumulated heap pressure otherwise adds
-            # GC pauses that land unevenly across the pair
-            spark.sparkContext._jvm.System.gc()
+            _quiesce()
             _iso_stream(name, **kw)
     for name in stream_names:
         isolated[name] = round(min(iso_attempts[name]), 3)
@@ -498,6 +520,13 @@ def main() -> None:
                 },
                 "stream_attempts": stream_attempts,
                 "isolated_stream_attempts": iso_attempts,
+                # paired ref-probe times (q01 best-of-2, interleaved
+                # with each isolated re-time under the same quiesce):
+                # a slow isolated entry next to a slow ref probe is
+                # ambient pressure; next to a nominal ref probe it is
+                # a regression — adjudicable from this artifact alone
+                "isolated_ref_probe": _REF_PROBE,
+                "isolated_ref": isolated_ref,
                 # isolated LAST among the big sections: the driver
                 # records only the final 2000 chars of this line, and
                 # the isolated re-times + streaming provenance are the
