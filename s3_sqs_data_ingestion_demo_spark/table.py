@@ -66,6 +66,7 @@ _META = "_meta.json"
 _CURRENT = "_current"
 _SNAPDIR = "_snapshots"
 _STAGEDIR = "_staged"
+_METALOG = "_metalog"  # O_EXCL witnesses CAS-protecting _meta.json
 
 
 class AuditFailedError(RuntimeError):
@@ -88,6 +89,17 @@ class CommitConflictError(RuntimeError):
     silently overwriting the winner's snapshot; the standard response
     is to re-load the table and retry the operation against the new
     current version."""
+
+
+class MetaCommitConflictError(RuntimeError):
+    """Another writer advanced the table METADATA concurrently.
+
+    Raised by ``_persist_meta``'s O_EXCL witness instead of silently
+    losing the winner's update (the lost-update race between e.g. a
+    rollup cursor write and a schema evolution).  ``set_properties``
+    auto-retries by re-reading and re-applying its patch; structural
+    metadata ops (schema/spec evolution) surface the conflict — reload
+    the table and re-derive the change."""
 
 # Characters Spark/Hive escape in partition directory names
 # (ExternalCatalogUtils.charToEscape): ASCII control chars plus these.
@@ -145,6 +157,13 @@ class TableMeta:
     # files' values (Iceberg avoids this with field ids; we refuse the
     # re-add instead — see add_columns).
     dropped_columns: list[str] = field(default_factory=list)
+    # Metadata CAS term: every ``_persist_meta`` advances this by one
+    # through an O_EXCL witness file (``_metalog/m<seq>.json``), so two
+    # writers whose in-memory meta derives from the same seq cannot
+    # silently clobber each other's update (e.g. a rollup cursor write
+    # racing a schema evolution on the same table).  Legacy metas
+    # deserialize at seq 0 and join the protocol on their next write.
+    meta_seq: int = 0
 
     @property
     def schema(self) -> T.StructType:
@@ -464,7 +483,20 @@ class ManagedTable:
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "ManagedTable":
         with open(os.path.join(path, _META), encoding="utf-8") as fh:
-            return cls(spark, path, TableMeta(**json.load(fh)))
+            doc = json.load(fh)
+        # the metalog witness is the metadata COMMIT POINT: a writer
+        # that crashed between creating it and replacing _meta.json
+        # leaves the canonical file one seq behind — prefer the witness
+        wits = sorted(glob.glob(os.path.join(path, _METALOG, "m*.json")))
+        if wits:
+            try:
+                with open(wits[-1], encoding="utf-8") as fh:
+                    wdoc = json.load(fh)
+                if int(wdoc.get("meta_seq", 0)) > int(doc.get("meta_seq", 0)):
+                    doc = wdoc
+            except (OSError, ValueError):
+                pass
+        return cls(spark, path, TableMeta(**doc))
 
     @classmethod
     def create_if_absent(cls, spark: SparkSession, path: str, schema: T.StructType, **kw):
@@ -2486,14 +2518,43 @@ class ManagedTable:
 
     # ------------------------------------------------ schema evolution
     def _persist_meta(self) -> None:
-        """Atomic rewrite of the table contract (``_meta.json``).
-        Metadata ops are SINGLE-WRITER by contract (the ingest job
-        loop): unlike data commits they do not CAS — concurrent
-        evolution from two writers is an operator error, documented."""
+        """CAS-protected rewrite of the table contract (``_meta.json``).
+
+        The doc carries a ``meta_seq``; each persist creates an O_EXCL
+        witness at ``_metalog/m<seq+1>.json`` BEFORE replacing the
+        canonical file — of two writers whose in-memory meta derives
+        from the same seq, exactly one creates the witness and the
+        loser raises ``MetaCommitConflictError`` instead of silently
+        clobbering the winner's update.  The witness IS the commit
+        point: ``load`` prefers a witness newer than ``_meta.json``,
+        so a crash between the two writes loses nothing.  Old
+        witnesses are pruned (last 4 kept)."""
+        new_seq = int(self.meta.meta_seq) + 1
+        logdir = os.path.join(self.path, _METALOG)
+        os.makedirs(logdir, exist_ok=True)
+        witness = os.path.join(logdir, f"m{new_seq:08d}.json")
+        self.meta.meta_seq = new_seq
+        doc = json.dumps(self.meta.__dict__, indent=2)
+        try:
+            with open(witness, "x", encoding="utf-8") as fh:
+                fh.write(doc)
+        except FileExistsError:
+            self.meta.meta_seq = new_seq - 1
+            raise MetaCommitConflictError(
+                f"metadata seq {new_seq} already committed at "
+                f"{witness}: another writer updated the table "
+                "metadata concurrently — re-load the table, re-derive "
+                "the change, and retry"
+            ) from None
         tmp = os.path.join(self.path, f"{_META}.tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(self.meta.__dict__, fh, indent=2)
+            fh.write(doc)
         os.replace(tmp, os.path.join(self.path, _META))
+        for old in sorted(glob.glob(os.path.join(logdir, "m*.json")))[:-4]:
+            try:
+                os.remove(old)
+            except OSError:
+                pass
 
     def add_columns(self, new_fields: Sequence[T.StructField]) -> None:
         """Additive schema evolution: append nullable columns to the
@@ -2779,12 +2840,25 @@ class ManagedTable:
         return int(entry.get("spec", 0)) == self.meta.spec_id
 
     def set_properties(self, **kv: str) -> None:
-        """Merge table properties into the persisted metadata (atomic
-        rewrite, same protocol as ``add_columns``) — the small state
-        slot incremental consumers use (e.g. a rollup's last-refreshed
-        source version)."""
-        self.meta.properties.update({k: str(v) for k, v in kv.items()})
-        self._persist_meta()
+        """Merge table properties into the persisted metadata — the
+        small state slot incremental consumers use (e.g. a rollup's
+        last-refreshed source version).
+
+        A lost metadata CAS (``MetaCommitConflictError``) auto-retries
+        here: the patch is key-local, so re-reading the fresh meta and
+        re-applying it composes with whatever the concurrent writer
+        changed (a schema evolution racing a cursor write keeps BOTH)."""
+        patch = {k: str(v) for k, v in kv.items()}
+        attempts = 4
+        for attempt in range(attempts):
+            self.meta.properties.update(patch)
+            try:
+                self._persist_meta()
+                return
+            except MetaCommitConflictError:
+                if attempt >= attempts - 1:
+                    raise
+                self.meta = ManagedTable.load(self.spark, self.path).meta
 
     # ----------------------------------------------------- maintenance
     def compact(
