@@ -354,3 +354,73 @@ def test_ivf_drift_triggers_declared_rebuild(spark, tmp_path):
     assert max_cell_share(spark, f"{d}/ivf") <= 20 / 24
     # every vector still assigned exactly once
     assert at2.read().select("vec_id").distinct().count() == 24
+
+
+def test_parallel_fold_failure_surfaces_after_all_settle(
+    spark, tmp_path, monkeypatch
+):
+    """With >=2 declared indexes the folds run in a thread pool
+    (job._maintain_indexes): one failing fold must not strand the
+    others mid-flight — the error surfaces AFTER every fold settles,
+    and the batch redelivery that follows heals the failed index
+    without double-counting the one that succeeded (keyed upsert)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from s3_sqs_data_ingestion_demo_spark.operators import search_index as SI
+    from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
+        bm25_index_topk,
+    )
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    d = str(tmp_path)
+    batch = f"{d}/b0.csv"
+    _write_docs_csv(
+        batch,
+        [(1, "spark shuffles data"), (2, "parquet stores columns"),
+         (3, "spark reads parquet")],
+    )
+    ManagedTable.create(
+        spark, f"{d}/tbl",
+        T.StructType([T.StructField("doc_id", T.IntegerType()),
+                      T.StructField("text", T.StringType())]),
+        key_cols=["doc_id"],
+    )
+    cfg = JobConfig.from_dict({
+        "input_config": {
+            "format": "csv",
+            "options": {"header": "true", "sep": "\t", "inferSchema": "true"},
+        },
+        "output_config": {
+            "table_path": f"{d}/tbl",
+            "mode": "append",
+            "key_columns": ["doc_id"],
+            "indexes": [
+                {"type": "bm25", "path": f"{d}/bm25"},
+                {"type": "minhash", "path": f"{d}/mh"},
+            ],
+        },
+    })
+
+    orig = SI.append_to_search_index
+    armed = {"on": True}
+
+    def crashing_append(*a, **kw):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("simulated bm25 fold failure")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(SI, "append_to_search_index", crashing_append)
+    with pytest.raises(RuntimeError, match="bm25 fold failure"):
+        J.process_files(spark, cfg, [batch])
+    # the OTHER fold settled before the error surfaced
+    assert ManagedTable.exists(f"{d}/mh")
+    n_sig = ManagedTable.load(spark, f"{d}/mh").read().count()
+    assert n_sig == 3
+    # redelivery: bm25 folds for real; minhash keyed upsert, no dupes
+    J.process_files(spark, cfg, [batch])
+    hits = bm25_index_topk(spark, f"{d}/bm25", ("spark", "parquet"), 3)
+    assert {r.doc_id for r in hits.collect()} == {1, 2, 3}
+    sig = ManagedTable.load(spark, f"{d}/mh").read()
+    assert sig.count() == 3  # one signature row per doc, no dupes
