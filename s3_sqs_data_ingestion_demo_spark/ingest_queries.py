@@ -336,6 +336,126 @@ def incremental_rollup_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_JMV_ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_custkey", T.LongType(), True),
+        T.StructField("price_cents", T.LongType(), True),
+    ]
+)
+_JMV_CUST_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType(), False),
+        T.StructField("c_mktsegment", T.StringType(), True),
+    ]
+)
+
+
+@query(
+    "incremental_join_mv_orders_customer",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, (o_custkey % 50) + 1 AS o_custkey,
+             CAST(ROUND(o_totalprice * 100) + 500 AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    ),
+    o_final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0),
+    c_final AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.price_cents, c.c_mktsegment
+    FROM o_final o JOIN c_final c ON o.o_custkey = c.c_custkey
+    """,
+    rank=18,
+)
+def incremental_join_mv_orders_customer(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Incrementally-maintained JOIN materialization
+    (operators/join_mv.py) end-to-end at driver-gate time: orders ⋈
+    customer kept in sync by affected-key recompute from BOTH sources'
+    change feeds — never a full re-join.  The scenario exercises every
+    delta class a join MV must absorb: bootstrap append, a merge batch
+    that MOVES join keys (an updated order re-homes to ``(o_custkey %
+    50) + 1`` — its old pair must vanish, its new one appear) while
+    changing a payload column, a tombstoned left delete, and a
+    right-side attribute update fanning out to every matching MV row.
+    The oracle recomputes the join of the FINAL states from scratch;
+    matching it proves the incremental folds compose exactly.  Scale
+    shape per refresh: O(changed windows + rows matching the affected
+    join keys) — the affected value set is pushed to both sources'
+    scans via ``read_where_in`` when bounded, a distributed semi-join
+    past the cap."""
+    from .operators.join_mv import (  # noqa: PLC0415
+        create_join_mv,
+        refresh_join_mv,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_join_mv_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_o = ManagedTable.create(
+        spark, os.path.join(base, "o"), _JMV_ORDERS_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    src_c = ManagedTable.create(
+        spark, os.path.join(base, "c"), _JMV_CUST_SCHEMA,
+        key_cols=["c_custkey"], table_type="MOR",
+    )
+    mv = create_join_mv(
+        src_o, src_c, os.path.join(base, "mv"),
+        on=("o_custkey", "c_custkey"), consume_from=(1, 1),
+    )
+    on = ("o_custkey", "c_custkey")
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long"), "c_mktsegment"
+    )
+    src_c.append(c)
+    src_o.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    refresh_join_mv(src_o, src_c, mv, on=on)
+    src_o.merge(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50 + 1).alias("o_custkey"),
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+    )
+    refresh_join_mv(src_o, src_c, mv, on=on)
+    src_o.delete_keys(
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    src_c.merge(
+        c.filter(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey", F.lit("MOVED").alias("c_mktsegment")
+        )
+    )
+    refresh_join_mv(src_o, src_c, mv, on=on)
+    return mv.read().select(
+        "o_orderkey", "o_custkey", "price_cents", "c_mktsegment"
+    )
+
+
 _SCD_SCHEMA = T.StructType(
     [
         T.StructField("o_orderkey", T.LongType(), False),

@@ -36,6 +36,29 @@ from ..table import ManagedTable
 _STATE_KEY = "rollup.src-version"
 
 
+def change_segments(src: ManagedTable, lo: int, hi: int) -> list[tuple[int, int]]:
+    """Split the consumed window ``(lo, hi]`` at "maintenance" commits
+    (compaction: content-neutral rewrites).  A rewrite inside the
+    window would push ``read_changes_cdf`` onto its full-diff
+    fallback; skipping the neutral step keeps every segment on the
+    O(segment) fast path — the same reasoning every lakehouse change
+    feed applies to rewrite-only snapshots.  Per-segment deltas
+    compose (additively for rollups, by key-set union for join MVs).
+    Returns [] for a maintenance-only window."""
+    vs = [v for v in src.history() if lo <= v <= hi]
+    segments: list[tuple[int, int]] = []
+    seg_lo = prev = vs[0]
+    for v in vs[1:]:
+        if src._snapshot_kind(v) == "maintenance":
+            if seg_lo != prev:
+                segments.append((seg_lo, prev))
+            seg_lo = v
+        prev = v
+    if seg_lo != vs[-1]:
+        segments.append((seg_lo, vs[-1]))
+    return segments
+
+
 def rollup_schema(
     group_fields: list[T.StructField], sum_cols: list[str]
 ) -> T.StructType:
@@ -131,23 +154,7 @@ def refresh_rollup(
         dst.set_properties(**{_STATE_KEY: cur})
         return dst._current_version()
 
-    # Split the consumed window at "maintenance" commits (compaction:
-    # content-neutral rewrites).  A rewrite inside the window would
-    # push read_changes_cdf onto its full-diff fallback; skipping the
-    # neutral step keeps every segment on the O(segment) fast path —
-    # the same reasoning every lakehouse change feed applies to
-    # rewrite-only snapshots.  Per-segment deltas compose additively.
-    vs = [v for v in src.history() if last <= v <= cur]
-    segments: list[tuple[int, int]] = []
-    lo = prev = vs[0]
-    for v in vs[1:]:
-        if src._snapshot_kind(v) == "maintenance":
-            if lo != prev:
-                segments.append((lo, prev))
-            lo = v
-        prev = v
-    if lo != vs[-1]:
-        segments.append((lo, vs[-1]))
+    segments = change_segments(src, last, cur)
     if not segments:  # maintenance-only window: nothing to fold
         dst.set_properties(**{_STATE_KEY: cur})
         return dst._current_version()

@@ -2624,6 +2624,8 @@ def hard_negatives_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     FROM by_src, m
     """,
     rank=25,
+    driver=False,  # r08: rotated out (long-green since r4; sibling
+    # temperature_mix_sources stays gated; pytest parity + bench)
 )
 def temperature_mix_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled source mixing (T=2, i.e. alpha=0.5): each
