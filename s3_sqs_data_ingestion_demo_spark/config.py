@@ -259,6 +259,50 @@ class RollupConfig:
 
 
 @dataclass
+class JoinMVConfig:
+    """One declaratively-maintained join materialization
+    (``output_config.join_mvs``): after every ingested batch the named
+    MV table is refreshed as TARGET TABLE ⋈ right_table
+    (operators/join_mv.py) — affected-key recompute from both tables'
+    change feeds, never a full re-join.  The left side is the job's
+    target table (keep it MOR, same constraint as rollups); the right
+    side is any pre-existing keyed ManagedTable (a dimension another
+    job maintains — its changes are picked up too, and it should also
+    be MOR if it rewrites).  The MV is created on the first batch with
+    both cursors anchored at bootstrap (consume_from=(1, 1)) so
+    pre-existing right-side content folds in."""
+
+    path: str = ""
+    right_table: str = ""
+    on: tuple[str, str] = ("", "")
+    left_columns: list[str] = field(default_factory=list)
+    right_columns: list[str] = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "JoinMVConfig":
+        if not d.get("path"):
+            raise ValueError("output_config.join_mvs entries need a path")
+        if not d.get("right_table"):
+            raise ValueError(
+                "output_config.join_mvs entries need right_table"
+            )
+        on = d.get("on") or []
+        if not (isinstance(on, (list, tuple)) and len(on) == 2
+                and all(on)):
+            raise ValueError(
+                "output_config.join_mvs entries need on: "
+                "[left_join_column, right_join_column]"
+            )
+        return cls(
+            path=str(d["path"]),
+            right_table=str(d["right_table"]),
+            on=(str(on[0]), str(on[1])),
+            left_columns=[str(c) for c in (d.get("left_columns") or [])],
+            right_columns=[str(c) for c in (d.get("right_columns") or [])],
+        )
+
+
+@dataclass
 class OutputConfig:
     """Sink half of the job spec (reference: spark-job/job.json:28-39)."""
 
@@ -281,6 +325,7 @@ class OutputConfig:
     maintenance: MaintenanceConfig = field(default_factory=MaintenanceConfig)
     indexes: list["IndexConfig"] = field(default_factory=list)
     rollups: list["RollupConfig"] = field(default_factory=list)
+    join_mvs: list["JoinMVConfig"] = field(default_factory=list)
     # CDC delete handling: rows whose op column carries one of these
     # values DELETE their keys instead of upserting (DMS-style feeds).
     # Empty list = reference behavior (deletes upsert like any row).
@@ -324,6 +369,10 @@ class OutputConfig:
             ],
             rollups=[
                 RollupConfig.from_dict(r) for r in (d.get("rollups") or [])
+            ],
+            join_mvs=[
+                JoinMVConfig.from_dict(j)
+                for j in (d.get("join_mvs") or [])
             ],
             cdc_op_column=d.get("cdc_op_column", "Op"),
             cdc_delete_values=[str(v) for v in (d.get("cdc_delete_values") or [])],
@@ -404,7 +453,12 @@ class OutputConfig:
                     "there is no staged snapshot to audit; use "
                     "key_columns merge mode (the shim) instead"
                 )
-        if self.rollups and self.table_type.upper() != "MOR":
+        if self.join_mvs and not self.key_columns:
+            raise ValueError(
+                "output_config.join_mvs requires key_columns: the MV "
+                "is keyed by both sides' keys (operators/join_mv.py)"
+            )
+        if (self.rollups or self.join_mvs) and self.table_type.upper() != "MOR":
             # The rollup feed consumes the table's change feed; a
             # rewriting write (COW merge/MERGE INTO, COW deletes)
             # pushes read_changes_cdf onto its full-table keyed-diff
@@ -418,12 +472,12 @@ class OutputConfig:
                 or self.cdc_delete_values
             ):
                 raise ValueError(
-                    "output_config.rollups with a rewriting write "
-                    "path (mode='merge', a verbatim MERGE INTO "
+                    "output_config.rollups/join_mvs with a rewriting "
+                    "write path (mode='merge', a verbatim MERGE INTO "
                     "merge_query, or cdc_delete_values) requires "
                     "table_type='MOR': on a COW table every batch "
-                    "degrades the rollup's change feed to a "
-                    "full-table diff (operators/rollup.py)"
+                    "degrades the change feed to a full-table diff "
+                    "(operators/rollup.py, operators/join_mv.py)"
                 )
         if self.cdc_delete_values and self.indexes:
             for ix in self.indexes:

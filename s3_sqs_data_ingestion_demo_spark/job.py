@@ -174,9 +174,11 @@ def process_files(
             version = execute_merge_into(spark, table, df, text)
             if deletes is not None:
                 version = table.delete_keys(deletes)
-            # rollups consume the TABLE's change feed, so unlike
-            # indexes they stay coherent under the verbatim MERGE
+            # rollups/join MVs consume the TABLE's change feed,
+            # so unlike indexes they stay coherent under the verbatim
+            # MERGE
             _maintain_rollups(spark, config, table)
+            _maintain_join_mvs(spark, config, table)
             return _maybe_maintain(table, config) or version
         df = apply_transform_query(spark, df, text)
     if len(out.indexes) >= 2:
@@ -276,6 +278,7 @@ def process_files(
     # maintenance commits anyway, but consuming first keeps this
     # batch's refresh on the cheapest same-manifest path
     _maintain_rollups(spark, config, table)
+    _maintain_join_mvs(spark, config, table)
     return _maybe_maintain(table, config) or version
 
 
@@ -295,6 +298,41 @@ def _maintain_rollups(
     for r in out.rollups:
         dst = ManagedTable.load(spark, r.path)
         refresh_rollup(table, dst, r.group_columns, r.sum_columns)
+
+
+def _maintain_join_mvs(
+    spark: SparkSession, config: JobConfig, table: ManagedTable
+) -> None:
+    """Refresh every declared join materialization
+    (``output_config.join_mvs``): TARGET ⋈ right_table maintained by
+    affected-key recompute from BOTH tables' change feeds
+    (operators/join_mv.py) — so a batch upserted into the target AND
+    any dimension changes another job landed since the last batch fold
+    in together.  The MV is created lazily on the first batch (the
+    right table must already exist — fail loudly otherwise, the same
+    poison-redelivery trade as rollup group-column validation:
+    surfaced at the first batch, not parse time, because the dimension
+    may be provisioned by a different job)."""
+    out = config.output_config
+    if not out.join_mvs:
+        return
+    from .operators.join_mv import (  # noqa: PLC0415
+        create_join_mv,
+        refresh_join_mv,
+    )
+
+    for j in out.join_mvs:
+        right = ManagedTable.load(spark, j.right_table)
+        if ManagedTable.exists(j.path):
+            mv = ManagedTable.load(spark, j.path)
+        else:
+            mv = create_join_mv(
+                table, right, j.path, on=j.on,
+                left_cols=j.left_columns or None,
+                right_cols=j.right_columns or None,
+                consume_from=(1, 1),
+            )
+        refresh_join_mv(table, right, mv, on=j.on)
 
 
 def _audited_write(
