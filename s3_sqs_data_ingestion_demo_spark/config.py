@@ -230,8 +230,10 @@ class RollupConfig:
     """One declaratively-maintained aggregate table
     (``output_config.rollups``): after every ingested batch the named
     summary table is refreshed from the TARGET TABLE'S change feed
-    (operators/rollup.py) — count + sums per group, updates/deletes
-    handled via CDF retractions.  Because the rollup consumes the
+    (operators/rollup.py) — count + sums per group (additive folds),
+    plus optional min/max (incremental on inserts, bounded
+    affected-group rescan on retractions), updates/deletes handled
+    via CDF retractions.  Because the rollup consumes the
     table's committed state (never the raw batch), it stays coherent
     under every write mode including the verbatim MERGE INTO path,
     and a redelivered batch whose merge lands byte-identical rows
@@ -241,6 +243,8 @@ class RollupConfig:
     path: str = ""
     group_columns: list[str] = field(default_factory=list)
     sum_columns: list[str] = field(default_factory=list)
+    min_columns: list[str] = field(default_factory=list)
+    max_columns: list[str] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "RollupConfig":
@@ -255,6 +259,8 @@ class RollupConfig:
             path=str(d["path"]),
             group_columns=groups,
             sum_columns=[str(c) for c in (d.get("sum_columns") or [])],
+            min_columns=[str(c) for c in (d.get("min_columns") or [])],
+            max_columns=[str(c) for c in (d.get("max_columns") or [])],
         )
 
 

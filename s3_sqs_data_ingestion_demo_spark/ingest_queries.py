@@ -336,6 +336,90 @@ def incremental_rollup_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_rollup_minmax_orders",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) + 500 AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(price_cents) AS BIGINT) AS min_price_cents,
+           CAST(MAX(price_cents) AS BIGINT) AS max_price_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+    rank=20,
+)
+def incremental_rollup_minmax_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """MIN/MAX incremental view maintenance — the NON-additive family
+    (operators/rollup.py min_cols/max_cols): same upsert + delete
+    stream as incremental_rollup_upsert_orders, but the maintained
+    aggregates are group extremes.  Inserts fold via least/greatest;
+    the delete batch retracts rows that INCLUDE stored group minima,
+    so the refresh must take the bounded affected-group rescan path
+    (recompute from the source pinned at the window's high version) to
+    recover the runner-up values — a pure fold could not produce them.
+    Extremes live in exact integer cents, so the incremental result is
+    bit-identical to the oracle's full re-aggregation of the final
+    state.  Scale shape: rescan bounded by retraction-touched groups,
+    isin pushed to the source scan when the group-value set is small."""
+    from .operators.rollup import create_rollup, refresh_rollup  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_rollup_mm_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    dst = create_rollup(
+        src, os.path.join(base, "rollup"), ["o_orderstatus"], [],
+        min_cols=["price_cents"], max_cols=["price_cents"],
+    )
+    kw = {"min_cols": ["price_cents"], "max_cols": ["price_cents"]}
+    src.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
+    src.merge(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
+    src.delete_keys(
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
+    return dst.read().select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("min_price_cents").cast("long").alias("min_price_cents"),
+        F.col("max_price_cents").cast("long").alias("max_price_cents"),
+    )
+
+
 _JMV_ORDERS_SCHEMA = T.StructType(
     [
         T.StructField("o_orderkey", T.LongType(), False),

@@ -83,6 +83,8 @@ def ensure_target(spark: SparkSession, config: JobConfig) -> ManagedTable:
                     r.group_columns,
                     r.sum_columns,
                     consume_from=1,
+                    min_cols=r.min_columns,
+                    max_cols=r.max_columns,
                 )
     return table
 
@@ -297,7 +299,14 @@ def _maintain_rollups(
 
     for r in out.rollups:
         dst = ManagedTable.load(spark, r.path)
-        refresh_rollup(table, dst, r.group_columns, r.sum_columns)
+        refresh_rollup(
+            table,
+            dst,
+            r.group_columns,
+            r.sum_columns,
+            min_cols=r.min_columns,
+            max_cols=r.max_columns,
+        )
 
 
 def _maintain_join_mvs(

@@ -6,10 +6,12 @@ consuming the source's CHANGE FEED (``read_changes`` file-level fast
 path) instead of re-aggregating the world — refresh cost is
 O(new data), not O(table).
 
-Supported aggregates: count + sums (the additive family).  Append-only
-change windows fold the plain change feed (weight +1 per row); windows
-containing merge deltas, tombstoned deletes, or rewrites consume the
-CDF (``read_changes_cdf``) instead, where pre-images and deletes carry
+Supported aggregates: count + sums (the additive family) plus MIN/MAX
+(the non-additive extremes, maintained by bounded affected-group
+rescan — see ``refresh_rollup``).  Append-only change windows fold the
+plain change feed (weight +1 per row); windows containing merge
+deltas, tombstoned deletes, or rewrites consume the CDF
+(``read_changes_cdf``) instead, where pre-images and deletes carry
 weight -1 — the RETRACTION — so updates move a row's contribution
 between groups exactly and emptied groups are deleted.
 
@@ -60,11 +62,31 @@ def change_segments(src: ManagedTable, lo: int, hi: int) -> list[tuple[int, int]
 
 
 def rollup_schema(
-    group_fields: list[T.StructField], sum_cols: list[str]
+    group_fields: list[T.StructField],
+    sum_cols: list[str],
+    extreme_fields: list[T.StructField] | None = None,
 ) -> T.StructType:
     fields = list(group_fields) + [T.StructField("n_rows", T.LongType(), True)]
     fields += [T.StructField(f"sum_{c}", T.DoubleType(), True) for c in sum_cols]
+    fields += list(extreme_fields or [])
     return T.StructType(fields)
+
+
+def _extreme_fields(
+    src: ManagedTable, min_cols: list[str], max_cols: list[str]
+) -> list[T.StructField]:
+    """min_/max_ columns carry the SOURCE column's type (a min of
+    timestamps is a timestamp, not a double)."""
+    by_name = {f.name: f for f in src.meta.schema.fields}
+    out: list[T.StructField] = []
+    for prefix, cols in (("min", min_cols), ("max", max_cols)):
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(
+                    f"{prefix} column {c!r} missing from source schema"
+                )
+            out.append(T.StructField(f"{prefix}_{c}", by_name[c].dataType, True))
+    return out
 
 
 def create_rollup(
@@ -73,6 +95,8 @@ def create_rollup(
     group_cols: list[str],
     sum_cols: list[str],
     consume_from: int | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> ManagedTable:
     """DDL for the summary table: keyed by the group columns, MOR so
     refreshes are O(delta) appends.
@@ -90,7 +114,11 @@ def create_rollup(
     dst = ManagedTable.create(
         src.spark,
         path,
-        rollup_schema(group_fields, sum_cols),
+        rollup_schema(
+            group_fields,
+            sum_cols,
+            _extreme_fields(src, list(min_cols or []), list(max_cols or [])),
+        ),
         key_cols=list(group_cols),
         table_type="MOR",
         # refresh folds are O(changed groups) but arrive with shuffle
@@ -115,6 +143,8 @@ def refresh_rollup(
     dst: ManagedTable,
     group_cols: list[str],
     sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> int:
     """Fold the source changes since the last refresh into the rollup;
     returns the new rollup version (current version when there was
@@ -136,7 +166,21 @@ def refresh_rollup(
     then the cursor advances.  A replayed window whose tag is already
     live skips straight to the (idempotent) emptied-group sweep and
     the cursor write — never re-folding a delta the rollup already
-    absorbed."""
+    absorbed.
+
+    MIN/MAX (``min_cols``/``max_cols``) extend the rollup beyond the
+    additive family.  Inserts fold incrementally (``least``/
+    ``greatest`` against the stored extreme — idempotent, so the same
+    tag machinery covers them); RETRACTIONS cannot fold (deleting the
+    stored minimum says nothing about the runner-up), so every group
+    touched by a retraction is RESCANNED: all its aggregates are
+    recomputed from the source pinned at the window's high version
+    (``read_version(cur)`` — the pin keeps a concurrent append out of
+    this fold; it will be consumed by the next window).  The rescan is
+    bounded by the window's retraction-touched groups, never O(table):
+    single-group-column rescans collect the affected values
+    driver-side (capped) and push an ``isin`` to the source scan;
+    wider keys fall back to a broadcast semi-join."""
     last = int(dst.meta.properties.get(_STATE_KEY, 1))
     cur = src._current_version()
     if cur <= last:
@@ -159,7 +203,26 @@ def refresh_rollup(
         dst.set_properties(**{_STATE_KEY: cur})
         return dst._current_version()
 
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+    extremes = bool(min_cols or max_cols)
+    have = set(dst.meta.schema.fieldNames())
+    lacking = [
+        n
+        for n in (
+            [f"min_{c}" for c in min_cols] + [f"max_{c}" for c in max_cols]
+        )
+        if n not in have
+    ]
+    if lacking:
+        raise ValueError(
+            f"rollup table lacks extreme columns {lacking}; create it "
+            "with the same min_cols/max_cols it is refreshed with"
+        )
+    any_cdf = False
+
     def _segment_delta(seg_lo: int, seg_hi: int) -> DataFrame:
+        nonlocal any_cdf
         old_entries = src._manifest_at(seg_lo)
         new_entries = src._manifest_at(seg_hi)
         pure_append = all(e in new_entries for e in old_entries) and not any(
@@ -170,6 +233,7 @@ def refresh_rollup(
             return src.read_changes(seg_lo, seg_hi).withColumn(
                 "_w", F.lit(1)
             )
+        any_cdf = True
         return (
             src.read_changes_cdf(seg_lo, seg_hi)
             .withColumn(
@@ -187,12 +251,29 @@ def refresh_rollup(
     delta = _segment_delta(*segments[0])
     for seg in segments[1:]:
         delta = delta.unionByName(_segment_delta(*seg))
+    extra_aggs = [
+        F.min(F.when(F.col("_w") == 1, F.col(c))).alias(f"_ins_min_{c}")
+        for c in min_cols
+    ] + [
+        F.max(F.when(F.col("_w") == 1, F.col(c))).alias(f"_ins_max_{c}")
+        for c in max_cols
+    ]
+    if extremes:
+        # does this group need a rescan? (any retracted row at all —
+        # comparing the retracted value against the stored extreme
+        # would narrow it further, at the cost of a pre-read; the
+        # group set is window-bounded either way)
+        extra_aggs.append(
+            F.max(F.when(F.col("_w") == -1, F.lit(1)).otherwise(F.lit(0)))
+            .alias("_retract")
+        )
     agg = delta.groupBy(*group_cols).agg(
         F.sum("_w").alias("_d_n"),
         *[
             F.sum(F.col("_w") * F.col(c).cast("double")).alias(f"_d_{c}")
             for c in sum_cols
         ],
+        *extra_aggs,
     )
     # current values of ONLY the affected groups (rollup tables are
     # group-cardinality-sized; the join is on the rollup's key)
@@ -209,11 +290,79 @@ def refresh_rollup(
                 ).alias(f"sum_{c}")
                 for c in sum_cols
             ],
+            # insert-side extremes fold incrementally; least/greatest
+            # skip nulls, so a group absent from either side keeps the
+            # other side's value
+            *[
+                F.least(F.col(f"min_{c}"), F.col(f"_ins_min_{c}"))
+                .alias(f"min_{c}")
+                for c in min_cols
+            ],
+            *[
+                F.greatest(F.col(f"max_{c}"), F.col(f"_ins_max_{c}"))
+                .alias(f"max_{c}")
+                for c in max_cols
+            ],
         )
-        # group-cardinality-bounded frame read twice (upsert + the
-        # emptied-group delete) — pin it once
-        .localCheckpoint(eager=True)
     )
+    if extremes and any_cdf:
+        # retraction-touched groups: the fold can't know the new
+        # extreme (deleting the minimum says nothing about the
+        # runner-up) — recompute ALL their aggregates from the source
+        # pinned at the window's high version.  Bounded by the
+        # window's affected groups, never O(table).
+        rescan_keys = (
+            agg.filter(F.col("_retract") == 1)
+            .select(*group_cols)
+            .localCheckpoint(eager=True)
+        )
+        if not rescan_keys.isEmpty():
+            base = src.read_version(cur)
+            pushed = False
+            if len(group_cols) == 1:
+                cap = int(
+                    dst.meta.properties.get("rollup.max-rescan-groups", "4096")
+                )
+                vals = [r[0] for r in rescan_keys.limit(cap + 1).collect()]
+                if len(vals) <= cap:
+                    # bounded value set → push an isin to the source
+                    # scan (parquet row-group stats + footer skips)
+                    base = base.filter(F.col(group_cols[0]).isin(vals))
+                    pushed = True
+            if not pushed:
+                base = base.join(
+                    F.broadcast(rescan_keys), list(group_cols), "left_semi"
+                )
+            recomputed = base.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                *[
+                    F.sum(F.col(c).cast("double")).alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+                *[F.min(c).alias(f"min_{c}") for c in min_cols],
+                *[F.max(c).alias(f"max_{c}") for c in max_cols],
+            )
+            # fully-emptied groups yield no slice rows — keep their
+            # count-0 markers so the tagged-merge + sweep semantics
+            # hold for them too
+            recomputed = rescan_keys.join(
+                recomputed, list(group_cols), "left"
+            ).select(
+                *group_cols,
+                F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+                *[
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0.0)).alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+                *[F.col(f"min_{c}") for c in min_cols],
+                *[F.col(f"max_{c}") for c in max_cols],
+            )
+            combined = combined.join(
+                rescan_keys, list(group_cols), "left_anti"
+            ).unionByName(recomputed)
+    # group-cardinality-bounded frame read twice (upsert + the
+    # emptied-group delete) — pin it once
+    combined = combined.localCheckpoint(eager=True)
     # Emptied groups (count 0) are INCLUDED in the tagged merge so a
     # crash before their delete leaves a visible marker the replay
     # sweep can finish from — excluding them would strand their stale

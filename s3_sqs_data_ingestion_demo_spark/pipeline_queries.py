@@ -2084,7 +2084,8 @@ _LANGCONF_ORACLE = f"""
     """
 
 
-@query("q_langid_confusion", _LANGCONF_ORACLE, driver=True, rank=25)
+# r08: rotated out (long-green r5-r7; pytest parity + bench keep it)
+@query("q_langid_confusion", _LANGCONF_ORACLE, driver=False, rank=25)
 def q_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
     """Label-agreement audit: confusion matrix between the declared
     ``lang`` column and the marker-based language-ID prediction

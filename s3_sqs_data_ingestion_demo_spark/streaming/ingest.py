@@ -87,6 +87,8 @@ def start_streaming_rollup(
     checkpoint_dir: str | None = None,
     available_now: bool = False,
     poll_interval: int | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Continuous aggregate: file-landing stream → append to the
     source ``ManagedTable`` → fold the appended delta into the rollup
@@ -120,7 +122,14 @@ def start_streaming_rollup(
             probe_done["done"] = True
         if not replayed:
             src_table.append(batch_df, tag=tag)
-        refresh_rollup(src_table, rollup_table, group_cols, sum_cols)
+        refresh_rollup(
+            src_table,
+            rollup_table,
+            group_cols,
+            sum_cols,
+            min_cols=min_cols,
+            max_cols=max_cols,
+        )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:

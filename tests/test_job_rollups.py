@@ -119,6 +119,37 @@ def test_job_rollup_bootstraps_from_existing_table_content(spark, tmp_path):
     assert _roll(spark, d) == {"a": (2, 12.0), "b": (1, 5.0)}
 
 
+def test_job_rollup_min_max_columns(spark, tmp_path):
+    """Declared min_columns/max_columns flow through DDL and refresh:
+    the delete of a group's stored minimum forces the rescan path
+    inside the declarative job loop."""
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    cfg = _cfg(
+        d,
+        rollups=[
+            {
+                "path": f"{d}/roll",
+                "group_columns": ["grp"],
+                "sum_columns": ["v"],
+                "min_columns": ["v"],
+                "max_columns": ["v"],
+            }
+        ],
+    )
+    b1, b2 = f"{d}/b1.csv", f"{d}/b2.csv"
+    _write_csv(b1, [(1, "a", 10, 1, "I"), (2, "a", 3, 1, "I"),
+                    (3, "b", 5, 1, "I")])
+    _write_csv(b2, [(2, "a", 3, 2, "D")])  # delete the stored min of a
+    J.process_files(spark, cfg, [b1])
+    t = ManagedTable.load(spark, f"{d}/roll")
+    st = {r.grp: (r.n_rows, r.min_v, r.max_v) for r in t.read().collect()}
+    assert st == {"a": (2, 3, 10), "b": (1, 5, 5)}
+    J.process_files(spark, cfg, [b2])
+    st = {r.grp: (r.n_rows, r.min_v, r.max_v) for r in t.read().collect()}
+    assert st == {"a": (1, 10, 10), "b": (1, 5, 5)}
+
+
 def test_rollup_config_validates_at_parse_time(tmp_path):
     with pytest.raises(ValueError, match="need a path"):
         _cfg(str(tmp_path), rollups=[{"group_columns": ["grp"]}])
