@@ -245,6 +245,7 @@ class RollupConfig:
     sum_columns: list[str] = field(default_factory=list)
     min_columns: list[str] = field(default_factory=list)
     max_columns: list[str] = field(default_factory=list)
+    distinct_columns: list[str] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "RollupConfig":
@@ -261,6 +262,9 @@ class RollupConfig:
             sum_columns=[str(c) for c in (d.get("sum_columns") or [])],
             min_columns=[str(c) for c in (d.get("min_columns") or [])],
             max_columns=[str(c) for c in (d.get("max_columns") or [])],
+            distinct_columns=[
+                str(c) for c in (d.get("distinct_columns") or [])
+            ],
         )
 
 

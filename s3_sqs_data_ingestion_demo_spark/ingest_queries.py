@@ -420,6 +420,103 @@ def incremental_rollup_minmax_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_ROLLUP_DISTINCT_SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("cust_bucket", T.LongType(), True),
+    ]
+)
+
+
+@query(
+    "incremental_rollup_distinct_orders",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_custkey % 50 AS cust_bucket
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             o_custkey % 7 AS cust_bucket
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT cust_bucket) AS BIGINT) AS n_distinct_cust_bucket
+    FROM final GROUP BY o_orderstatus
+    """,
+    rank=20,
+)
+def incremental_rollup_distinct_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) incremental view maintenance
+    (operators/rollup.py distinct_cols): the same upsert + delete
+    stream as the other rollup entries, over a heavily-duplicated
+    value column (custkey buckets — many source rows per (group,
+    value) pair).  Distinct counts survive retraction only through the
+    companion per-(group, value) counts table: deleting ONE holder of
+    a duplicated value must not drop the count, deleting the LAST
+    holder must — transitions through zero are the signal, and only
+    the companion sees them.  The final state is bit-identical to the
+    oracle's full COUNT(DISTINCT) re-aggregation.  Scale shape per
+    refresh: one O(delta) keyed companion merge + an affected-group-
+    restricted count over it; never O(table)."""
+    from .operators.rollup import create_rollup, refresh_rollup  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_rollup_dc_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_DISTINCT_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+    )
+    dst = create_rollup(
+        src, os.path.join(base, "rollup"), ["o_orderstatus"], [],
+        distinct_cols=["cust_bucket"],
+    )
+    kw = {"distinct_cols": ["cust_bucket"]}
+    src.append(
+        o.filter(F.col("o_orderkey") % 3 != 0).select(
+            "o_orderkey", "o_orderstatus",
+            (F.col("o_custkey") % 50).alias("cust_bucket"),
+        )
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
+    src.merge(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_custkey") % 7).alias("cust_bucket"),
+        )
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
+    src.delete_keys(
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
+    return dst.read().select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("n_distinct_cust_bucket").cast("long")
+        .alias("n_distinct_cust_bucket"),
+    )
+
+
 _JMV_ORDERS_SCHEMA = T.StructType(
     [
         T.StructField("o_orderkey", T.LongType(), False),

@@ -85,6 +85,7 @@ def ensure_target(spark: SparkSession, config: JobConfig) -> ManagedTable:
                     consume_from=1,
                     min_cols=r.min_columns,
                     max_cols=r.max_columns,
+                    distinct_cols=r.distinct_columns,
                 )
     return table
 
@@ -306,6 +307,7 @@ def _maintain_rollups(
             r.sum_columns,
             min_cols=r.min_columns,
             max_cols=r.max_columns,
+            distinct_cols=r.distinct_columns,
         )
 
 

@@ -6,9 +6,13 @@ consuming the source's CHANGE FEED (``read_changes`` file-level fast
 path) instead of re-aggregating the world — refresh cost is
 O(new data), not O(table).
 
-Supported aggregates: count + sums (the additive family) plus MIN/MAX
+Supported aggregates: count + sums (the additive family), MIN/MAX
 (the non-additive extremes, maintained by bounded affected-group
-rescan — see ``refresh_rollup``).  Append-only change windows fold the
+rescan — see ``refresh_rollup``), and exact COUNT(DISTINCT) (two-level
+maintenance through a companion per-value counts table — the classic
+IVM decomposition: distinct-count is not retractable directly, but the
+per-(group, value) row count IS additive, and the distinct count is
+just the companion's surviving-row count per group).  Append-only change windows fold the
 plain change feed (weight +1 per row); windows containing merge
 deltas, tombstoned deletes, or rewrites consume the CDF
 (``read_changes_cdf``) instead, where pre-images and deletes carry
@@ -65,11 +69,23 @@ def rollup_schema(
     group_fields: list[T.StructField],
     sum_cols: list[str],
     extreme_fields: list[T.StructField] | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> T.StructType:
     fields = list(group_fields) + [T.StructField("n_rows", T.LongType(), True)]
     fields += [T.StructField(f"sum_{c}", T.DoubleType(), True) for c in sum_cols]
     fields += list(extreme_fields or [])
+    fields += [
+        T.StructField(f"n_distinct_{c}", T.LongType(), True)
+        for c in (distinct_cols or [])
+    ]
     return T.StructType(fields)
+
+
+def companion_path(rollup_path: str, col: str) -> str:
+    """Location of the per-value counts table backing an exact
+    COUNT(DISTINCT col) — a sibling of the rollup, not nested inside
+    it (the rollup's own directory layout is the snapshot store's)."""
+    return f"{rollup_path.rstrip('/')}__distinct_{col}"
 
 
 def _extreme_fields(
@@ -97,6 +113,7 @@ def create_rollup(
     consume_from: int | None = None,
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> ManagedTable:
     """DDL for the summary table: keyed by the group columns, MOR so
     refreshes are O(delta) appends.
@@ -104,13 +121,29 @@ def create_rollup(
     ``consume_from`` anchors the change-feed cursor: default = the
     source's CURRENT version (track new data only); pass ``1`` (the
     empty created snapshot) to have the first refresh bootstrap the
-    rollup from the source's existing content via the same feed."""
+    rollup from the source's existing content via the same feed.
+
+    Each ``distinct_cols`` entry also provisions a COMPANION table
+    (``companion_path(path, col)``): per-(group, value) row counts,
+    keyed so refreshes are O(delta) merges.  The companion is the
+    retractable form of COUNT(DISTINCT): value-count transitions
+    through zero are what create/destroy distinct values."""
     group_fields = [
         f for f in src.meta.schema.fields if f.name in set(group_cols)
     ]
     if len(group_fields) != len(group_cols):
         missing = set(group_cols) - {f.name for f in group_fields}
         raise ValueError(f"group columns missing from source schema: {missing}")
+    distinct_cols = list(distinct_cols or [])
+    src_fields = {f.name: f for f in src.meta.schema.fields}
+    for c in distinct_cols:
+        if c not in src_fields:
+            raise ValueError(f"distinct column {c!r} missing from source schema")
+        if c in group_cols:
+            raise ValueError(
+                f"distinct column {c!r} is a group column — its distinct "
+                "count per group is identically 1"
+            )
     dst = ManagedTable.create(
         src.spark,
         path,
@@ -118,6 +151,7 @@ def create_rollup(
             group_fields,
             sum_cols,
             _extreme_fields(src, list(min_cols or []), list(max_cols or [])),
+            distinct_cols,
         ),
         key_cols=list(group_cols),
         table_type="MOR",
@@ -126,6 +160,21 @@ def create_rollup(
         # "write.max-delta-files")
         properties={"write.max-delta-files": "4"},
     )
+    for c in distinct_cols:
+        ManagedTable.create(
+            src.spark,
+            companion_path(path, c),
+            T.StructType(
+                list(group_fields)
+                + [
+                    T.StructField(c, src_fields[c].dataType, True),
+                    T.StructField("n_rows", T.LongType(), True),
+                ]
+            ),
+            key_cols=list(group_cols) + [c],
+            table_type="MOR",
+            properties={"write.max-delta-files": "4"},
+        )
     dst.set_properties(
         **{
             _STATE_KEY: (
@@ -145,6 +194,7 @@ def refresh_rollup(
     sum_cols: list[str],
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> int:
     """Fold the source changes since the last refresh into the rollup;
     returns the new rollup version (current version when there was
@@ -180,7 +230,38 @@ def refresh_rollup(
     bounded by the window's retraction-touched groups, never O(table):
     single-group-column rescans collect the affected values
     driver-side (capped) and push an ``isin`` to the source scan;
-    wider keys fall back to a broadcast semi-join."""
+    wider keys fall back to a broadcast semi-join.
+
+    COUNT(DISTINCT) (``distinct_cols``) maintains exactly through the
+    companion per-(group, value) counts table: the value-count IS
+    additive (the delta folds into it under the same window tag,
+    exactly-once on ITS table), and each group's distinct count is
+    read back ABSOLUTE from the post-fold companion — so the rollup's
+    ``n_distinct_*`` columns are correct whichever side of a crash the
+    replay lands on (companion folded or not: its own tag decides;
+    rollup folded or not: the rollup's tag decides).  Null values
+    don't count, matching SQL.  Cost: one O(delta) keyed merge on the
+    companion plus an affected-group-restricted count over it."""
+    distinct_cols = list(distinct_cols or [])
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+    extremes = bool(min_cols or max_cols)
+    have = set(dst.meta.schema.fieldNames())
+    lacking = [
+        n
+        for n in (
+            [f"min_{c}" for c in min_cols]
+            + [f"max_{c}" for c in max_cols]
+            + [f"n_distinct_{c}" for c in distinct_cols]
+        )
+        if n not in have
+    ]
+    if lacking:
+        raise ValueError(
+            f"rollup table lacks aggregate columns {lacking}; create it "
+            "with the same min_cols/max_cols/distinct_cols it is "
+            "refreshed with"
+        )
     last = int(dst.meta.properties.get(_STATE_KEY, 1))
     cur = src._current_version()
     if cur <= last:
@@ -188,10 +269,18 @@ def refresh_rollup(
 
     window_tag = f"rollup-{last}-{cur}"
     # Crash replay (died between the tagged fold commit and the cursor
-    # write): the delta is already in the rollup.  Finish the two
-    # idempotent steps and advance.  The probe is bounded — a replayed
-    # fold is by definition the newest activity on the rollup table.
+    # write): the delta is already in the rollup.  Finish the
+    # idempotent sweeps (rollup AND companions) and advance.  The
+    # probe is bounded — a replayed fold is by definition the newest
+    # activity on the rollup table.
     if dst.has_commit_tag(window_tag, max_scan=16):
+        for c in distinct_cols:
+            comp = ManagedTable.load(src.spark, companion_path(dst.path, c))
+            czero = (
+                comp.read().filter(F.col("n_rows") <= 0).select(*group_cols, c)
+            )
+            if not czero.isEmpty():
+                comp.delete_keys(czero)
         zero = dst.read().filter(F.col("n_rows") <= 0).select(*group_cols)
         if not zero.isEmpty():
             dst.delete_keys(zero)
@@ -203,22 +292,6 @@ def refresh_rollup(
         dst.set_properties(**{_STATE_KEY: cur})
         return dst._current_version()
 
-    min_cols = list(min_cols or [])
-    max_cols = list(max_cols or [])
-    extremes = bool(min_cols or max_cols)
-    have = set(dst.meta.schema.fieldNames())
-    lacking = [
-        n
-        for n in (
-            [f"min_{c}" for c in min_cols] + [f"max_{c}" for c in max_cols]
-        )
-        if n not in have
-    ]
-    if lacking:
-        raise ValueError(
-            f"rollup table lacks extreme columns {lacking}; create it "
-            "with the same min_cols/max_cols it is refreshed with"
-        )
     any_cdf = False
 
     def _segment_delta(seg_lo: int, seg_hi: int) -> DataFrame:
@@ -251,6 +324,10 @@ def refresh_rollup(
     delta = _segment_delta(*segments[0])
     for seg in segments[1:]:
         delta = delta.unionByName(_segment_delta(*seg))
+    if distinct_cols:
+        # the window frame is re-read once per companion fold plus the
+        # main aggregate — pin it (window-bounded by contract)
+        delta = delta.localCheckpoint(eager=True)
     extra_aggs = [
         F.min(F.when(F.col("_w") == 1, F.col(c))).alias(f"_ins_min_{c}")
         for c in min_cols
@@ -275,6 +352,58 @@ def refresh_rollup(
         ],
         *extra_aggs,
     )
+    if extremes or distinct_cols:
+        # group-cardinality-bounded and reused by the rescan / the
+        # distinct-count restriction — pin it
+        agg = agg.localCheckpoint(eager=True)
+
+    # COUNT(DISTINCT) companions: fold the per-(group, value) count
+    # delta into each companion (exactly-once on ITS table via the
+    # same window tag), sweep zeroed values, then read each affected
+    # group's distinct count back ABSOLUTE — correct on every side of
+    # a crash, because the companion state after its tagged fold is
+    # deterministic whether this call did the fold or a replay skipped
+    # it.
+    dcount_frames: dict[str, DataFrame] = {}
+    for c in distinct_cols:
+        comp = ManagedTable.load(src.spark, companion_path(dst.path, c))
+        ckeys = list(group_cols) + [c]
+        if not comp.has_commit_tag(window_tag, max_scan=16):
+            dagg = (
+                delta.filter(F.col(c).isNotNull())
+                .groupBy(*ckeys)
+                .agg(F.sum("_w").alias("_d"))
+            )
+            cexist = comp.read().join(dagg.select(*ckeys), ckeys, "left_semi")
+            newc = (
+                dagg.join(cexist, ckeys, "left")
+                .select(
+                    *ckeys,
+                    (
+                        F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_d")
+                    ).alias("n_rows"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            if not newc.isEmpty():
+                comp.merge(newc, tag=window_tag)
+            czero = newc.filter(F.col("n_rows") <= 0).select(*ckeys)
+        else:
+            czero = comp.read().filter(F.col("n_rows") <= 0).select(*ckeys)
+        if not czero.isEmpty():
+            comp.delete_keys(czero)
+        dcount_frames[c] = (
+            comp.read()
+            .filter(F.col("n_rows") > 0)
+            .join(
+                F.broadcast(agg.select(*group_cols)),
+                list(group_cols),
+                "left_semi",
+            )
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias(f"n_distinct_{c}"))
+        )
+
     # current values of ONLY the affected groups (rollup tables are
     # group-cardinality-sized; the join is on the rollup's key)
     existing = dst.read().join(agg.select(*group_cols), list(group_cols), "left_semi")
@@ -360,6 +489,15 @@ def refresh_rollup(
             combined = combined.join(
                 rescan_keys, list(group_cols), "left_anti"
             ).unionByName(recomputed)
+    # distinct counts join AFTER the rescan union so folded and
+    # rescanned rows get them uniformly (they're absolute either way)
+    for c in distinct_cols:
+        combined = combined.join(
+            dcount_frames[c], list(group_cols), "left"
+        ).withColumn(
+            f"n_distinct_{c}",
+            F.coalesce(F.col(f"n_distinct_{c}"), F.lit(0)).cast("long"),
+        )
     # group-cardinality-bounded frame read twice (upsert + the
     # emptied-group delete) — pin it once
     combined = combined.localCheckpoint(eager=True)

@@ -2211,7 +2211,8 @@ GROUP BY 1
 """
 
 
-@query("retention_sweep_documents", _RETENTION_ORACLE, driver=True, rank=25)
+# r08: rotated out (long-green r5-r7; pytest parity + bench keep it)
+@query("retention_sweep_documents", _RETENTION_ORACLE, driver=False, rank=25)
 def retention_sweep_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Minimum-length filter sweep: docs/tokens retained at each
     candidate min-token threshold.  The corpus collapses to a

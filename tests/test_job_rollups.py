@@ -150,6 +150,37 @@ def test_job_rollup_min_max_columns(spark, tmp_path):
     assert st == {"a": (1, 10, 10), "b": (1, 5, 5)}
 
 
+def test_job_rollup_distinct_columns(spark, tmp_path):
+    """Declared distinct_columns provision the companion table and
+    keep COUNT(DISTINCT) exact through a delete that removes one of
+    two holders of a value (count keeps) and the sole holder of
+    another (count drops)."""
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    cfg = _cfg(
+        d,
+        rollups=[
+            {
+                "path": f"{d}/roll",
+                "group_columns": ["grp"],
+                "sum_columns": [],
+                "distinct_columns": ["v"],
+            }
+        ],
+    )
+    b1, b2 = f"{d}/b1.csv", f"{d}/b2.csv"
+    _write_csv(b1, [(1, "a", 7, 1, "I"), (2, "a", 7, 1, "I"),
+                    (3, "a", 9, 1, "I")])
+    _write_csv(b2, [(1, "a", 7, 2, "D"), (3, "a", 9, 2, "D")])
+    J.process_files(spark, cfg, [b1])
+    t = ManagedTable.load(spark, f"{d}/roll")
+    st = {r.grp: (r.n_rows, r.n_distinct_v) for r in t.read().collect()}
+    assert st == {"a": (3, 2)}
+    J.process_files(spark, cfg, [b2])
+    st = {r.grp: (r.n_rows, r.n_distinct_v) for r in t.read().collect()}
+    assert st == {"a": (1, 1)}
+
+
 def test_rollup_config_validates_at_parse_time(tmp_path):
     with pytest.raises(ValueError, match="need a path"):
         _cfg(str(tmp_path), rollups=[{"group_columns": ["grp"]}])

@@ -205,7 +205,7 @@ def test_refresh_refuses_mismatched_rollup(spark, tmp_path):
     src = _mk_src(spark, tmp_path)
     dst = create_rollup(src, f"{tmp_path}/roll", ["grp"], ["v"], consume_from=1)
     src.append(_rows(spark, [(1, "a", 10, 1)]))
-    with pytest.raises(ValueError, match="lacks extreme columns"):
+    with pytest.raises(ValueError, match="lacks aggregate columns"):
         refresh_rollup(src, dst, ["grp"], ["v"], min_cols=["v"])
 
 
