@@ -517,6 +517,128 @@ def incremental_rollup_distinct_orders(spark: SparkSession, sf: str) -> DataFram
     )
 
 
+_ROLLUP_REAGG_SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), False),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("o_orderpriority", T.StringType(), True),
+        T.StructField("price_cents", T.LongType(), True),
+        T.StructField("cust_bucket", T.LongType(), True),
+    ]
+)
+
+
+@query(
+    "rollup_reaggregate_orders",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_custkey % 50 AS cust_bucket
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) + 500 AS BIGINT) AS price_cents,
+             o_custkey % 7 AS cust_bucket
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_price_cents,
+           CAST(MIN(price_cents) AS BIGINT) AS min_price_cents,
+           CAST(MAX(price_cents) AS BIGINT) AS max_price_cents,
+           CAST(COUNT(DISTINCT cust_bucket) AS BIGINT)
+             AS n_distinct_cust_bucket
+    FROM final GROUP BY o_orderstatus
+    """,
+    rank=20,
+)
+def rollup_reaggregate_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """MV-routing flagship: ONE rollup maintained at (status, priority)
+    granularity through the upsert + delete stream — every aggregate
+    family at once (count, sum, min/max via affected-group rescan,
+    COUNT(DISTINCT) via the companion) — then a COARSER query
+    (GROUP BY status) answered from the rollup by reaggregate_rollup,
+    never touching the base table: counts/sums re-add, extremes
+    re-fold (associative), distinct recounted from the companion
+    (per-group distinct counts do NOT add — bucket values are shared
+    across priorities by construction here, so a naive sum would
+    overcount and hash-mismatch).  The oracle re-aggregates the final
+    state at the coarse granularity directly.  Scale shape: the
+    coarse answer reads group-cardinality-sized tables only."""
+    from .operators.rollup import (  # noqa: PLC0415
+        create_rollup,
+        reaggregate_rollup,
+        refresh_rollup,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_rollup_ra_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_REAGG_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+    )
+    groups = ["o_orderstatus", "o_orderpriority"]
+    kw = {
+        "min_cols": ["price_cents"],
+        "max_cols": ["price_cents"],
+        "distinct_cols": ["cust_bucket"],
+    }
+    dst = create_rollup(
+        src, os.path.join(base, "rollup"), groups, ["price_cents"], **kw
+    )
+    src.append(
+        o.filter(F.col("o_orderkey") % 3 != 0).select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "price_cents",
+            (F.col("o_custkey") % 50).alias("cust_bucket"),
+        )
+    )
+    refresh_rollup(src, dst, groups, ["price_cents"], **kw)
+    src.merge(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            "o_orderpriority",
+            (F.col("price_cents") + 500).alias("price_cents"),
+            (F.col("o_custkey") % 7).alias("cust_bucket"),
+        )
+    )
+    refresh_rollup(src, dst, groups, ["price_cents"], **kw)
+    src.delete_keys(
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    refresh_rollup(src, dst, groups, ["price_cents"], **kw)
+    return reaggregate_rollup(
+        dst, ["o_orderstatus"], sum_cols=["price_cents"], **kw
+    ).select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+        F.col("min_price_cents").cast("long").alias("min_price_cents"),
+        F.col("max_price_cents").cast("long").alias("max_price_cents"),
+        F.col("n_distinct_cust_bucket").cast("long")
+        .alias("n_distinct_cust_bucket"),
+    )
+
+
 _JMV_ORDERS_SCHEMA = T.StructType(
     [
         T.StructField("o_orderkey", T.LongType(), False),

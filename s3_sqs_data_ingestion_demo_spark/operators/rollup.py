@@ -187,6 +187,62 @@ def create_rollup(
     return dst
 
 
+def reaggregate_rollup(
+    dst: ManagedTable,
+    subset_cols: list[str],
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
+) -> DataFrame:
+    """Answer a COARSER-granularity aggregate query from the rollup
+    instead of the base table — the MV-routing move behind continuous
+    aggregates: a rollup grouped by (a, b) serves any GROUP BY over a
+    subset of {a, b} without touching the source.
+
+    Exactness per family: counts and sums RE-ADD (additive), extremes
+    RE-FOLD (min/max are associative), and COUNT(DISTINCT) — which is
+    NOT re-aggregatable from per-group counts (values are shared
+    across fine groups) — is recounted exactly from the companion
+    per-(group, value) table, which is (groups × values)-sized, still
+    never the base table.  Output column names match the rollup's
+    (``n_rows``/``sum_*``/``min_*``/``max_*``/``n_distinct_*``), so a
+    query written against the rollup works at any granularity."""
+    subset = list(subset_cols)
+    missing = set(subset) - set(dst.meta.key_cols)
+    if missing:
+        raise ValueError(
+            f"subset columns {sorted(missing)} are not rollup group "
+            f"columns {dst.meta.key_cols}"
+        )
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    aggs += [
+        F.sum(f"sum_{c}").alias(f"sum_{c}") for c in (sum_cols or [])
+    ]
+    aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in (min_cols or [])]
+    aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in (max_cols or [])]
+    out = dst.read().groupBy(*subset).agg(*aggs)
+    for c in distinct_cols or []:
+        comp = ManagedTable.load(dst.spark, companion_path(dst.path, c))
+        dc = (
+            comp.read()
+            .filter(F.col("n_rows") > 0)
+            .groupBy(*subset)
+            .agg(F.countDistinct(c).alias(f"n_distinct_{c}"))
+        )
+        if subset:
+            out = out.join(dc, subset, "left")
+        else:
+            # global granularity: both sides are 1-row aggregates (a
+            # global agg always yields exactly one row)
+            out = out.crossJoin(dc)
+        out = out.withColumn(
+            f"n_distinct_{c}",
+            F.coalesce(F.col(f"n_distinct_{c}"), F.lit(0)).cast("long"),
+        )
+    return out
+
+
 def refresh_rollup(
     src: ManagedTable,
     dst: ManagedTable,

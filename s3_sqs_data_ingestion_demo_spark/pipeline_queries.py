@@ -2332,7 +2332,8 @@ GROUP BY 1
 """
 
 
-@query("vocab_coverage_documents", _VOCAB_ORACLE, driver=True, rank=25)
+# r08: rotated out (long-green r5-r7; pytest parity + bench keep it)
+@query("vocab_coverage_documents", _VOCAB_ORACLE, driver=False, rank=25)
 def vocab_coverage_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary coverage curve: corpus-token share covered by the k
     most frequent token types, per k — tokenizer-vocab sizing.  The

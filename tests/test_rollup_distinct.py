@@ -215,6 +215,67 @@ def test_refresh_refuses_mismatched_rollup(spark, tmp_path):
         refresh_rollup(src, dst, ["grp"], ["v"], distinct_cols=["v"])
 
 
+def test_reaggregate_to_coarser_group(spark, tmp_path):
+    """MV routing: a rollup grouped by (grp, sub) answers GROUP BY grp
+    — counts/sums re-add, extremes re-fold, and COUNT(DISTINCT) is
+    recounted from the companion (summing per-group distinct counts
+    would overcount values shared across fine groups)."""
+    from s3_sqs_data_ingestion_demo_spark.operators.rollup import (
+        reaggregate_rollup,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("sub", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    src = ManagedTable.create(
+        spark, f"{tmp_path}/src", schema, key_cols=["id"], table_type="MOR"
+    )
+    dst = create_rollup(
+        src,
+        f"{tmp_path}/roll",
+        ["grp", "sub"],
+        ["v"],
+        consume_from=1,
+        min_cols=["v"],
+        max_cols=["v"],
+        distinct_cols=["v"],
+    )
+    kw = {"min_cols": ["v"], "max_cols": ["v"], "distinct_cols": ["v"]}
+    # value 7 appears in BOTH subgroups of 'a': the coarse distinct
+    # count must be 2 (7, 9), not 3 (the sum of per-subgroup counts)
+    src.append(
+        spark.createDataFrame(
+            [
+                Row(id=1, grp="a", sub="x", v=7),
+                Row(id=2, grp="a", sub="y", v=7),
+                Row(id=3, grp="a", sub="y", v=9),
+                Row(id=4, grp="b", sub="x", v=1),
+            ],
+            schema,
+        )
+    )
+    refresh_rollup(src, dst, ["grp", "sub"], ["v"], **kw)
+    out = {
+        r.grp: (r.n_rows, r.sum_v, r.min_v, r.max_v, r.n_distinct_v)
+        for r in reaggregate_rollup(
+            dst, ["grp"], sum_cols=["v"], **kw
+        ).collect()
+    }
+    assert out == {"a": (3, 23.0, 7, 9, 2), "b": (1, 1.0, 1, 1, 1)}
+    # global granularity (empty subset): one row, distinct over all
+    g = reaggregate_rollup(dst, [], sum_cols=["v"], **kw).collect()[0]
+    assert (g.n_rows, g.sum_v, g.min_v, g.max_v, g.n_distinct_v) == (
+        4, 24.0, 1, 9, 3,
+    )
+    with pytest.raises(ValueError, match="not rollup group"):
+        reaggregate_rollup(dst, ["nope"])
+
+
 def test_composes_with_min_max(spark, tmp_path):
     """distinct + extremes in one rollup: a delete that retires a
     duplicated value (distinct unchanged) while removing the stored
