@@ -225,6 +225,18 @@ class AuditConfig:
         )
 
 
+def _parse_cadence(v: Any, what: str) -> int:
+    """Parse an every-N-data-commits maintenance cadence (0 = never);
+    negative values are refused at parse time — they'd silently mean
+    'every batch' or 'never' depending on the comparison direction."""
+    n = int(v or 0)
+    if n < 0:
+        raise ValueError(
+            f"output_config.{what} maintenance_every must be >= 0, got {n}"
+        )
+    return n
+
+
 @dataclass
 class RollupConfig:
     """One declaratively-maintained aggregate table
@@ -246,6 +258,11 @@ class RollupConfig:
     min_columns: list[str] = field(default_factory=list)
     max_columns: list[str] = field(default_factory=list)
     distinct_columns: list[str] = field(default_factory=list)
+    # compact the rollup (and its distinct companions) every N data
+    # commits (0 = never): per-batch MOR merges otherwise accumulate
+    # delta files whose read-time resolution cost grows with every
+    # refresh
+    maintenance_every: int = 0
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "RollupConfig":
@@ -265,6 +282,9 @@ class RollupConfig:
             distinct_columns=[
                 str(c) for c in (d.get("distinct_columns") or [])
             ],
+            maintenance_every=_parse_cadence(
+                d.get("maintenance_every"), "rollups"
+            ),
         )
 
 
@@ -287,6 +307,9 @@ class JoinMVConfig:
     on: tuple[str, str] = ("", "")
     left_columns: list[str] = field(default_factory=list)
     right_columns: list[str] = field(default_factory=list)
+    # compact the MV every N data commits (0 = never) — same
+    # delta-accumulation reasoning as RollupConfig.maintenance_every
+    maintenance_every: int = 0
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "JoinMVConfig":
@@ -309,6 +332,9 @@ class JoinMVConfig:
             on=(str(on[0]), str(on[1])),
             left_columns=[str(c) for c in (d.get("left_columns") or [])],
             right_columns=[str(c) for c in (d.get("right_columns") or [])],
+            maintenance_every=_parse_cadence(
+                d.get("maintenance_every"), "join_mvs"
+            ),
         )
 
 

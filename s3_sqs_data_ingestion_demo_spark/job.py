@@ -298,6 +298,8 @@ def _maintain_rollups(
         return
     from .operators.rollup import refresh_rollup  # noqa: PLC0415
 
+    from .operators.rollup import companion_path  # noqa: PLC0415
+
     for r in out.rollups:
         dst = ManagedTable.load(spark, r.path)
         refresh_rollup(
@@ -309,6 +311,17 @@ def _maintain_rollups(
             max_cols=r.max_columns,
             distinct_cols=r.distinct_columns,
         )
+        # fold accumulated MOR deltas at cadence: without it every
+        # refresh's keyed merge adds delta files whose read-time
+        # resolution the NEXT refresh (and every rollup reader) pays
+        if r.maintenance_every and (
+            dst.data_commits_since_maintenance() >= r.maintenance_every
+        ):
+            dst.compact()
+            for c in r.distinct_columns:
+                comp = ManagedTable.load(spark, companion_path(r.path, c))
+                if comp.data_commits_since_maintenance() >= r.maintenance_every:
+                    comp.compact()
 
 
 def _maintain_join_mvs(
@@ -344,6 +357,10 @@ def _maintain_join_mvs(
                 consume_from=(1, 1),
             )
         refresh_join_mv(table, right, mv, on=j.on)
+        if j.maintenance_every and (
+            mv.data_commits_since_maintenance() >= j.maintenance_every
+        ):
+            mv.compact()
 
 
 def _audited_write(

@@ -105,6 +105,23 @@ def test_declared_mv_tracks_upserts_deletes_and_dim_changes(spark, setup):
     assert _mv(spark, d) == {(10, 2, 101, "B"), (12, 9, 120, "Z")}
 
 
+def test_join_mv_maintenance_compacts_and_stays_exact(spark, setup):
+    """maintenance_every folds the MV's accumulated keyed-merge deltas
+    at cadence; refreshes keep landing exactly across the compaction
+    commits."""
+    d, dim = setup
+    cfg = _cfg(d)
+    cfg.output_config.join_mvs[0].maintenance_every = 1
+    b1, b2 = f"{d}/b1.csv", f"{d}/b2.csv"
+    _write_csv(b1, [(1, 1, 10, 1, "I"), (2, 2, 5, 1, "I")])
+    _write_csv(b2, [(1, 2, 11, 2, "U")])
+    J.process_files(spark, cfg, [b1])
+    J.process_files(spark, cfg, [b2])
+    assert _mv(spark, d) == {(1, 2, 11, "B"), (2, 2, 5, "B")}
+    mv = ManagedTable.load(spark, f"{d}/mv")
+    assert "maintenance" in [mv._snapshot_kind(v) for v in mv.history()]
+
+
 def test_missing_right_table_fails_loudly_on_first_batch(spark, tmp_path):
     d = str(tmp_path)
     ManagedTable.create(spark, f"{d}/tbl", SCHEMA, key_cols=["id"],

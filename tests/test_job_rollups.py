@@ -181,6 +181,50 @@ def test_job_rollup_distinct_columns(spark, tmp_path):
     assert st == {"a": (1, 1)}
 
 
+def test_job_rollup_maintenance_compacts_and_stays_exact(spark, tmp_path):
+    """maintenance_every folds the rollup's (and companion's)
+    accumulated MOR deltas; refreshes keep landing exactly across the
+    compaction commits (tag probes and the source feed are
+    unaffected — compaction is content-neutral)."""
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    cfg = _cfg(
+        d,
+        rollups=[
+            {
+                "path": f"{d}/roll",
+                "group_columns": ["grp"],
+                "sum_columns": ["v"],
+                "distinct_columns": ["v"],
+                "maintenance_every": 1,
+            }
+        ],
+    )
+    batches = []
+    for i, rows in enumerate(
+        [
+            [(1, "a", 7, 1, "I"), (2, "a", 9, 1, "I")],
+            [(3, "b", 7, 2, "I"), (1, "a", 8, 2, "U")],
+            [(2, "a", 9, 3, "D")],
+        ]
+    ):
+        p = f"{d}/b{i}.csv"
+        _write_csv(p, rows)
+        batches.append(p)
+    for b in batches:
+        J.process_files(spark, cfg, [b])
+    t = ManagedTable.load(spark, f"{d}/roll")
+    st = {r.grp: (r.n_rows, r.sum_v, r.n_distinct_v)
+          for r in t.read().collect()}
+    assert st == {"a": (1, 8.0, 1), "b": (1, 7.0, 1)}
+    # compaction actually ran on the rollup (maintenance commits exist)
+    kinds = [t._snapshot_kind(v) for v in t.history()]
+    assert "maintenance" in kinds
+    with pytest.raises(ValueError, match="maintenance_every"):
+        _cfg(d, rollups=[{"path": f"{d}/r", "group_columns": ["g"],
+                          "maintenance_every": -1}])
+
+
 def test_rollup_config_validates_at_parse_time(tmp_path):
     with pytest.raises(ValueError, match="need a path"):
         _cfg(str(tmp_path), rollups=[{"group_columns": ["grp"]}])
