@@ -187,6 +187,26 @@ def create_rollup(
     return dst
 
 
+def _rescan_base(
+    src: ManagedTable,
+    cur: int,
+    group_cols: list[str],
+    rescan_keys: DataFrame,
+    cap: int,
+) -> DataFrame:
+    """The affected-group slice of the source pinned at ``cur``.
+    Single group column with a bounded value set → ``isin`` (reaches
+    the parquet row groups when the pinned version is delta-free; sits
+    above MOR resolution otherwise — see refresh_rollup); wider keys
+    or an oversized set → broadcast semi-join."""
+    base = src.read_version(cur)
+    if len(group_cols) == 1:
+        vals = [r[0] for r in rescan_keys.limit(cap + 1).collect()]
+        if len(vals) <= cap:
+            return base.filter(F.col(group_cols[0]).isin(vals))
+    return base.join(F.broadcast(rescan_keys), list(group_cols), "left_semi")
+
+
 def reaggregate_rollup(
     dst: ManagedTable,
     subset_cols: list[str],
@@ -282,11 +302,18 @@ def refresh_rollup(
     touched by a retraction is RESCANNED: all its aggregates are
     recomputed from the source pinned at the window's high version
     (``read_version(cur)`` — the pin keeps a concurrent append out of
-    this fold; it will be consumed by the next window).  The rescan is
-    bounded by the window's retraction-touched groups, never O(table):
+    this fold; it will be consumed by the next window).  The rescan
+    OUTPUT is bounded by the window's retraction-touched groups;
     single-group-column rescans collect the affected values
-    driver-side (capped) and push an ``isin`` to the source scan;
-    wider keys fall back to a broadcast semi-join.
+    driver-side (capped) and apply an ``isin``, wider keys a broadcast
+    semi-join.  Where the filter lands is resolution-bounded: the
+    group predicate cannot soundly cross the MOR latest-per-key
+    resolution (an entry with no matching group rows can still carry
+    the newest version of a key whose OLD row matches — pruning it
+    would resurrect the stale row), so with deltas pending the filter
+    sits above resolution; once the source is compacted the pinned
+    read is a plain scan and the ``isin`` reaches the parquet row
+    groups.  Keep a compaction cadence on retraction-heavy sources.
 
     COUNT(DISTINCT) (``distinct_cols``) maintains exactly through the
     companion per-(group, value) counts table: the value-count IS
@@ -502,22 +529,10 @@ def refresh_rollup(
             .localCheckpoint(eager=True)
         )
         if not rescan_keys.isEmpty():
-            base = src.read_version(cur)
-            pushed = False
-            if len(group_cols) == 1:
-                cap = int(
-                    dst.meta.properties.get("rollup.max-rescan-groups", "4096")
-                )
-                vals = [r[0] for r in rescan_keys.limit(cap + 1).collect()]
-                if len(vals) <= cap:
-                    # bounded value set → push an isin to the source
-                    # scan (parquet row-group stats + footer skips)
-                    base = base.filter(F.col(group_cols[0]).isin(vals))
-                    pushed = True
-            if not pushed:
-                base = base.join(
-                    F.broadcast(rescan_keys), list(group_cols), "left_semi"
-                )
+            cap = int(
+                dst.meta.properties.get("rollup.max-rescan-groups", "4096")
+            )
+            base = _rescan_base(src, cur, group_cols, rescan_keys, cap)
             recomputed = base.groupBy(*group_cols).agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 *[

@@ -209,6 +209,46 @@ def test_refresh_refuses_mismatched_rollup(spark, tmp_path):
         refresh_rollup(src, dst, ["grp"], ["v"], min_cols=["v"])
 
 
+def test_rescan_isin_reaches_parquet_on_compacted_source(spark, tmp_path):
+    """Plan gate for the rescan's scale shape: when the pinned source
+    version is delta-free (post-compaction steady state), the
+    affected-group isin built by ``_rescan_base`` must be PUSHED into
+    the parquet FileScan (row-group skip) — the MOR resolution
+    boundary only blocks the pushdown while deltas pend (see
+    refresh_rollup docstring).  Oversized value sets and multi-column
+    groups must fall back to the broadcast semi-join, never a
+    cartesian."""
+    from s3_sqs_data_ingestion_demo_spark.operators.rollup import (
+        _rescan_base,
+    )
+
+    src, _ = _mk(spark, tmp_path)
+    src.append(_rows(spark, [(1, "a", 10, 1), (2, "a", 3, 1),
+                             (3, "b", 5, 1)]))
+    src.delete_keys(spark.createDataFrame([Row(id=2)]))
+    src.compact()  # folds the tombstone: pinned read is a plain scan
+    cur = src._current_version()
+    keys = spark.createDataFrame([Row(grp="a")])
+
+    plan = (
+        _rescan_base(src, cur, ["grp"], keys, cap=4096)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # Catalyst folds a 1-value isin to EqualTo — either way the
+    # predicate must appear in PushedFilters at the FileScan
+    pushed = plan.split("PushedFilters: [", 1)[1].splitlines()[0]
+    assert "In(grp" in pushed or "EqualTo(grp" in pushed, plan[:1500]
+    assert "BroadcastNestedLoop" not in plan
+
+    # cap exceeded → broadcast semi-join, no isin collect
+    plan2 = (
+        _rescan_base(src, cur, ["grp"], keys, cap=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EqualTo(grp" not in plan2 and "In(grp" not in plan2
+    assert "LeftSemi" in plan2 and "BroadcastNestedLoop" not in plan2
+
+
 def test_many_group_fallback_matches_pushdown(spark, tmp_path):
     """Force the broadcast-semi-join fallback (cap=0 property) and
     check it agrees with the oracle — the isin pushdown and the
