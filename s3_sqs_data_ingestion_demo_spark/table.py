@@ -2196,6 +2196,43 @@ class ManagedTable:
                 return int(sum(per_entry))
         return self.read().count()
 
+    def min_max(self, col: str) -> tuple:
+        """MIN/MAX of a column from manifest statistics alone — zero
+        Spark jobs, zero file opens — whenever the answer is provable
+        from metadata (the Iceberg aggregate pushdown): no
+        delta/tombstone entries pending (resolution can remove the
+        extreme row), every non-empty live entry carries harvested
+        stats for ``col`` (key columns and ``write.stats-columns``),
+        and the stats are NUMERIC — parquet footer min/max for strings
+        may be truncated bounds, exact enough for pruning but not as
+        returned VALUES, and date stats are stored re-typed.  Nulls
+        are ignored (SQL semantics; footers already exclude them).
+        Falls back to the exact scan otherwise."""
+        if col not in self.meta.schema.fieldNames():
+            raise ValueError(f"unknown column: {col!r}")
+        entries = self._read_manifest()
+        if all(e.get("kind") not in ("delta", "tombstone") for e in entries):
+            per: list[list] = []
+            provable = True
+            for e in entries:
+                stats = e.get("stats") or {}
+                if stats.get("__rows") == 0:
+                    continue  # provably empty entry contributes nothing
+                s = stats.get(col)
+                if not s or not all(
+                    isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for v in s
+                ):
+                    provable = False
+                    break
+                per.append(s)
+            if provable:
+                if not per:
+                    return (None, None)
+                return (min(p[0] for p in per), max(p[1] for p in per))
+        row = self.read().agg(F.min(col), F.max(col)).collect()[0]
+        return (row[0], row[1])
+
     # ------------------------------------------------------- named refs
     def _ref_path(self, name: str) -> str:
         if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):

@@ -782,6 +782,45 @@ def test_count_rows_metadata_only_and_fallback(spark, tmp_path, monkeypatch):
     assert t.count_rows() == 16  # folded: metadata-only again
 
 
+def test_min_max_metadata_only_and_fallbacks(spark, tmp_path, monkeypatch):
+    t = make(spark, str(tmp_path), partitioned=False, policy="latest_wins")
+    t.append(df_of(spark, [(i, "p", 1.0, 1) for i in range(10)]))
+    t.append(df_of(spark, [(i, "p", 1.0, 1) for i in range(40, 45)]))
+    # metadata-only on the key column (stats harvested): no file opens
+    monkeypatch.setattr(
+        ManagedTable,
+        "_read_entry",
+        lambda self, e: (_ for _ in ()).throw(
+            AssertionError("min_max must not open data files")
+        ),
+    )
+    assert t.min_max("id") == (0, 44)
+    monkeypatch.undo()
+    # non-stats column (val is not a key / stats column): exact scan
+    assert t.min_max("val") == (1.0, 1.0)
+    # pending MOR delta: the extreme row may be superseded — fallback
+    t.merge(df_of(spark, [(44, "p", 2.0, 2)]))
+    assert t.min_max("id") == (0, 44)
+    t.compact()
+    assert t.min_max("id") == (0, 44)  # provable again
+    with pytest.raises(ValueError, match="unknown column"):
+        t.min_max("nope")
+
+
+def test_min_max_string_stats_fall_back_to_scan(spark, tmp_path):
+    """String footer min/max may be truncated BOUNDS — exact for
+    pruning, not as returned values — so string columns always take
+    the exact scan."""
+    t = ManagedTable.create(
+        spark,
+        os.path.join(str(tmp_path), "s"),
+        SCHEMA,
+        key_cols=["part"],  # string key: stats harvested but not used
+    )
+    t.append(df_of(spark, [(1, "aa", 1.0, 1), (2, "zz", 1.0, 1)]))
+    assert t.min_max("part") == ("aa", "zz")
+
+
 def test_count_rows_keyless_table(spark, tmp_path):
     t = ManagedTable.create(
         spark, os.path.join(str(tmp_path), "nk"), SCHEMA, key_cols=[]
