@@ -139,3 +139,57 @@ def start_streaming_rollup(
     elif poll_interval:
         writer = writer.trigger(processingTime=f"{poll_interval} seconds")
     return writer.start()
+
+
+def start_streaming_join_mv(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    src_table: ManagedTable,
+    right_table: ManagedTable,
+    mv_table: ManagedTable,
+    on: tuple[str, str],
+    fmt: str = "json",
+    options: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    poll_interval: int | None = None,
+) -> StreamingQuery:
+    """Continuous join materialization: file-landing stream -> append
+    to the left ``ManagedTable`` -> affected-key re-join into the MV
+    (operators/join_mv.py) — the streaming twin of
+    ``start_streaming_rollup``.  Right-side changes another writer
+    lands between triggers fold in on the next batch (the refresh
+    consumes BOTH tables' change feeds).
+
+    Restart safety mirrors the rollup stream: the left append is
+    stamped with the micro-batch id, so a replayed batch skips the
+    duplicate append; the MV refresh is idempotent by construction
+    (affected-key recompute from current state — operators/join_mv.py)
+    plus its own persisted consume cursors."""
+    from ..operators.join_mv import refresh_join_mv  # noqa: PLC0415
+
+    reader = spark.readStream.schema(schema).options(**(options or {}))
+    stream = reader.format(fmt).load(landing_dir)
+    probe_done = {"done": False}
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tag = f"joinmv-src-b{batch_id:020d}"
+        replayed = False
+        if not probe_done["done"]:
+            replayed = src_table.has_commit_tag(tag)
+            probe_done["done"] = True
+        if not replayed:
+            src_table.append(batch_df, tag=tag)
+        refresh_join_mv(src_table, right_table, mv_table, on=on)
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif poll_interval:
+        writer = writer.trigger(processingTime=f"{poll_interval} seconds")
+    return writer.start()
