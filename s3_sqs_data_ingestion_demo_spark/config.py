@@ -243,8 +243,9 @@ class RollupConfig:
     (``output_config.rollups``): after every ingested batch the named
     summary table is refreshed from the TARGET TABLE'S change feed
     (operators/rollup.py) — count + sums per group (additive folds),
-    plus optional min/max (incremental on inserts, bounded
-    affected-group rescan on retractions), updates/deletes handled
+    optional min/max (incremental on inserts, bounded affected-group
+    rescan on retractions), and optional exact COUNT(DISTINCT) via a
+    companion per-(group, value) counts table; updates/deletes handled
     via CDF retractions.  Because the rollup consumes the
     table's committed state (never the raw batch), it stays coherent
     under every write mode including the verbatim MERGE INTO path,

@@ -89,6 +89,7 @@ def start_streaming_rollup(
     poll_interval: int | None = None,
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Continuous aggregate: file-landing stream → append to the
     source ``ManagedTable`` → fold the appended delta into the rollup
@@ -129,6 +130,7 @@ def start_streaming_rollup(
             sum_cols,
             min_cols=min_cols,
             max_cols=max_cols,
+            distinct_cols=distinct_cols,
         )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
