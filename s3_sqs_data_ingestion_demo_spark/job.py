@@ -318,10 +318,16 @@ def _maintain_rollups(
             dst.data_commits_since_maintenance() >= r.maintenance_every
         ):
             dst.compact()
+            # history past the tag-replay window funds nothing here:
+            # the window tag probe is newest-first bounded (max_scan
+            # 16), and the rollup consumes the SOURCE's feed, never
+            # its own — same reasoning as the search-index expiry
+            dst.expire_snapshots(keep_last=32)
             for c in r.distinct_columns:
                 comp = ManagedTable.load(spark, companion_path(r.path, c))
                 if comp.data_commits_since_maintenance() >= r.maintenance_every:
                     comp.compact()
+                    comp.expire_snapshots(keep_last=32)
 
 
 def _maintain_join_mvs(
@@ -361,6 +367,9 @@ def _maintain_join_mvs(
             mv.data_commits_since_maintenance() >= j.maintenance_every
         ):
             mv.compact()
+            # the MV consumes its SOURCES' feeds and carries no tags —
+            # only recent history matters (crash diagnostics)
+            mv.expire_snapshots(keep_last=32)
 
 
 def _audited_write(
