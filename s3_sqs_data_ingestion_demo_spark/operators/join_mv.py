@@ -184,7 +184,11 @@ def refresh_join_mv(
     affected = parts[0]
     for p in parts[1:]:
         affected = affected.unionByName(p)
-    affected = affected.distinct()
+    # evaluated once by the capped collect on the fast path but up to
+    # THREE times by the distributed path's semi-joins (each a full
+    # change-feed recomputation) — pin it; bounded by the windows'
+    # distinct join-key values
+    affected = affected.distinct().localCheckpoint(eager=True)
 
     # Bounded-key fast path: collect the value set (capped, probed via
     # limit(cap+1) so a huge batch never grows the driver) and push it
@@ -237,8 +241,13 @@ def refresh_join_mv(
     # join key moved away — remove them.  (mv_touched is read AFTER
     # the merge would be wrong: it was computed above, against the
     # pre-merge state, which is exactly the set that can vanish.)
-    vanished = mv_touched.select(*keys).join(
-        slice_df.select(*keys), keys, "left_anti"
+    vanished = (
+        mv_touched.select(*keys)
+        .join(slice_df.select(*keys), keys, "left_anti")
+        # evaluated twice (emptiness probe + the delete) and its
+        # subtree re-reads the pre-merge MV state — pin it once;
+        # bounded by the touched keys
+        .localCheckpoint(eager=True)
     )
     if not vanished.isEmpty():
         version = mv.delete_keys(vanished)
