@@ -400,6 +400,9 @@ def incremental_rollup_minmax_orders(spark: SparkSession, sf: str) -> DataFrame:
     kw = {"min_cols": ["price_cents"], "max_cols": ["price_cents"]}
     src.append(o.filter(F.col("o_orderkey") % 3 != 0))
     refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
+    # merge + delete land in ONE refresh window (two commits, one
+    # fold): exercises the multi-commit window path and keeps the
+    # entry's wall time constant-bounded (each refresh is ~6 actions)
     src.merge(
         o.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey",
@@ -407,7 +410,6 @@ def incremental_rollup_minmax_orders(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("price_cents") + 500).alias("price_cents"),
         )
     )
-    refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
     src.delete_keys(
         o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
     )
@@ -497,6 +499,7 @@ def incremental_rollup_distinct_orders(spark: SparkSession, sf: str) -> DataFram
         )
     )
     refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
+    # merge + delete in one refresh window (multi-commit fold)
     src.merge(
         o.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey",
@@ -504,7 +507,6 @@ def incremental_rollup_distinct_orders(spark: SparkSession, sf: str) -> DataFram
             (F.col("o_custkey") % 7).alias("cust_bucket"),
         )
     )
-    refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
     src.delete_keys(
         o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
     )
@@ -612,6 +614,7 @@ def rollup_reaggregate_orders(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     refresh_rollup(src, dst, groups, ["price_cents"], **kw)
+    # merge + delete in one refresh window (multi-commit fold)
     src.merge(
         o.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey",
@@ -621,7 +624,6 @@ def rollup_reaggregate_orders(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("o_custkey") % 7).alias("cust_bucket"),
         )
     )
-    refresh_rollup(src, dst, groups, ["price_cents"], **kw)
     src.delete_keys(
         o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
     )
