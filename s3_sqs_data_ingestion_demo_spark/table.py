@@ -2294,6 +2294,41 @@ class ManagedTable:
             raise ValueError(f"ref {name!r} does not exist")
         return self.read_version(ref)
 
+    def rollback(self, to: int | str) -> int:
+        """Iceberg's rollback-to-snapshot: make the table's current
+        state a retained earlier snapshot's — committed as a NEW
+        snapshot, so history stays append-only (the rolled-past
+        versions remain time-travelable until expired), readers flip
+        atomically, and a rollback of a rollback works.  ``to`` is a
+        version number or a named ref ('audited-2026-08').
+
+        Downstream change-feed consumers see the rollback window as a
+        REWRITE (entries replaced → ``read_changes_cdf``'s full keyed
+        diff), which is semantically right: a rollback is a bulk state
+        change, not an increment — incremental rollups/join MVs absorb
+        it exactly through their retraction/recompute paths.  The
+        commit carries ``rollback-<version>``, so a crashed-and-
+        redelivered rollback is detectable via ``has_commit_tag``.
+        Refuses unknown or expired versions (their data roots may be
+        GC'd — restore from a ref instead, refs shield retention)."""
+        version = self.refs().get(to) if isinstance(to, str) else int(to)
+        if version is None:
+            raise ValueError(f"ref {to!r} does not exist")
+        if version not in set(self.history()):
+            raise ValueError(
+                f"version {version} is not a retained snapshot "
+                "(expired or never existed)"
+            )
+        cur = self._current_version()
+        if version == cur:
+            return cur
+        return self._commit_snapshot(
+            self._manifest_at(version),
+            kind="data",
+            tag=f"rollback-{version}",
+            base_version=cur,
+        )
+
     def snapshots(self) -> DataFrame:
         """Iceberg-style ``snapshots`` metadata relation: one row per
         retained snapshot — (version, kind, n_entries, n_deltas,
