@@ -771,6 +771,130 @@ def incremental_join_mv_orders_customer(
     )
 
 
+@query(
+    "incremental_agg_over_join_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey % 4 = 1
+    ),
+    b1 AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+    b2 AS (
+      SELECT o_orderkey, (o_custkey % 50) + 1 AS o_custkey,
+             price_cents + 500 AS price_cents
+      FROM base WHERE o_orderkey % 25 = 11
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    ),
+    o_final AS (SELECT * FROM merged WHERE o_orderkey % 15 <> 1),
+    c_final AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 25 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o.price_cents) AS BIGINT) AS sum_price_cents
+    FROM o_final o JOIN c_final c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    rank=19,
+)
+def incremental_agg_over_join_orders(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """MULTI-LEVEL incremental view maintenance: a rollup maintained ON
+    a join MV (aggregate-over-join) — the chain
+    sources → refresh_join_mv → refresh_rollup(mv, …) with NO
+    special-case code: the rollup machinery consumes ANY
+    ManagedTable's change feed, and the MV's keyed merges + deletes
+    arrive as retraction pairs its CDF path absorbs.  The stream
+    exercises a left key-move (row re-segments via its join key), a
+    left delete, and a RIGHT-side re-segmentation that fans out to
+    every matching MV row — all folding through two IVM levels onto
+    the oracle's from-scratch join+GROUP BY of the final states.
+    Sums in exact integer cents.  Scale shape: level 1 is
+    affected-key bounded, level 2 is affected-group bounded; neither
+    re-reads a base table."""
+    from .operators.join_mv import (  # noqa: PLC0415
+        create_join_mv,
+        refresh_join_mv,
+    )
+    from .operators.rollup import (  # noqa: PLC0415
+        create_rollup,
+        refresh_rollup,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_aoj_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_o = ManagedTable.create(
+        spark, os.path.join(base, "o"), _JMV_ORDERS_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    src_c = ManagedTable.create(
+        spark, os.path.join(base, "c"), _JMV_CUST_SCHEMA,
+        key_cols=["c_custkey"], table_type="MOR",
+    )
+    mv = create_join_mv(
+        src_o, src_c, os.path.join(base, "mv"),
+        on=("o_custkey", "c_custkey"), consume_from=(1, 1),
+    )
+    roll = create_rollup(
+        mv, os.path.join(base, "roll"), ["c_mktsegment"], ["price_cents"],
+        consume_from=1,
+    )
+    on = ("o_custkey", "c_custkey")
+
+    def sync():
+        refresh_join_mv(src_o, src_c, mv, on=on)
+        refresh_rollup(mv, roll, ["c_mktsegment"], ["price_cents"])
+
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long"), "c_mktsegment"
+    )
+    src_c.append(c)
+    src_o.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    sync()
+    # one window per level holding a key-move merge, a delete, and a
+    # right-side re-segmentation — bounded dirty sets (see the join-MV
+    # entry's adjudication)
+    src_o.merge(
+        o.filter(F.col("o_orderkey") % 25 == 11).select(
+            "o_orderkey",
+            (F.col("o_custkey") % 50 + 1).alias("o_custkey"),
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+    )
+    src_o.delete_keys(
+        o.filter(F.col("o_orderkey") % 15 == 1).select("o_orderkey")
+    )
+    src_c.merge(
+        c.filter(F.col("c_custkey") % 25 == 0).select(
+            "c_custkey", F.lit("MOVED").alias("c_mktsegment")
+        )
+    )
+    sync()
+    return roll.read().select(
+        "c_mktsegment",
+        "n_rows",
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+    )
+
+
 _SCD_SCHEMA = T.StructType(
     [
         T.StructField("o_orderkey", T.LongType(), False),
@@ -781,6 +905,7 @@ _SCD_SCHEMA = T.StructType(
 )
 
 
+# r08: rotated out (long-green r5-r7; pytest parity + bench keep it)
 @query(
     "scd2_orders_history",
     """
@@ -805,6 +930,7 @@ _SCD_SCHEMA = T.StructType(
     FROM ch
     """,
     rank=20,
+    driver=False,
 )
 def scd2_orders_history(spark: SparkSession, sf: str) -> DataFrame:
     """SCD type-2 dimension history from a CDC feed
