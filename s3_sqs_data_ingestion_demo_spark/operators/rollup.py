@@ -199,11 +199,13 @@ def _rescan_base(
     the parquet row groups when the pinned version is delta-free; sits
     above MOR resolution otherwise — see refresh_rollup); wider keys
     or an oversized set → broadcast semi-join."""
+    from ..table import isin_column  # noqa: PLC0415
+
     base = src.read_version(cur)
     if len(group_cols) == 1:
         vals = [r[0] for r in rescan_keys.limit(cap + 1).collect()]
-        if len(vals) <= cap:
-            return base.filter(F.col(group_cols[0]).isin(vals))
+        if len(vals) <= cap and vals:
+            return base.filter(isin_column(group_cols[0], sorted(vals)))
     return base.join(F.broadcast(rescan_keys), list(group_cols), "left_semi")
 
 

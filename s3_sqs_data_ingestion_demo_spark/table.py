@@ -353,6 +353,27 @@ def _align_expr(c, frm: T.DataType, to: T.DataType):
     return c.cast(to)
 
 
+def isin_column(col: str, vals) -> "F.Column":
+    """``col IN (vals)`` as a Column built in ONE py4j round-trip.
+
+    ``Column.isin(vals)`` converts every literal through an individual
+    py4j call (~0.5 ms each — measured ~2 s for ~3k values, paid per
+    read on the affected-key paths); rendering the IN list as SQL
+    hands the whole thing to the JVM parser at once.  Catalyst
+    semantics are identical (same In/InSet expression, same parquet
+    pushdown).  Numbers render directly, strings single-quote-escape;
+    anything else falls back to the slow-but-general ``isin``."""
+    first = vals[0]
+    if isinstance(first, bool) or not isinstance(first, (int, float, str)):
+        return F.col(col).isin(list(vals))
+    if isinstance(first, (int, float)):
+        body = ",".join(repr(v) for v in vals)
+    else:
+        body = ",".join("'" + str(v).replace("'", "''") + "'" for v in vals)
+    name = col.replace("`", "``")
+    return F.expr(f"`{name}` IN ({body})")
+
+
 def _subset_stats(stats: dict) -> dict:
     """Entry stats carried into a PARTS-SUBSET entry: per-column
     (min, max) remain valid bounds for any subset, but ``__rows``
@@ -1146,7 +1167,7 @@ class ManagedTable:
         vals = sorted(set(values))
         if not vals:
             return self.spark.createDataFrame([], self.meta.schema)
-        isin = F.col(col).isin(vals)
+        isin = isin_column(col, vals)
         all_entries = self._read_manifest()
         live = [e for e in all_entries if e.get("kind") != "tombstone"]
         keys = list(self.meta.key_cols)
