@@ -89,6 +89,10 @@ class MaintenanceConfig:
     zorder_by: list[str] = field(default_factory=list)
     target_partitions: int | None = None
     expire_keep_last: int = 0
+    # append-mode cadence: binpack only entries under this size via
+    # compact_small (O(small files)); larger roots are left alone.
+    # Ignored when zorder_by/target_partitions request a full layout.
+    compact_small_bytes: int = 64 << 20
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "MaintenanceConfig":
@@ -101,6 +105,9 @@ class MaintenanceConfig:
             zorder_by=list(zo),
             target_partitions=int(tp) if tp is not None else None,
             expire_keep_last=int(d.get("expire_keep_last", 0)),
+            compact_small_bytes=int(
+                d.get("compact_small_bytes", 64 << 20)
+            ),
         )
 
 

@@ -870,10 +870,28 @@ def _maybe_maintain(table: ManagedTable, config: JobConfig) -> int | None:
     # maintenance commits advance the version too, skewing the modulus)
     if table.data_commits_since_maintenance() < m.compact_every:
         return None
-    table.compact(
-        target_partitions=m.target_partitions,
-        zorder_by=m.zorder_by or None,
-    )
+    done = None
+    if config.output_config.mode == "append" and not (
+        m.zorder_by or m.target_partitions
+    ):
+        # append-only cadence: binpack only the small roots —
+        # O(small files), never the O(table) full rewrite
+        if table.binpack_eligible():
+            done = table.compact_small(
+                max_entry_bytes=m.compact_small_bytes
+            )
+            if done is None:
+                # eligible but nothing small to fold: file counts are
+                # already bounded — a full O(table) rewrite would be
+                # pure waste, so skip maintenance this round entirely
+                return None
+        # ineligible shapes (partitioned layout, overlapping keys,
+        # pending deltas) keep the full compact below
+    if done is None:
+        table.compact(
+            target_partitions=m.target_partitions,
+            zorder_by=m.zorder_by or None,
+        )
     if m.expire_keep_last:
         table.expire_snapshots(keep_last=m.expire_keep_last)
     return table._current_version()

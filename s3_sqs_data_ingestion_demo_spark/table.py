@@ -3057,6 +3057,97 @@ class ManagedTable:
         )
         return self._commit_snapshot([entry], kind="maintenance", base_version=base)
 
+    def binpack_eligible(self, entries: list[dict] | None = None) -> bool:
+        """Can ``compact_small`` run safely on the current state?  The
+        gates it needs (see its docstring): unpartitioned layout, no
+        pending delta/tombstone entries, and — for keyed tables — ONE
+        key column with provably pairwise-disjoint entry ranges.
+        Callers deciding between partial and full compaction use this
+        to tell 'nothing small to fold' (skip entirely) apart from
+        'binpack cannot run here' (full compact is the fallback)."""
+        if self.meta.partition_cols:
+            return False
+        if entries is None:
+            entries = self._read_manifest()
+        if any(e.get("kind") in ("delta", "tombstone") for e in entries):
+            return False
+        keys = list(self.meta.key_cols)
+        if keys and (
+            len(keys) != 1 or not self.entries_disjoint_on(keys[0], entries)
+        ):
+            return False
+        return True
+
+    def _entry_bytes(self, entry: dict) -> int:
+        total = 0
+        for p in glob.glob(
+            os.path.join(self.path, entry["root"], "**", "*.parquet"),
+            recursive=True,
+        ):
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+        return total
+
+    def compact_small(
+        self,
+        max_entry_bytes: int = 64 << 20,
+        min_entries: int = 2,
+        retries: int | None = None,
+    ) -> int | None:
+        """PARTIAL compaction (Iceberg's binpack): rewrite ONLY the
+        small append entries into one consolidated root, leaving large
+        entries untouched — maintenance cost O(small files), never
+        O(table).  ``compact()`` stays the deep optimize (full rewrite,
+        optional Z-order); this is the routine cadence move for the
+        append-only steady state, where a 100 TB table accumulating a
+        root per micro-batch cannot afford full rewrites.
+
+        Correctness gates (returns None — nothing done — when unmet,
+        use ``compact()`` instead):
+        - no delta/tombstone entries pending: their MOR resolution
+          order derives from entry recency, which a rewrite reorders;
+        - keyed tables need ONE key column whose stats prove ALL live
+          entries pairwise disjoint (the monotone-ingest steady state)
+          — then no key has two live versions anywhere and recency
+          cannot matter; keyless tables are multisets and always safe;
+        - unpartitioned tables only (hive/hidden-partitioned entries
+          carry per-dir layout a bare consolidated root would lose).
+
+        Commits as a content-neutral ``maintenance`` snapshot: change
+        feeds split around it (rollups/join MVs skip), and the cadence
+        counter resets.  Lost commit races recompute and retry."""
+        if retries is None:
+            retries = int(self.meta.properties.get("commit.retries", 3))
+        for attempt in range(retries + 1):
+            base = self._current_version()
+            entries = self._read_manifest()
+            if not self.binpack_eligible(entries):
+                return None
+            cands = [
+                e
+                for e in entries
+                if not e.get("parts")
+                and self._entry_bytes(e) < int(max_entry_bytes)
+            ]
+            if len(cands) < max(2, int(min_entries)):
+                return None
+            keep = [e for e in entries if e not in cands]
+            roots = [os.path.join(self.path, e["root"]) for e in cands]
+            df = self.spark.read.schema(self.meta.schema).parquet(*roots)
+            total = sum(self._entry_bytes(e) for e in cands)
+            df = df.coalesce(max(1, total // int(max_entry_bytes) + 1))
+            entry = self._write_data(df, self._new_root())
+            try:
+                return self._commit_snapshot(
+                    keep + [entry], kind="maintenance", base_version=base
+                )
+            except CommitConflictError:
+                if attempt >= retries:
+                    raise
+        raise AssertionError("unreachable")  # pragma: no cover
+
     def vacuum_orphans(self, min_age_seconds: float = 86400.0) -> list[str]:
         """Delete data roots referenced by NO snapshot manifest — the
         leftovers of writers that crashed between writing their data
