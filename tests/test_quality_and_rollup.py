@@ -242,6 +242,41 @@ def test_streaming_rollup_continuous_aggregate(spark, tmp_path):
     assert src.read().count() == 4  # no double-appends anywhere
 
 
+def test_streaming_rollup_passes_extremes_and_distinct(spark, tmp_path):
+    """The streaming twin forwards min/max/distinct to refresh_rollup:
+    a duplicated value counts once, extremes fold per batch."""
+    import json as _json
+
+    from s3_sqs_data_ingestion_demo_spark.operators.rollup import create_rollup
+    from s3_sqs_data_ingestion_demo_spark.streaming.ingest import (
+        start_streaming_rollup,
+    )
+
+    d = str(tmp_path)
+    land = os.path.join(d, "landing"); os.makedirs(land)
+    src = ManagedTable.create(spark, os.path.join(d, "src"), SRC_SCHEMA,
+                              key_cols=["id"])
+    dst = create_rollup(
+        src, os.path.join(d, "r"), ["grp"], ["v"],
+        min_cols=["v"], max_cols=["v"], distinct_cols=["v"],
+    )
+    with open(os.path.join(land, "b1.json"), "w") as fh:
+        for r in [{"id": 1, "grp": "a", "v": 7},
+                  {"id": 2, "grp": "a", "v": 7},
+                  {"id": 3, "grp": "a", "v": 9}]:
+            fh.write(_json.dumps(r) + "\n")
+    q = start_streaming_rollup(
+        spark, land, SRC_SCHEMA, src, dst, ["grp"], ["v"],
+        min_cols=["v"], max_cols=["v"], distinct_cols=["v"],
+        available_now=True, checkpoint_dir=os.path.join(d, "ck"),
+    )
+    q.awaitTermination(120)
+    r = dst.read().collect()[0]
+    assert (r.n_rows, r.sum_v, r.min_v, r.max_v, r.n_distinct_v) == (
+        3, 23.0, 7, 9, 2,
+    )
+
+
 def test_append_tag_idempotency_probe(spark, tmp_path):
     src = ManagedTable.create(spark, os.path.join(str(tmp_path), "t"),
                               SRC_SCHEMA, key_cols=["id"])
