@@ -314,15 +314,19 @@ def _maintain_rollups(
         # fold accumulated MOR deltas at cadence: without it every
         # refresh's keyed merge adds delta files whose read-time
         # resolution the NEXT refresh (and every rollup reader) pays
-        if r.maintenance_every and (
-            dst.data_commits_since_maintenance() >= r.maintenance_every
-        ):
-            dst.compact()
-            # history past the tag-replay window funds nothing here:
-            # the window tag probe is newest-first bounded (max_scan
-            # 16), and the rollup consumes the SOURCE's feed, never
-            # its own — same reasoning as the search-index expiry
-            dst.expire_snapshots(keep_last=32)
+        if r.maintenance_every:
+            if dst.data_commits_since_maintenance() >= r.maintenance_every:
+                dst.compact()
+                # history past the tag-replay window funds nothing
+                # here: the fold-tag probe stops at the previous
+                # fold's tag, and the rollup consumes the SOURCE's
+                # feed, never its own — same reasoning as the
+                # search-index expiry
+                dst.expire_snapshots(keep_last=32)
+            # companions run their OWN cadence, not nested inside the
+            # rollup's: a high-churn distinct column accumulates
+            # deltas (one keyed merge per batch) even across batches
+            # where the rollup itself stayed quiet
             for c in r.distinct_columns:
                 comp = ManagedTable.load(spark, companion_path(r.path, c))
                 if comp.data_commits_since_maintenance() >= r.maintenance_every:
@@ -871,6 +875,7 @@ def _maybe_maintain(table: ManagedTable, config: JobConfig) -> int | None:
     if table.data_commits_since_maintenance() < m.compact_every:
         return None
     done = None
+    nothing_small = False
     if config.output_config.mode == "append" and not (
         m.zorder_by or m.target_partitions
     ):
@@ -880,20 +885,25 @@ def _maybe_maintain(table: ManagedTable, config: JobConfig) -> int | None:
             done = table.compact_small(
                 max_entry_bytes=m.compact_small_bytes
             )
-            if done is None:
-                # eligible but nothing small to fold: file counts are
-                # already bounded — a full O(table) rewrite would be
-                # pure waste, so skip maintenance this round entirely
-                return None
+            # eligible but nothing small to fold: file counts are
+            # already bounded — a full O(table) rewrite would be pure
+            # waste, so skip the compact (but NOT the snapshot expiry
+            # below: skipping it too would leave history growing
+            # unboundedly for as long as no file dips under the
+            # threshold, since no maintenance commit ever lands to
+            # reset the cadence counter)
+            nothing_small = done is None
         # ineligible shapes (partitioned layout, overlapping keys,
         # pending deltas) keep the full compact below
-    if done is None:
+    if done is None and not nothing_small:
         table.compact(
             target_partitions=m.target_partitions,
             zorder_by=m.zorder_by or None,
         )
     if m.expire_keep_last:
         table.expire_snapshots(keep_last=m.expire_keep_last)
+    if nothing_small and not m.expire_keep_last:
+        return None
     return table._current_version()
 
 

@@ -24,11 +24,17 @@ map-side combined), one semi-join read of the affected rollup groups
 (group-key equi-join; rollup tables are group-cardinality-sized), one
 keyed merge back.  Crash safety: the fold commits under a tag derived
 from the consumed source window (``rollup-<lo>-<hi>``) BEFORE the
-consume cursor advances in a separate metadata write — a refresh that
-crashed between the two replays the same window, finds the tag via
-``has_commit_tag``, and skips the fold instead of re-adding a delta
-the rollup already contains.  Keep ``expire_snapshots``' horizon
-longer than the restart window or the tag probe loses its witness.
+consume cursor advances in a separate metadata write — and a retry
+does not ASSUME the crashed attempt's window, it RECOVERS it: every
+involved table is probed for a fold tagged with the current low
+cursor (``find_commit_tag("rollup-<lo>-", ...)``), the recovered high
+bound is replayed exactly (tags match, folds skip idempotently), and
+only then is anything newer folded as a fresh window.  Without the
+recovery, a source commit landing between the crash and the retry
+would change the retry's window, its tag would not match, and the
+already-absorbed delta would silently fold twice.  Keep
+``expire_snapshots``' horizon longer than the restart window or the
+tag probe loses its witness.
 """
 
 from __future__ import annotations
@@ -37,9 +43,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..table import ManagedTable
+from ..table import ManagedTable, join_nullsafe
 
 _STATE_KEY = "rollup.src-version"
+
+
+class ExpiredCursorError(RuntimeError):
+    """A change-feed consumer's cursor points below the source's
+    oldest retained snapshot: ``expire_snapshots`` dropped history the
+    consumer never folded.  Silently starting at the oldest retained
+    version would permanently under-count — the only safe remedies
+    are rebuilding the rollup/MV from scratch or re-anchoring its
+    cursor deliberately."""
 
 
 def change_segments(src: ManagedTable, lo: int, hi: int) -> list[tuple[int, int]]:
@@ -50,8 +65,25 @@ def change_segments(src: ManagedTable, lo: int, hi: int) -> list[tuple[int, int]
     O(segment) fast path — the same reasoning every lakehouse change
     feed applies to rewrite-only snapshots.  Per-segment deltas
     compose (additively for rollups, by key-set union for join MVs).
-    Returns [] for a maintenance-only window."""
+    Returns [] for a maintenance-only window.
+
+    Raises ``ExpiredCursorError`` when ``lo`` is no longer a retained
+    snapshot: the changes in ``(lo, oldest_retained]`` are gone, and
+    quietly starting at the oldest retained version would make every
+    consumer (rollup fold, join-MV affected keys) silently lossy —
+    the two real ways here are a consumer whose cursor lagged past an
+    ``expire_snapshots`` cadence, and a ``consume_from=1`` bootstrap
+    on a source that has EVER been expired."""
     vs = [v for v in src.history() if lo <= v <= hi]
+    if not vs or vs[0] != lo:
+        oldest = min(src.history() or [0])
+        raise ExpiredCursorError(
+            f"change-feed cursor {lo} predates the source's oldest "
+            f"retained snapshot {oldest} at {src.path} — history was "
+            "expired past the consume cursor; rebuild the rollup/MV "
+            "(or re-anchor its cursor) instead of silently losing the "
+            "expired window"
+        )
     segments: list[tuple[int, int]] = []
     seg_lo = prev = vs[0]
     for v in vs[1:]:
@@ -198,15 +230,27 @@ def _rescan_base(
     Single group column with a bounded value set → ``isin`` (reaches
     the parquet row groups when the pinned version is delta-free; sits
     above MOR resolution otherwise — see refresh_rollup); wider keys
-    or an oversized set → broadcast semi-join."""
+    or an oversized set → broadcast semi-join.
+
+    NULL group values are legitimate (SQL GROUP BY keeps them) and
+    need explicit handling on both paths: ``IN`` never matches NULL
+    (an ``isNull()`` disjunct covers it) and a plain equi-semi-join
+    drops null keys (``join_nullsafe`` pairs them)."""
     from ..table import isin_column  # noqa: PLC0415
 
     base = src.read_version(cur)
     if len(group_cols) == 1:
         vals = [r[0] for r in rescan_keys.limit(cap + 1).collect()]
         if len(vals) <= cap and vals:
-            return base.filter(isin_column(group_cols[0], sorted(vals)))
-    return base.join(F.broadcast(rescan_keys), list(group_cols), "left_semi")
+            col = group_cols[0]
+            nn = [v for v in vals if v is not None]
+            cond = isin_column(col, sorted(nn)) if nn else F.lit(False)
+            if len(nn) < len(vals):  # the null group was retracted too
+                cond = cond | F.col(col).isNull()
+            return base.filter(cond)
+    return join_nullsafe(
+        base, F.broadcast(rescan_keys), list(group_cols), "left_semi"
+    )
 
 
 def reaggregate_rollup(
@@ -253,7 +297,12 @@ def reaggregate_rollup(
             .agg(F.countDistinct(c).alias(f"n_distinct_{c}"))
         )
         if subset:
-            out = out.join(dc, subset, "left")
+            # null-safe: a null group value is a real group at every
+            # granularity — plain equality would strand its distinct
+            # count at 0
+            out = join_nullsafe(out, dc, subset, "left").select(
+                "_l.*", f"_r.n_distinct_{c}"
+            )
         else:
             # global granularity: both sides are 1-row aggregates (a
             # global agg always yields exactly one row)
@@ -326,7 +375,43 @@ def refresh_rollup(
     replay lands on (companion folded or not: its own tag decides;
     rollup folded or not: the rollup's tag decides).  Null values
     don't count, matching SQL.  Cost: one O(delta) keyed merge on the
-    companion plus an affected-group-restricted count over it."""
+    companion plus an affected-group-restricted count over it.
+
+    The replayed window is RECOVERED, not assumed: a crash between a
+    tagged fold and the cursor write, followed by the source gaining
+    a commit before the retry (the job path re-commits the
+    redelivered batch before maintenance re-runs), would otherwise
+    change the retry's window — its tag would not match and the
+    already-absorbed delta would fold AGAIN.  So each pass first
+    probes every involved table for a fold tagged with the CURRENT
+    low cursor (``find_commit_tag("rollup-<lo>-", …)``, structurally
+    bounded: the probe stops at the previous fold's tag), completes
+    that exact window when found, and only then folds the remainder
+    as a fresh window.  NULL group values flow through every join
+    here null-safely (``join_nullsafe``) — SQL GROUP BY keeps null
+    groups, so must the rollup."""
+    out = None
+    while True:
+        out, done = _refresh_rollup_window(
+            src, dst, group_cols, sum_cols, min_cols, max_cols, distinct_cols
+        )
+        if done:
+            return out
+
+
+def _refresh_rollup_window(
+    src: ManagedTable,
+    dst: ManagedTable,
+    group_cols: list[str],
+    sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
+) -> tuple[int, bool]:
+    """One fold pass: complete a recovered crashed window, or fold a
+    fresh one up to the source's current version.  Returns (rollup
+    version, done) — done=False when the pass completed a TRUNCATED
+    recovered window and the caller must loop for the remainder."""
     distinct_cols = list(distinct_cols or [])
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
@@ -348,17 +433,34 @@ def refresh_rollup(
             "refreshed with"
         )
     last = int(dst.meta.properties.get(_STATE_KEY, 1))
-    cur = src._current_version()
+    actual = src._current_version()
+    cur = actual
     if cur <= last:
-        return dst._current_version()
+        return dst._current_version(), True
+
+    # Window recovery: any table that committed a fold tagged with
+    # THIS low cursor pins the crashed attempt's high bound — replay
+    # that exact window (the tags then match and each table's fold
+    # skips idempotently) before folding anything newer.  The probe
+    # stops at the previous fold's tag, so it is structurally bounded
+    # regardless of how many maintenance/sweep commits stacked on top.
+    recovered = [dst.find_commit_tag(f"rollup-{last}-", stop_prefix="rollup-")]
+    comp_tags: dict[str, str | None] = {}
+    for c in distinct_cols:
+        comp = ManagedTable.load(src.spark, companion_path(dst.path, c))
+        comp_tags[c] = comp.find_commit_tag(
+            f"rollup-{last}-", stop_prefix="rollup-"
+        )
+        recovered.append(comp_tags[c])
+    his = [int(t.rsplit("-", 1)[1]) for t in recovered if t]
+    if his:
+        cur = max(his)  # at most one window per low cursor ever commits
 
     window_tag = f"rollup-{last}-{cur}"
     # Crash replay (died between the tagged fold commit and the cursor
     # write): the delta is already in the rollup.  Finish the
-    # idempotent sweeps (rollup AND companions) and advance.  The
-    # probe is bounded — a replayed fold is by definition the newest
-    # activity on the rollup table.
-    if dst.has_commit_tag(window_tag, max_scan=16):
+    # idempotent sweeps (rollup AND companions) and advance.
+    if recovered[0] == window_tag:
         for c in distinct_cols:
             comp = ManagedTable.load(src.spark, companion_path(dst.path, c))
             czero = (
@@ -370,12 +472,12 @@ def refresh_rollup(
         if not zero.isEmpty():
             dst.delete_keys(zero)
         dst.set_properties(**{_STATE_KEY: cur})
-        return dst._current_version()
+        return dst._current_version(), cur >= actual
 
     segments = change_segments(src, last, cur)
     if not segments:  # maintenance-only window: nothing to fold
         dst.set_properties(**{_STATE_KEY: cur})
-        return dst._current_version()
+        return dst._current_version(), cur >= actual
 
     any_cdf = False
 
@@ -453,19 +555,24 @@ def refresh_rollup(
     for c in distinct_cols:
         comp = ManagedTable.load(src.spark, companion_path(dst.path, c))
         ckeys = list(group_cols) + [c]
-        if not comp.has_commit_tag(window_tag, max_scan=16):
+        # the recovery probe already scanned this companion; a match
+        # means the (recovered) window is exactly what it absorbed
+        if comp_tags.get(c) != window_tag:
             dagg = (
                 delta.filter(F.col(c).isNotNull())
                 .groupBy(*ckeys)
                 .agg(F.sum("_w").alias("_d"))
             )
-            cexist = comp.read().join(dagg.select(*ckeys), ckeys, "left_semi")
+            cexist = join_nullsafe(
+                comp.read(), dagg.select(*ckeys), ckeys, "left_semi"
+            )
             newc = (
-                dagg.join(cexist, ckeys, "left")
+                join_nullsafe(dagg, cexist, ckeys, "left")
                 .select(
-                    *ckeys,
+                    *[F.col(f"_l.{k}").alias(k) for k in ckeys],
                     (
-                        F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_d")
+                        F.coalesce(F.col("_r.n_rows"), F.lit(0))
+                        + F.col("_l._d")
                     ).alias("n_rows"),
                 )
                 .localCheckpoint(eager=True)
@@ -478,9 +585,8 @@ def refresh_rollup(
         if not czero.isEmpty():
             comp.delete_keys(czero)
         dcount_frames[c] = (
-            comp.read()
-            .filter(F.col("n_rows") > 0)
-            .join(
+            join_nullsafe(
+                comp.read().filter(F.col("n_rows") > 0),
                 F.broadcast(agg.select(*group_cols)),
                 list(group_cols),
                 "left_semi",
@@ -491,16 +597,20 @@ def refresh_rollup(
 
     # current values of ONLY the affected groups (rollup tables are
     # group-cardinality-sized; the join is on the rollup's key)
-    existing = dst.read().join(agg.select(*group_cols), list(group_cols), "left_semi")
+    existing = join_nullsafe(
+        dst.read(), agg.select(*group_cols), list(group_cols), "left_semi"
+    )
     combined = (
-        agg.join(existing, list(group_cols), "left")
+        join_nullsafe(agg, existing, list(group_cols), "left")
         .select(
-            *group_cols,
-            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_d_n")).alias("n_rows"),
+            *[F.col(f"_l.{c}").alias(c) for c in group_cols],
+            (
+                F.coalesce(F.col("_r.n_rows"), F.lit(0)) + F.col("_l._d_n")
+            ).alias("n_rows"),
             *[
                 (
-                    F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
-                    + F.coalesce(F.col(f"_d_{c}"), F.lit(0.0))
+                    F.coalesce(F.col(f"_r.sum_{c}"), F.lit(0.0))
+                    + F.coalesce(F.col(f"_l._d_{c}"), F.lit(0.0))
                 ).alias(f"sum_{c}")
                 for c in sum_cols
             ],
@@ -508,12 +618,12 @@ def refresh_rollup(
             # skip nulls, so a group absent from either side keeps the
             # other side's value
             *[
-                F.least(F.col(f"min_{c}"), F.col(f"_ins_min_{c}"))
+                F.least(F.col(f"_r.min_{c}"), F.col(f"_l._ins_min_{c}"))
                 .alias(f"min_{c}")
                 for c in min_cols
             ],
             *[
-                F.greatest(F.col(f"max_{c}"), F.col(f"_ins_max_{c}"))
+                F.greatest(F.col(f"_r.max_{c}"), F.col(f"_l._ins_max_{c}"))
                 .alias(f"max_{c}")
                 for c in max_cols
             ],
@@ -547,29 +657,33 @@ def refresh_rollup(
             # fully-emptied groups yield no slice rows — keep their
             # count-0 markers so the tagged-merge + sweep semantics
             # hold for them too
-            recomputed = rescan_keys.join(
-                recomputed, list(group_cols), "left"
+            recomputed = join_nullsafe(
+                rescan_keys, recomputed, list(group_cols), "left"
             ).select(
-                *group_cols,
-                F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+                *[F.col(f"_l.{c}").alias(c) for c in group_cols],
+                F.coalesce(F.col("_r.n_rows"), F.lit(0)).alias("n_rows"),
                 *[
-                    F.coalesce(F.col(f"sum_{c}"), F.lit(0.0)).alias(f"sum_{c}")
+                    F.coalesce(F.col(f"_r.sum_{c}"), F.lit(0.0)).alias(
+                        f"sum_{c}"
+                    )
                     for c in sum_cols
                 ],
-                *[F.col(f"min_{c}") for c in min_cols],
-                *[F.col(f"max_{c}") for c in max_cols],
+                *[F.col(f"_r.min_{c}").alias(f"min_{c}") for c in min_cols],
+                *[F.col(f"_r.max_{c}").alias(f"max_{c}") for c in max_cols],
             )
-            combined = combined.join(
-                rescan_keys, list(group_cols), "left_anti"
+            combined = join_nullsafe(
+                combined, rescan_keys, list(group_cols), "left_anti"
             ).unionByName(recomputed)
     # distinct counts join AFTER the rescan union so folded and
     # rescanned rows get them uniformly (they're absolute either way)
     for c in distinct_cols:
-        combined = combined.join(
-            dcount_frames[c], list(group_cols), "left"
-        ).withColumn(
-            f"n_distinct_{c}",
-            F.coalesce(F.col(f"n_distinct_{c}"), F.lit(0)).cast("long"),
+        combined = (
+            join_nullsafe(combined, dcount_frames[c], list(group_cols), "left")
+            .select("_l.*", f"_r.n_distinct_{c}")
+            .withColumn(
+                f"n_distinct_{c}",
+                F.coalesce(F.col(f"n_distinct_{c}"), F.lit(0)).cast("long"),
+            )
         )
     # group-cardinality-bounded frame read twice (upsert + the
     # emptied-group delete) — pin it once
@@ -583,4 +697,4 @@ def refresh_rollup(
     if not emptied.isEmpty():
         version = dst.delete_keys(emptied)
     dst.set_properties(**{_STATE_KEY: cur})
-    return version
+    return version, cur >= actual

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import random
 import re
@@ -361,17 +362,61 @@ def isin_column(col: str, vals) -> "F.Column":
     read on the affected-key paths); rendering the IN list as SQL
     hands the whole thing to the JVM parser at once.  Catalyst
     semantics are identical (same In/InSet expression, same parquet
-    pushdown).  Numbers render directly, strings single-quote-escape;
-    anything else falls back to the slow-but-general ``isin``."""
-    first = vals[0]
-    if isinstance(first, bool) or not isinstance(first, (int, float, str)):
-        return F.col(col).isin(list(vals))
-    if isinstance(first, (int, float)):
-        body = ",".join(repr(v) for v in vals)
-    else:
-        body = ",".join("'" + str(v).replace("'", "''") + "'" for v in vals)
+    pushdown).
+
+    The SQL-text fast path is taken ONLY for values that render
+    unambiguously under EITHER setting of
+    ``spark.sql.parser.escapedStringLiterals``: finite numbers, and
+    strings free of backslashes and control characters (the default
+    parser treats ``\\`` inside a literal as an escape, so ``a\\nb``
+    would silently parse as ``a<newline>b`` — a wrong-membership
+    answer, not an error; quote doubling ``''`` is safe on both
+    settings).  Anything else — bools, None, non-finite floats
+    (``repr`` → unparseable ``nan``/``inf``), backslash/control-char
+    strings, mixed or exotic types — falls back to the
+    slow-but-general built-in ``isin``, preserving correctness at the
+    cost of the per-literal py4j conversions."""
+    vals = list(vals)
+    if not vals:
+        return F.lit(False)
+    for v in vals:
+        if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+            return F.col(col).isin(vals)
+        if isinstance(v, float) and not math.isfinite(v):
+            return F.col(col).isin(vals)
+        if isinstance(v, str) and (
+            "\\" in v or any(ord(ch) < 0x20 or ch == "\x7f" for ch in v)
+        ):
+            return F.col(col).isin(vals)
+    body = ",".join(
+        "'" + v.replace("'", "''") + "'" if isinstance(v, str) else repr(v)
+        for v in vals
+    )
     name = col.replace("`", "``")
     return F.expr(f"`{name}` IN ({body})")
+
+
+def join_nullsafe(
+    left: DataFrame, right: DataFrame, cols: Sequence[str], how: str
+) -> DataFrame:
+    """Join on named columns with NULL-SAFE equality (``<=>``) — the
+    name-list ``df.join(other, cols)`` uses plain equality, where NULL
+    never matches NULL, silently dropping null-keyed rows from semi
+    joins and never pairing them in outer joins.  Null group/key
+    values are legitimate (SQL GROUP BY keeps them; this table's MOR
+    resolution window groups them), so every key-matching join on a
+    potentially-null column must come through here.
+
+    Output columns: semi/anti joins keep the left frame's columns (as
+    usual); other join types keep BOTH sides' columns — select/drop
+    explicitly via the ``_l``/``_r`` aliases this helper applies."""
+    if not cols:
+        raise ValueError("join_nullsafe requires at least one column")
+    cond = None
+    for c in cols:
+        t = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+        cond = t if cond is None else (cond & t)
+    return left.alias("_l").join(right.alias("_r"), cond, how)
 
 
 def _subset_stats(stats: dict) -> dict:
@@ -598,6 +643,44 @@ class ManagedTable:
             except (OSError, ValueError):
                 continue
         return False
+
+    def find_commit_tag(
+        self,
+        prefix: str,
+        stop_prefix: str | None = None,
+        max_scan: int | None = None,
+    ) -> str | None:
+        """Newest live snapshot tag starting with ``prefix``, or None.
+
+        The replay-recovery probe for tag FAMILIES (e.g. a rollup fold
+        tagged ``rollup-<lo>-<hi>`` probed by ``rollup-<lo>-`` so the
+        crashed attempt's high bound can be recovered from the tag
+        text).  ``stop_prefix`` makes the scan STRUCTURALLY bounded
+        instead of empirically bounded: the first non-matching tag
+        that starts with ``stop_prefix`` is an older generation of the
+        same family — everything beneath it predates the window being
+        probed — so the scan stops there instead of walking all
+        retained history.  ``max_scan`` additionally caps the walk
+        like ``has_commit_tag``'s."""
+        names = sorted(
+            glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")),
+            reverse=True,
+        )
+        if max_scan is not None:
+            names = names[: max(1, int(max_scan))]
+        for m in names:
+            try:
+                with open(m, encoding="utf-8") as fh:
+                    tag = json.load(fh).get("tag")
+            except (OSError, ValueError):
+                continue
+            if not tag:
+                continue
+            if tag.startswith(prefix):
+                return tag
+            if stop_prefix is not None and tag.startswith(stop_prefix):
+                return None
+        return None
 
     def _commit_snapshot(
         self,
@@ -903,7 +986,8 @@ class ManagedTable:
             for d in dfs[1:]:
                 out = out.unionByName(d)
             if restrict_keys is not None:
-                out = out.join(restrict_keys, key_list, "left_semi")
+                # null-safe: a null-keyed group is restrictable too
+                out = join_nullsafe(out, restrict_keys, key_list, "left_semi")
             return out
 
         dfs = [
@@ -914,7 +998,7 @@ class ManagedTable:
         for d in dfs[1:]:
             out = out.unionByName(d)
         if restrict_keys is not None:
-            out = out.join(restrict_keys, key_list, "left_semi")
+            out = join_nullsafe(out, restrict_keys, key_list, "left_semi")
         keys = self.meta.key_cols
         order_exprs = []
         if (
@@ -945,9 +1029,16 @@ class ManagedTable:
             latest_tomb = tombs.groupBy(*keys).agg(
                 F.max("_sg_tomb").alias("_sg_tomb")
             )
-            out = out.join(latest_tomb, list(keys), "left").filter(
-                F.col("_sg_tomb").isNull() | (F.col("_sg_tomb") < F.col("_sg_seq"))
-            ).drop("_sg_tomb")
+            # null-safe: a tombstone naming a null key must delete the
+            # null-keyed row (plain equality would never match it)
+            out = (
+                join_nullsafe(out, latest_tomb, list(keys), "left")
+                .filter(
+                    F.col("_r._sg_tomb").isNull()
+                    | (F.col("_r._sg_tomb") < F.col("_l._sg_seq"))
+                )
+                .select("_l.*")
+            )
         return out.drop("_sg_seq")
 
     def read(self) -> DataFrame:
@@ -1164,7 +1255,16 @@ class ManagedTable:
         read degrades to the fully resolved ``read()`` with the filter
         applied above resolution: exact, no manifest skip.
         ``compact()`` restores the fast path."""
-        vals = sorted(set(values))
+        vset = set(values)
+        if None in vset:
+            # SQL IN never matches NULL — a silent miss, not an error;
+            # callers that can see null keys must filter them (join
+            # semantics) or read with an explicit isNull() disjunct.
+            raise ValueError(
+                "read_where_in values must be non-null — IN never "
+                "matches NULL; filter nulls or add an isNull() read"
+            )
+        vals = sorted(vset)
         if not vals:
             return self.spark.createDataFrame([], self.meta.schema)
         isin = isin_column(col, vals)
@@ -2239,6 +2339,14 @@ class ManagedTable:
                 stats = e.get("stats") or {}
                 if stats.get("__rows") == 0:
                     continue  # provably empty entry contributes nothing
+                if stats.get("__rows") is None:
+                    # PARTS-SUBSET entries (partition-pruned merge /
+                    # delete_where) carry _subset_stats — the ORIGINAL
+                    # entry's bounds with __rows dropped.  Valid for
+                    # pruning, but the extreme row may have been
+                    # rewritten away, so they are not provable VALUES.
+                    provable = False
+                    break
                 s = stats.get(col)
                 if not s or not all(
                     isinstance(v, (int, float)) and not isinstance(v, bool)
