@@ -179,3 +179,59 @@ def test_change_feed_skips_the_binpack_window(spark, tmp_path):
     assert t.compact_small() is not None
     refresh_rollup(t, dst, ["v"], [])  # maintenance-only window
     assert {r.v: r.n_rows for r in dst.read().collect()} == {7: 2}
+
+
+def test_expiry_still_runs_when_nothing_small(spark, tmp_path):
+    """When binpack is eligible but finds nothing small, maintenance
+    must still expire snapshots — otherwise history grows unboundedly
+    for as long as every file stays above the threshold (the cadence
+    counter only resets on a maintenance commit, which never lands in
+    that state)."""
+    from s3_sqs_data_ingestion_demo_spark import job as J
+    from s3_sqs_data_ingestion_demo_spark.config import JobConfig
+
+    d = str(tmp_path)
+    ManagedTable.create(
+        spark, f"{d}/tbl",
+        T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("v", T.IntegerType()),
+                T.StructField("seq", T.IntegerType()),
+            ]
+        ),
+        key_cols=["id"], order_column="seq", table_type="MOR",
+    )
+    cfg = JobConfig.from_dict(
+        {
+            "input_config": {
+                "format": "csv",
+                "options": {"header": "true", "sep": "\t",
+                            "inferSchema": "true"},
+            },
+            "output_config": {
+                "table_path": f"{d}/tbl",
+                "mode": "append",
+                "table_type": "MOR",
+                "key_columns": ["id"],
+                "order_column": "seq",
+                "maintenance": {
+                    "compact_every": 2,
+                    # threshold 1 byte: nothing ever counts as small
+                    "compact_small_bytes": 1,
+                    "expire_keep_last": 3,
+                },
+            },
+        }
+    )
+    for i in range(8):
+        p = f"{d}/b{i}.csv"
+        with open(p, "w") as fh:
+            fh.write("id\tv\tseq\n")
+            fh.write(f"{i}\t1\t1\n")
+        J.process_files(spark, cfg, [p])
+    t = ManagedTable.load(spark, f"{d}/tbl")
+    # no compact ever ran (nothing small), but history stayed bounded
+    assert all(t._snapshot_kind(v) != "maintenance" for v in t.history())
+    assert len(t.history()) <= 4  # keep_last=3 plus the newest commit
+    assert t.read().count() == 8

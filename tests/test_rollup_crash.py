@@ -168,3 +168,102 @@ def test_double_crash_same_window_still_exact(spark, tmp_path, monkeypatch):
             refresh_rollup(src, dst, ["grp"], ["v"])
     refresh_rollup(src, dst, ["grp"], ["v"])
     assert _state(dst) == _oracle(src)
+
+
+def test_crash_then_new_source_commit_before_retry_is_exact(
+    spark, tmp_path, monkeypatch
+):
+    """The replay-window trap: the fold for (last, c1] commits, the
+    cursor write crashes, and the source gains ANOTHER commit before
+    the retry (the job path re-commits a redelivered batch before
+    maintenance re-runs).  The retry's natural window is (last, c2] —
+    a tag that does not exist — so without window RECOVERY it would
+    re-fold the already-absorbed (last, c1] delta.  The retry must
+    complete the crashed window exactly, then fold only (c1, c2]."""
+    src = _mk_src(spark, tmp_path)
+    src.append(_rows(spark, [(1, "a", 10, 1), (2, "b", 3, 1)]))
+    dst = create_rollup(src, f"{tmp_path}/roll", ["grp"], ["v"], consume_from=1)
+    refresh_rollup(src, dst, ["grp"], ["v"])
+
+    src.merge(_rows(spark, [(3, "a", 7, 2)]))  # window (c0, c1]
+    _crash_on_cursor_write(monkeypatch)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        refresh_rollup(src, dst, ["grp"], ["v"])
+    # the fold for (c0, c1] is live; now the source moves on
+    src.merge(_rows(spark, [(4, "b", 5, 2), (1, "a", 12, 2)]))  # (c1, c2]
+
+    refresh_rollup(src, dst, ["grp"], ["v"])
+    assert _state(dst) == _oracle(src)
+    assert int(dst.meta.properties[_STATE_KEY]) == src._current_version()
+    # idempotent from here
+    v = dst._current_version()
+    assert refresh_rollup(src, dst, ["grp"], ["v"]) == v
+    assert _state(dst) == _oracle(src)
+
+
+def test_companion_fold_crash_then_new_commit_recovers_window(
+    spark, tmp_path, monkeypatch
+):
+    """Crash BETWEEN the companion's tagged fold and the rollup's fold,
+    then a new source commit before the retry: the companion's tag
+    must pin the retry to the crashed window (else the companion
+    double-folds (last, c1] under the new window's tag)."""
+    from s3_sqs_data_ingestion_demo_spark.operators.rollup import (
+        companion_path,
+    )
+
+    src = _mk_src(spark, tmp_path)
+    src.append(_rows(spark, [(1, "a", 10, 1), (2, "b", 3, 1)]))
+    dst = create_rollup(
+        src,
+        f"{tmp_path}/roll",
+        ["grp"],
+        ["v"],
+        consume_from=1,
+        distinct_cols=["v"],
+    )
+    refresh_rollup(src, dst, ["grp"], ["v"], distinct_cols=["v"])
+
+    src.merge(_rows(spark, [(3, "a", 10, 2)]))  # duplicate value in a
+
+    orig_merge = ManagedTable.merge
+    armed = {"on": True}
+
+    def crashing_merge(self, source, **kw):
+        # let the companion's tagged fold through; die on the rollup's
+        if armed["on"] and self.path == dst.path and kw.get("tag"):
+            armed["on"] = False
+            raise RuntimeError("simulated crash after companion fold")
+        return orig_merge(self, source, **kw)
+
+    monkeypatch.setattr(ManagedTable, "merge", crashing_merge)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        refresh_rollup(src, dst, ["grp"], ["v"], distinct_cols=["v"])
+    comp = ManagedTable.load(spark, companion_path(dst.path, "v"))
+    assert comp.find_commit_tag("rollup-", stop_prefix=None) is not None
+
+    src.merge(_rows(spark, [(4, "a", 99, 2)]))  # source moves on
+
+    refresh_rollup(src, dst, ["grp"], ["v"], distinct_cols=["v"])
+    got = {
+        r.grp: (r.n_rows, r.sum_v, r.n_distinct_v)
+        for r in dst.read().collect()
+    }
+    oracle = {
+        r.grp: (r.n, float(r.s), r.nd)
+        for r in src.read()
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.countDistinct("v").alias("nd"),
+        )
+        .collect()
+    }
+    assert got == oracle
+    # companion holds true per-(group, value) counts — the double-fold
+    # failure mode would show n_rows=2 for (a, 10) twice-folded to 4
+    cgot = {
+        (r.grp, r.v): r.n_rows for r in comp.read().collect()
+    }
+    assert cgot[("a", 10)] == 2

@@ -854,3 +854,29 @@ def test_named_refs_pin_versions_and_survive_expiration(spark, tmp_path):
         t.create_ref("x", version=9999)
     with pytest.raises(ValueError, match="invalid ref name"):
         t.create_ref("../escape")
+
+
+def test_min_max_subset_entry_stats_not_trusted(spark, tmp_path):
+    """A partition-pruned delete rewrites SOME of an entry's partitions
+    and keeps the rest under the entry's ORIGINAL stats (bounds only —
+    _subset_stats drops __rows).  Those bounds may name an extreme row
+    that was just deleted; min_max must fall back to the exact scan,
+    not return the stale value."""
+    t = make(spark, str(tmp_path), partitioned=True)
+    # one entry spanning two partitions; global max id=44 lives in "b"
+    t.append(
+        df_of(
+            spark,
+            [(i, "a", 1.0, 1) for i in range(10)]
+            + [(44, "b", 1.0, 1)],
+        )
+    )
+    assert t.min_max("id") == (0, 44)
+    # partition-pruned COW delete: removes id=44, keeps partition "a"
+    # as a PARTS-SUBSET of the original entry (stats without __rows)
+    t.delete_where("part = 'b'")
+    entries = t._read_manifest()
+    assert any(
+        e.get("stats") and e["stats"].get("__rows") is None for e in entries
+    ), "expected a parts-subset entry carrying bounds-only stats"
+    assert t.min_max("id") == (0, 9)  # exact, not the stale bound 44
