@@ -266,6 +266,9 @@ class RollupConfig:
     min_columns: list[str] = field(default_factory=list)
     max_columns: list[str] = field(default_factory=list)
     distinct_columns: list[str] = field(default_factory=list)
+    # second moments (Σx²): enables AVG/VARIANCE/STDDEV routing via
+    # operators/rollup.rollup_stats — purely additive, no rescans
+    sumsq_columns: list[str] = field(default_factory=list)
     # compact the rollup (and its distinct companions) every N data
     # commits (0 = never): per-batch MOR merges otherwise accumulate
     # delta files whose read-time resolution cost grows with every
@@ -290,6 +293,7 @@ class RollupConfig:
             distinct_columns=[
                 str(c) for c in (d.get("distinct_columns") or [])
             ],
+            sumsq_columns=[str(c) for c in (d.get("sumsq_columns") or [])],
             maintenance_every=_parse_cadence(
                 d.get("maintenance_every"), "rollups"
             ),

@@ -641,6 +641,244 @@ def rollup_reaggregate_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_rollup_var_orders",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000 AS vb
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000) + 500 AS vb
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT)      AS n_rows,
+           CAST(SUM(vb) AS BIGINT)       AS sum_vb,
+           CAST(SUM(vb * vb) AS BIGINT)  AS sumsq_vb,
+           ROUND(CAST(SUM(vb) AS DOUBLE) / COUNT(*), 6) AS avg_vb,
+           ROUND(GREATEST(
+             CAST(SUM(vb * vb) AS DOUBLE) / COUNT(*)
+             - (CAST(SUM(vb) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(vb) AS DOUBLE) / COUNT(*)),
+             0.0), 4) AS var_vb
+    FROM final GROUP BY o_orderstatus
+    """,
+    rank=20,
+)
+def incremental_rollup_var_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-moment IVM (operators/rollup.py sumsq_cols +
+    rollup_stats): Σx² maintained next to Σx through the same upsert +
+    delete stream as the other rollup entries — updates move BOTH
+    moments between groups via retraction, deletes subtract them —
+    then AVG and population VARIANCE are DERIVED from the maintained
+    moments, never recomputed from the base.  The measure is bounded
+    (price cents mod 1e5) so Σx² stays far under 2^53 and the double
+    arithmetic is exact on both engines; the oracle mirrors the
+    var = Σx²/n − (Σx/n)² form operation-for-operation so the rounded
+    derived columns compare bit-stable.  Scale shape: identical to
+    the additive rollup — one windowed aggregate, one keyed merge;
+    variance adds ZERO rescans (second moments are additive)."""
+    from .operators.rollup import (  # noqa: PLC0415
+        create_rollup,
+        refresh_rollup,
+        rollup_stats,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_rollup_var_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 100000)
+        .alias("price_cents"),
+    )
+    kw = {"sumsq_cols": ["price_cents"]}
+    dst = create_rollup(src, os.path.join(base, "rollup"),
+                        ["o_orderstatus"], ["price_cents"], **kw)
+    src.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"], **kw)
+    src.merge(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"], **kw)
+    src.delete_keys(
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"], **kw)
+    return rollup_stats(dst.read(), ["price_cents"]).select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_price_cents").cast("long").alias("sum_vb"),
+        F.col("sumsq_price_cents").cast("long").alias("sumsq_vb"),
+        F.round(F.col("avg_price_cents"), 6).alias("avg_vb"),
+        F.round(F.col("var_price_cents"), 4).alias("var_vb"),
+    )
+
+
+@query(
+    "rollup_rollback_absorption_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    rank=20,
+)
+def rollup_rollback_absorption_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollback absorbed by incremental view maintenance
+    (table.rollback + operators/rollup.py): bootstrap a source, fold
+    it into a rollup, land a merge that moves half the keys into a
+    synthetic 'X' group, fold that too — then ROLL THE SOURCE BACK to
+    the pre-merge snapshot and refresh again.  The rollback commits
+    the old manifest as a NEW snapshot, so the change feed presents
+    the window as a rewrite (full keyed diff) and the rollup's
+    retraction path must undo the 'X' contributions exactly.  A final
+    append of the remaining keys then rides the normal fast path
+    ACROSS the rollback commit.  The oracle is simply the full
+    aggregate of the orders table — every 'X' trace must be gone and
+    every original contribution restored, bit-exact in integer cents.
+    Scale shape: the rollback itself is O(1) metadata; only its keyed
+    diff is data work, bounded by the rolled-back window's keys."""
+    from .operators.rollup import create_rollup, refresh_rollup  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_rollup_rb_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    dst = create_rollup(src, os.path.join(base, "rollup"),
+                        ["o_orderstatus"], ["price_cents"])
+    src.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    keep = src._current_version()
+    # a wrong turn: half the keys move into group 'X' with bumped sums
+    src.merge(
+        o.filter(
+            (F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 2 == 0)
+        ).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    # undo it: restore the audited snapshot; IVM absorbs the rewrite
+    src.rollback(keep)
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    # and keep ingesting across the rollback commit
+    src.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    return dst.read().select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+    )
+
+
+@query(
+    "compact_small_feed_continuity_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    rank=20,
+)
+def compact_small_feed_continuity_orders(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Change-feed continuity across PARTIAL small-file compaction
+    (table.compact_small — the O(small files) maintenance cadence for
+    the append-only steady state): three disjoint-key-range appends
+    land with rollup refreshes interleaved; between the second and
+    third, ``compact_small`` binpacks the accumulated small roots as a
+    content-neutral ``maintenance`` snapshot.  The next refresh's
+    consume window CONTAINS that commit — ``change_segments`` must
+    split around it (folding the rewrite would double-count every
+    compacted row) while still folding the real data on either side.
+    The oracle re-aggregates everything from scratch; the binpack is
+    asserted to have actually run (the scenario is vacuous
+    otherwise).  Scale shape: maintenance cost stays O(small files),
+    and the feed consumer pays nothing for it."""
+    from .operators.rollup import create_rollup, refresh_rollup  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_rollup_cs_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"],
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    # contiguous key ranges: binpack's safety gate needs the live
+    # entries provably pairwise disjoint on the single key column
+    mx = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    c1, c2 = mx // 3, 2 * mx // 3
+    dst = create_rollup(src, os.path.join(base, "rollup"),
+                        ["o_orderstatus"], ["price_cents"])
+    src.append(o.filter(F.col("o_orderkey") <= c1))
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    src.append(
+        o.filter((F.col("o_orderkey") > c1) & (F.col("o_orderkey") <= c2))
+    )
+    folded = src.compact_small(max_entry_bytes=1 << 40)
+    assert folded is not None, "binpack must have run for this scenario"
+    # window (refresh1, here] = one data commit + one maintenance
+    # commit: the refresh folds the former, skips the latter
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    src.append(o.filter(F.col("o_orderkey") > c2))
+    refresh_rollup(src, dst, ["o_orderstatus"], ["price_cents"])
+    return dst.read().select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_price_cents").cast("long").alias("sum_price_cents"),
+    )
+
+
 _JMV_ORDERS_SCHEMA = T.StructType(
     [
         T.StructField("o_orderkey", T.LongType(), False),

@@ -86,6 +86,7 @@ def ensure_target(spark: SparkSession, config: JobConfig) -> ManagedTable:
                     min_cols=r.min_columns,
                     max_cols=r.max_columns,
                     distinct_cols=r.distinct_columns,
+                    sumsq_cols=r.sumsq_columns,
                 )
     return table
 
@@ -310,6 +311,7 @@ def _maintain_rollups(
             min_cols=r.min_columns,
             max_cols=r.max_columns,
             distinct_cols=r.distinct_columns,
+            sumsq_cols=r.sumsq_columns,
         )
         # fold accumulated MOR deltas at cadence: without it every
         # refresh's keyed merge adds delta files whose read-time

@@ -102,9 +102,14 @@ def rollup_schema(
     sum_cols: list[str],
     extreme_fields: list[T.StructField] | None = None,
     distinct_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
 ) -> T.StructType:
     fields = list(group_fields) + [T.StructField("n_rows", T.LongType(), True)]
     fields += [T.StructField(f"sum_{c}", T.DoubleType(), True) for c in sum_cols]
+    fields += [
+        T.StructField(f"sumsq_{c}", T.DoubleType(), True)
+        for c in (sumsq_cols or [])
+    ]
     fields += list(extreme_fields or [])
     fields += [
         T.StructField(f"n_distinct_{c}", T.LongType(), True)
@@ -146,9 +151,18 @@ def create_rollup(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
 ) -> ManagedTable:
     """DDL for the summary table: keyed by the group columns, MOR so
     refreshes are O(delta) appends.
+
+    ``sumsq_cols`` maintains the SECOND MOMENT (Σx²) next to Σx — the
+    purely-additive decomposition behind AVG/VARIANCE/STDDEV routing
+    (``rollup_stats``): retractions subtract exactly like sums, so no
+    rescan is ever needed.  Precision bound, stated honestly: the
+    moments live in doubles, exact while |Σx²| stays under 2^53 for
+    integer inputs — scale the measure (cents, bucketed units) when
+    the raw column would overflow that.
 
     ``consume_from`` anchors the change-feed cursor: default = the
     source's CURRENT version (track new data only); pass ``1`` (the
@@ -168,6 +182,9 @@ def create_rollup(
         raise ValueError(f"group columns missing from source schema: {missing}")
     distinct_cols = list(distinct_cols or [])
     src_fields = {f.name: f for f in src.meta.schema.fields}
+    for c in sumsq_cols or []:
+        if c not in src_fields:
+            raise ValueError(f"sumsq column {c!r} missing from source schema")
     for c in distinct_cols:
         if c not in src_fields:
             raise ValueError(f"distinct column {c!r} missing from source schema")
@@ -184,6 +201,7 @@ def create_rollup(
             sum_cols,
             _extreme_fields(src, list(min_cols or []), list(max_cols or [])),
             distinct_cols,
+            sumsq_cols,
         ),
         key_cols=list(group_cols),
         table_type="MOR",
@@ -260,6 +278,7 @@ def reaggregate_rollup(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
 ) -> DataFrame:
     """Answer a COARSER-granularity aggregate query from the rollup
     instead of the base table — the MV-routing move behind continuous
@@ -284,6 +303,10 @@ def reaggregate_rollup(
     aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
     aggs += [
         F.sum(f"sum_{c}").alias(f"sum_{c}") for c in (sum_cols or [])
+    ]
+    aggs += [
+        # second moments re-add like first moments (both additive)
+        F.sum(f"sumsq_{c}").alias(f"sumsq_{c}") for c in (sumsq_cols or [])
     ]
     aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in (min_cols or [])]
     aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in (max_cols or [])]
@@ -314,6 +337,30 @@ def reaggregate_rollup(
     return out
 
 
+def rollup_stats(frame: DataFrame, cols: list[str]) -> DataFrame:
+    """Derive AVG / population VARIANCE / STDDEV for each maintained
+    second-moment column: avg = Σx/n, var = Σx²/n − (Σx/n)², std =
+    √var — computable from ANY frame carrying ``n_rows``/``sum_<c>``/
+    ``sumsq_<c>`` (a rollup read, or a ``reaggregate_rollup`` result
+    at any coarser granularity), so the statistics route through the
+    summary tables without ever touching the base.  The subtraction
+    form can go microscopically negative on constant columns (float
+    cancellation) — clamped at zero so std never NaNs."""
+    out = frame
+    for c in cols:
+        n = F.col("n_rows").cast("double")
+        avg = F.col(f"sum_{c}") / n
+        var = F.greatest(
+            F.col(f"sumsq_{c}") / n - avg * avg, F.lit(0.0)
+        )
+        out = (
+            out.withColumn(f"avg_{c}", avg)
+            .withColumn(f"var_{c}", var)
+            .withColumn(f"std_{c}", F.sqrt(var))
+        )
+    return out
+
+
 def refresh_rollup(
     src: ManagedTable,
     dst: ManagedTable,
@@ -322,6 +369,7 @@ def refresh_rollup(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
 ) -> int:
     """Fold the source changes since the last refresh into the rollup;
     returns the new rollup version (current version when there was
@@ -393,7 +441,14 @@ def refresh_rollup(
     out = None
     while True:
         out, done = _refresh_rollup_window(
-            src, dst, group_cols, sum_cols, min_cols, max_cols, distinct_cols
+            src,
+            dst,
+            group_cols,
+            sum_cols,
+            min_cols,
+            max_cols,
+            distinct_cols,
+            sumsq_cols,
         )
         if done:
             return out
@@ -407,6 +462,7 @@ def _refresh_rollup_window(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
 ) -> tuple[int, bool]:
     """One fold pass: complete a recovered crashed window, or fold a
     fresh one up to the source's current version.  Returns (rollup
@@ -415,6 +471,7 @@ def _refresh_rollup_window(
     distinct_cols = list(distinct_cols or [])
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
+    sumsq_cols = list(sumsq_cols or [])
     extremes = bool(min_cols or max_cols)
     have = set(dst.meta.schema.fieldNames())
     lacking = [
@@ -423,6 +480,7 @@ def _refresh_rollup_window(
             [f"min_{c}" for c in min_cols]
             + [f"max_{c}" for c in max_cols]
             + [f"n_distinct_{c}" for c in distinct_cols]
+            + [f"sumsq_{c}" for c in sumsq_cols]
         )
         if n not in have
     ]
@@ -537,6 +595,16 @@ def _refresh_rollup_window(
             F.sum(F.col("_w") * F.col(c).cast("double")).alias(f"_d_{c}")
             for c in sum_cols
         ],
+        *[
+            # second moment: Σ(w·x²) — additive, so retractions fold
+            # exactly like sums (no rescan)
+            F.sum(
+                F.col("_w")
+                * F.col(c).cast("double")
+                * F.col(c).cast("double")
+            ).alias(f"_d_sq_{c}")
+            for c in sumsq_cols
+        ],
         *extra_aggs,
     )
     if extremes or distinct_cols:
@@ -614,6 +682,13 @@ def _refresh_rollup_window(
                 ).alias(f"sum_{c}")
                 for c in sum_cols
             ],
+            *[
+                (
+                    F.coalesce(F.col(f"_r.sumsq_{c}"), F.lit(0.0))
+                    + F.coalesce(F.col(f"_l._d_sq_{c}"), F.lit(0.0))
+                ).alias(f"sumsq_{c}")
+                for c in sumsq_cols
+            ],
             # insert-side extremes fold incrementally; least/greatest
             # skip nulls, so a group absent from either side keeps the
             # other side's value
@@ -651,6 +726,12 @@ def _refresh_rollup_window(
                     F.sum(F.col(c).cast("double")).alias(f"sum_{c}")
                     for c in sum_cols
                 ],
+                *[
+                    F.sum(
+                        F.col(c).cast("double") * F.col(c).cast("double")
+                    ).alias(f"sumsq_{c}")
+                    for c in sumsq_cols
+                ],
                 *[F.min(c).alias(f"min_{c}") for c in min_cols],
                 *[F.max(c).alias(f"max_{c}") for c in max_cols],
             )
@@ -667,6 +748,12 @@ def _refresh_rollup_window(
                         f"sum_{c}"
                     )
                     for c in sum_cols
+                ],
+                *[
+                    F.coalesce(F.col(f"_r.sumsq_{c}"), F.lit(0.0)).alias(
+                        f"sumsq_{c}"
+                    )
+                    for c in sumsq_cols
                 ],
                 *[F.col(f"_r.min_{c}").alias(f"min_{c}") for c in min_cols],
                 *[F.col(f"_r.max_{c}").alias(f"max_{c}") for c in max_cols],

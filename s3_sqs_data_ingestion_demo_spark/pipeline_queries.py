@@ -2028,7 +2028,12 @@ _HYBRID_ORACLE = f"""
     """
 
 
-@query("hybrid_search_documents", _HYBRID_ORACLE, driver=True, rank=25)
+@query(
+    "hybrid_search_documents",
+    _HYBRID_ORACLE,
+    rank=25,
+    driver=False,  # r09: rotated out (green r5-r8; pytest parity + bench)
+)
 def hybrid_search_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval, the RAG-serving shape: BM25 keyword
     candidates (exact-integer scores, operators/search.py) re-ranked
@@ -2115,7 +2120,7 @@ def q_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
            TRUE AS mrr_ge_half
     FROM embeddings WHERE vec_id < 10
     """,
-    driver=True,
+    driver=False,  # r09: rotated out (green r5-r8; pytest parity + bench)
     rank=25,
 )
 def ivf_mrr_check(spark: SparkSession, sf: str) -> DataFrame:
@@ -2399,7 +2404,12 @@ w{i} AS (
     """
 
 
-@query("bpe_merges_documents", _bpe_oracle(8), rank=25)
+@query(
+    "bpe_merges_documents",
+    _bpe_oracle(8),
+    rank=25,
+    driver=False,  # r09: rotated out (green r5-r8; pytest parity + bench)
+)
 def bpe_merges_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE merge-training over `documents` (operators/
     bpe.py): 8 merge rounds, each one weighted pair-count aggregate

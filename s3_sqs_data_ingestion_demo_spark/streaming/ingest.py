@@ -90,6 +90,7 @@ def start_streaming_rollup(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Continuous aggregate: file-landing stream → append to the
     source ``ManagedTable`` → fold the appended delta into the rollup
@@ -131,6 +132,7 @@ def start_streaming_rollup(
             min_cols=min_cols,
             max_cols=max_cols,
             distinct_cols=distinct_cols,
+            sumsq_cols=sumsq_cols,
         )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
