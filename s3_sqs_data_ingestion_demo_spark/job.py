@@ -893,7 +893,13 @@ def _maybe_maintain(table: ManagedTable, config: JobConfig) -> int | None:
             # below: skipping it too would leave history growing
             # unboundedly for as long as no file dips under the
             # threshold, since no maintenance commit ever lands to
-            # reset the cadence counter)
+            # reset the cadence counter).  In that state the cadence
+            # check re-fires every batch — deliberate: the re-probe is
+            # an O(manifest entries) stat pass and the expiry a glob
+            # over <= keep_last retained snapshots, both driver-cheap
+            # and bounded, while the alternative (a no-op maintenance
+            # marker commit) would split every consumer's change
+            # window for nothing
             nothing_small = done is None
         # ineligible shapes (partitioned layout, overlapping keys,
         # pending deltas) keep the full compact below

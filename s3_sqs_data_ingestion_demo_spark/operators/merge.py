@@ -72,7 +72,13 @@ def merge_upsert(
     if order_column is not None:
         source = dedup_latest(source, keys, order_column)
     if policy == "unconditional":
-        kept = target.join(source.select(*keys), on=keys, how="left_anti")
+        # null-safe anti: a source row carrying a null key must
+        # REPLACE the target's null-keyed row, not duplicate it (plain
+        # equality never matches NULL; dedup_latest's window already
+        # groups null keys, so both policies agree on the contract)
+        from ..table import join_nullsafe  # noqa: PLC0415
+
+        kept = join_nullsafe(target, source.select(*keys), keys, "left_anti")
         return kept.unionByName(source.select(*target.columns))
     if policy == "latest_wins":
         if order_column is None:

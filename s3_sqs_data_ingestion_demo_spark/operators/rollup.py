@@ -504,9 +504,15 @@ def _refresh_rollup_window(
     # regardless of how many maintenance/sweep commits stacked on top.
     recovered = [dst.find_commit_tag(f"rollup-{last}-", stop_prefix="rollup-")]
     comp_tags: dict[str, str | None] = {}
+    # one metadata load per companion per pass: the handles are reused
+    # by the fold loop and the replay sweep below (per-micro-batch hot
+    # path — re-loading re-reads _meta.json and the metalog each time)
+    comps: dict[str, ManagedTable] = {
+        c: ManagedTable.load(src.spark, companion_path(dst.path, c))
+        for c in distinct_cols
+    }
     for c in distinct_cols:
-        comp = ManagedTable.load(src.spark, companion_path(dst.path, c))
-        comp_tags[c] = comp.find_commit_tag(
+        comp_tags[c] = comps[c].find_commit_tag(
             f"rollup-{last}-", stop_prefix="rollup-"
         )
         recovered.append(comp_tags[c])
@@ -520,7 +526,7 @@ def _refresh_rollup_window(
     # idempotent sweeps (rollup AND companions) and advance.
     if recovered[0] == window_tag:
         for c in distinct_cols:
-            comp = ManagedTable.load(src.spark, companion_path(dst.path, c))
+            comp = comps[c]
             czero = (
                 comp.read().filter(F.col("n_rows") <= 0).select(*group_cols, c)
             )
@@ -621,7 +627,7 @@ def _refresh_rollup_window(
     # it.
     dcount_frames: dict[str, DataFrame] = {}
     for c in distinct_cols:
-        comp = ManagedTable.load(src.spark, companion_path(dst.path, c))
+        comp = comps[c]
         ckeys = list(group_cols) + [c]
         # the recovery probe already scanned this companion; a match
         # means the (recovered) window is exactly what it absorbed

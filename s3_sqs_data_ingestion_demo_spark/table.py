@@ -629,6 +629,12 @@ class ManagedTable:
         path, where a replayed batch is always recent: an unbounded
         probe is O(total snapshots) driver work per batch and grows
         forever on a long-lived stream."""
+        return any(t == tag for t in self._iter_tags(max_scan))
+
+    def _iter_tags(self, max_scan: int | None = None):
+        """Live snapshot tags, newest first — the single scanner behind
+        ``has_commit_tag`` and ``find_commit_tag`` (unreadable or
+        untagged manifests are skipped)."""
         names = sorted(
             glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")),
             reverse=True,
@@ -638,11 +644,11 @@ class ManagedTable:
         for m in names:
             try:
                 with open(m, encoding="utf-8") as fh:
-                    if json.load(fh).get("tag") == tag:
-                        return True
+                    tag = json.load(fh).get("tag")
             except (OSError, ValueError):
                 continue
-        return False
+            if tag:
+                yield tag
 
     def find_commit_tag(
         self,
@@ -662,20 +668,7 @@ class ManagedTable:
         probed — so the scan stops there instead of walking all
         retained history.  ``max_scan`` additionally caps the walk
         like ``has_commit_tag``'s."""
-        names = sorted(
-            glob.glob(os.path.join(self.path, _SNAPDIR, "v*.json")),
-            reverse=True,
-        )
-        if max_scan is not None:
-            names = names[: max(1, int(max_scan))]
-        for m in names:
-            try:
-                with open(m, encoding="utf-8") as fh:
-                    tag = json.load(fh).get("tag")
-            except (OSError, ValueError):
-                continue
-            if not tag:
-                continue
+        for tag in self._iter_tags(max_scan):
             if tag.startswith(prefix):
                 return tag
             if stop_prefix is not None and tag.startswith(stop_prefix):
@@ -1344,13 +1337,15 @@ class ManagedTable:
             t_agg = tombs.groupBy(*keys).agg(
                 F.max("_sg_tomb").alias("_sg_tomb")
             )
+            # null-safe, like _assemble's resolution path: a tombstone
+            # naming a null key must mask the null-keyed row
             out = (
-                out.join(t_agg, keys, "left")
+                join_nullsafe(out, t_agg, keys, "left")
                 .filter(
-                    F.col("_sg_tomb").isNull()
-                    | (F.col("_sg_tomb") < F.col("_sg_seq"))
+                    F.col("_r._sg_tomb").isNull()
+                    | (F.col("_r._sg_tomb") < F.col("_l._sg_seq"))
                 )
-                .drop("_sg_tomb")
+                .select("_l.*")
             )
             return out if with_seq else out.drop("_sg_seq")
         return self._read_unresolved_union(entries, with_seq)
@@ -2008,8 +2003,13 @@ class ManagedTable:
             entry["kind"] = "tombstone"
             return self._commit_entry_with_retry(entry, tag=tag, delta_seq=True)
         base = self._current_version()
-        survivors = self._assemble(self._manifest_at(base)).join(
-            victims, list(keys), "left_anti"
+        # null-safe anti: a victim naming a null key must remove the
+        # null-keyed row (plain equality would silently keep it)
+        survivors = join_nullsafe(
+            self._assemble(self._manifest_at(base)),
+            victims,
+            list(keys),
+            "left_anti",
         )
         entry = self._write_data(survivors, self._new_root())
         return self._commit_snapshot([entry], base_version=base, tag=tag)
@@ -2637,7 +2637,20 @@ class ManagedTable:
                 )
                 return df.select(*keys, img.alias(name))
 
-            j = _pack(pre, "_pre").join(_pack(post, "_post"), keys, "full_outer")
+            # null-safe pairing + coalesced key output: a null-keyed
+            # pre/post pair must classify as an UPDATE (or nothing when
+            # byte-identical), not a spurious delete+insert — plain
+            # equality never pairs NULL with NULL
+            j = join_nullsafe(
+                _pack(pre, "_pre"), _pack(post, "_post"), keys, "full_outer"
+            ).select(
+                *[
+                    F.coalesce(F.col(f"_l.{k}"), F.col(f"_r.{k}")).alias(k)
+                    for k in keys
+                ],
+                F.col("_l._pre").alias("_pre"),
+                F.col("_r._post").alias("_post"),
+            )
 
             def _emit(side: str, ctype: str, frame: DataFrame) -> DataFrame:
                 sel = [
@@ -2695,13 +2708,27 @@ class ManagedTable:
             # small windows broadcast)
             affected = affected.distinct().localCheckpoint(eager=True)
             k0 = keys[0]
-            row = affected.agg(F.min(k0), F.max(k0)).collect()[0]
-            lo, hi = row[0], row[1]
+            row = affected.agg(
+                F.min(k0),
+                F.max(k0),
+                # stats bounds exclude nulls on BOTH sides: F.min/F.max
+                # ignore a null affected key, and an entry's footer
+                # min/max can't prove null ABSENCE — so a null-keyed
+                # change disables entry pruning entirely (the null row's
+                # pre-image must be readable or its delete/update would
+                # silently misclassify)
+                F.max(F.col(k0).isNull().cast("int")),
+            ).collect()[0]
+            lo, hi, has_null = row[0], row[1], bool(row[2])
             pruned_old = [
-                e for e in old if self._entry_may_contain(e, k0, lo, hi)
+                e
+                for e in old
+                if has_null or self._entry_may_contain(e, k0, lo, hi)
             ]
             pruned_new = [
-                e for e in new if self._entry_may_contain(e, k0, lo, hi)
+                e
+                for e in new
+                if has_null or self._entry_may_contain(e, k0, lo, hi)
             ]
             pre = self._assemble(pruned_old, restrict_keys=affected)
             post = self._assemble(pruned_new, restrict_keys=affected)

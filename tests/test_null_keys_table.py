@@ -1,0 +1,134 @@
+"""Null KEY values through the table layer's remaining key-matching
+paths — the round-9 review found the null-key contract (join_nullsafe:
+"every key-matching join on a potentially-null column") fixed in MOR
+resolution but not carried through COW rewrites, the unresolved
+tombstone view, or the change feed's classification and pruning."""
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType(), True),  # nullable KEY
+        T.StructField("v", T.IntegerType(), True),
+        T.StructField("seq", T.IntegerType(), True),
+    ]
+)
+
+
+def _mk(spark, tmp, table_type="COW", name="t"):
+    return ManagedTable.create(
+        spark,
+        os.path.join(str(tmp), name),
+        SCHEMA,
+        key_cols=["k"],
+        order_column="seq",
+        table_type=table_type,
+    )
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, v=v, seq=s) for k, v, s in rows], SCHEMA
+    )
+
+
+def _state(t):
+    return {r.k: r.v for r in t.read().collect()}
+
+
+def test_cow_delete_keys_removes_null_key(spark, tmp_path):
+    t = _mk(spark, tmp_path, "COW")
+    t.append(_rows(spark, [(None, 1, 1), ("a", 2, 1)]))
+    t.delete_keys(spark.createDataFrame([Row(k=None)], "k string"))
+    assert _state(t) == {"a": 2}
+
+
+def test_cow_merge_replaces_null_keyed_row(spark, tmp_path):
+    t = _mk(spark, tmp_path, "COW")
+    t.append(_rows(spark, [(None, 1, 1), ("a", 2, 1)]))
+    t.merge(_rows(spark, [(None, 99, 2)]))
+    assert _state(t) == {None: 99, "a": 2}  # replaced, not duplicated
+    assert t.read().count() == 2
+
+
+def test_mor_latest_wins_merge_null_key(spark, tmp_path):
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "lw"), SCHEMA,
+        key_cols=["k"], order_column="seq", table_type="MOR",
+        merge_policy="latest_wins",
+    )
+    t.append(_rows(spark, [(None, 1, 5)]))
+    t.merge(_rows(spark, [(None, 99, 2)]))  # STALE: must lose
+    assert _state(t) == {None: 1}
+
+
+def test_read_unresolved_tombstone_masks_null_key(spark, tmp_path):
+    t = _mk(spark, tmp_path, "MOR")
+    t.append(_rows(spark, [(None, 1, 1), ("a", 2, 1)]))
+    t.delete_keys(spark.createDataFrame([Row(k=None)], "k string"))
+    masked = t.read_unresolved(apply_tombstones=True)
+    assert sorted(r.k for r in masked.collect() if r.k is not None) == ["a"]
+    assert all(r.k is not None for r in masked.collect())
+
+
+def test_cdf_classifies_null_key_update_not_delete_insert(spark, tmp_path):
+    t = _mk(spark, tmp_path, "MOR")
+    t.append(_rows(spark, [(None, 1, 1), ("a", 2, 1)]))
+    v1 = t._current_version()
+    t.merge(_rows(spark, [(None, 50, 2)]))
+    changes = {
+        (r.k, r._change_type): r.v
+        for r in t.read_changes_cdf(v1).collect()
+    }
+    assert changes == {
+        (None, "update_preimage"): 1,
+        (None, "update_postimage"): 50,
+    }
+
+
+def test_cdf_identical_null_key_upsert_emits_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path, "MOR")
+    t.append(_rows(spark, [(None, 1, 1)]))
+    v1 = t._current_version()
+    t.merge(_rows(spark, [(None, 1, 1)]))  # byte-identical re-upsert
+    assert t.read_changes_cdf(v1).count() == 0
+
+
+def test_cdf_null_key_delete_survives_entry_pruning(spark, tmp_path):
+    """The failure the review reproduced on paper: the base entry's
+    key stats exclude nulls, and the window's non-null affected keys
+    sit outside the entry's bounds — pruning would drop the null
+    row's pre-image and the delete would vanish from the feed."""
+    t = ManagedTable.create(
+        spark, os.path.join(str(tmp_path), "p"), T.StructType(
+            [
+                T.StructField("k", T.IntegerType(), True),
+                T.StructField("v", T.IntegerType(), True),
+                T.StructField("seq", T.IntegerType(), True),
+            ]
+        ),
+        key_cols=["k"], order_column="seq", table_type="MOR",
+    )
+    rows = [Row(k=i, v=i, seq=1) for i in range(1, 11)] + [
+        Row(k=None, v=7, seq=1)
+    ]
+    t.append(spark.createDataFrame(rows, t.meta.schema))
+    v1 = t._current_version()
+    # window touches k=300 (outside the entry's [1,10] stats) AND the
+    # null key — the null disables pruning, so the pre-image is read
+    t.merge(spark.createDataFrame([Row(k=300, v=1, seq=2)], t.meta.schema))
+    t.delete_keys(spark.createDataFrame([Row(k=None)], "k int"))
+    changes = {
+        (r.k, r._change_type) for r in t.read_changes_cdf(v1).collect()
+    }
+    assert (None, "delete") in changes
+    assert (300, "insert") in changes
+    # and the rollup-weight view nets correctly: exactly one -1 for
+    # the null key, one +1 for 300
+    assert (None, "insert") not in changes
