@@ -2491,6 +2491,44 @@ class ManagedTable:
             "n_tombstones int, tag string, committed_at string",
         )
 
+    def version_as_of(self, ts) -> int:
+        """Newest retained snapshot committed at or before ``ts`` —
+        Iceberg's ``TIMESTAMP AS OF`` resolution.  ``ts`` is a
+        ``datetime`` (naive = local time, like ``FOR TIMESTAMP AS
+        OF`` literals), an epoch-seconds number, or an ISO-8601
+        string.  Commit times come from the manifest files' mtimes
+        (the same clock ``snapshots()`` reports).  Raises when every
+        retained snapshot is newer — the asked-for state is expired
+        or predates the table, and silently returning the oldest
+        retained version would misrepresent history."""
+        import datetime as _dt  # noqa: PLC0415
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        ts = float(ts)
+        best = None
+        for v in self.history():
+            p = os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json")
+            try:
+                if os.path.getmtime(p) <= ts:
+                    best = v  # history() is ascending: keep the newest
+            except OSError:
+                continue
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before the requested "
+                f"timestamp at {self.path} — the state is expired or "
+                "predates the table (pin a ref to shield retention)"
+            )
+        return best
+
+    def read_as_of(self, ts) -> DataFrame:
+        """``SELECT ... FOR TIMESTAMP AS OF ts`` — time travel by
+        wall-clock instead of version number."""
+        return self.read_version(self.version_as_of(ts))
+
     def files(self) -> DataFrame:
         """Iceberg-style ``files`` metadata relation for the CURRENT
         snapshot: one row per live data file — (entry_root, entry_kind,

@@ -132,3 +132,37 @@ def test_cdf_null_key_delete_survives_entry_pruning(spark, tmp_path):
     # and the rollup-weight view nets correctly: exactly one -1 for
     # the null key, one +1 for 300
     assert (None, "insert") not in changes
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """Timestamp time travel resolves to the newest snapshot at or
+    before the asked-for instant (manifest mtime clock, same as
+    snapshots())."""
+    import os as _os
+    import time as _time
+
+    t = _mk(spark, tmp_path, "COW", name="asof")
+    t.append(_rows(spark, [("a", 1, 1)]))
+    v1 = t._current_version()
+    p1 = _os.path.join(t.path, "_snapshots", f"v{v1:08d}.json")
+    t.append(_rows(spark, [("b", 2, 1)]))
+    v2 = t._current_version()
+    p2 = _os.path.join(t.path, "_snapshots", f"v{v2:08d}.json")
+    # pin distinct commit times without sleeping through real seconds
+    base = _time.time() - 100
+    _os.utime(p1, (base, base))
+    _os.utime(p2, (base + 10, base + 10))
+    assert t.version_as_of(base + 5) == v1
+    assert t.version_as_of(base + 10) == v2
+    assert t.version_as_of(base + 999) == v2
+    assert {r.k for r in t.read_as_of(base + 5).collect()} == {"a"}
+    assert {r.k for r in t.read_as_of(base + 999).collect()} == {"a", "b"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expired or predates"):
+        t.version_as_of(base - 50)
+    # ISO-string form resolves too
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(base + 5).isoformat()
+    assert t.version_as_of(iso) == v1
