@@ -2508,8 +2508,16 @@ class ManagedTable:
         if isinstance(ts, _dt.datetime):
             ts = ts.timestamp()
         ts = float(ts)
+        # cap at the PUBLISHED pointer: history() globs every
+        # v*.json, including a crashed writer's orphan manifest above
+        # CURRENT (the documented commit crash window) — a
+        # data-serving API must never resolve to an aborted snapshot
+        # (read() at the same instant serves CURRENT)
+        cur = self._current_version()
         best = None
         for v in self.history():
+            if v > cur:
+                continue
             p = os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json")
             try:
                 if os.path.getmtime(p) <= ts:
@@ -2527,7 +2535,18 @@ class ManagedTable:
     def read_as_of(self, ts) -> DataFrame:
         """``SELECT ... FOR TIMESTAMP AS OF ts`` — time travel by
         wall-clock instead of version number."""
-        return self.read_version(self.version_as_of(ts))
+        try:
+            return self.read_version(self.version_as_of(ts))
+        except FileNotFoundError:
+            # TOCTOU against a concurrent expire_snapshots: the
+            # resolved manifest vanished between the mtime scan and
+            # the read — surface the documented error, not a raw
+            # missing-file crash
+            raise ValueError(
+                "snapshot expired while resolving the requested "
+                f"timestamp at {self.path} — retry, or pin a ref to "
+                "shield retention"
+            ) from None
 
     def files(self) -> DataFrame:
         """Iceberg-style ``files`` metadata relation for the CURRENT

@@ -166,3 +166,24 @@ def test_read_as_of_timestamp(spark, tmp_path):
 
     iso = _dt.datetime.fromtimestamp(base + 5).isoformat()
     assert t.version_as_of(iso) == v1
+
+
+def test_version_as_of_ignores_orphan_manifests(spark, tmp_path):
+    """A crashed writer's manifest above the PUBLISHED pointer (the
+    documented commit crash window) must be invisible to timestamp
+    resolution — read() at the same instant serves CURRENT."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    t = _mk(spark, tmp_path, "COW", name="orph")
+    t.append(_rows(spark, [("a", 1, 1)]))
+    cur = t._current_version()
+    # fabricate an orphan: a manifest one past CURRENT, never published
+    orphan = _os.path.join(t.path, "_snapshots", f"v{cur + 1:08d}.json")
+    with open(orphan, "w", encoding="utf-8") as fh:
+        _json.dump({"entries": [], "kind": "data"}, fh)
+    now = _time.time() + 1
+    assert t.version_as_of(now) == cur
+    assert {r.k for r in t.read_as_of(now).collect()} == {"a"}
+    _os.remove(orphan)
