@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..table import ManagedTable
+from ..table import ManagedTable, join_nullsafe
 from .rollup import change_segments
 
 _LEFT_KEY = "join-mv.left-version"
@@ -242,8 +242,14 @@ def refresh_join_mv(
     # the merge would be wrong: it was computed above, against the
     # pre-merge state, which is exactly the set that can vanish.)
     vanished = (
-        mv_touched.select(*keys)
-        .join(slice_df.select(*keys), keys, "left_anti")
+        # null-safe anti on the composite MV key: join KEYS are
+        # non-null by inner-join semantics, but a source's PRIMARY key
+        # may carry a null the table layer now supports — a stale pair
+        # keyed by it must still vanish
+        join_nullsafe(
+            mv_touched.select(*keys), slice_df.select(*keys), keys,
+            "left_anti",
+        )
         # evaluated twice (emptiness probe + the delete) and its
         # subtree re-reads the pre-merge MV state — pin it once;
         # bounded by the touched keys
