@@ -244,6 +244,29 @@ def _parse_cadence(v: Any, what: str) -> int:
     return n
 
 
+def _parse_hist_columns(
+    d: Any,
+) -> dict[str, tuple[float, float, int]]:
+    """Parse + validate ``hist_columns: {col: [lo, hi, n_bins]}`` at
+    config time (the same checks operators/rollup applies — a bad spec
+    should refuse the job at startup, not crash mid-batch)."""
+    out: dict[str, tuple[float, float, int]] = {}
+    for c, spec in (d or {}).items():
+        if not (isinstance(spec, (list, tuple)) and len(spec) == 3):
+            raise ValueError(
+                f"output_config.rollups hist_columns[{c!r}] must be "
+                f"[lo, hi, n_bins], got {spec!r}"
+            )
+        lo, hi, nb = float(spec[0]), float(spec[1]), int(spec[2])
+        if not (hi > lo) or nb < 1:
+            raise ValueError(
+                f"output_config.rollups hist_columns[{c!r}] needs "
+                f"hi > lo and n_bins >= 1, got ({lo}, {hi}, {nb})"
+            )
+        out[str(c)] = (lo, hi, nb)
+    return out
+
+
 @dataclass
 class RollupConfig:
     """One declaratively-maintained aggregate table
@@ -269,6 +292,12 @@ class RollupConfig:
     # second moments (Σx²): enables AVG/VARIANCE/STDDEV routing via
     # operators/rollup.rollup_stats — purely additive, no rescans
     sumsq_columns: list[str] = field(default_factory=list)
+    # fixed-bin histograms ({col: [lo, hi, n_bins]}): additive per-bin
+    # counts — retraction-exact, zero rescans — routing approximate
+    # quantiles via operators/rollup.rollup_quantiles
+    hist_columns: dict[str, tuple[float, float, int]] = field(
+        default_factory=dict
+    )
     # compact the rollup (and its distinct companions) every N data
     # commits (0 = never): per-batch MOR merges otherwise accumulate
     # delta files whose read-time resolution cost grows with every
@@ -294,6 +323,7 @@ class RollupConfig:
                 str(c) for c in (d.get("distinct_columns") or [])
             ],
             sumsq_columns=[str(c) for c in (d.get("sumsq_columns") or [])],
+            hist_columns=_parse_hist_columns(d.get("hist_columns")),
             maintenance_every=_parse_cadence(
                 d.get("maintenance_every"), "rollups"
             ),

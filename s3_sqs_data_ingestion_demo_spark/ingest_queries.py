@@ -737,6 +737,162 @@ def incremental_rollup_var_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "incremental_rollup_hist_orders",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000 AS vb
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000) + 500 AS vb
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0),
+    binned AS (
+      SELECT o_orderstatus,
+             CASE WHEN CAST(vb AS DOUBLE) < 0.0 THEN 0
+                  WHEN CAST(vb AS DOUBLE) >= 100000.0 THEN 21
+                  ELSE LEAST(20, 1 + CAST(FLOOR(
+                    (CAST(vb AS DOUBLE) - 0.0) / 5000.0) AS INTEGER))
+             END AS bin_idx
+      FROM final
+    ),
+    counts AS (
+      SELECT o_orderstatus, bin_idx, COUNT(*) AS n
+      FROM binned GROUP BY o_orderstatus, bin_idx
+    ),
+    cum AS (
+      SELECT o_orderstatus, bin_idx, n,
+             SUM(n) OVER (PARTITION BY o_orderstatus ORDER BY bin_idx)
+               AS c,
+             SUM(n) OVER (PARTITION BY o_orderstatus) AS total
+      FROM counts
+    ),
+    quant AS (
+      SELECT o_orderstatus,
+        ROUND(ARG_MIN(
+          CASE WHEN bin_idx = 0 THEN 0.0
+               WHEN bin_idx = 21 THEN 100000.0
+               ELSE 0.0 + CAST(bin_idx - 1 AS DOUBLE) * 5000.0
+                    + 5000.0 * (0.5 * CAST(total AS DOUBLE)
+                                - CAST(c - n AS DOUBLE))
+                      / CAST(n AS DOUBLE) END,
+          bin_idx)
+          FILTER (WHERE CAST(c AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+                        AND n > 0), 6) AS p50_vb,
+        ROUND(ARG_MIN(
+          CASE WHEN bin_idx = 0 THEN 0.0
+               WHEN bin_idx = 21 THEN 100000.0
+               ELSE 0.0 + CAST(bin_idx - 1 AS DOUBLE) * 5000.0
+                    + 5000.0 * (0.9 * CAST(total AS DOUBLE)
+                                - CAST(c - n AS DOUBLE))
+                      / CAST(n AS DOUBLE) END,
+          bin_idx)
+          FILTER (WHERE CAST(c AS DOUBLE) >= 0.9 * CAST(total AS DOUBLE)
+                        AND n > 0), 6) AS p90_vb
+      FROM cum GROUP BY o_orderstatus
+    ),
+    grps AS (SELECT DISTINCT o_orderstatus FROM final),
+    bins AS (SELECT UNNEST(GENERATE_SERIES(0, 21)) AS bin_idx)
+    SELECT g.o_orderstatus,
+           CAST(b.bin_idx AS INTEGER) AS bin_idx,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS bin_count,
+           q.p50_vb, q.p90_vb
+    FROM grps g
+    CROSS JOIN bins b
+    LEFT JOIN counts c
+      ON c.o_orderstatus = g.o_orderstatus AND c.bin_idx = b.bin_idx
+    JOIN quant q ON q.o_orderstatus = g.o_orderstatus
+    """,
+    rank=20,
+)
+def incremental_rollup_hist_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram IVM (operators/rollup.py hist_cols +
+    rollup_quantiles): a 20-bin fixed-width histogram (plus
+    underflow/overflow) maintained per status group through the same
+    upsert + delete stream as the other rollup entries.  Histograms
+    are PURELY ADDITIVE — updates move bin counts between groups via
+    CDF retractions, deletes subtract them, and no rescan ever fires —
+    and they route approximate quantiles (P50/P90 via binned linear
+    interpolation) without touching the base table.  The merge bumps
+    values by +500, pushing the top slice past the declared hi bound
+    into the OVERFLOW bin, so the clamp semantics are value-checked
+    too.  The oracle recomputes the bins from the final state with the
+    identical IEEE bin expression and mirrors the interpolation
+    operation-for-operation (integer-valued doubles throughout, so the
+    rounded estimates compare bit-stable).  Scale shape: identical to
+    the additive rollup — one windowed aggregate with n_bins+2
+    map-side-combined sums, one keyed merge; quantile answers read a
+    group-cardinality-sized table."""
+    from .operators.rollup import (  # noqa: PLC0415
+        create_rollup,
+        refresh_rollup,
+        rollup_quantiles,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_rollup_hist_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 100000)
+        .alias("price_cents"),
+    )
+    spec = (0.0, 100000.0, 20)
+    kw = {"hist_cols": {"price_cents": spec}}
+    dst = create_rollup(src, os.path.join(base, "rollup"),
+                        ["o_orderstatus"], [], **kw)
+    src.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
+    src.merge(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
+    src.delete_keys(
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    refresh_rollup(src, dst, ["o_orderstatus"], [], **kw)
+    r = dst.read()
+    q = rollup_quantiles(
+        r, "price_cents", spec, [0.5, 0.9], ["o_orderstatus"]
+    ).select(
+        "o_orderstatus",
+        F.round(F.col("p50_price_cents"), 6).alias("p50_vb"),
+        F.round(F.col("p90_price_cents"), 6).alias("p90_vb"),
+    )
+    bins = r.select(
+        "o_orderstatus",
+        F.posexplode("hist_price_cents").alias("bin_idx", "bin_count"),
+    )
+    return bins.join(q, "o_orderstatus").select(
+        "o_orderstatus",
+        F.col("bin_idx").cast("int").alias("bin_idx"),
+        F.col("bin_count").cast("long").alias("bin_count"),
+        "p50_vb",
+        "p90_vb",
+    )
+
+
+@query(
     "rollup_rollback_absorption_orders",
     """
     SELECT o_orderstatus,

@@ -87,6 +87,7 @@ def ensure_target(spark: SparkSession, config: JobConfig) -> ManagedTable:
                     max_cols=r.max_columns,
                     distinct_cols=r.distinct_columns,
                     sumsq_cols=r.sumsq_columns,
+                    hist_cols=r.hist_columns,
                 )
     return table
 
@@ -312,6 +313,7 @@ def _maintain_rollups(
             max_cols=r.max_columns,
             distinct_cols=r.distinct_columns,
             sumsq_cols=r.sumsq_columns,
+            hist_cols=r.hist_columns,
         )
         # fold accumulated MOR deltas at cadence: without it every
         # refresh's keyed merge adds delta files whose read-time

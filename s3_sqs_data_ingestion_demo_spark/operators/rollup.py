@@ -6,10 +6,13 @@ consuming the source's CHANGE FEED (``read_changes`` file-level fast
 path) instead of re-aggregating the world — refresh cost is
 O(new data), not O(table).
 
-Supported aggregates: count + sums (the additive family), MIN/MAX
-(the non-additive extremes, maintained by bounded affected-group
-rescan — see ``refresh_rollup``), and exact COUNT(DISTINCT) (two-level
-maintenance through a companion per-value counts table — the classic
+Supported aggregates: count + sums + second moments + fixed-bin
+histograms (the additive family — retraction-exact with zero
+rescans; histograms route approximate quantiles, see
+``rollup_quantiles``), MIN/MAX (the non-additive extremes, maintained
+by bounded affected-group rescan — see ``refresh_rollup``), and exact
+COUNT(DISTINCT) (two-level maintenance through a companion per-value
+counts table — the classic
 IVM decomposition: distinct-count is not retractable directly, but the
 per-(group, value) row count IS additive, and the distinct count is
 just the companion's surviving-row count per group).  Append-only change windows fold the
@@ -103,6 +106,7 @@ def rollup_schema(
     extreme_fields: list[T.StructField] | None = None,
     distinct_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
 ) -> T.StructType:
     fields = list(group_fields) + [T.StructField("n_rows", T.LongType(), True)]
     fields += [T.StructField(f"sum_{c}", T.DoubleType(), True) for c in sum_cols]
@@ -115,7 +119,78 @@ def rollup_schema(
         T.StructField(f"n_distinct_{c}", T.LongType(), True)
         for c in (distinct_cols or [])
     ]
+    fields += [
+        T.StructField(f"hist_{c}", T.ArrayType(T.LongType(), True), True)
+        for c in (hist_cols or {})
+    ]
     return T.StructType(fields)
+
+
+def _validate_hist_spec(
+    hist_cols: dict[str, tuple[float, float, int]] | None,
+) -> dict[str, tuple[float, float, int]]:
+    out: dict[str, tuple[float, float, int]] = {}
+    for c, spec in (hist_cols or {}).items():
+        if len(spec) != 3:
+            raise ValueError(
+                f"hist spec for {c!r} must be (lo, hi, n_bins), got {spec!r}"
+            )
+        lo, hi, nb = float(spec[0]), float(spec[1]), int(spec[2])
+        if not (hi > lo) or nb < 1:
+            raise ValueError(
+                f"hist spec for {c!r} needs hi > lo and n_bins >= 1, "
+                f"got ({lo}, {hi}, {nb})"
+            )
+        out[c] = (lo, hi, nb)
+    return out
+
+
+def hist_bin_expr(col: str, lo: float, hi: float, n_bins: int) -> F.Column:
+    """Bin index for ``col`` under a fixed-width binning: 0 =
+    underflow (x < lo), 1..n_bins = the equal-width bins over
+    [lo, hi), n_bins+1 = overflow (x >= hi); NULL stays NULL (nulls
+    don't count, matching SQL aggregates).  The ``least`` clamp guards
+    the one float edge case where ``floor((x-lo)/w)`` rounds up to
+    ``n_bins`` for x just under ``hi``.  The arithmetic is plain IEEE
+    double ops, so an oracle mirroring the same expression
+    (``LEAST(n, 1 + CAST(FLOOR((x - lo)/w) AS INT))``) bins
+    identically."""
+    w = (hi - lo) / n_bins
+    x = F.col(col).cast("double")
+    return (
+        F.when(x.isNull(), F.lit(None).cast("int"))
+        .when(x < F.lit(lo), F.lit(0))
+        .when(x >= F.lit(hi), F.lit(n_bins + 1))
+        .otherwise(
+            F.least(
+                F.lit(n_bins),
+                (F.floor((x - F.lit(lo)) / F.lit(w)) + F.lit(1)).cast("int"),
+            )
+        )
+    )
+
+
+def _hist_delta_array(
+    c: str, spec: tuple[float, float, int], weight: F.Column
+) -> F.Column:
+    """Per-group histogram delta as ONE array aggregate: element i sums
+    the (signed) weights of rows landing in bin i.  n_bins+2 scalar sum
+    aggregates — all JVM-side, map-side combined like any other sum."""
+    lo, hi, nb = spec
+    b = hist_bin_expr(c, lo, hi, nb)
+    return F.array(
+        *[
+            F.coalesce(
+                F.sum(F.when(b == F.lit(i), weight).otherwise(F.lit(0))),
+                F.lit(0),
+            ).cast("long")
+            for i in range(nb + 2)
+        ]
+    )
+
+
+def _hist_zeros(nb: int) -> F.Column:
+    return F.array(*[F.lit(0).cast("long") for _ in range(nb + 2)])
 
 
 def companion_path(rollup_path: str, col: str) -> str:
@@ -152,9 +227,23 @@ def create_rollup(
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
 ) -> ManagedTable:
     """DDL for the summary table: keyed by the group columns, MOR so
     refreshes are O(delta) appends.
+
+    ``hist_cols`` maintains a fixed-bin HISTOGRAM per group
+    (``{col: (lo, hi, n_bins)}``): an ``array<long>`` of n_bins+2
+    counts (underflow + bins + overflow) that is PURELY ADDITIVE —
+    retractions subtract bin counts exactly like sums, so
+    updates/deletes never trigger a rescan — and mergeable across
+    groups, so it re-aggregates at any coarser granularity
+    (``reaggregate_rollup``) and answers approximate quantiles
+    (``rollup_quantiles``) without touching the base table.  The
+    fixed-bin trade is stated honestly: resolution is the declared bin
+    width (pick bounds from domain knowledge or a one-time profile);
+    out-of-range values land in the underflow/overflow counts rather
+    than being lost.
 
     ``sumsq_cols`` maintains the SECOND MOMENT (Σx²) next to Σx — the
     purely-additive decomposition behind AVG/VARIANCE/STDDEV routing
@@ -181,7 +270,11 @@ def create_rollup(
         missing = set(group_cols) - {f.name for f in group_fields}
         raise ValueError(f"group columns missing from source schema: {missing}")
     distinct_cols = list(distinct_cols or [])
+    hist_cols = _validate_hist_spec(hist_cols)
     src_fields = {f.name: f for f in src.meta.schema.fields}
+    for c in hist_cols:
+        if c not in src_fields:
+            raise ValueError(f"hist column {c!r} missing from source schema")
     for c in sumsq_cols or []:
         if c not in src_fields:
             raise ValueError(f"sumsq column {c!r} missing from source schema")
@@ -202,6 +295,7 @@ def create_rollup(
             _extreme_fields(src, list(min_cols or []), list(max_cols or [])),
             distinct_cols,
             sumsq_cols,
+            hist_cols,
         ),
         key_cols=list(group_cols),
         table_type="MOR",
@@ -279,6 +373,7 @@ def reaggregate_rollup(
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
 ) -> DataFrame:
     """Answer a COARSER-granularity aggregate query from the rollup
     instead of the base table — the MV-routing move behind continuous
@@ -310,6 +405,16 @@ def reaggregate_rollup(
     ]
     aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in (min_cols or [])]
     aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in (max_cols or [])]
+    aggs += [
+        # histograms re-add element-wise (each bin count is additive)
+        F.array(
+            *[
+                F.sum(F.element_at(f"hist_{c}", i + 1)).cast("long")
+                for i in range(nb + 2)
+            ]
+        ).alias(f"hist_{c}")
+        for c, (_lo, _hi, nb) in _validate_hist_spec(hist_cols).items()
+    ]
     out = dst.read().groupBy(*subset).agg(*aggs)
     for c in distinct_cols or []:
         comp = ManagedTable.load(dst.spark, companion_path(dst.path, c))
@@ -361,6 +466,71 @@ def rollup_stats(frame: DataFrame, cols: list[str]) -> DataFrame:
     return out
 
 
+def rollup_quantiles(
+    frame: DataFrame,
+    col: str,
+    spec: tuple[float, float, int],
+    qs: list[float],
+    group_cols: list[str],
+) -> DataFrame:
+    """Approximate quantiles routed through a maintained histogram —
+    computable from ANY frame carrying ``hist_<col>`` (a rollup read or
+    a ``reaggregate_rollup`` result), so percentile queries never touch
+    the base table.  Estimator: the classic binned-quantile
+    interpolation — walk the cumulative counts to the first bin whose
+    cumulative reaches ``q·n``, then linearly interpolate inside it;
+    the underflow/overflow bins clamp to the declared ``lo``/``hi``
+    (their interior distribution is unknown by construction).  Error
+    bound: one bin width.  Deterministic: same counts → same estimate,
+    and every step is plain IEEE arithmetic, so an oracle mirroring
+    the expression agrees bitwise.  Groups whose histogram is empty
+    (all values NULL) yield NULL.  Scale shape: one posexplode over a
+    group-cardinality-sized frame, one window cumsum partitioned by
+    the group key — never the base table."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    lo, hi, nb = _validate_hist_spec({col: spec})[col]
+    w = (hi - lo) / nb
+    if not group_cols:
+        raise ValueError("rollup_quantiles needs the rollup's group columns")
+    e = frame.select(
+        *group_cols, F.posexplode(f"hist_{col}").alias("_bin", "_cnt")
+    )
+    win = Window.partitionBy(*group_cols).orderBy("_bin")
+    e = e.withColumn("_cum", F.sum("_cnt").over(win)).withColumn(
+        "_total", F.sum("_cnt").over(Window.partitionBy(*group_cols))
+    )
+    aggs = []
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        target = F.lit(float(q)) * F.col("_total").cast("double")
+        qualifies = (F.col("_cum").cast("double") >= target) & (
+            F.col("_cnt") > 0
+        )
+        est = (
+            F.when(F.col("_bin") == 0, F.lit(lo))
+            .when(F.col("_bin") == nb + 1, F.lit(hi))
+            .otherwise(
+                F.lit(lo)
+                + (F.col("_bin") - F.lit(1)).cast("double") * F.lit(w)
+                + F.lit(w)
+                * (target - (F.col("_cum") - F.col("_cnt")).cast("double"))
+                / F.col("_cnt").cast("double")
+            )
+        )
+        name = f"p{q * 100:g}".replace(".", "_") + f"_{col}"
+        # first qualifying bin = min over (bin, est) structs (struct
+        # ordering is field-order lexicographic, so min picks the
+        # lowest bin and carries its estimate)
+        aggs.append(
+            F.min(F.when(qualifies, F.struct(F.col("_bin"), est.alias("_e"))))
+            .getField("_e")
+            .alias(name)
+        )
+    return e.groupBy(*group_cols).agg(*aggs)
+
+
 def refresh_rollup(
     src: ManagedTable,
     dst: ManagedTable,
@@ -370,6 +540,7 @@ def refresh_rollup(
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
 ) -> int:
     """Fold the source changes since the last refresh into the rollup;
     returns the new rollup version (current version when there was
@@ -449,6 +620,7 @@ def refresh_rollup(
             max_cols,
             distinct_cols,
             sumsq_cols,
+            hist_cols,
         )
         if done:
             return out
@@ -463,6 +635,7 @@ def _refresh_rollup_window(
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
 ) -> tuple[int, bool]:
     """One fold pass: complete a recovered crashed window, or fold a
     fresh one up to the source's current version.  Returns (rollup
@@ -472,6 +645,7 @@ def _refresh_rollup_window(
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
     sumsq_cols = list(sumsq_cols or [])
+    hist_cols = _validate_hist_spec(hist_cols)
     extremes = bool(min_cols or max_cols)
     have = set(dst.meta.schema.fieldNames())
     lacking = [
@@ -481,6 +655,7 @@ def _refresh_rollup_window(
             + [f"max_{c}" for c in max_cols]
             + [f"n_distinct_{c}" for c in distinct_cols]
             + [f"sumsq_{c}" for c in sumsq_cols]
+            + [f"hist_{c}" for c in hist_cols]
         )
         if n not in have
     ]
@@ -611,6 +786,12 @@ def _refresh_rollup_window(
             ).alias(f"_d_sq_{c}")
             for c in sumsq_cols
         ],
+        *[
+            # fixed-bin histograms: signed per-bin counts — additive,
+            # so retractions fold exactly like sums (no rescan)
+            _hist_delta_array(c, spec, F.col("_w")).alias(f"_d_hist_{c}")
+            for c, spec in hist_cols.items()
+        ],
         *extra_aggs,
     )
     if extremes or distinct_cols:
@@ -708,6 +889,18 @@ def _refresh_rollup_window(
                 .alias(f"max_{c}")
                 for c in max_cols
             ],
+            *[
+                # element-wise add; a group new to the rollup folds
+                # against an all-zeros baseline
+                F.zip_with(
+                    F.coalesce(
+                        F.col(f"_r.hist_{c}"), _hist_zeros(spec[2])
+                    ),
+                    F.col(f"_l._d_hist_{c}"),
+                    lambda a, b: a + b,
+                ).alias(f"hist_{c}")
+                for c, spec in hist_cols.items()
+            ],
         )
     )
     if extremes and any_cdf:
@@ -740,6 +933,10 @@ def _refresh_rollup_window(
                 ],
                 *[F.min(c).alias(f"min_{c}") for c in min_cols],
                 *[F.max(c).alias(f"max_{c}") for c in max_cols],
+                *[
+                    _hist_delta_array(c, spec, F.lit(1)).alias(f"hist_{c}")
+                    for c, spec in hist_cols.items()
+                ],
             )
             # fully-emptied groups yield no slice rows — keep their
             # count-0 markers so the tagged-merge + sweep semantics
@@ -763,6 +960,12 @@ def _refresh_rollup_window(
                 ],
                 *[F.col(f"_r.min_{c}").alias(f"min_{c}") for c in min_cols],
                 *[F.col(f"_r.max_{c}").alias(f"max_{c}") for c in max_cols],
+                *[
+                    F.coalesce(
+                        F.col(f"_r.hist_{c}"), _hist_zeros(spec[2])
+                    ).alias(f"hist_{c}")
+                    for c, spec in hist_cols.items()
+                ],
             )
             combined = join_nullsafe(
                 combined, rescan_keys, list(group_cols), "left_anti"

@@ -1603,7 +1603,7 @@ _SPANDEDUP_ORACLE = f"""
     """
 
 
-@query("span_dedup_documents", _SPANDEDUP_ORACLE, driver=True, rank=25)
+@query("span_dedup_documents", _SPANDEDUP_ORACLE, driver=False, rank=25)  # r09: rotated out (green r5-r8; pytest parity + bench)
 def span_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicated-span masking (operators/dedup.py
     span_dedup_stats; Lee et al. 2021 ExactSubstr at token-window
@@ -2259,7 +2259,7 @@ JOIN sizes sb ON sb.grp = src_b
 """
 
 
-@query("source_overlap_documents", _SRC_OVERLAP_ORACLE)  # r06: rotated IN
+@query("source_overlap_documents", _SRC_OVERLAP_ORACLE, driver=False)  # r06: rotated IN; r09: out (green r6-r8)
 def source_overlap_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-dataset overlap matrix: exact pairwise Jaccard +
     containment of per-source distinct shingle sets — the audit run

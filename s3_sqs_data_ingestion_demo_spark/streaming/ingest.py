@@ -91,6 +91,7 @@ def start_streaming_rollup(
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
 ) -> StreamingQuery:
     """Continuous aggregate: file-landing stream → append to the
     source ``ManagedTable`` → fold the appended delta into the rollup
@@ -133,6 +134,7 @@ def start_streaming_rollup(
             max_cols=max_cols,
             distinct_cols=distinct_cols,
             sumsq_cols=sumsq_cols,
+            hist_cols=hist_cols,
         )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")

@@ -246,3 +246,65 @@ def test_rollup_ddl_errors_surface_at_bootstrap_not_mid_batch(
     }])
     with pytest.raises(ValueError, match="missing from source schema"):
         J.ensure_target(spark, cfg)
+
+
+def test_job_rollup_hist_columns(spark, tmp_path):
+    """Declared hist_columns flow through DDL and refresh: additive
+    bin counts track an update (group move) and a CDC delete exactly,
+    and the spec validates at config parse time."""
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    cfg = _cfg(
+        d,
+        rollups=[
+            {
+                "path": f"{d}/roll",
+                "group_columns": ["grp"],
+                "sum_columns": [],
+                "hist_columns": {"v": [0, 100, 10]},
+            }
+        ],
+    )
+    b1, b2 = f"{d}/b1.csv", f"{d}/b2.csv"
+    _write_csv(b1, [(1, "a", 5, 1, "I"), (2, "a", 15, 1, "I"),
+                    (3, "b", 95, 1, "I")])
+    # update: move id=2 into b with an out-of-range value (overflow);
+    # delete id=1
+    _write_csv(b2, [(2, "b", 120, 2, "U"), (1, "a", 5, 2, "D")])
+    J.process_files(spark, cfg, [b1])
+    t = ManagedTable.load(spark, f"{d}/roll")
+    st = {r.grp: list(r.hist_v) for r in t.read().collect()}
+    assert st["a"][1] == 1 and st["a"][2] == 1 and sum(st["a"]) == 2
+    assert st["b"][10] == 1 and sum(st["b"]) == 1
+    J.process_files(spark, cfg, [b2])
+    st = {r.grp: list(r.hist_v) for r in t.read().collect()}
+    # group a emptied (id=2 moved out, id=1 deleted) → swept from the
+    # rollup; b keeps its original row plus the moved-in overflow value
+    assert set(st) == {"b"}
+    assert st["b"][10] == 1 and st["b"][11] == 1 and sum(st["b"]) == 2
+
+
+def test_hist_config_validates_at_parse_time(tmp_path):
+    d = str(tmp_path)
+    with pytest.raises(ValueError, match="hist_columns"):
+        _cfg(
+            d,
+            rollups=[
+                {
+                    "path": f"{d}/roll",
+                    "group_columns": ["grp"],
+                    "hist_columns": {"v": [100, 0, 10]},  # hi < lo
+                }
+            ],
+        )
+    with pytest.raises(ValueError, match="hist_columns"):
+        _cfg(
+            d,
+            rollups=[
+                {
+                    "path": f"{d}/roll",
+                    "group_columns": ["grp"],
+                    "hist_columns": {"v": [0, 100]},  # not a triple
+                }
+            ],
+        )

@@ -45,3 +45,30 @@ def test_streaming_rollup_passes_sumsq(spark, tmp_path):
     q.awaitTermination(120)
     r = dst.read().collect()[0]
     assert (r.n_rows, r.sum_v, r.sumsq_v) == (2, 8.0, 34.0)
+
+
+def test_streaming_rollup_passes_hist(spark, tmp_path):
+    d = str(tmp_path)
+    land = os.path.join(d, "landing")
+    os.makedirs(land)
+    src = ManagedTable.create(
+        spark, os.path.join(d, "src"), SRC_SCHEMA, key_cols=["id"]
+    )
+    hist = {"v": (0.0, 10.0, 5)}
+    dst = create_rollup(
+        src, os.path.join(d, "r"), ["grp"], [], hist_cols=hist
+    )
+    with open(os.path.join(land, "b1.json"), "w") as fh:
+        for r in [
+            {"id": 1, "grp": "a", "v": 3},
+            {"id": 2, "grp": "a", "v": 12},  # overflow bin
+        ]:
+            fh.write(json.dumps(r) + "\n")
+    q = start_streaming_rollup(
+        spark, land, SRC_SCHEMA, src, dst, ["grp"], [],
+        hist_cols=hist,
+        available_now=True, checkpoint_dir=os.path.join(d, "ck"),
+    )
+    q.awaitTermination(120)
+    r = dst.read().collect()[0]
+    assert list(r.hist_v) == [0, 0, 1, 0, 0, 0, 1]
