@@ -381,6 +381,62 @@ class JoinMVConfig:
 
 
 @dataclass
+class TopKMVConfig:
+    """One declaratively-maintained top-k-per-group materialization
+    (``output_config.topk_mvs``): after every ingested batch the named
+    MV is refreshed from the TARGET TABLE'S change feed
+    (operators/topk_mv.py) — insert-only batches fold against the
+    groups' current top-k without touching the base; batches carrying
+    retractions rescan only the touched groups.  ``id_columns``
+    defaults to the job's key_columns (the per-row identity and the
+    ranking tie-break).  Same MOR constraint as rollups."""
+
+    path: str = ""
+    group_columns: list[str] = field(default_factory=list)
+    order_column: str = ""
+    k: int = 0
+    id_columns: list[str] = field(default_factory=list)
+    payload_columns: list[str] = field(default_factory=list)
+    descending: bool = True
+    # compact the MV every N data commits (0 = never) — same
+    # delta-accumulation reasoning as RollupConfig.maintenance_every
+    maintenance_every: int = 0
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "TopKMVConfig":
+        if not d.get("path"):
+            raise ValueError("output_config.topk_mvs entries need a path")
+        groups = [str(c) for c in (d.get("group_columns") or [])]
+        if not groups:
+            raise ValueError(
+                "output_config.topk_mvs entries need group_columns"
+            )
+        if not d.get("order_column"):
+            raise ValueError(
+                "output_config.topk_mvs entries need order_column"
+            )
+        k = int(d.get("k") or 0)
+        if k < 1:
+            raise ValueError(
+                f"output_config.topk_mvs entries need k >= 1, got {k}"
+            )
+        return cls(
+            path=str(d["path"]),
+            group_columns=groups,
+            order_column=str(d["order_column"]),
+            k=k,
+            id_columns=[str(c) for c in (d.get("id_columns") or [])],
+            payload_columns=[
+                str(c) for c in (d.get("payload_columns") or [])
+            ],
+            descending=bool(d.get("descending", True)),
+            maintenance_every=_parse_cadence(
+                d.get("maintenance_every"), "topk_mvs"
+            ),
+        )
+
+
+@dataclass
 class OutputConfig:
     """Sink half of the job spec (reference: spark-job/job.json:28-39)."""
 
@@ -404,6 +460,7 @@ class OutputConfig:
     indexes: list["IndexConfig"] = field(default_factory=list)
     rollups: list["RollupConfig"] = field(default_factory=list)
     join_mvs: list["JoinMVConfig"] = field(default_factory=list)
+    topk_mvs: list["TopKMVConfig"] = field(default_factory=list)
     # CDC delete handling: rows whose op column carries one of these
     # values DELETE their keys instead of upserting (DMS-style feeds).
     # Empty list = reference behavior (deletes upsert like any row).
@@ -451,6 +508,10 @@ class OutputConfig:
             join_mvs=[
                 JoinMVConfig.from_dict(j)
                 for j in (d.get("join_mvs") or [])
+            ],
+            topk_mvs=[
+                TopKMVConfig.from_dict(tk)
+                for tk in (d.get("topk_mvs") or [])
             ],
             cdc_op_column=d.get("cdc_op_column", "Op"),
             cdc_delete_values=[str(v) for v in (d.get("cdc_delete_values") or [])],
@@ -536,7 +597,16 @@ class OutputConfig:
                 "output_config.join_mvs requires key_columns: the MV "
                 "is keyed by both sides' keys (operators/join_mv.py)"
             )
-        if (self.rollups or self.join_mvs) and self.table_type.upper() != "MOR":
+        for tk in self.topk_mvs:
+            if not (tk.id_columns or self.key_columns):
+                raise ValueError(
+                    "output_config.topk_mvs requires id_columns (or "
+                    "job key_columns to default to): the MV key and "
+                    "ranking tie-break (operators/topk_mv.py)"
+                )
+        if (
+            self.rollups or self.join_mvs or self.topk_mvs
+        ) and self.table_type.upper() != "MOR":
             # The rollup feed consumes the table's change feed; a
             # rewriting write (COW merge/MERGE INTO, COW deletes)
             # pushes read_changes_cdf onto its full-table keyed-diff
@@ -550,7 +620,7 @@ class OutputConfig:
                 or self.cdc_delete_values
             ):
                 raise ValueError(
-                    "output_config.rollups/join_mvs with a rewriting "
+                    "output_config.rollups/join_mvs/topk_mvs with a rewriting "
                     "write path (mode='merge', a verbatim MERGE INTO "
                     "merge_query, or cdc_delete_values) requires "
                     "table_type='MOR': on a COW table every batch "

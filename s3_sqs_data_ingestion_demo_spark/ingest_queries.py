@@ -737,6 +737,101 @@ def incremental_rollup_var_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "incremental_topk_orders",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000 AS vb
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000) + 500 AS vb
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0),
+    ranked AS (
+      SELECT o_orderstatus, o_orderkey, vb,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY vb DESC NULLS LAST, o_orderkey ASC) AS rnk
+      FROM final
+    )
+    SELECT o_orderstatus, CAST(rnk AS INTEGER) AS rnk, o_orderkey, vb
+    FROM ranked WHERE rnk <= 5
+    """,
+    rank=20,
+)
+def incremental_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental top-k materialization (operators/topk_mv.py): the
+    5 highest-value orders per status maintained through the same
+    upsert + delete stream as the rollup entries.  The append folds
+    WITHOUT touching the base (new rows compete with each group's
+    current top-5); the merge moves half the keys into a synthetic
+    'X' group — its pre-images force the ORIGINAL groups onto the
+    bounded rescan path while 'X' itself (insert-only) folds — and
+    the delete retracts winners, forcing runner-up recovery.  The
+    oracle re-ranks the final state with the identical strict total
+    order (value desc nulls-last, key asc tie-break), so the
+    maintained set must match row-for-row including ranks.  Scale
+    shape: folds are O(window + k·affected groups); rescans bounded
+    by retraction-touched groups with the capped-isin pushdown —
+    never O(table)."""
+    from .operators.topk_mv import (  # noqa: PLC0415
+        create_topk_mv,
+        read_topk,
+        refresh_topk_mv,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_topk_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 100000)
+        .alias("price_cents"),
+    )
+    kw = dict(
+        group_cols=["o_orderstatus"], order_col="price_cents", k=5,
+        id_cols=["o_orderkey"],
+    )
+    dst = create_topk_mv(src, os.path.join(base, "mv"), **kw)
+    src.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    refresh_topk_mv(src, dst, **kw)
+    src.merge(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+    )
+    refresh_topk_mv(src, dst, **kw)
+    src.delete_keys(
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    refresh_topk_mv(src, dst, **kw)
+    return read_topk(dst, ["o_orderstatus"], "price_cents").select(
+        "o_orderstatus",
+        F.col("rnk").cast("int").alias("rnk"),
+        "o_orderkey",
+        F.col("price_cents").alias("vb"),
+    )
+
+
+@query(
     "incremental_rollup_hist_orders",
     """
     WITH b1 AS (

@@ -184,6 +184,7 @@ def process_files(
             # MERGE
             _maintain_rollups(spark, config, table)
             _maintain_join_mvs(spark, config, table)
+            _maintain_topk_mvs(spark, config, table)
             return _maybe_maintain(table, config) or version
         df = apply_transform_query(spark, df, text)
     if len(out.indexes) >= 2:
@@ -284,6 +285,7 @@ def process_files(
     # batch's refresh on the cheapest same-manifest path
     _maintain_rollups(spark, config, table)
     _maintain_join_mvs(spark, config, table)
+    _maintain_topk_mvs(spark, config, table)
     return _maybe_maintain(table, config) or version
 
 
@@ -377,6 +379,48 @@ def _maintain_join_mvs(
             mv.compact()
             # the MV consumes its SOURCES' feeds and carries no tags —
             # only recent history matters (crash diagnostics)
+            mv.expire_snapshots(keep_last=32)
+
+
+def _maintain_topk_mvs(
+    spark: SparkSession, config: JobConfig, table: ManagedTable
+) -> None:
+    """Refresh every declared top-k materialization
+    (``output_config.topk_mvs``) from the target table's change feed
+    (operators/topk_mv.py) — insert-only batches fold against the
+    groups' current top-k; batches with retractions rescan only the
+    touched groups.  Created lazily on the first batch with
+    consume_from=1 so pre-existing table content bootstraps in."""
+    out = config.output_config
+    if not out.topk_mvs:
+        return
+    from .operators.topk_mv import (  # noqa: PLC0415
+        create_topk_mv,
+        refresh_topk_mv,
+    )
+
+    for tk in out.topk_mvs:
+        ids = tk.id_columns or [
+            c for c in out.key_columns if c not in tk.group_columns
+        ]
+        kw = dict(
+            group_cols=tk.group_columns,
+            order_col=tk.order_column,
+            k=tk.k,
+            id_cols=ids,
+            payload_cols=tk.payload_columns or None,
+            descending=tk.descending,
+        )
+        if ManagedTable.exists(tk.path):
+            mv = ManagedTable.load(spark, tk.path)
+        else:
+            mv = create_topk_mv(table, tk.path, consume_from=1, **kw)
+        refresh_topk_mv(table, mv, **kw)
+        if tk.maintenance_every and (
+            mv.data_commits_since_maintenance() >= tk.maintenance_every
+        ):
+            mv.compact()
+            # keep the tag-replay window's witnesses, like rollups
             mv.expire_snapshots(keep_last=32)
 
 

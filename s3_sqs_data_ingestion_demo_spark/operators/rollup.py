@@ -100,6 +100,52 @@ def change_segments(src: ManagedTable, lo: int, hi: int) -> list[tuple[int, int]
     return segments
 
 
+def window_weighted_changes(
+    src: ManagedTable, segments: list[tuple[int, int]]
+) -> tuple[DataFrame, bool]:
+    """The consumed window's changes as one signed-weight frame
+    (``_w`` = +1 inserts/post-images, -1 deletes/pre-images), unioned
+    across the maintenance-split segments.  Pure-append segments ride
+    the plain change feed (no CDF cost); any segment containing merge
+    deltas, tombstones, or rewrites consumes ``read_changes_cdf``.
+    Returns (frame, any_cdf) — consumers use ``any_cdf`` to decide
+    whether retraction handling is needed at all.  Shared by the
+    rollup fold and the top-k materialization."""
+    any_cdf = False
+
+    def _segment_delta(seg_lo: int, seg_hi: int) -> DataFrame:
+        nonlocal any_cdf
+        old_entries = src._manifest_at(seg_lo)
+        new_entries = src._manifest_at(seg_hi)
+        pure_append = all(e in new_entries for e in old_entries) and not any(
+            e not in old_entries and e.get("kind") in ("delta", "tombstone")
+            for e in new_entries
+        )
+        if pure_append:
+            return src.read_changes(seg_lo, seg_hi).withColumn(
+                "_w", F.lit(1)
+            )
+        any_cdf = True
+        return (
+            src.read_changes_cdf(seg_lo, seg_hi)
+            .withColumn(
+                "_w",
+                F.when(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    ),
+                    1,
+                ).otherwise(-1),
+            )
+            .drop("_change_type")
+        )
+
+    delta = _segment_delta(*segments[0])
+    for seg in segments[1:]:
+        delta = delta.unionByName(_segment_delta(*seg))
+    return delta, any_cdf
+
+
 def rollup_schema(
     group_fields: list[T.StructField],
     sum_cols: list[str],
@@ -718,38 +764,7 @@ def _refresh_rollup_window(
         dst.set_properties(**{_STATE_KEY: cur})
         return dst._current_version(), cur >= actual
 
-    any_cdf = False
-
-    def _segment_delta(seg_lo: int, seg_hi: int) -> DataFrame:
-        nonlocal any_cdf
-        old_entries = src._manifest_at(seg_lo)
-        new_entries = src._manifest_at(seg_hi)
-        pure_append = all(e in new_entries for e in old_entries) and not any(
-            e not in old_entries and e.get("kind") in ("delta", "tombstone")
-            for e in new_entries
-        )
-        if pure_append:
-            return src.read_changes(seg_lo, seg_hi).withColumn(
-                "_w", F.lit(1)
-            )
-        any_cdf = True
-        return (
-            src.read_changes_cdf(seg_lo, seg_hi)
-            .withColumn(
-                "_w",
-                F.when(
-                    F.col("_change_type").isin(
-                        "insert", "update_postimage"
-                    ),
-                    1,
-                ).otherwise(-1),
-            )
-            .drop("_change_type")
-        )
-
-    delta = _segment_delta(*segments[0])
-    for seg in segments[1:]:
-        delta = delta.unionByName(_segment_delta(*seg))
+    delta, any_cdf = window_weighted_changes(src, segments)
     if distinct_cols:
         # the window frame is re-read once per companion fold plus the
         # main aggregate — pin it (window-bounded by contract)

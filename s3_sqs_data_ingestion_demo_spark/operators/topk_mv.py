@@ -1,0 +1,366 @@
+"""Incrementally-maintained top-k-per-group materializations.
+
+The "best N rows per group" summary every curation pipeline keeps
+(highest-quality documents per domain, largest orders per status,
+most-recent events per user) — maintained from the source's CHANGE
+FEED instead of re-ranking the world.  This generalizes the rollup's
+MIN/MAX machinery (operators/rollup.py) from k=1 extremes to k full
+rows:
+
+* INSERT-ONLY windows fold without touching the base table: the new
+  rows compete with the group's CURRENT top-k (at most k rows per
+  group, already materialized), a window rank keeps the best k, and
+  rows pushed out are deleted — O(window + k·affected groups).
+* Windows containing RETRACTIONS (merge deltas, tombstoned deletes,
+  rewrites) cannot fold — removing the 3rd-best row says nothing
+  about the new 3rd-best — so every retraction-touched group is
+  RESCANNED from the source pinned at the window's high version,
+  exactly like the MIN/MAX rescan: output bounded by the affected
+  groups, never O(table).
+
+Ranking is a STRICT TOTAL ORDER — ``order_col`` (desc or asc, nulls
+last) with the id columns as the tie-break — so the maintained set is
+deterministic and a full re-rank of the final state reproduces it
+bit-exactly (the invariant the tests pin).
+
+Crash safety mirrors the rollup: the upsert of the window's winners
+commits under a window-derived tag (``topk-<lo>-<hi>``) BEFORE the
+push-out/vanished-row delete and the cursor write; a retry RECOVERS a
+crashed attempt's window via the bounded tag-prefix probe, recomputes
+the same winners deterministically (change feed + pinned base read),
+skips the already-committed merge, and finishes the idempotent delete
+sweep.  The fold path stays deterministic across a replay because the
+crashed merge only ever ADDS winners that were already in the
+candidate set — re-ranking the post-crash state picks the same k.
+
+Contract shared with the rollup: plain ``append()`` commits must
+carry NEW keys only (use ``merge`` for upserts — its delta entries
+route the window onto the CDF retraction path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..table import ManagedTable, join_nullsafe
+from .rollup import (
+    _rescan_base,
+    change_segments,
+    window_weighted_changes,
+)
+
+_STATE_KEY = "topk.src-version"
+
+
+def _mv_fields(
+    src: ManagedTable, cols: list[str], what: str
+) -> list[T.StructField]:
+    by_name = {f.name: f for f in src.meta.schema.fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"{what} columns missing from source schema: {missing}")
+    return [
+        T.StructField(by_name[c].name, by_name[c].dataType, True) for c in cols
+    ]
+
+
+def create_topk_mv(
+    src: ManagedTable,
+    path: str,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    id_cols: list[str],
+    payload_cols: list[str] | None = None,
+    descending: bool = True,
+    consume_from: int | None = None,
+) -> ManagedTable:
+    """DDL for the top-k table: one row per retained source row,
+    keyed by (group, id) so refreshes are O(delta) keyed merges.
+    ``id_cols`` must be a per-row unique identifier within each group
+    (typically the source's key columns) — it is both the MV key and
+    the ranking tie-break, which is what makes the maintained set
+    deterministic.  ``consume_from=1`` bootstraps from the source's
+    existing content on the first refresh."""
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not id_cols:
+        raise ValueError("top-k MVs need id_cols (the per-row identity)")
+    overlap = set(group_cols) & set(id_cols)
+    if overlap:
+        raise ValueError(
+            f"id columns {sorted(overlap)} duplicate group columns"
+        )
+    payload_cols = [
+        c
+        for c in (payload_cols or [])
+        if c not in set(group_cols) | set(id_cols) | {order_col}
+    ]
+    fields = (
+        _mv_fields(src, list(group_cols), "group")
+        + _mv_fields(src, list(id_cols), "id")
+        + _mv_fields(src, [order_col], "order")
+        + _mv_fields(src, payload_cols, "payload")
+    )
+    dst = ManagedTable.create(
+        src.spark,
+        path,
+        T.StructType(fields),
+        key_cols=list(group_cols) + list(id_cols),
+        table_type="MOR",
+        properties={
+            "write.max-delta-files": "4",
+            "topk.k": str(int(k)),
+            "topk.order-column": order_col,
+            "topk.descending": str(bool(descending)).lower(),
+        },
+    )
+    dst.set_properties(
+        **{
+            _STATE_KEY: (
+                src._current_version()
+                if consume_from is None
+                else int(consume_from)
+            )
+        }
+    )
+    return dst
+
+
+def _rank(order_col: str, descending: bool, id_cols: list[str]):
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    order = (
+        F.col(order_col).desc_nulls_last()
+        if descending
+        else F.col(order_col).asc_nulls_last()
+    )
+    return Window.partitionBy("_g").orderBy(
+        order, *[F.col(c).asc_nulls_last() for c in id_cols]
+    )
+
+
+def _topk_of(
+    cands: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    id_cols: list[str],
+    out_cols: list[str],
+    descending: bool,
+) -> DataFrame:
+    """Best k rows per group under the strict total order.  The window
+    partitions on a single composed struct column so null group values
+    form their own partition exactly like SQL GROUP BY."""
+    ranked = cands.withColumn(
+        "_g", F.struct(*[F.col(c) for c in group_cols])
+    ).withColumn(
+        "_rn", F.row_number().over(_rank(order_col, descending, id_cols))
+    )
+    return ranked.filter(F.col("_rn") <= k).select(*out_cols)
+
+
+def refresh_topk_mv(
+    src: ManagedTable,
+    dst: ManagedTable,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    id_cols: list[str],
+    payload_cols: list[str] | None = None,
+    descending: bool = True,
+) -> int:
+    """Fold the source changes since the last refresh into the top-k
+    table; returns the new MV version (current version when there was
+    nothing to consume).  See the module docstring for the fold /
+    rescan split and the crash contract."""
+    out = None
+    while True:
+        out, done = _refresh_topk_window(
+            src, dst, group_cols, order_col, int(k), id_cols,
+            payload_cols, descending,
+        )
+        if done:
+            return out
+
+
+def _refresh_topk_window(
+    src: ManagedTable,
+    dst: ManagedTable,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    id_cols: list[str],
+    payload_cols: list[str] | None,
+    descending: bool,
+) -> tuple[int, bool]:
+    payload_cols = [
+        c
+        for c in (payload_cols or [])
+        if c not in set(group_cols) | set(id_cols) | {order_col}
+    ]
+    out_cols = list(group_cols) + list(id_cols) + [order_col] + payload_cols
+    key_cols = list(group_cols) + list(id_cols)
+
+    last = int(dst.meta.properties.get(_STATE_KEY, 1))
+    actual = src._current_version()
+    cur = actual
+    if cur <= last:
+        return dst._current_version(), True
+
+    # window recovery — same reasoning as the rollup: a crashed
+    # attempt's tag pins its high bound; replay THAT window before
+    # folding anything newer (bounded probe: stops at the previous
+    # fold's tag)
+    recovered = dst.find_commit_tag(f"topk-{last}-", stop_prefix="topk-")
+    if recovered:
+        cur = int(recovered.rsplit("-", 1)[1])
+    window_tag = f"topk-{last}-{cur}"
+
+    segments = change_segments(src, last, cur)
+    if not segments:  # maintenance-only window
+        dst.set_properties(**{_STATE_KEY: cur})
+        return dst._current_version(), cur >= actual
+
+    delta, any_cdf = window_weighted_changes(src, segments)
+    # group-cardinality-bounded; consumed by up to three joins below
+    touched = (
+        delta.groupBy(*group_cols)
+        .agg(
+            F.max(F.when(F.col("_w") == -1, 1).otherwise(0)).alias("_retract")
+        )
+        .localCheckpoint(eager=True)
+    )
+    rescan_keys = touched.filter(F.col("_retract") == 1).select(*group_cols)
+    fold_keys = touched.filter(F.col("_retract") == 0).select(*group_cols)
+
+    mv_affected = join_nullsafe(
+        dst.read(), touched.select(*group_cols), list(group_cols), "left_semi"
+    ).localCheckpoint(eager=True)
+
+    winners = None
+    if not any_cdf or not fold_keys.isEmpty():
+        # fold: inserted rows compete with the groups' current top-k.
+        # A replay after a crashed merge sees the winners already in
+        # the MV — the dedup keeps the candidate set identical, so the
+        # re-rank picks the same k.
+        inserts = join_nullsafe(
+            delta.filter(F.col("_w") == 1).select(*out_cols),
+            fold_keys,
+            list(group_cols),
+            "left_semi",
+        )
+        fold_cands = (
+            join_nullsafe(mv_affected, fold_keys, list(group_cols), "left_semi")
+            .select(*out_cols)
+            .unionByName(inserts)
+            .dropDuplicates(key_cols)
+        )
+        winners = _topk_of(
+            fold_cands, group_cols, order_col, k, id_cols, out_cols,
+            descending,
+        )
+    if any_cdf and not rescan_keys.isEmpty():
+        # rescan: retraction-touched groups re-rank from the source
+        # pinned at the window's high version — race-free vs
+        # concurrent appends, bounded by the affected groups
+        cap = int(dst.meta.properties.get("topk.max-rescan-groups", "4096"))
+        base = _rescan_base(
+            src, cur, list(group_cols), rescan_keys, cap
+        ).select(*out_cols)
+        rescanned = _topk_of(
+            base, group_cols, order_col, k, id_cols, out_cols, descending
+        )
+        winners = (
+            rescanned if winners is None else winners.unionByName(rescanned)
+        )
+
+    version = dst._current_version()
+    if winners is not None:
+        # read twice (merge + the stale sweep's anti side) — pin once
+        winners = winners.localCheckpoint(eager=True)
+        # at most one window per low cursor ever commits, so the
+        # recovery probe doubles as the replay check
+        if recovered is None and not winners.isEmpty():
+            version = dst.merge(winners, tag=window_tag)
+        # stale sweep (idempotent): affected-group MV rows that are
+        # not among the window's winners — pushed out of the top-k by
+        # a fold, or vanished/demoted under a rescan.  mv_affected was
+        # pinned BEFORE the merge, so a row the merge just upserted is
+        # judged by its key, not its pre-merge payload.
+        stale = join_nullsafe(
+            mv_affected.select(*key_cols),
+            winners.select(*key_cols),
+            key_cols,
+            "left_anti",
+        )
+        if not stale.isEmpty():
+            version = dst.delete_keys(stale)
+    dst.set_properties(**{_STATE_KEY: cur})
+    return version, cur >= actual
+
+
+def reaggregate_topk(
+    dst: ManagedTable,
+    subset_cols: list[str],
+    order_col: str,
+    k: int | None = None,
+    descending: bool = True,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k at a COARSER granularity answered from the MV — the
+    routing move: any row in a coarse group's top-k is necessarily in
+    its fine group's top-k (the coarse group is a union of fine
+    groups, and a row beaten by k rows within its own fine group is
+    beaten by k rows in any union containing it), so re-ranking the
+    MV's k·groups rows under the subset key is EXACT for any k' <= k.
+    Never touches the base table."""
+    subset = list(subset_cols)
+    ids = list(id_cols or [c for c in dst.meta.key_cols if c not in subset])
+    missing = set(subset) - set(dst.meta.key_cols)
+    if missing:
+        raise ValueError(
+            f"subset columns {sorted(missing)} are not MV group/key "
+            f"columns {dst.meta.key_cols}"
+        )
+    mv_k = int(dst.meta.properties.get("topk.k", "0"))
+    k = mv_k if k is None else int(k)
+    if mv_k and k > mv_k:
+        raise ValueError(
+            f"cannot answer top-{k} from a top-{mv_k} materialization "
+            "(rows beyond the maintained k were never retained)"
+        )
+    # strict total order at the coarse granularity: ids are unique per
+    # FINE group, so the collapsed-away fine-group columns join the
+    # tie-break (the MV key is unique over ids + all group columns)
+    tie = ids + [
+        c for c in dst.meta.key_cols if c not in subset and c not in ids
+    ]
+    ranked = dst.read().withColumn(
+        "_g", F.struct(*[F.col(c) for c in subset])
+    )
+    out = ranked.withColumn(
+        "rnk", F.row_number().over(_rank(order_col, descending, tie))
+    ).drop("_g")
+    return out.filter(F.col("rnk") <= k)
+
+
+def read_topk(
+    dst: ManagedTable,
+    group_cols: list[str],
+    order_col: str,
+    descending: bool = True,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """The materialized top-k with its rank column — the query surface
+    (``WHERE rnk <= j`` for any j <= k comes free).  Reads only the
+    MV (k·groups rows), never the base table."""
+    ranked = dst.read().withColumn(
+        "_g", F.struct(*[F.col(c) for c in group_cols])
+    )
+    ids = list(id_cols or [c for c in dst.meta.key_cols if c not in group_cols])
+    return ranked.withColumn(
+        "rnk", F.row_number().over(_rank(order_col, descending, ids))
+    ).drop("_g")

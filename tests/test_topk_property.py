@@ -1,27 +1,26 @@
-"""Property test of the rollup IVM law: after ANY sequence of source
-operations (append / upsert / group-moving update / delete / compact /
-rollback) each followed by a refresh, the rollup equals a full
-re-aggregate of the source — every aggregate family at once (count,
-sum, second moment, min/max via rescan, exact COUNT(DISTINCT) via the
-companion, fixed-bin histogram), null groups included.
+"""Property test of the top-k IVM law: after ANY sequence of source
+operations (append / upsert with group moves / delete / compact /
+rollback) each followed by a refresh, the maintained top-k equals a
+full re-rank of the source's final state — plus the coarse-routing
+law: ``reaggregate_topk`` over a subset of the group columns equals
+the top-k computed directly at that granularity (exact for k' <= k by
+the subset argument in operators/topk_mv.py).
 
 Hypothesis drives the op sequence (derandomized + bounded examples so
-the Spark suite stays deterministic and fast); values are small
-integers so double arithmetic is exact and the comparison is
-bit-for-bit."""
+the suite stays deterministic and fast)."""
 
 import os
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from pyspark.sql import Row
+from pyspark.sql import Row, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from s3_sqs_data_ingestion_demo_spark.operators.rollup import (
-    create_rollup,
-    hist_bin_expr,
-    refresh_rollup,
+from s3_sqs_data_ingestion_demo_spark.operators.topk_mv import (
+    create_topk_mv,
+    reaggregate_topk,
+    refresh_topk_mv,
 )
 from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
 
@@ -29,98 +28,64 @@ SCHEMA = T.StructType(
     [
         T.StructField("id", T.IntegerType(), False),
         T.StructField("grp", T.StringType(), True),  # nullable group
+        T.StructField("sub", T.IntegerType(), True),
         T.StructField("v", T.IntegerType(), True),
-        T.StructField("d", T.StringType(), True),  # distinct-count col
         T.StructField("seq", T.IntegerType(), True),
     ]
 )
 
 GROUPS = ["a", "b", None]
-DVALS = ["x", "y", "z"]
-HIST = (0.0, 50.0, 5)
-KW = {
-    "min_cols": ["v"],
-    "max_cols": ["v"],
-    "distinct_cols": ["d"],
-    "sumsq_cols": ["v"],
-    "hist_cols": {"v": HIST},
-}
+K = 3
+KW = dict(
+    group_cols=["grp", "sub"], order_col="v", k=K, id_cols=["id"],
+)
 
-# one op = (kind, rng-ish ints the strategy supplies)
 _OP = st.tuples(
     st.sampled_from(["append", "upsert", "delete", "compact", "rollback"]),
     st.integers(min_value=0, max_value=10**6),
 )
 
 
-def _expected(src):
-    rows = (
-        src.read()
-        .groupBy("grp")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("v").alias("s"),
-            F.sum(F.col("v").cast("double") * F.col("v")).alias("sq"),
-            F.min("v").alias("mn"),
-            F.max("v").alias("mx"),
-            F.countDistinct("d").alias("nd"),
-            *[
-                F.sum(
-                    F.when(
-                        hist_bin_expr("v", *HIST) == i, 1
-                    ).otherwise(0)
-                ).cast("long").alias(f"h{i}")
-                for i in range(HIST[2] + 2)
-            ],
-        )
-        .collect()
+def _full_rerank(src, subset, k):
+    w = Window.partitionBy(*subset).orderBy(
+        F.col("v").desc_nulls_last(), F.col("id").asc_nulls_last()
     )
-    return {
-        r.grp: (
-            r.n, float(r.s), float(r.sq), r.mn, r.mx, r.nd,
-            tuple(r[f"h{i}"] for i in range(HIST[2] + 2)),
-        )
-        for r in rows
-    }
-
-
-def _actual(dst):
-    return {
-        r.grp: (
-            r.n_rows, r.sum_v, r.sumsq_v, r.min_v, r.max_v, r.n_distinct_d,
-            tuple(r.hist_v),
-        )
-        for r in dst.read().collect()
-    }
+    return sorted(
+        (
+            tuple(r[c] for c in subset) + (r.id, r.v)
+            for r in src.read()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .collect()
+        ),
+        key=repr,
+    )
 
 
 @settings(
-    max_examples=5,
+    max_examples=4,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
 )
-@given(ops=st.lists(_OP, min_size=3, max_size=7))
-def test_rollup_equals_full_reaggregate_under_random_ops(
+@given(ops=st.lists(_OP, min_size=3, max_size=6))
+def test_topk_equals_full_rerank_under_random_ops(
     spark, tmp_path_factory, ops
 ):
-    tmp = str(tmp_path_factory.mktemp("prop"))
+    tmp = str(tmp_path_factory.mktemp("topkprop"))
     src = ManagedTable.create(
         spark, os.path.join(tmp, "src"), SCHEMA,
         key_cols=["id"], order_column="seq", table_type="MOR",
     )
-    dst = create_rollup(
-        src, os.path.join(tmp, "roll"), ["grp"], ["v"],
-        consume_from=1, **KW,
-    )
+    dst = create_topk_mv(src, os.path.join(tmp, "mv"), consume_from=1, **KW)
     next_id = [0]
     seq = [0]
     live = set()
-    checkpoints = []  # (version, live-set snapshot) for rollback
+    checkpoints = []
 
     def rows_of(specs):
         return spark.createDataFrame(
-            [Row(id=i, grp=g, v=v, d=d, seq=s) for i, g, v, d, s in specs],
+            [Row(id=i, grp=g, sub=b, v=v, seq=s) for i, g, b, v, s in specs],
             SCHEMA,
         )
 
@@ -133,8 +98,8 @@ def test_rollup_equals_full_reaggregate_under_random_ops(
                 (
                     i,
                     GROUPS[(r + i) % len(GROUPS)],
-                    (r * 7 + i * 3) % 50,
-                    DVALS[(r + i) % len(DVALS)],
+                    (r + i) % 2,
+                    (r * 7 + i * 3) % 60,
                     seq[0],
                 )
             )
@@ -144,18 +109,17 @@ def test_rollup_equals_full_reaggregate_under_random_ops(
     for kind, r in ops:
         seq[0] += 1
         if kind == "append":
-            src.append(rows_of(fresh_rows(r, 1 + r % 3)))
+            src.append(rows_of(fresh_rows(r, 2 + r % 3)))
         elif kind == "upsert":
             batch = fresh_rows(r, 1)
-            # also move up to two existing keys to a new group/value
             moved = sorted(live)[: 2 if live else 0]
             for i in moved[: 1 + r % 2]:
                 batch.append(
                     (
                         i,
                         GROUPS[(r + i + 1) % len(GROUPS)],
-                        (r * 11 + i) % 50,
-                        DVALS[(r + i + 1) % len(DVALS)],
+                        (r + i + 1) % 2,
+                        (r * 11 + i) % 60,
                         seq[0],
                     )
                 )
@@ -181,8 +145,25 @@ def test_rollup_equals_full_reaggregate_under_random_ops(
                     live.update(saved)
             else:
                 src.append(rows_of(fresh_rows(r, 1)))
-        refresh_rollup(src, dst, ["grp"], ["v"], **KW)
+        refresh_topk_mv(src, dst, **KW)
         checkpoints.append((src._current_version(), set(live)))
-        assert _actual(dst) == _expected(src), (
+        got = sorted(
+            ((r2.grp, r2.sub, r2.id, r2.v) for r2 in dst.read().collect()),
+            key=repr,
+        )
+        assert got == _full_rerank(src, ["grp", "sub"], K), (
             f"divergence after op {kind} (r={r})"
+        )
+        # coarse routing: top-2 per grp from the (grp, sub) MV
+        coarse = sorted(
+            (
+                (r2.grp, r2.id, r2.v)
+                for r2 in reaggregate_topk(
+                    dst, ["grp"], "v", k=2, id_cols=["id"]
+                ).collect()
+            ),
+            key=repr,
+        )
+        assert coarse == _full_rerank(src, ["grp"], 2), (
+            f"coarse-routing divergence after op {kind} (r={r})"
         )
