@@ -737,6 +737,90 @@ def incremental_rollup_var_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "cdc_export_roundtrip_orders",
+    """
+    WITH b1 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000 AS vb
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b2 AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000) + 500 AS vb
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    )
+    SELECT o_orderkey, o_orderstatus, vb
+    FROM merged WHERE o_orderkey % 7 <> 0
+    """,
+    rank=20,
+)
+def cdc_export_roundtrip_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Outbound CDC round-trip (operators/cdc_export.py): the same
+    upsert + delete stream as the rollup entries, EXPORTED after every
+    batch as immutable parquet window directories (atomic rename
+    publish, cursor = the listing) — then the final live state is
+    reconstructed FROM THE EXPORT ALONE (``replay_to_state``: per key,
+    the latest window's net-effect change wins, deletes drop) and must
+    equal the table, which the oracle re-derives relationally.  This
+    value-checks the whole outbound connector path: window splitting,
+    net-effect CDF classification (insert/pre/post/delete), atomic
+    publish, and downstream replay semantics.  Scale shape: each
+    export is O(window) off the MOR fast path; replay reads only the
+    export (one shuffle per key-window rank)."""
+    from .operators.cdc_export import (  # noqa: PLC0415
+        create_change_export,
+        export_changes,
+        read_change_export,
+        replay_to_state,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_cdcx_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    ex = os.path.join(base, "export")
+    create_change_export(src, ex)
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 100000)
+        .alias("price_cents"),
+    )
+    src.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    export_changes(src, ex)
+    src.merge(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+    )
+    export_changes(src, ex)
+    src.delete_keys(
+        o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    export_changes(src, ex)
+    return replay_to_state(
+        read_change_export(spark, ex), ["o_orderkey"]
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("price_cents").alias("vb"),
+    )
+
+
+@query(
     "incremental_topk_orders",
     """
     WITH b1 AS (

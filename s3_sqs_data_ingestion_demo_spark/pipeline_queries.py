@@ -91,7 +91,7 @@ _DATACARD_ORACLE = f"""
     """.replace("{_TOKS}", _TOKS).replace("{_NORM}", _NORM)
 
 
-@query("corpus_datacard_documents", _DATACARD_ORACLE)  # r06: rotated IN
+@query("corpus_datacard_documents", _DATACARD_ORACLE, driver=False)  # r06: rotated IN; r09: out (green r6-r8)
 def corpus_datacard_documents(spark: SparkSession, sf: str) -> DataFrame:
     """One-row corpus data card: doc/lang/source counts, token and
     char totals, distinct normalized texts, exact-duplicate fraction

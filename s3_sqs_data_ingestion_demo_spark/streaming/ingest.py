@@ -199,3 +199,69 @@ def start_streaming_join_mv(
     elif poll_interval:
         writer = writer.trigger(processingTime=f"{poll_interval} seconds")
     return writer.start()
+
+
+def start_streaming_topk(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    src_table: ManagedTable,
+    topk_table: ManagedTable,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    id_cols: list[str],
+    payload_cols: list[str] | None = None,
+    descending: bool = True,
+    fmt: str = "json",
+    options: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    poll_interval: int | None = None,
+) -> StreamingQuery:
+    """Continuous top-k: file-landing stream -> append to the source
+    ``ManagedTable`` -> fold the appended rows into the top-k table
+    (operators/topk_mv.py) — the streaming twin of
+    ``start_streaming_rollup``.  Streamed batches are inserts, so
+    every trigger takes the fold path (new rows compete with each
+    group's current top-k; the base table is never read).
+
+    Restart safety mirrors the rollup stream: the source append is
+    stamped with the micro-batch id (once-per-run replay probe), and
+    the top-k refresh is exactly-once via its window tag + persisted
+    consume cursor."""
+    from ..operators.topk_mv import refresh_topk_mv  # noqa: PLC0415
+
+    reader = spark.readStream.schema(schema).options(**(options or {}))
+    stream = reader.format(fmt).load(landing_dir)
+    probe_done = {"done": False}
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tag = f"topk-src-b{batch_id:020d}"
+        replayed = False
+        if not probe_done["done"]:
+            replayed = src_table.has_commit_tag(tag)
+            probe_done["done"] = True
+        if not replayed:
+            src_table.append(batch_df, tag=tag)
+        refresh_topk_mv(
+            src_table,
+            topk_table,
+            group_cols,
+            order_col,
+            k,
+            id_cols,
+            payload_cols=payload_cols,
+            descending=descending,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif poll_interval:
+        writer = writer.trigger(processingTime=f"{poll_interval} seconds")
+    return writer.start()
