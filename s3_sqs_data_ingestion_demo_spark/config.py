@@ -598,11 +598,21 @@ class OutputConfig:
                 "is keyed by both sides' keys (operators/join_mv.py)"
             )
         for tk in self.topk_mvs:
-            if not (tk.id_columns or self.key_columns):
+            ids = tk.id_columns or [
+                c for c in self.key_columns if c not in tk.group_columns
+            ]
+            if not ids:
                 raise ValueError(
                     "output_config.topk_mvs requires id_columns (or "
-                    "job key_columns to default to): the MV key and "
-                    "ranking tie-break (operators/topk_mv.py)"
+                    "job key_columns outside the group columns to "
+                    "default to): the MV key and ranking tie-break "
+                    "(operators/topk_mv.py)"
+                )
+            overlap = set(ids) & set(tk.group_columns)
+            if overlap:
+                raise ValueError(
+                    f"output_config.topk_mvs id columns "
+                    f"{sorted(overlap)} duplicate group columns"
                 )
         if (
             self.rollups or self.join_mvs or self.topk_mvs

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..table import ManagedTable
-from .rollup import change_segments
+from .rollup import change_segments, segment_is_pure_append
 
 _ANCHOR = "_anchor.json"
 _PREFIX = "w_"
@@ -103,30 +103,31 @@ def export_changes(src: ManagedTable, export_dir: str) -> tuple[int, int] | None
         return (lo, hi)
     # the rollup's window_weighted_changes collapses _change_type into
     # a signed weight for fold consumers; the export keeps the full
-    # CDF shape, so derive per segment here (same split, same fast
-    # path selection)
+    # CDF shape, so derive per segment (shared classification helper —
+    # the exporter and the fold consumers must agree on what is
+    # pure-append).  Rows are stamped with their SEGMENT's bounds, not
+    # the window's: net-effect is per segment, so a key changed in two
+    # segments of one window (a maintenance commit between two data
+    # commits) emits two state-setting rows — the per-segment
+    # ``_export_hi`` keeps them strictly ordered for ``replay_to_state``
+    # (window directories and segment stamps order consistently:
+    # every segment hi lies inside its window's (lo, hi]).
     frames = []
     for seg_lo, seg_hi in segments:
-        old = src._manifest_at(seg_lo)
-        new = src._manifest_at(seg_hi)
-        pure_append = all(e in new for e in old) and not any(
-            e not in old and e.get("kind") in ("delta", "tombstone")
-            for e in new
-        )
-        if pure_append:
-            frames.append(
-                src.read_changes(seg_lo, seg_hi).withColumn(
-                    "_change_type", F.lit("insert")
-                )
+        if segment_is_pure_append(src, seg_lo, seg_hi):
+            f = src.read_changes(seg_lo, seg_hi).withColumn(
+                "_change_type", F.lit("insert")
             )
         else:
-            frames.append(src.read_changes_cdf(seg_lo, seg_hi))
+            f = src.read_changes_cdf(seg_lo, seg_hi)
+        frames.append(
+            f.withColumn("_export_lo", F.lit(seg_lo)).withColumn(
+                "_export_hi", F.lit(seg_hi)
+            )
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    out = out.withColumn("_export_lo", F.lit(lo)).withColumn(
-        "_export_hi", F.lit(hi)
-    )
     tmp = os.path.join(export_dir, f"{_TMP}{lo}_{hi}_{os.getpid()}")
     out.write.mode("overwrite").parquet(tmp)
     os.replace(tmp, target)

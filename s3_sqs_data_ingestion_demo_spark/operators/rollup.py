@@ -100,6 +100,22 @@ def change_segments(src: ManagedTable, lo: int, hi: int) -> list[tuple[int, int]
     return segments
 
 
+def segment_is_pure_append(
+    src: ManagedTable, seg_lo: int, seg_hi: int
+) -> bool:
+    """Does the segment add only plain data entries (no merge deltas,
+    tombstones, or rewrites)?  Pure-append segments ride the cheap
+    change feed (weight +1 / _change_type='insert'); anything else
+    needs the CDF.  Shared by the fold consumers and the CDC exporter
+    — they must agree on the classification."""
+    old_entries = src._manifest_at(seg_lo)
+    new_entries = src._manifest_at(seg_hi)
+    return all(e in new_entries for e in old_entries) and not any(
+        e not in old_entries and e.get("kind") in ("delta", "tombstone")
+        for e in new_entries
+    )
+
+
 def window_weighted_changes(
     src: ManagedTable, segments: list[tuple[int, int]]
 ) -> tuple[DataFrame, bool]:
@@ -115,13 +131,7 @@ def window_weighted_changes(
 
     def _segment_delta(seg_lo: int, seg_hi: int) -> DataFrame:
         nonlocal any_cdf
-        old_entries = src._manifest_at(seg_lo)
-        new_entries = src._manifest_at(seg_hi)
-        pure_append = all(e in new_entries for e in old_entries) and not any(
-            e not in old_entries and e.get("kind") in ("delta", "tombstone")
-            for e in new_entries
-        )
-        if pure_append:
+        if segment_is_pure_append(src, seg_lo, seg_hi):
             return src.read_changes(seg_lo, seg_hi).withColumn(
                 "_w", F.lit(1)
             )
@@ -371,10 +381,37 @@ def create_rollup(
                 src._current_version()
                 if consume_from is None
                 else int(consume_from)
-            )
+            ),
+            # the binning is part of the table's identity: refreshes
+            # and routing validate against it (a changed spec would
+            # silently null-pad the arrays under zip_with)
+            **{
+                f"rollup.hist.{c}": f"{lo!r},{hi!r},{nb}"
+                for c, (lo, hi, nb) in hist_cols.items()
+            },
         }
     )
     return dst
+
+
+def _check_hist_spec(
+    dst: ManagedTable, hist_cols: dict[str, tuple[float, float, int]]
+) -> None:
+    """The declared binning must match the spec persisted at create —
+    a drifted spec would fold differently-shaped arrays (``zip_with``
+    null-pads the shorter side and ``null + n = null``), silently
+    corrupting bins instead of erroring like every other aggregate
+    mismatch."""
+    for c, (lo, hi, nb) in hist_cols.items():
+        stored = dst.meta.properties.get(f"rollup.hist.{c}")
+        want = f"{lo!r},{hi!r},{nb}"
+        if stored != want:
+            raise ValueError(
+                f"hist spec for {c!r} is ({lo}, {hi}, {nb}) but the "
+                f"rollup was created with "
+                f"{stored or 'no histogram on this column'} — the "
+                "binning is immutable; rebuild the rollup to re-bin"
+            )
 
 
 def _rescan_base(
@@ -451,6 +488,8 @@ def reaggregate_rollup(
     ]
     aggs += [F.min(f"min_{c}").alias(f"min_{c}") for c in (min_cols or [])]
     aggs += [F.max(f"max_{c}").alias(f"max_{c}") for c in (max_cols or [])]
+    hist_cols = _validate_hist_spec(hist_cols)
+    _check_hist_spec(dst, hist_cols)
     aggs += [
         # histograms re-add element-wise (each bin count is additive)
         F.array(
@@ -459,7 +498,7 @@ def reaggregate_rollup(
                 for i in range(nb + 2)
             ]
         ).alias(f"hist_{c}")
-        for c, (_lo, _hi, nb) in _validate_hist_spec(hist_cols).items()
+        for c, (_lo, _hi, nb) in hist_cols.items()
     ]
     out = dst.read().groupBy(*subset).agg(*aggs)
     for c in distinct_cols or []:
@@ -537,14 +576,16 @@ def rollup_quantiles(
 
     lo, hi, nb = _validate_hist_spec({col: spec})[col]
     w = (hi - lo) / nb
-    if not group_cols:
-        raise ValueError("rollup_quantiles needs the rollup's group columns")
+    # empty group_cols = the GLOBAL quantile (a reaggregate_rollup([])
+    # result is one row) — partition on a constant internally
+    parts = group_cols if group_cols else [F.lit(1).alias("_all")]
     e = frame.select(
-        *group_cols, F.posexplode(f"hist_{col}").alias("_bin", "_cnt")
+        *parts, F.posexplode(f"hist_{col}").alias("_bin", "_cnt")
     )
-    win = Window.partitionBy(*group_cols).orderBy("_bin")
+    pcols = group_cols or ["_all"]
+    win = Window.partitionBy(*pcols).orderBy("_bin")
     e = e.withColumn("_cum", F.sum("_cnt").over(win)).withColumn(
-        "_total", F.sum("_cnt").over(Window.partitionBy(*group_cols))
+        "_total", F.sum("_cnt").over(Window.partitionBy(*pcols))
     )
     aggs = []
     for q in qs:
@@ -574,7 +615,8 @@ def rollup_quantiles(
             .getField("_e")
             .alias(name)
         )
-    return e.groupBy(*group_cols).agg(*aggs)
+    out = e.groupBy(*pcols).agg(*aggs)
+    return out.drop("_all") if not group_cols else out
 
 
 def refresh_rollup(
@@ -711,6 +753,7 @@ def _refresh_rollup_window(
             "with the same min_cols/max_cols/distinct_cols it is "
             "refreshed with"
         )
+    _check_hist_spec(dst, hist_cols)
     last = int(dst.meta.properties.get(_STATE_KEY, 1))
     actual = src._current_version()
     cur = actual

@@ -40,6 +40,8 @@ route the window onto the CDF retraction path).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -115,6 +117,10 @@ def create_topk_mv(
             "topk.k": str(int(k)),
             "topk.order-column": order_col,
             "topk.descending": str(bool(descending)).lower(),
+            # the group/id split and the order are part of the MV's
+            # identity: refreshes and routing validate against them
+            "topk.group-columns": json.dumps(list(group_cols)),
+            "topk.id-columns": json.dumps(list(id_cols)),
         },
     )
     dst.set_properties(
@@ -127,6 +133,38 @@ def create_topk_mv(
         }
     )
     return dst
+
+
+def _check_contract(
+    dst: ManagedTable,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    id_cols: list[str],
+    descending: bool,
+) -> None:
+    """The ranking contract (k, order, direction, group/id split) is
+    part of the MV's identity, persisted at create — a refresh under a
+    DIFFERENT contract would silently corrupt the set (raising k
+    cannot resurrect rows already pushed out; flipping the order ranks
+    a candidate set maintained under the old order), so any drift is a
+    loud error: rebuild the MV to change the contract."""
+    props = dst.meta.properties
+    want = {
+        "topk.k": str(int(k)),
+        "topk.order-column": order_col,
+        "topk.descending": str(bool(descending)).lower(),
+        "topk.group-columns": json.dumps(list(group_cols)),
+        "topk.id-columns": json.dumps(list(id_cols)),
+    }
+    for key, val in want.items():
+        stored = props.get(key)
+        if stored is not None and stored != val:
+            raise ValueError(
+                f"top-k contract drift: {key} is {stored!r} on the MV "
+                f"but this refresh declares {val!r} — the ranking "
+                "contract is immutable; rebuild the MV to change it"
+            )
 
 
 def _rank(order_col: str, descending: bool, id_cols: list[str]):
@@ -203,6 +241,7 @@ def _refresh_topk_window(
     ]
     out_cols = list(group_cols) + list(id_cols) + [order_col] + payload_cols
     key_cols = list(group_cols) + list(id_cols)
+    _check_contract(dst, group_cols, order_col, k, id_cols, descending)
 
     last = int(dst.meta.properties.get(_STATE_KEY, 1))
     actual = src._current_version()
@@ -318,12 +357,22 @@ def reaggregate_topk(
     MV's k·groups rows under the subset key is EXACT for any k' <= k.
     Never touches the base table."""
     subset = list(subset_cols)
-    ids = list(id_cols or [c for c in dst.meta.key_cols if c not in subset])
-    missing = set(subset) - set(dst.meta.key_cols)
+    mv_groups = json.loads(
+        dst.meta.properties.get("topk.group-columns", "null")
+    ) or [c for c in dst.meta.key_cols]
+    mv_ids = json.loads(
+        dst.meta.properties.get("topk.id-columns", "null")
+    ) or []
+    ids = list(id_cols or mv_ids
+               or [c for c in dst.meta.key_cols if c not in mv_groups])
+    # the subset-exactness argument only holds over GROUP columns (a
+    # coarse group must be a UNION of fine groups); an id column in
+    # the subset would yield a meaningless per-row "top-k"
+    missing = set(subset) - set(mv_groups)
     if missing:
         raise ValueError(
-            f"subset columns {sorted(missing)} are not MV group/key "
-            f"columns {dst.meta.key_cols}"
+            f"subset columns {sorted(missing)} are not MV group "
+            f"columns {mv_groups}"
         )
     mv_k = int(dst.meta.properties.get("topk.k", "0"))
     k = mv_k if k is None else int(k)
@@ -336,7 +385,7 @@ def reaggregate_topk(
     # FINE group, so the collapsed-away fine-group columns join the
     # tie-break (the MV key is unique over ids + all group columns)
     tie = ids + [
-        c for c in dst.meta.key_cols if c not in subset and c not in ids
+        c for c in mv_groups if c not in subset and c not in ids
     ]
     ranked = dst.read().withColumn(
         "_g", F.struct(*[F.col(c) for c in subset])
@@ -360,7 +409,11 @@ def read_topk(
     ranked = dst.read().withColumn(
         "_g", F.struct(*[F.col(c) for c in group_cols])
     )
-    ids = list(id_cols or [c for c in dst.meta.key_cols if c not in group_cols])
+    ids = list(
+        id_cols
+        or json.loads(dst.meta.properties.get("topk.id-columns", "null"))
+        or [c for c in dst.meta.key_cols if c not in group_cols]
+    )
     return ranked.withColumn(
         "rnk", F.row_number().over(_rank(order_col, descending, ids))
     ).drop("_g")

@@ -147,3 +147,45 @@ def test_double_provision_refused(spark, tmp_path):
     create_change_export(src, ex)
     with pytest.raises(ValueError, match="already provisioned"):
         create_change_export(src, ex)
+
+
+def test_maintenance_split_window_orders_segments(spark, tmp_path):
+    """A maintenance commit BETWEEN two data commits inside one export
+    window: the two segments' net effects carry distinct per-segment
+    stamps, so replay keeps the LATER state deterministically (the
+    review finding: window-level stamps tied and row_number picked an
+    arbitrary winner)."""
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 10, 1)]))
+    export_changes(src, ex)
+    # one window containing: update -> compaction -> update
+    src.merge(_rows(spark, [(1, "a", 20, 2)]))
+    src.compact()
+    src.merge(_rows(spark, [(1, "a", 30, 3)]))
+    export_changes(src, ex)
+    changes = read_change_export(spark, ex)
+    # the two post-images carry different segment stamps
+    his = sorted(
+        r._export_hi
+        for r in changes.filter("_change_type = 'update_postimage'")
+        .select("_export_hi").collect()
+    )
+    assert len(his) == 2 and his[0] < his[1]
+    replayed = replay_to_state(changes, ["id"])
+    assert _state(replayed) == [(1, "a", 30)]
+
+
+def test_maintenance_split_delete_then_reinsert_same_window(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 10, 1), (2, "b", 2, 1)]))
+    export_changes(src, ex)
+    src.delete_keys(spark.createDataFrame([(1,)], "id int"))
+    src.compact()
+    src.merge(_rows(spark, [(1, "c", 7, 3)]))
+    export_changes(src, ex)
+    replayed = replay_to_state(read_change_export(spark, ex), ["id"])
+    assert _state(replayed) == [(1, "c", 7), (2, "b", 2)]

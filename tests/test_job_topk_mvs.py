@@ -167,3 +167,48 @@ def test_topk_config_validates_at_parse_time(tmp_path):
                 },
             }
         )
+
+
+def test_topk_empty_id_derivation_refused_at_parse_time(tmp_path):
+    d = str(tmp_path)
+    with pytest.raises(ValueError, match="id_columns"):
+        JobConfig.from_dict(
+            {
+                "input_config": {"format": "csv"},
+                "output_config": {
+                    "table_path": f"{d}/tbl",
+                    "mode": "merge",
+                    "table_type": "MOR",
+                    "key_columns": ["grp"],  # all keys are group cols
+                    "topk_mvs": [
+                        {
+                            "path": f"{d}/topk",
+                            "group_columns": ["grp"],
+                            "order_column": "v",
+                            "k": 2,
+                        }
+                    ],
+                },
+            }
+        )
+    with pytest.raises(ValueError, match="duplicate group"):
+        JobConfig.from_dict(
+            {
+                "input_config": {"format": "csv"},
+                "output_config": {
+                    "table_path": f"{d}/tbl",
+                    "mode": "merge",
+                    "table_type": "MOR",
+                    "key_columns": ["id"],
+                    "topk_mvs": [
+                        {
+                            "path": f"{d}/topk",
+                            "group_columns": ["grp"],
+                            "order_column": "v",
+                            "k": 2,
+                            "id_columns": ["grp", "id"],
+                        }
+                    ],
+                },
+            }
+        )

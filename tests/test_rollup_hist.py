@@ -252,3 +252,38 @@ def test_invalid_spec_rejected(spark, tmp_path):
         create_rollup(
             src, f"{tmp_path}/r3", ["grp"], [], hist_cols={"nope": (0, 10, 4)}
         )
+
+
+def test_hist_spec_drift_refused(spark, tmp_path):
+    """The binning is immutable: refreshing or routing with a
+    different spec must raise, never null-pad the arrays (zip_with
+    pads the shorter side and null + n = null)."""
+    src = _mk_src(spark, tmp_path)
+    dst = create_rollup(src, f"{tmp_path}/r", ["grp"], [], hist_cols=HIST)
+    src.append(_rows(spark, [(1, "a", 5, 1)]))
+    refresh_rollup(src, dst, ["grp"], [], hist_cols=HIST)
+    drifted = {"v": (0.0, 100.0, 20)}  # more bins than created with
+    with pytest.raises(ValueError, match="immutable"):
+        refresh_rollup(src, dst, ["grp"], [], hist_cols=drifted)
+    with pytest.raises(ValueError, match="immutable"):
+        reaggregate_rollup(dst, ["grp"], hist_cols=drifted)
+    with pytest.raises(ValueError, match="immutable"):
+        refresh_rollup(
+            src, dst, ["grp"], [], hist_cols={"v": (0.0, 50.0, 10)}
+        )
+
+
+def test_global_quantile_routing(spark, tmp_path):
+    """rollup_quantiles over a reaggregate_rollup([]) result — the
+    global percentile routed entirely from summary tables."""
+    src = _mk_src(spark, tmp_path)
+    dst = create_rollup(src, f"{tmp_path}/r", ["grp"], [], hist_cols=HIST)
+    src.append(_rows(spark, [(i, "a" if i % 2 else "b", i * 10 + 5, 1)
+                             for i in range(10)]))
+    refresh_rollup(src, dst, ["grp"], [], hist_cols=HIST)
+    glob = reaggregate_rollup(dst, [], hist_cols=HIST)
+    row = rollup_quantiles(glob, "v", HIST["v"], [0.5], []).collect()
+    assert len(row) == 1
+    # same estimate as the per-bin hand computation in
+    # test_quantiles_hand_computed (one value per bin, target=5)
+    assert row[0].p50_v == pytest.approx(50.0)

@@ -283,3 +283,37 @@ def test_random_op_sequence_matches_full_rerank(spark, tmp_path):
             )
         refresh_topk_mv(src, dst, **_kw())
         assert _mv(dst) == _oracle(src), f"diverged after {op}"
+
+
+def test_contract_drift_refused(spark, tmp_path):
+    """k / order / direction / group-id split are the MV's identity:
+    a refresh under a different contract raises instead of silently
+    corrupting the maintained set."""
+    src = _mk_src(spark, tmp_path)
+    dst = create_topk_mv(src, f"{tmp_path}/mv", **_kw())
+    src.append(_rows(spark, [(1, "a", 5, "x", 1)]))
+    refresh_topk_mv(src, dst, **_kw())
+    for bad in (
+        dict(_kw(), k=5),
+        dict(_kw(), descending=False),
+        dict(_kw(), order_col="seq"),
+    ):
+        with pytest.raises(ValueError, match="contract drift"):
+            # needs an unconsumed window for the refresh to reach the
+            # check... the check runs before the cursor comparison
+            refresh_topk_mv(src, dst, **bad)
+
+
+def test_reaggregate_rejects_id_subset(spark, tmp_path):
+    from s3_sqs_data_ingestion_demo_spark.operators.topk_mv import (
+        reaggregate_topk,
+    )
+
+    src = _mk_src(spark, tmp_path)
+    dst = create_topk_mv(src, f"{tmp_path}/mv", **_kw())
+    src.append(_rows(spark, [(1, "a", 5, "x", 1)]))
+    refresh_topk_mv(src, dst, **_kw())
+    with pytest.raises(ValueError, match="not MV group columns"):
+        reaggregate_topk(dst, ["id"], "v", k=1)
+    with pytest.raises(ValueError, match="cannot answer top-"):
+        reaggregate_topk(dst, ["grp"], "v", k=99)
