@@ -212,3 +212,22 @@ def test_topk_empty_id_derivation_refused_at_parse_time(tmp_path):
                 },
             }
         )
+
+
+def test_topk_maintenance_compacts_and_stays_exact(spark, tmp_path):
+    """maintenance_every folds the MV's accumulated MOR deltas;
+    refreshes keep landing exactly across the compaction commits (the
+    change feed splits windows at maintenance commits, and the tag
+    probe stops at the previous fold's tag)."""
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    cfg = _cfg(d, maintenance_every=1)
+    for i in range(4):
+        b = f"{d}/m{i}.csv"
+        _write_csv(b, [(100 + i, "a", 50 + i, i + 1, "I")])
+        J.process_files(spark, cfg, [b])
+    mv = ManagedTable.load(spark, f"{d}/topk")
+    assert _topk(spark, d) == [("a", 102, 52), ("a", 103, 53)]
+    # cadence actually fired: no pending delta entries remain
+    kinds = {e.get("kind") for e in mv._manifest_at(mv._current_version())}
+    assert "delta" not in kinds
