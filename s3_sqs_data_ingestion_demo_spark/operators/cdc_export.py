@@ -10,8 +10,10 @@ scan consumed as files.
 Layout: ``export_dir/w_<lo>_<hi>/`` — one immutable directory per
 consumed source window, atomically published by directory rename, rows
 carrying ``_change_type`` (insert / update_preimage /
-update_postimage / delete) plus ``_export_lo``/``_export_hi`` so a
-reader can order windows from the rows alone.  The consume cursor IS
+update_postimage / delete) plus per-SEGMENT ``_export_lo``/
+``_export_hi`` stamps (a window splits at maintenance commits;
+segment bounds order all changes totally, within and across
+windows).  The consume cursor IS
 the directory listing (max published ``hi``): no side state, so the
 exporter is replay-safe by construction — a crashed attempt leaves
 only an unpublished temp directory (cleaned on the next run) and the
@@ -22,9 +24,10 @@ are fine — the window pins versions.
 
 Pure-append windows export straight off the cheap change feed (no CDF
 classification); windows with merge deltas / tombstones / rewrites
-export the net-effect CDF.  Maintenance-only windows advance silently
-(nothing to publish — compaction is content-neutral, exactly why
-``change_segments`` splits there).
+export the net-effect CDF.  Maintenance-only windows publish an
+empty marker directory so the listing-cursor still advances
+(compaction is content-neutral, exactly why ``change_segments``
+splits there).
 """
 
 from __future__ import annotations
@@ -152,10 +155,10 @@ def read_change_export(spark, export_dir: str) -> DataFrame:
 def replay_to_state(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     """Reconstruct the source's final live state from an export alone
     — the downstream-sync semantics (and the round-trip check): per
-    key, the LATEST window's state-setting change wins (windows are
-    net-effect, so each key has at most one insert/post-image or
-    delete per window); a key whose latest change is a delete is
-    absent."""
+    key, the state-setting change with the highest segment stamp wins
+    (segments are net-effect, so each key has at most one
+    insert/post-image or delete per segment); a key whose latest
+    change is a delete is absent."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     setting = changes.filter(
