@@ -60,7 +60,16 @@ def create_change_export(
         raise ValueError(f"change export already provisioned at {export_dir}")
     lo = src._current_version() if consume_from is None else int(consume_from)
     with open(anchor, "w") as fh:
-        json.dump({"from_version": lo, "source": src.path}, fh)
+        json.dump(
+            {
+                "from_version": lo,
+                "source": src.path,
+                # lets a reader construct an EMPTY changes frame when
+                # only maintenance markers have been published yet
+                "schema": src.meta.schema.jsonValue(),
+            },
+            fh,
+        )
 
 
 def _published_windows(export_dir: str) -> list[tuple[int, int]]:
@@ -142,13 +151,29 @@ def read_change_export(spark, export_dir: str) -> DataFrame:
     ``_change_type`` and ``_export_lo``/``_export_hi``) — what a
     downstream consumer reads; filter ``_export_hi > <cursor>`` to
     tail incrementally."""
+    windows = _published_windows(export_dir)
+    if not windows:
+        raise ValueError(f"no published change windows under {export_dir}")
     dirs = [
         os.path.join(export_dir, f"{_PREFIX}{lo}_{hi}")
-        for lo, hi in _published_windows(export_dir)
+        for lo, hi in windows
     ]
     dirs = [d for d in dirs if any(f.endswith(".parquet") for f in os.listdir(d))]
     if not dirs:
-        raise ValueError(f"no published change windows under {export_dir}")
+        # published, but every window so far is a maintenance marker
+        # (or an empty net effect): an empty frame with the exported
+        # shape, not an error — a tail loop must survive a
+        # maintenance-only cycle
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        with open(os.path.join(export_dir, _ANCHOR)) as fh:
+            base = T.StructType.fromJson(json.load(fh)["schema"])
+        fields = list(base.fields) + [
+            T.StructField("_change_type", T.StringType(), True),
+            T.StructField("_export_lo", T.IntegerType(), False),
+            T.StructField("_export_hi", T.IntegerType(), False),
+        ]
+        return spark.createDataFrame([], T.StructType(fields))
     return spark.read.parquet(*dirs)
 
 

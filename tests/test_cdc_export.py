@@ -189,3 +189,28 @@ def test_maintenance_split_delete_then_reinsert_same_window(spark, tmp_path):
     export_changes(src, ex)
     replayed = replay_to_state(read_change_export(spark, ex), ["id"])
     assert _state(replayed) == [(1, "c", 7), (2, "b", 2)]
+
+
+def test_marker_only_export_reads_empty(spark, tmp_path):
+    """A tail loop must survive a maintenance-only cycle: when every
+    published window is a marker, read_change_export returns an EMPTY
+    frame with the exported shape (schema from the anchor), not an
+    error."""
+    src = _mk_src(spark, tmp_path)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)  # anchored at current: nothing to export
+    src.compact()
+    assert export_changes(src, ex) is not None  # marker published
+    changes = read_change_export(spark, ex)
+    assert changes.count() == 0
+    assert "_change_type" in changes.columns
+    assert "_export_hi" in changes.columns
+    # and replay over it yields an empty state, not a crash
+    assert replay_to_state(changes, ["id"]).count() == 0
+    # a data window afterwards reads normally alongside the marker
+    src.append(_rows(spark, [(2, "b", 5, 2)]))
+    export_changes(src, ex)
+    assert _state(
+        replay_to_state(read_change_export(spark, ex), ["id"])
+    ) == [(2, "b", 5)]
