@@ -619,6 +619,79 @@ def rollup_quantiles(
     return out.drop("_all") if not group_cols else out
 
 
+def rebuild_rollup(
+    src: ManagedTable,
+    dst: ManagedTable,
+    group_cols: list[str],
+    sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
+    sumsq_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
+) -> int:
+    """Recompute the rollup (and its distinct companions) from the
+    source's CURRENT state in one full pass and re-anchor the consume
+    cursor — the remedy ``ExpiredCursorError`` prescribes when history
+    was expired past a lagging cursor, and the general escape hatch
+    for any state an operator no longer trusts.
+
+    One full aggregate (map-side combined) per table, one overwrite
+    commit each, cursor last.  NOT crash-atomic against an
+    interleaved ``refresh_rollup``: a crash between the overwrite and
+    the cursor write leaves a rebuilt table with a stale cursor, and a
+    refresh run at that moment would fold the stale window onto
+    already-absorbed content — the remedy for a crashed rebuild is to
+    RETRY THE REBUILD (it is idempotent: same pinned source version →
+    same overwrite), not to refresh."""
+    distinct_cols = list(distinct_cols or [])
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+    sumsq_cols = list(sumsq_cols or [])
+    hist_cols = _validate_hist_spec(hist_cols)
+    _check_hist_spec(dst, hist_cols)
+    cur = src._current_version()
+    base = src.read_version(cur)
+    full = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(F.col(c).cast("double")).alias(f"sum_{c}") for c in sum_cols],
+        *[
+            F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(
+                f"sumsq_{c}"
+            )
+            for c in sumsq_cols
+        ],
+        *[F.min(c).alias(f"min_{c}") for c in min_cols],
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+        *[
+            _hist_delta_array(c, spec, F.lit(1)).alias(f"hist_{c}")
+            for c, spec in hist_cols.items()
+        ],
+    )
+    for c in distinct_cols:
+        comp = ManagedTable.load(src.spark, companion_path(dst.path, c))
+        cagg = (
+            base.filter(F.col(c).isNotNull())
+            .groupBy(*group_cols, c)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        comp.overwrite(cagg)
+        dc = cagg.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias(f"n_distinct_{c}")
+        )
+        full = (
+            join_nullsafe(full, dc, list(group_cols), "left")
+            .select("_l.*", f"_r.n_distinct_{c}")
+            .withColumn(
+                f"n_distinct_{c}",
+                F.coalesce(F.col(f"n_distinct_{c}"), F.lit(0)).cast("long"),
+            )
+        )
+    dst.overwrite(full)
+    dst.set_properties(**{_STATE_KEY: cur})
+    return dst._current_version()
+
+
 def refresh_rollup(
     src: ManagedTable,
     dst: ManagedTable,
