@@ -751,7 +751,17 @@ class ManagedTable:
                 "repeated orphan reclaims — concurrent healer contention"
             )
         with fh:
-            snap_doc = {"version": v, "kind": kind, "entries": entries}
+            # wall-clock stamped INTO the manifest so timestamp time
+            # travel (version_as_of) and snapshots().committed_at
+            # survive a copy/rsync/restore of the table directory —
+            # file mtimes are rewritten by any such move, silently
+            # rewriting history for an mtime-derived clock
+            snap_doc = {
+                "version": v,
+                "kind": kind,
+                "committed_at": time.time(),
+                "entries": entries,
+            }
             if tag is not None:
                 snap_doc["tag"] = tag
             json.dump(snap_doc, fh, indent=2)
@@ -2461,10 +2471,14 @@ class ManagedTable:
     def snapshots(self) -> DataFrame:
         """Iceberg-style ``snapshots`` metadata relation: one row per
         retained snapshot — (version, kind, n_entries, n_deltas,
-        n_tombstones, tag, committed_at ISO seconds from the manifest
-        file's mtime).  Driver-assembled like every manifest operation
-        in this table layer; bounded by ``expire_snapshots``.  The
-        operational audit surface: what committed, when, what shape."""
+        n_tombstones, tag, committed_at ISO seconds).  The commit time
+        is the wall-clock stamped into the manifest at commit (falls
+        back to the manifest file's mtime only for manifests written
+        before the stamp existed), so it survives a copy/restore of
+        the table directory.  Driver-assembled like every manifest
+        operation in this table layer; bounded by ``expire_snapshots``.
+        The operational audit surface: what committed, when, what
+        shape."""
         import datetime as _dt  # noqa: PLC0415
 
         rows = []
@@ -2482,7 +2496,8 @@ class ManagedTable:
                 kinds.count("tombstone"),
                 doc.get("tag"),
                 _dt.datetime.fromtimestamp(
-                    os.path.getmtime(p), tz=_dt.timezone.utc
+                    doc.get("committed_at", os.path.getmtime(p)),
+                    tz=_dt.timezone.utc,
                 ).isoformat(timespec="seconds"),
             ))
         return self.spark.createDataFrame(
@@ -2496,11 +2511,14 @@ class ManagedTable:
         Iceberg's ``TIMESTAMP AS OF`` resolution.  ``ts`` is a
         ``datetime`` (naive = local time, like ``FOR TIMESTAMP AS
         OF`` literals), an epoch-seconds number, or an ISO-8601
-        string.  Commit times come from the manifest files' mtimes
-        (the same clock ``snapshots()`` reports).  Raises when every
-        retained snapshot is newer — the asked-for state is expired
-        or predates the table, and silently returning the oldest
-        retained version would misrepresent history."""
+        string.  Commit times are the wall-clock stamped into each
+        manifest at commit (the same clock ``snapshots()`` reports;
+        mtime fallback only for pre-stamp manifests) — stable under a
+        copy/rsync/restore of the table directory, which rewrites
+        every file mtime.  Raises when every retained snapshot is
+        newer — the asked-for state is expired or predates the table,
+        and silently returning the oldest retained version would
+        misrepresent history."""
         import datetime as _dt  # noqa: PLC0415
 
         if isinstance(ts, str):
@@ -2520,7 +2538,11 @@ class ManagedTable:
                 continue
             p = os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json")
             try:
-                if os.path.getmtime(p) <= ts:
+                with open(p, encoding="utf-8") as fh:
+                    committed = json.load(fh).get(
+                        "committed_at", os.path.getmtime(p)
+                    )
+                if committed <= ts:
                     best = v  # history() is ascending: keep the newest
             except OSError:
                 continue

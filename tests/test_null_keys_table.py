@@ -134,24 +134,37 @@ def test_cdf_null_key_delete_survives_entry_pruning(spark, tmp_path):
     assert (None, "insert") not in changes
 
 
+def _pin_commit_time(table_path, version, ts):
+    """Rewrite a manifest's stamped committed_at (the clock
+    version_as_of resolves against) — lets a test pin distinct commit
+    times without sleeping through real seconds."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(table_path, "_snapshots", f"v{version:08d}.json")
+    with open(p, encoding="utf-8") as fh:
+        doc = _json.load(fh)
+    doc["committed_at"] = ts
+    with open(p, "w", encoding="utf-8") as fh:
+        _json.dump(doc, fh)
+    return p
+
+
 def test_read_as_of_timestamp(spark, tmp_path):
     """Timestamp time travel resolves to the newest snapshot at or
-    before the asked-for instant (manifest mtime clock, same as
-    snapshots())."""
-    import os as _os
+    before the asked-for instant (the wall-clock stamped into the
+    manifest at commit, same clock as snapshots())."""
     import time as _time
 
     t = _mk(spark, tmp_path, "COW", name="asof")
     t.append(_rows(spark, [("a", 1, 1)]))
     v1 = t._current_version()
-    p1 = _os.path.join(t.path, "_snapshots", f"v{v1:08d}.json")
     t.append(_rows(spark, [("b", 2, 1)]))
     v2 = t._current_version()
-    p2 = _os.path.join(t.path, "_snapshots", f"v{v2:08d}.json")
     # pin distinct commit times without sleeping through real seconds
     base = _time.time() - 100
-    _os.utime(p1, (base, base))
-    _os.utime(p2, (base + 10, base + 10))
+    _pin_commit_time(t.path, v1, base)
+    _pin_commit_time(t.path, v2, base + 10)
     assert t.version_as_of(base + 5) == v1
     assert t.version_as_of(base + 10) == v2
     assert t.version_as_of(base + 999) == v2
@@ -187,3 +200,43 @@ def test_version_as_of_ignores_orphan_manifests(spark, tmp_path):
     assert t.version_as_of(now) == cur
     assert {r.k for r in t.read_as_of(now).collect()} == {"a"}
     _os.remove(orphan)
+
+
+def test_version_as_of_survives_copy_restore(spark, tmp_path):
+    """A copy/rsync/restore of a table directory rewrites every file
+    mtime; timestamp travel must resolve from the wall-clock stamped
+    INTO the manifest, not the file clock — the same timestamp maps
+    to the same version before and after the move."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    t = _mk(spark, tmp_path, "COW", name="orig")
+    t.append(_rows(spark, [("a", 1, 1)]))
+    v1 = t._current_version()
+    t.append(_rows(spark, [("b", 2, 1)]))
+    v2 = t._current_version()
+    base = _time.time() - 100
+    _pin_commit_time(t.path, v1, base)
+    _pin_commit_time(t.path, v2, base + 10)
+    # "restore": copy the directory, then perturb every mtime the way
+    # a backup tool would
+    dst = _os.path.join(str(tmp_path), "restored")
+    _shutil.copytree(t.path, dst)
+    now = _time.time()
+    for dirpath, _dirs, names in _os.walk(dst):
+        for n in names:
+            _os.utime(_os.path.join(dirpath, n), (now, now))
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    r = ManagedTable.load(spark, dst)
+    assert r.version_as_of(base + 5) == v1
+    assert r.version_as_of(base + 999) == v2
+    assert {x.k for x in r.read_as_of(base + 5).collect()} == {"a"}
+    # snapshots() reports the stamped clock too
+    snaps = {s.version: s.committed_at for s in r.snapshots().collect()}
+    import datetime as _dt
+
+    assert snaps[v1] == _dt.datetime.fromtimestamp(
+        base, tz=_dt.timezone.utc
+    ).isoformat(timespec="seconds")
