@@ -22,12 +22,39 @@ already exists skips it.  Single concurrent exporter per directory
 (the same contract as any file-based sink); concurrent SOURCE writers
 are fine — the window pins versions.
 
+Windows are CONTIGUOUS by construction (each window's ``lo`` is the
+previous window's ``hi``), and every listing verifies that chain — a
+window directory lost to a partial sync or manual cleanup raises
+instead of letting a reader silently reconstruct state missing that
+window's changes.
+
+Tailing and retention: ``read_change_export(..., since=v)`` subsets
+the window DIRECTORIES by their encoded bounds before Spark ever
+lists a file — an incremental consumer pays O(tail), never
+O(all history) — and ``prune_export(export_dir, up_to)`` deletes
+windows a downstream cursor has passed (Delta's
+``table_changes(startingVersion=…)`` contract: incremental by
+design, with retention on the producer side).  Prune records its
+floor in the anchor BEFORE deleting (crash-safe: leftover
+below-floor directories are invisible to readers and swept by the
+next prune).  After a prune, a full read reconstructs state only
+from the retained suffix — prune strictly below every consumer's
+cursor.
+
 Pure-append windows export straight off the cheap change feed (no CDF
 classification); windows with merge deltas / tombstones / rewrites
 export the net-effect CDF.  Maintenance-only windows publish an
 empty marker directory so the listing-cursor still advances
 (compaction is content-neutral, exactly why ``change_segments``
 splits there).
+
+Schema evolution: each window's parquet carries the source schema AT
+EXPORT TIME, and the anchor schema is refreshed whenever the source
+evolves — ``read_change_export`` reconciles per-window schemas
+through ``merge_types`` (added columns null-fill for old windows,
+widened types promote), so a consumer reading across an
+``add_columns``/``widen_column`` boundary sees one coherent evolved
+shape; an irreconcilable mix is refused loudly.
 """
 
 from __future__ import annotations
@@ -39,8 +66,12 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..table import ManagedTable
-from .rollup import change_segments, segment_is_pure_append
+from ..table import ManagedTable, align_to_schema, merge_types
+from .rollup import (
+    ExpiredCursorError,
+    change_segments,
+    segment_is_pure_append,
+)
 
 _ANCHOR = "_anchor.json"
 _PREFIX = "w_"
@@ -55,24 +86,50 @@ def create_change_export(
     to have the first export carry the source's existing content as
     inserts (bootstrap)."""
     os.makedirs(export_dir, exist_ok=True)
-    anchor = os.path.join(export_dir, _ANCHOR)
-    if os.path.exists(anchor):
+    if os.path.exists(os.path.join(export_dir, _ANCHOR)):
         raise ValueError(f"change export already provisioned at {export_dir}")
     lo = src._current_version() if consume_from is None else int(consume_from)
-    with open(anchor, "w") as fh:
-        json.dump(
-            {
-                "from_version": lo,
-                "source": src.path,
-                # lets a reader construct an EMPTY changes frame when
-                # only maintenance markers have been published yet
-                "schema": src.meta.schema.jsonValue(),
-            },
-            fh,
-        )
+    _write_anchor(
+        export_dir,
+        {
+            "from_version": lo,
+            "source": src.path,
+            # lets a reader construct an EMPTY changes frame when
+            # only maintenance markers have been published yet;
+            # refreshed by export_changes when the source evolves
+            "schema": src.meta.schema.jsonValue(),
+        },
+    )
 
 
-def _published_windows(export_dir: str) -> list[tuple[int, int]]:
+def _read_anchor(export_dir: str) -> dict:
+    with open(os.path.join(export_dir, _ANCHOR)) as fh:
+        return json.load(fh)
+
+
+def _write_anchor(export_dir: str, doc: dict) -> None:
+    # atomic replace: a reader never sees a half-written anchor
+    tmp = os.path.join(export_dir, f"{_ANCHOR}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, os.path.join(export_dir, _ANCHOR))
+
+
+def _floor(anchor: dict) -> int:
+    """Versions at or below the floor are not retained: the anchor's
+    provision point, raised by every prune."""
+    return max(
+        int(anchor["from_version"]), int(anchor.get("pruned_to", 0))
+    )
+
+
+def _published_windows(export_dir: str, floor: int) -> list[tuple[int, int]]:
+    """Retained windows sorted ascending, contiguity-verified: the
+    chain must start at the floor and each window's ``lo`` must equal
+    the previous ``hi`` — a gap means a window directory was lost
+    (partial sync, manual cleanup) and reading past it would silently
+    drop that window's changes.  Below-floor directories (a crashed
+    prune's leftovers) are invisible."""
     out = []
     for name in os.listdir(export_dir):
         if name.startswith(_PREFIX):
@@ -81,15 +138,25 @@ def _published_windows(export_dir: str) -> list[tuple[int, int]]:
                 out.append((int(lo), int(hi)))
             except ValueError:
                 continue
-    return sorted(out)
+    out = sorted(w for w in out if w[1] > floor)
+    prev = floor
+    for lo, hi in out:
+        if lo != prev:
+            raise ValueError(
+                f"change-export window chain broken at {export_dir}: "
+                f"expected a window starting at version {prev}, found "
+                f"w_{lo}_{hi} — a window directory was lost or pruned "
+                "out of order; rebuild the export (re-provision with "
+                "consume_from=1) rather than serving a gapped history"
+            )
+        prev = hi
+    return out
 
 
 def _cursor(export_dir: str) -> int:
-    ws = _published_windows(export_dir)
-    if ws:
-        return ws[-1][1]
-    with open(os.path.join(export_dir, _ANCHOR)) as fh:
-        return int(json.load(fh)["from_version"])
+    anchor = _read_anchor(export_dir)
+    ws = _published_windows(export_dir, _floor(anchor))
+    return ws[-1][1] if ws else _floor(anchor)
 
 
 def export_changes(src: ManagedTable, export_dir: str) -> tuple[int, int] | None:
@@ -104,6 +171,13 @@ def export_changes(src: ManagedTable, export_dir: str) -> tuple[int, int] | None
     hi = src._current_version()
     if hi <= lo:
         return None
+    anchor = _read_anchor(export_dir)
+    if anchor["schema"] != src.meta.schema.jsonValue():
+        # the source evolved: refresh the anchor so the marker-only
+        # read path (and any shape-probing consumer) serves the
+        # CURRENT exported shape, not the provision-time one
+        anchor["schema"] = src.meta.schema.jsonValue()
+        _write_anchor(export_dir, anchor)
     target = os.path.join(export_dir, f"{_PREFIX}{lo}_{hi}")
     if os.path.exists(target):  # replayed window: already published
         return (lo, hi)
@@ -146,13 +220,72 @@ def export_changes(src: ManagedTable, export_dir: str) -> tuple[int, int] | None
     return (lo, hi)
 
 
-def read_change_export(spark, export_dir: str) -> DataFrame:
-    """Every published window as one frame (rows carry
-    ``_change_type`` and ``_export_lo``/``_export_hi``) — what a
-    downstream consumer reads; filter ``_export_hi > <cursor>`` to
-    tail incrementally."""
-    windows = _published_windows(export_dir)
-    if not windows:
+def prune_export(export_dir: str, up_to: int) -> int | None:
+    """Retention: delete published windows whose ``hi`` is at or below
+    ``up_to`` — safe once every downstream consumer's cursor has
+    passed them (a later full read reconstructs state only from the
+    retained suffix).  Returns the new floor (a window boundary), or
+    None when nothing qualified.  Crash-safe: the floor is recorded in
+    the anchor BEFORE any directory is deleted, so a crash mid-prune
+    leaves below-floor leftovers that readers ignore and the next
+    prune sweeps."""
+    anchor = _read_anchor(export_dir)
+    floor = _floor(anchor)
+    # sweep a crashed prune's leftovers first (below the recorded
+    # floor, so invisible to every reader)
+    for name in os.listdir(export_dir):
+        if name.startswith(_PREFIX):
+            try:
+                _, hi = name[len(_PREFIX):].split("_")
+            except ValueError:
+                continue
+            if int(hi) <= floor:
+                shutil.rmtree(
+                    os.path.join(export_dir, name), ignore_errors=True
+                )
+    windows = _published_windows(export_dir, floor)
+    deletable = [w for w in windows if w[1] <= int(up_to)]
+    if not deletable:
+        return None
+    new_floor = deletable[-1][1]  # windows are contiguous: a boundary
+    anchor["pruned_to"] = new_floor
+    _write_anchor(export_dir, anchor)
+    for lo, hi in deletable:
+        shutil.rmtree(
+            os.path.join(export_dir, f"{_PREFIX}{lo}_{hi}"),
+            ignore_errors=True,
+        )
+    return new_floor
+
+
+def read_change_export(
+    spark, export_dir: str, since: int | None = None
+) -> DataFrame:
+    """Published windows as one frame (rows carry ``_change_type`` and
+    ``_export_lo``/``_export_hi``) — what a downstream consumer reads.
+    ``since`` is the consumer's cursor (a previously returned window
+    ``hi``): only windows ABOVE it are listed and opened — the
+    directory names encode the bounds, so the tail costs O(new
+    windows), not O(all history).  A ``since`` below the retention
+    floor raises ``ExpiredCursorError`` (the asked-for changes were
+    pruned; silently serving a gapped tail would corrupt the
+    consumer's state).  Windows written before a schema evolution are
+    reconciled onto the evolved shape (``merge_types``: added columns
+    null-fill, widened types promote)."""
+    anchor = _read_anchor(export_dir)
+    floor = _floor(anchor)
+    windows = _published_windows(export_dir, floor)
+    if since is not None:
+        since = int(since)
+        if since < floor:
+            raise ExpiredCursorError(
+                f"change-export cursor {since} predates the retention "
+                f"floor {floor} at {export_dir} — the windows were "
+                "pruned; re-bootstrap the consumer from a full read "
+                "or a fresh export"
+            )
+        windows = [w for w in windows if w[1] > since]
+    if not windows and since is None:
         raise ValueError(f"no published change windows under {export_dir}")
     dirs = [
         os.path.join(export_dir, f"{_PREFIX}{lo}_{hi}")
@@ -160,21 +293,35 @@ def read_change_export(spark, export_dir: str) -> DataFrame:
     ]
     dirs = [d for d in dirs if any(f.endswith(".parquet") for f in os.listdir(d))]
     if not dirs:
-        # published, but every window so far is a maintenance marker
-        # (or an empty net effect): an empty frame with the exported
-        # shape, not an error — a tail loop must survive a
-        # maintenance-only cycle
+        # published-but-empty tail: markers only (or an empty since-
+        # tail) — an empty frame with the exported shape, not an
+        # error: a tail loop must survive a maintenance-only cycle
         from pyspark.sql import types as T  # noqa: PLC0415
 
-        with open(os.path.join(export_dir, _ANCHOR)) as fh:
-            base = T.StructType.fromJson(json.load(fh)["schema"])
+        base = T.StructType.fromJson(anchor["schema"])
         fields = list(base.fields) + [
             T.StructField("_change_type", T.StringType(), True),
             T.StructField("_export_lo", T.IntegerType(), False),
             T.StructField("_export_hi", T.IntegerType(), False),
         ]
         return spark.createDataFrame([], T.StructType(fields))
-    return spark.read.parquet(*dirs)
+    frames = [spark.read.parquet(d) for d in dirs]
+    schemas = [f.schema for f in frames]
+    if all(s == schemas[0] for s in schemas[1:]):
+        # single-shape fast path: one multi-path relation, one footer
+        # schema — the common case between evolutions
+        return spark.read.parquet(*dirs)
+    # mixed shapes across an evolution boundary: reconcile through the
+    # same lossless rules the table itself evolves under; anything
+    # irreconcilable raises (merge_types) instead of silently taking
+    # one file's schema and dropping the evolved columns
+    target = schemas[0]
+    for s in schemas[1:]:
+        target = merge_types(target, s)
+    out = align_to_schema(frames[0], target)
+    for f in frames[1:]:
+        out = out.unionByName(align_to_schema(f, target))
+    return out
 
 
 def replay_to_state(changes: DataFrame, key_cols: list[str]) -> DataFrame:

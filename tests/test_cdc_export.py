@@ -13,6 +13,7 @@ from pyspark.sql import types as T
 from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
     create_change_export,
     export_changes,
+    prune_export,
     read_change_export,
     replay_to_state,
 )
@@ -214,3 +215,206 @@ def test_marker_only_export_reads_empty(spark, tmp_path):
     assert _state(
         replay_to_state(read_change_export(spark, ex), ["id"])
     ) == [(2, "b", 5)]
+
+
+# ---- tailing, retention, gap detection (round 10) ----
+
+
+def test_since_read_opens_only_new_window_files(spark, tmp_path):
+    """The tail contract: read_change_export(since=cursor) must subset
+    the window DIRECTORIES by their encoded bounds before Spark lists
+    a file — inputFiles() proves the old windows were never opened."""
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    w1 = export_changes(src, ex)
+    src.append(_rows(spark, [(2, "b", 2, 1)]))
+    w2 = export_changes(src, ex)
+    src.merge(_rows(spark, [(2, "b", 9, 2)]))
+    w3 = export_changes(src, ex)
+    tail = read_change_export(spark, ex, since=w1[1])
+    files = tail.inputFiles()
+    assert files, "tail should have data files"
+    old_dir = f"w_{w1[0]}_{w1[1]}"
+    assert all(old_dir not in f for f in files)
+    assert any(f"w_{w2[0]}_{w2[1]}" in f for f in files)
+    assert any(f"w_{w3[0]}_{w3[1]}" in f for f in files)
+    # and the rows are exactly the two later windows' changes
+    ids = sorted(r.id for r in tail.filter(
+        "_change_type in ('insert','update_postimage')").collect())
+    assert ids == [2, 2]
+    # a caught-up cursor reads an empty, correctly-shaped tail
+    empty = read_change_export(spark, ex, since=w3[1])
+    assert empty.count() == 0 and "_change_type" in empty.columns
+
+
+def test_prune_export_retention(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    w1 = export_changes(src, ex)
+    src.merge(_rows(spark, [(1, "a", 5, 2)]))
+    w2 = export_changes(src, ex)
+    # prune the consumed first window
+    assert prune_export(ex, w1[1]) == w1[1]
+    assert not os.path.exists(os.path.join(ex, f"w_{w1[0]}_{w1[1]}"))
+    assert os.path.exists(os.path.join(ex, f"w_{w2[0]}_{w2[1]}"))
+    # the retained suffix still reads and exports continue seamlessly
+    assert read_change_export(spark, ex).count() > 0
+    src.append(_rows(spark, [(3, "c", 3, 1)]))
+    w3 = export_changes(src, ex)
+    assert w3[0] == w2[1]
+    # a consumer whose cursor predates the floor fails loudly
+    with pytest.raises(ExpiredCursorError, match="retention floor"):
+        read_change_export(spark, ex, since=0)
+    # pruning everything leaves a working (empty) export
+    assert prune_export(ex, w3[1]) == w3[1]
+    assert read_change_export(spark, ex, since=w3[1]).count() == 0
+    src.append(_rows(spark, [(4, "d", 4, 1)]))
+    w4 = export_changes(src, ex)
+    assert w4[0] == w3[1]
+    assert _state(
+        replay_to_state(read_change_export(spark, ex, since=w3[1]), ["id"])
+    ) == [(4, "d", 4)]
+
+
+def test_prune_export_noop_below_existing_floor(spark, tmp_path):
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    w1 = export_changes(src, ex)
+    assert prune_export(ex, 0) is None
+    assert prune_export(ex, w1[1]) == w1[1]
+    assert prune_export(ex, w1[1]) is None  # idempotent
+
+
+def test_crashed_prune_leftover_invisible_and_swept(spark, tmp_path):
+    """A prune that recorded its floor but crashed before deleting:
+    the below-floor directory must be invisible to readers/exporters
+    and swept by the next prune."""
+    import json as _json
+
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    w1 = export_changes(src, ex)
+    src.append(_rows(spark, [(2, "b", 2, 1)]))
+    w2 = export_changes(src, ex)
+    # simulate the crash: floor recorded, dir NOT deleted
+    with open(os.path.join(ex, "_anchor.json")) as fh:
+        anchor = _json.load(fh)
+    anchor["pruned_to"] = w1[1]
+    with open(os.path.join(ex, "_anchor.json"), "w") as fh:
+        _json.dump(anchor, fh)
+    leftover = os.path.join(ex, f"w_{w1[0]}_{w1[1]}")
+    assert os.path.exists(leftover)
+    # readers ignore the leftover (no w1 rows), exports continue
+    ids = {r.id for r in read_change_export(spark, ex).collect()}
+    assert ids == {2}
+    assert export_changes(src, ex) is None
+    # the next prune sweeps it even when nothing new qualifies
+    prune_export(ex, w1[1])
+    assert not os.path.exists(leftover)
+    assert os.path.exists(os.path.join(ex, f"w_{w2[0]}_{w2[1]}"))
+
+
+def test_lost_window_gap_detected(spark, tmp_path):
+    """ADVICE r9: a window directory lost to partial sync / manual
+    cleanup must raise — resuming past the gap would silently
+    reconstruct state missing that window's changes."""
+    import shutil as _shutil
+
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    w1 = export_changes(src, ex)
+    src.append(_rows(spark, [(2, "b", 2, 1)]))
+    export_changes(src, ex)
+    src.append(_rows(spark, [(3, "c", 3, 1)]))
+    _shutil.rmtree(os.path.join(ex, f"w_{w1[0]}_{w1[1]}"))
+    with pytest.raises(ValueError, match="window chain broken"):
+        read_change_export(spark, ex)
+    with pytest.raises(ValueError, match="window chain broken"):
+        export_changes(src, ex)
+
+
+# ---- composition with schema evolution (round 10) ----
+
+
+def test_export_across_add_columns(spark, tmp_path):
+    """Windows written before and after an add_columns evolution read
+    as ONE coherent evolved shape: old-window rows null-fill the new
+    column, replay matches the live table."""
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1), (2, "b", 2, 1)]))
+    export_changes(src, ex)
+    src.add_columns([T.StructField("note", T.StringType(), True)])
+    evolved = spark.createDataFrame(
+        [Row(id=2, grp="b", v=20, seq=2, note="hot"),
+         Row(id=3, grp="c", v=3, seq=1, note="new")],
+        src.meta.schema,
+    )
+    src.merge(evolved)
+    export_changes(src, ex)
+    changes = read_change_export(spark, ex)
+    assert "note" in changes.columns
+    rows = {(r.id, r._change_type): r for r in changes.collect()}
+    assert rows[(1, "insert")].note is None  # pre-evolution window
+    assert rows[(3, "insert")].note == "new"
+    replayed = replay_to_state(changes, ["id"])
+    got = sorted((r.id, r.grp, r.v, r.note) for r in replayed.collect())
+    want = sorted(
+        (r.id, r.grp, r.v, r.note)
+        for r in src.read().collect()
+    )
+    assert got == want
+    # the evolved column survives a since-tail read too
+    tail = read_change_export(spark, ex, since=2)
+    assert "note" in tail.columns
+
+
+def test_export_across_widen_column(spark, tmp_path):
+    """A widen_column evolution (int → bigint) between windows: the
+    reconciled read promotes old windows' narrow values losslessly."""
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 7, 1)]))
+    export_changes(src, ex)
+    src.widen_column("v", T.LongType())
+    big = 2**40
+    src.merge(
+        spark.createDataFrame(
+            [Row(id=2, grp="b", v=big, seq=2)], src.meta.schema
+        )
+    )
+    export_changes(src, ex)
+    changes = read_change_export(spark, ex)
+    assert dict(changes.dtypes)["v"] == "bigint"
+    replayed = replay_to_state(changes, ["id"])
+    assert sorted((r.id, r.v) for r in replayed.collect()) == [
+        (1, 7), (2, big)
+    ]
+
+
+def test_marker_read_serves_evolved_schema(spark, tmp_path):
+    """The anchor schema is refreshed on evolution, so the empty
+    marker-only read path serves the CURRENT exported shape, not the
+    provision-time one."""
+    src = _mk_src(spark, tmp_path)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)  # anchored at current
+    src.add_columns([T.StructField("note", T.StringType(), True)])
+    src.compact()  # the only new commit is maintenance: marker window
+    assert export_changes(src, ex) is not None
+    changes = read_change_export(spark, ex)
+    assert changes.count() == 0
+    assert "note" in changes.columns
