@@ -2168,7 +2168,7 @@ def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS n_f_entries
     FROM orders WHERE o_orderkey % 1000 = 0
     """,
-    driver=True,  # r07: rotated into the driver gate (final never-gated batch)
+    driver=False,  # r10: rotated out (green r7-r9; pytest parity + bench)
 )
 def q_map_function_surface(spark: SparkSession, sf: str) -> DataFrame:
     """The map-typed scalar surface in one query: create_map,

@@ -2063,6 +2063,311 @@ def schema_evolution_ingest_documents(spark: SparkSession, sf: str) -> DataFrame
     )
 
 
+@query(
+    "declarative_pipeline_orders",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000
+               AS price_cents,
+             'w' || CAST(o_orderkey % 20 AS VARCHAR) AS note
+      FROM orders
+    ),
+    b1 AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
+    b2 AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             (o_custkey % 50) + 1 AS o_custkey,
+             price_cents + 500 AS price_cents,
+             'w' || CAST((o_orderkey + 1) % 20 AS VARCHAR) AS note
+      FROM o WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0),
+    binned AS (
+      SELECT o_orderstatus,
+             CASE WHEN CAST(price_cents AS DOUBLE) < 0.0 THEN 0
+                  WHEN CAST(price_cents AS DOUBLE) >= 100000.0 THEN 21
+                  ELSE LEAST(20, 1 + CAST(FLOOR(
+                    (CAST(price_cents AS DOUBLE) - 0.0) / 5000.0)
+                    AS INTEGER))
+             END AS bin_idx
+      FROM final
+    ),
+    counts AS (
+      SELECT o_orderstatus, bin_idx, COUNT(*) AS n
+      FROM binned GROUP BY o_orderstatus, bin_idx
+    ),
+    cum AS (
+      SELECT o_orderstatus, bin_idx, n,
+             SUM(n) OVER (PARTITION BY o_orderstatus ORDER BY bin_idx)
+               AS c,
+             SUM(n) OVER (PARTITION BY o_orderstatus) AS total
+      FROM counts
+    ),
+    quant AS (
+      SELECT o_orderstatus,
+        ROUND(ARG_MIN(
+          CASE WHEN bin_idx = 0 THEN 0.0
+               WHEN bin_idx = 21 THEN 100000.0
+               ELSE 0.0 + CAST(bin_idx - 1 AS DOUBLE) * 5000.0
+                    + 5000.0 * (0.5 * CAST(total AS DOUBLE)
+                                - CAST(c - n AS DOUBLE))
+                      / CAST(n AS DOUBLE) END,
+          bin_idx)
+          FILTER (WHERE CAST(c AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+                        AND n > 0), 6) AS p50
+      FROM cum GROUP BY o_orderstatus
+    ),
+    ranked AS (
+      SELECT o_orderstatus, o_orderkey, price_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY price_cents DESC NULLS LAST, o_orderkey ASC)
+               AS rnk
+      FROM final
+    )
+    SELECT 'rollup' AS family, o_orderstatus AS grp, 'n' AS metric,
+           CAST(COUNT(*) AS DOUBLE) AS val
+    FROM final GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'rollup', o_orderstatus, 'sum', CAST(SUM(price_cents) AS DOUBLE)
+    FROM final GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'rollup', o_orderstatus, 'ndistinct',
+           CAST(COUNT(DISTINCT note) AS DOUBLE)
+    FROM final GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'hist', o_orderstatus, 'p50', p50 FROM quant
+    UNION ALL
+    SELECT 'topk', o_orderstatus, 'key' || CAST(rnk AS VARCHAR),
+           CAST(o_orderkey AS DOUBLE)
+    FROM ranked WHERE rnk <= 3
+    UNION ALL
+    SELECT 'topk', o_orderstatus, 'val' || CAST(rnk AS VARCHAR),
+           CAST(price_cents AS DOUBLE)
+    FROM ranked WHERE rnk <= 3
+    UNION ALL
+    SELECT 'joinmv', c.c_mktsegment, 'n', CAST(COUNT(*) AS DOUBLE)
+    FROM final f JOIN customer c ON f.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    UNION ALL
+    SELECT 'joinmv', c.c_mktsegment, 'sum',
+           CAST(SUM(f.price_cents) AS DOUBLE)
+    FROM final f JOIN customer c ON f.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    UNION ALL
+    SELECT 'index', 'all', 'n_docs', CAST(COUNT(*) AS DOUBLE) FROM final
+    """,
+    rank=21,
+)
+def declarative_pipeline_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """The declarative kitchen sink: ONE job config declaring a bm25
+    index + a rollup (sums, exact COUNT(DISTINCT), fixed-bin
+    histogram) + a join MV + a top-k MV + table maintenance, driven
+    through ``process_files`` over a three-batch CDC stream (insert /
+    group-moving upsert / delete) — proving the maintenance families
+    COEXIST on one ingest path, including across the mid-stream
+    compaction the maintenance cadence triggers (every MV's change
+    window splits around that commit).  Every family is then
+    VALUE-CHECKED against one relational restatement of the final
+    state: rollup counts/sums/distincts per status, the histogram's
+    routed P50, the top-3 keys and values per status, the join MV
+    re-aggregated per market segment, and the search index's live doc
+    count.  Scale shape: each family's per-batch refresh is the same
+    trigger-bounded fold gated by its dedicated entry
+    (incremental_rollup_*/topk/join_mv); this entry pins their
+    COMPOSITION — shared change feed, interleaved maintenance, one
+    committed cursor per family — not new per-family machinery."""
+    import glob as _glob  # noqa: PLC0415
+    import json as _json  # noqa: PLC0415
+
+    from . import job as J  # noqa: PLC0415
+    from .config import JobConfig  # noqa: PLC0415
+    from .operators.rollup import rollup_quantiles  # noqa: PLC0415
+    from .operators.search_index import load_search_index  # noqa: PLC0415
+    from .operators.topk_mv import read_topk  # noqa: PLC0415
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_dp_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_custkey").cast("long"),
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 100000)
+        .alias("price_cents"),
+        F.concat(F.lit("w"), (F.col("o_orderkey") % 20).cast("string"))
+        .alias("note"),
+    )
+    b1 = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "*", F.lit(1).cast("long").alias("seq"), F.lit("I").alias("Op")
+    )
+    b2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_custkey") % 50 + 1).alias("o_custkey"),
+        (F.col("price_cents") + 500).alias("price_cents"),
+        F.concat(F.lit("w"), ((F.col("o_orderkey") + 1) % 20).cast("string"))
+        .alias("note"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("U").alias("Op"),
+    )
+    b3 = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "*", F.lit(3).cast("long").alias("seq"), F.lit("D").alias("Op")
+    )
+    for name, b in [("b1", b1), ("b2", b2), ("b3", b3)]:
+        b.coalesce(1).write.mode("overwrite").parquet(f"{base}/land/{name}")
+    # the dimension another job would maintain (static here — right-side
+    # churn is gated by incremental_join_mv_orders_customer)
+    c = t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long"), "c_mktsegment"
+    )
+    dim = ManagedTable.create(
+        spark, f"{base}/dim", c.schema, key_cols=["c_custkey"],
+        table_type="MOR",
+    )
+    dim.append(c)
+    with open(f"{base}/contract.avsc", "w") as fh:
+        _json.dump(
+            {
+                "type": "record",
+                "name": "orders_cdc",
+                "fields": [
+                    {"name": "o_orderkey", "type": "long"},
+                    {"name": "o_orderstatus", "type": "string"},
+                    {"name": "o_custkey", "type": "long"},
+                    {"name": "price_cents", "type": "long"},
+                    {"name": "note", "type": "string"},
+                    {"name": "seq", "type": "long"},
+                ],
+            },
+            fh,
+        )
+    spec = (0.0, 100000.0, 20)
+    cfg = JobConfig.from_dict(
+        {
+            "input_config": {"format": "parquet"},
+            "output_config": {
+                "table_path": f"{base}/tbl",
+                "mode": "merge",
+                "table_type": "MOR",
+                "schema": f"{base}/contract.avsc",
+                "key_columns": ["o_orderkey"],
+                "order_column": "seq",
+                "cdc_delete_values": ["D"],
+                "maintenance": {"compact_every": 2},
+                "indexes": [
+                    {
+                        "type": "bm25",
+                        "path": f"{base}/ix",
+                        "id_column": "o_orderkey",
+                        "text_column": "note",
+                        "maintenance_every": 2,
+                    }
+                ],
+                "rollups": [
+                    {
+                        "path": f"{base}/roll",
+                        "group_columns": ["o_orderstatus"],
+                        "sum_columns": ["price_cents"],
+                        "distinct_columns": ["note"],
+                        "hist_columns": {"price_cents": list(spec)},
+                        "maintenance_every": 2,
+                    }
+                ],
+                "join_mvs": [
+                    {
+                        "path": f"{base}/jmv",
+                        "right_table": f"{base}/dim",
+                        "on": ["o_custkey", "c_custkey"],
+                        "maintenance_every": 2,
+                    }
+                ],
+                "topk_mvs": [
+                    {
+                        "path": f"{base}/topk",
+                        "group_columns": ["o_orderstatus"],
+                        "order_column": "price_cents",
+                        "k": 3,
+                        "maintenance_every": 2,
+                    }
+                ],
+            },
+        }
+    )
+    for name in ("b1", "b2", "b3"):
+        J.process_files(
+            spark, cfg,
+            sorted(_glob.glob(f"{base}/land/{name}/part-*.parquet")),
+        )
+
+    def _fam(df, family, grp_col, metric, val):
+        return df.select(
+            F.lit(family).alias("family"),
+            F.col(grp_col).alias("grp"),
+            (metric if not isinstance(metric, str) else F.lit(metric))
+            .alias("metric"),
+            val.cast("double").alias("val"),
+        )
+
+    roll = ManagedTable.load(spark, f"{base}/roll").read()
+    parts = [
+        _fam(roll, "rollup", "o_orderstatus", "n", F.col("n_rows")),
+        _fam(roll, "rollup", "o_orderstatus", "sum",
+             F.col("sum_price_cents")),
+        _fam(roll, "rollup", "o_orderstatus", "ndistinct",
+             F.col("n_distinct_note")),
+        _fam(
+            rollup_quantiles(
+                roll, "price_cents", spec, [0.5], ["o_orderstatus"]
+            ),
+            "hist", "o_orderstatus", "p50",
+            F.round(F.col("p50_price_cents"), 6),
+        ),
+    ]
+    topk = read_topk(
+        ManagedTable.load(spark, f"{base}/topk"),
+        ["o_orderstatus"], "price_cents",
+    )
+    parts.append(_fam(
+        topk, "topk", "o_orderstatus",
+        F.concat(F.lit("key"), F.col("rnk").cast("string")),
+        F.col("o_orderkey"),
+    ))
+    parts.append(_fam(
+        topk, "topk", "o_orderstatus",
+        F.concat(F.lit("val"), F.col("rnk").cast("string")),
+        F.col("price_cents"),
+    ))
+    jm = (
+        ManagedTable.load(spark, f"{base}/jmv").read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_cents").alias("s"),
+        )
+    )
+    parts.append(_fam(jm, "joinmv", "c_mktsegment", "n", F.col("n")))
+    parts.append(_fam(jm, "joinmv", "c_mktsegment", "sum", F.col("s")))
+    pt, _stats = load_search_index(spark, f"{base}/ix")
+    ix = pt.read().agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).select(F.lit("all").alias("g"), "nd")
+    parts.append(_fam(ix, "index", "g", "n_docs", F.col("nd")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # late-bound oracle: the generator lives in pipeline_queries, which
 # imports from queries (not from here) — no cycle, but the decorator
 # above runs at module import before we can reference it inline

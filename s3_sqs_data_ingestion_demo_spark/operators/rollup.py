@@ -579,8 +579,29 @@ def rollup_quantiles(
     # empty group_cols = the GLOBAL quantile (a reaggregate_rollup([])
     # result is one row) — partition on a constant internally
     parts = group_cols if group_cols else [F.lit(1).alias("_all")]
+    # structural guard: the caller-supplied n_bins must agree with the
+    # hist_<col> arrays actually in the frame — a spec that disagrees
+    # (stale bounds after a rebuild under a different spec) would
+    # silently mis-scale every estimate.  Array length is checkable in
+    # the plan (bounds are not: equal-length specs with different
+    # lo/hi remain the caller's contract, persisted on the rollup's
+    # properties and drift-refused at refresh/reaggregate time).  The
+    # guard wraps the exploded array itself so column pruning cannot
+    # optimize it away.
+    arr = F.col(f"hist_{col}")
+    checked = F.when(arr.isNull() | (F.size(arr) == nb + 2), arr).otherwise(
+        F.raise_error(
+            F.lit(
+                f"rollup_quantiles spec mismatch: hist_{col} arrays do "
+                f"not have n_bins+2 = {nb + 2} elements — the supplied "
+                "(lo, hi, n_bins) disagrees with the maintained "
+                "histogram; use the spec persisted on the rollup's "
+                "properties"
+            )
+        )
+    )
     e = frame.select(
-        *parts, F.posexplode(f"hist_{col}").alias("_bin", "_cnt")
+        *parts, F.posexplode(checked).alias("_bin", "_cnt")
     )
     pcols = group_cols or ["_all"]
     win = Window.partitionBy(*pcols).orderBy("_bin")

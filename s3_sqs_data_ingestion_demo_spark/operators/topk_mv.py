@@ -159,7 +159,20 @@ def _check_contract(
     }
     for key, val in want.items():
         stored = props.get(key)
-        if stored is not None and stored != val:
+        if stored is None:
+            # an absent contract key means the table is not a top-k MV
+            # created by create_topk_mv (or its properties were lost) —
+            # skipping the comparison would accept ANY k/order/
+            # direction/group split, the exact corruption class this
+            # check exists to prevent
+            raise ValueError(
+                f"top-k contract missing: {key} is not persisted on "
+                f"{dst.path} — the table was not created by "
+                "create_topk_mv or its contract properties were lost; "
+                "recreate the MV (create_topk_mv) rather than "
+                "refreshing under an unverifiable contract"
+            )
+        if stored != val:
             raise ValueError(
                 f"top-k contract drift: {key} is {stored!r} on the MV "
                 f"but this refresh declares {val!r} — the ranking "
@@ -283,13 +296,30 @@ def _refresh_topk_window(
     )
     rescan_keys = touched.filter(F.col("_retract") == 1).select(*group_cols)
     fold_keys = touched.filter(F.col("_retract") == 0).select(*group_cols)
+    # ONE driver action answers both branch-emptiness questions off the
+    # already-pinned (tiny) touched frame — previously two isEmpty()
+    # probes, each its own job
+    counts = touched.agg(
+        F.coalesce(F.sum("_retract"), F.lit(0)).alias("nr"),
+        F.count(F.lit(1)).alias("nt"),
+    ).first()
+    n_rescan = int(counts.nr)
+    n_fold = int(counts.nt) - n_rescan
+
+    if counts.nt == 0:
+        # the window's changes net to zero rows: nothing to fold or
+        # rescan — advance the cursor without touching the MV
+        dst.set_properties(**{_STATE_KEY: cur})
+        return dst._current_version(), cur >= actual
 
     mv_affected = join_nullsafe(
         dst.read(), touched.select(*group_cols), list(group_cols), "left_semi"
     ).localCheckpoint(eager=True)
 
     winners = None
-    if not any_cdf or not fold_keys.isEmpty():
+    fold_ran = False
+    if not any_cdf or n_fold > 0:
+        fold_ran = True
         # fold: inserted rows compete with the groups' current top-k.
         # A replay after a crashed merge sees the winners already in
         # the MV — the dedup keeps the candidate set identical, so the
@@ -310,7 +340,7 @@ def _refresh_topk_window(
             fold_cands, group_cols, order_col, k, id_cols, out_cols,
             descending,
         )
-    if any_cdf and not rescan_keys.isEmpty():
+    if any_cdf and n_rescan > 0:
         # rescan: retraction-touched groups re-rank from the source
         # pinned at the window's high version — race-free vs
         # concurrent appends, bounded by the affected groups
@@ -330,8 +360,13 @@ def _refresh_topk_window(
         # read twice (merge + the stale sweep's anti side) — pin once
         winners = winners.localCheckpoint(eager=True)
         # at most one window per low cursor ever commits, so the
-        # recovery probe doubles as the replay check
-        if recovered is None and not winners.isEmpty():
+        # recovery probe doubles as the replay check.  When the fold
+        # branch ran its winners are provably non-empty (a fold group
+        # has ≥1 insert by the _retract=0 definition, and top-k of a
+        # non-empty candidate set is non-empty), so the emptiness
+        # probe only pays on rescan-only windows, where vanished
+        # groups genuinely can leave zero winners.
+        if recovered is None and (fold_ran or not winners.isEmpty()):
             version = dst.merge(winners, tag=window_tag)
         # stale sweep (idempotent): affected-group MV rows that are
         # not among the window's winners — pushed out of the top-k by

@@ -287,3 +287,22 @@ def test_global_quantile_routing(spark, tmp_path):
     # same estimate as the per-bin hand computation in
     # test_quantiles_hand_computed (one value per bin, target=5)
     assert row[0].p50_v == pytest.approx(50.0)
+
+
+def test_quantile_spec_disagreeing_with_arrays_refused(spark, tmp_path):
+    """ADVICE r9: rollup_quantiles trusted the caller-supplied spec
+    against an arbitrary frame — an n_bins that disagrees with the
+    hist_<col> arrays actually present must raise, not silently
+    mis-scale the estimates."""
+    src = _mk_src(spark, tmp_path)
+    dst = create_rollup(src, f"{tmp_path}/r", ["grp"], [], hist_cols=HIST)
+    src.append(_rows(spark, [(1, "a", 10, 1), (2, "a", 20, 1)]))
+    refresh_rollup(src, dst, ["grp"], [], hist_cols=HIST)
+    lo, hi, nb = HIST["v"]
+    bad = (lo, hi, nb + 3)  # wrong bin count for the maintained arrays
+    with pytest.raises(Exception, match="spec mismatch"):
+        rollup_quantiles(dst.read(), "v", bad, [0.5], ["grp"]).collect()
+    # the correct spec still answers
+    assert rollup_quantiles(
+        dst.read(), "v", HIST["v"], [0.5], ["grp"]
+    ).collect()

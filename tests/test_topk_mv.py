@@ -317,3 +317,19 @@ def test_reaggregate_rejects_id_subset(spark, tmp_path):
         reaggregate_topk(dst, ["id"], "v", k=1)
     with pytest.raises(ValueError, match="cannot answer top-"):
         reaggregate_topk(dst, ["grp"], "v", k=99)
+
+
+def test_missing_contract_properties_refused(spark, tmp_path):
+    """ADVICE r9: an MV whose contract properties are absent (not
+    created by create_topk_mv, or properties lost) must be refused —
+    skipping the comparison would accept ANY contract, the corruption
+    class the check exists to prevent."""
+    src = _mk_src(spark, tmp_path)
+    # a plain table shaped like an MV, but with no persisted contract
+    fake = ManagedTable.create(
+        spark, f"{tmp_path}/fake", SCHEMA, key_cols=["grp", "id"],
+        order_column="v", table_type="MOR",
+    )
+    src.append(_rows(spark, [(1, "a", 1, "n", 1)]))
+    with pytest.raises(ValueError, match="contract missing"):
+        refresh_topk_mv(src, fake, **_kw())
