@@ -254,6 +254,85 @@ def _bench_streaming_neardup(
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _bench_streaming_rollup(
+    spark, sf_dir: str, phases_out: dict | None = None
+) -> float:
+    """Streaming IVM twin end-to-end: land orders as 4 micro-batch
+    files, run start_streaming_rollup with maxFilesPerTrigger=1 —
+    each trigger appends the batch to the source table (batch-id
+    commit tag) and folds its delta into the rollup (operators/
+    rollup.py fast path: insert-only windows never read the base).
+    The recorded phases carry PER-TRIGGER append/refresh wall times
+    (``append_per_trigger`` / ``refresh_per_trigger``), so a
+    regression in the per-trigger constants — the number that
+    dominates a real stream's steady state — is adjudicable from the
+    artifact, the same visibility the neardup streams have had since
+    r6."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from s3_sqs_data_ingestion_demo_spark.operators.rollup import (
+        create_rollup,
+    )
+    from s3_sqs_data_ingestion_demo_spark.queries import t as read_table
+    from s3_sqs_data_ingestion_demo_spark.streaming.ingest import (
+        start_streaming_rollup,
+    )
+    from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+    d = tempfile.mkdtemp(prefix="sg_bench_sroll_")
+    try:
+        land = os.path.join(d, "landing")
+        o = read_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("price_cents"),
+        )
+        o.repartitionByRange(4, "o_orderkey").write.json(land)
+        # pin strictly increasing mtimes so FileStreamSource batch
+        # order is deterministic (same policy as the neardup bench)
+        import glob as _glob
+        now = _time.time()
+        for i, f in enumerate(sorted(_glob.glob(os.path.join(land, "part-*")))):
+            os.utime(f, (now - 100 + i, now - 100 + i))
+        schema = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_orderstatus", T.StringType()),
+                T.StructField("price_cents", T.LongType()),
+            ]
+        )
+        src = ManagedTable.create(
+            spark, f"{d}/src", schema, key_cols=["o_orderkey"],
+            table_type="MOR",
+        )
+        roll = create_rollup(
+            src, f"{d}/roll", ["o_orderstatus"], ["price_cents"],
+        )
+        ph: dict = {}
+        start = _time.perf_counter()
+        q = start_streaming_rollup(
+            spark, land, schema, src, roll,
+            ["o_orderstatus"], ["price_cents"],
+            checkpoint_dir=f"{d}/ck", available_now=True,
+            options={"maxFilesPerTrigger": "1"},
+            phase_times=ph,
+        )
+        q.awaitTermination()
+        elapsed = round(_time.perf_counter() - start, 3)
+        if phases_out is not None:
+            phases_out.clear()
+            phases_out.update(ph)
+        return elapsed
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -341,6 +420,15 @@ def main() -> None:
         "ingest_streaming_neardup_table", index_mode="table", compact_every=4
     )
 
+    # streaming IVM twin (r10): one recorded run, per-trigger
+    # append/refresh phase lists in the artifact — the per-trigger
+    # constants are the steady-state number on a real stream
+    _bench_streaming_rollup(spark, "/root/testdata/sf0.001")  # warm
+    phases["ingest_streaming_rollup"] = {}
+    timings["ingest_streaming_rollup"] = _bench_streaming_rollup(
+        spark, sf_dir, phases_out=phases["ingest_streaming_rollup"]
+    )
+
     # NB: an async-maintenance variant of the table entry was measured
     # and matched the sync number (9.8 vs 9.8 s at sf0.1) — the
     # table-mode premium over dir mode is per-merge commit machinery,
@@ -382,6 +470,9 @@ def main() -> None:
         "ingest_streaming_neardup_table": lambda: _iso_stream(
             "ingest_streaming_neardup_table", index_mode="table",
             compact_every=4,
+        ),
+        "ingest_streaming_rollup": lambda: _bench_streaming_rollup(
+            spark, sf_dir
         ),
     }
     # Isolated re-time candidates: the slowest absolutes PLUS the worst

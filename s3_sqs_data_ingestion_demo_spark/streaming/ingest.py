@@ -92,11 +92,17 @@ def start_streaming_rollup(
     distinct_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
+    phase_times: dict | None = None,
 ) -> StreamingQuery:
     """Continuous aggregate: file-landing stream → append to the
     source ``ManagedTable`` → fold the appended delta into the rollup
     (operators/rollup.py) — per micro-batch, so the summary table
     trails the stream by one trigger at O(batch) maintenance cost.
+
+    ``phase_times`` (optional, for benchmarking): per-trigger wall
+    times are appended to ``append_per_trigger`` /
+    ``refresh_per_trigger`` lists in the dict — a regression in the
+    per-trigger constants is then visible from the bench artifact.
 
     Restart safety: the source append is stamped with the micro-batch
     id (``has_commit_tag`` probe), so a batch replayed after a crash
@@ -116,8 +122,11 @@ def start_streaming_rollup(
     probe_done = {"done": False}
 
     def sink(batch_df, batch_id: int) -> None:
+        import time as _time  # noqa: PLC0415
+
         if batch_df.isEmpty():
             return
+        t0 = _time.perf_counter()
         tag = f"rollup-src-b{batch_id:020d}"
         replayed = False
         if not probe_done["done"]:
@@ -125,6 +134,7 @@ def start_streaming_rollup(
             probe_done["done"] = True
         if not replayed:
             src_table.append(batch_df, tag=tag)
+        t1 = _time.perf_counter()
         refresh_rollup(
             src_table,
             rollup_table,
@@ -136,6 +146,14 @@ def start_streaming_rollup(
             sumsq_cols=sumsq_cols,
             hist_cols=hist_cols,
         )
+        if phase_times is not None:
+            t2 = _time.perf_counter()
+            phase_times.setdefault("append_per_trigger", []).append(
+                round(t1 - t0, 3)
+            )
+            phase_times.setdefault("refresh_per_trigger", []).append(
+                round(t2 - t1, 3)
+            )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:
