@@ -74,8 +74,23 @@ from .rollup import (
 )
 
 _ANCHOR = "_anchor.json"
+_FLOOR = "_pruned_to.json"
 _PREFIX = "w_"
 _TMP = "_tmp_"
+
+
+def _parse_window(name: str) -> tuple[int, int] | None:
+    """(lo, hi) from a window directory name, None for anything that
+    merely looks window-like (manual copies, sync artifacts) — the ONE
+    parser every listing and sweep shares, so a stray ``w_backup_old``
+    is skipped everywhere instead of crashing one code path."""
+    if not name.startswith(_PREFIX):
+        return None
+    try:
+        lo, hi = name[len(_PREFIX):].split("_")
+        return (int(lo), int(hi))
+    except ValueError:
+        return None
 
 
 def create_change_export(
@@ -115,12 +130,21 @@ def _write_anchor(export_dir: str, doc: dict) -> None:
     os.replace(tmp, os.path.join(export_dir, _ANCHOR))
 
 
-def _floor(anchor: dict) -> int:
+def _floor(export_dir: str, anchor: dict) -> int:
     """Versions at or below the floor are not retained: the anchor's
-    provision point, raised by every prune."""
-    return max(
-        int(anchor["from_version"]), int(anchor.get("pruned_to", 0))
-    )
+    provision point, raised by every prune.  The prune floor lives in
+    its OWN file (``_pruned_to.json``, pruner-owned) so a concurrent
+    ``export_changes`` anchor-schema refresh can never clobber it —
+    the two writers touch disjoint files instead of read-modify-
+    writing one.  (Legacy ``pruned_to`` inside the anchor is still
+    honored for directories pruned before the split.)"""
+    floor = max(int(anchor["from_version"]), int(anchor.get("pruned_to", 0)))
+    try:
+        with open(os.path.join(export_dir, _FLOOR)) as fh:
+            floor = max(floor, int(json.load(fh)["pruned_to"]))
+    except FileNotFoundError:
+        pass
+    return floor
 
 
 def _published_windows(export_dir: str, floor: int) -> list[tuple[int, int]]:
@@ -130,14 +154,11 @@ def _published_windows(export_dir: str, floor: int) -> list[tuple[int, int]]:
     (partial sync, manual cleanup) and reading past it would silently
     drop that window's changes.  Below-floor directories (a crashed
     prune's leftovers) are invisible."""
-    out = []
-    for name in os.listdir(export_dir):
-        if name.startswith(_PREFIX):
-            try:
-                lo, hi = name[len(_PREFIX):].split("_")
-                out.append((int(lo), int(hi)))
-            except ValueError:
-                continue
+    out = [
+        w
+        for name in os.listdir(export_dir)
+        if (w := _parse_window(name)) is not None
+    ]
     out = sorted(w for w in out if w[1] > floor)
     prev = floor
     for lo, hi in out:
@@ -154,9 +175,9 @@ def _published_windows(export_dir: str, floor: int) -> list[tuple[int, int]]:
 
 
 def _cursor(export_dir: str) -> int:
-    anchor = _read_anchor(export_dir)
-    ws = _published_windows(export_dir, _floor(anchor))
-    return ws[-1][1] if ws else _floor(anchor)
+    floor = _floor(export_dir, _read_anchor(export_dir))
+    ws = _published_windows(export_dir, floor)
+    return ws[-1][1] if ws else floor
 
 
 def export_changes(src: ManagedTable, export_dir: str) -> tuple[int, int] | None:
@@ -225,31 +246,32 @@ def prune_export(export_dir: str, up_to: int) -> int | None:
     ``up_to`` — safe once every downstream consumer's cursor has
     passed them (a later full read reconstructs state only from the
     retained suffix).  Returns the new floor (a window boundary), or
-    None when nothing qualified.  Crash-safe: the floor is recorded in
-    the anchor BEFORE any directory is deleted, so a crash mid-prune
-    leaves below-floor leftovers that readers ignore and the next
-    prune sweeps."""
-    anchor = _read_anchor(export_dir)
-    floor = _floor(anchor)
+    None when nothing qualified.  Crash-safe: the floor is recorded
+    (in its own pruner-owned ``_pruned_to.json`` — never the anchor,
+    so a concurrent exporter's schema refresh cannot clobber it)
+    BEFORE any directory is deleted; a crash mid-prune leaves
+    below-floor leftovers that readers ignore and the next prune
+    sweeps.  Single concurrent pruner per directory (the same
+    contract as the exporter; exporter and pruner may overlap
+    freely — they write disjoint files)."""
+    floor = _floor(export_dir, _read_anchor(export_dir))
     # sweep a crashed prune's leftovers first (below the recorded
     # floor, so invisible to every reader)
     for name in os.listdir(export_dir):
-        if name.startswith(_PREFIX):
-            try:
-                _, hi = name[len(_PREFIX):].split("_")
-            except ValueError:
-                continue
-            if int(hi) <= floor:
-                shutil.rmtree(
-                    os.path.join(export_dir, name), ignore_errors=True
-                )
+        w = _parse_window(name)
+        if w is not None and w[1] <= floor:
+            shutil.rmtree(
+                os.path.join(export_dir, name), ignore_errors=True
+            )
     windows = _published_windows(export_dir, floor)
     deletable = [w for w in windows if w[1] <= int(up_to)]
     if not deletable:
         return None
     new_floor = deletable[-1][1]  # windows are contiguous: a boundary
-    anchor["pruned_to"] = new_floor
-    _write_anchor(export_dir, anchor)
+    tmp = os.path.join(export_dir, f"{_FLOOR}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"pruned_to": new_floor}, fh)
+    os.replace(tmp, os.path.join(export_dir, _FLOOR))
     for lo, hi in deletable:
         shutil.rmtree(
             os.path.join(export_dir, f"{_PREFIX}{lo}_{hi}"),
@@ -273,7 +295,7 @@ def read_change_export(
     reconciled onto the evolved shape (``merge_types``: added columns
     null-fill, widened types promote)."""
     anchor = _read_anchor(export_dir)
-    floor = _floor(anchor)
+    floor = _floor(export_dir, anchor)
     windows = _published_windows(export_dir, floor)
     if since is not None:
         since = int(since)
@@ -322,6 +344,25 @@ def read_change_export(
     for f in frames[1:]:
         out = out.unionByName(align_to_schema(f, target))
     return out
+
+
+def tail_change_export(
+    spark, export_dir: str, cursor: int
+) -> tuple[DataFrame, int]:
+    """The consumer loop's one-call step: read the windows above
+    ``cursor`` and return ``(changes, new_cursor)`` — pass the new
+    cursor back next cycle (and hand it to ``prune_export`` once the
+    changes are durably applied downstream).  A maintenance-only cycle
+    returns an empty frame with an advanced cursor; a cursor below the
+    retention floor raises ``ExpiredCursorError`` like the underlying
+    read.  The cursor is derived from a listing taken BEFORE the read:
+    a window published between the two listings is then re-read next
+    cycle (at-least-once — replay_to_state application is idempotent
+    per key) instead of silently skipped (the cursor must never
+    advance past changes the frame did not carry)."""
+    new_cursor = max(int(cursor), _cursor(export_dir))
+    changes = read_change_export(spark, export_dir, since=cursor)
+    return changes, new_cursor
 
 
 def replay_to_state(changes: DataFrame, key_cols: list[str]) -> DataFrame:

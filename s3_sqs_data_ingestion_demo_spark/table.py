@@ -755,11 +755,23 @@ class ManagedTable:
             # travel (version_as_of) and snapshots().committed_at
             # survive a copy/rsync/restore of the table directory —
             # file mtimes are rewritten by any such move, silently
-            # rewriting history for an mtime-derived clock
+            # rewriting history for an mtime-derived clock.  Clamped
+            # strictly above the previous snapshot's stamp (Delta's
+            # rule) so the stamps are MONOTONE even across an NTP
+            # clock step — version_as_of's ascending early exit and
+            # the "newest at or before ts" semantics both rely on it.
+            committed_at = time.time()
+            if prev > 0:
+                try:
+                    committed_at = max(
+                        committed_at, self._commit_time(prev) + 1e-3
+                    )
+                except OSError:
+                    pass
             snap_doc = {
                 "version": v,
                 "kind": kind,
-                "committed_at": time.time(),
+                "committed_at": committed_at,
                 "entries": entries,
             }
             if tag is not None:
@@ -2506,6 +2518,26 @@ class ManagedTable:
             "n_tombstones int, tag string, committed_at string",
         )
 
+    def _commit_time(self, version: int) -> float:
+        """Wall-clock a snapshot committed at: the stamp written into
+        its manifest (mtime fallback for pre-stamp manifests), cached
+        per table handle — manifests are immutable once published, so
+        a timestamp-travel resolution pays one JSON parse per version
+        per handle, not per call."""
+        cache = getattr(self, "_commit_time_cache", None)
+        if cache is None:
+            cache = self._commit_time_cache = {}
+        got = cache.get(version)
+        if got is not None:
+            return got
+        p = os.path.join(self.path, _SNAPDIR, f"v{version:08d}.json")
+        with open(p, encoding="utf-8") as fh:
+            committed = float(
+                json.load(fh).get("committed_at", os.path.getmtime(p))
+            )
+        cache[version] = committed
+        return committed
+
     def version_as_of(self, ts) -> int:
         """Newest retained snapshot committed at or before ``ts`` —
         Iceberg's ``TIMESTAMP AS OF`` resolution.  ``ts`` is a
@@ -2536,16 +2568,18 @@ class ManagedTable:
         for v in self.history():
             if v > cur:
                 continue
-            p = os.path.join(self.path, _SNAPDIR, f"v{v:08d}.json")
             try:
-                with open(p, encoding="utf-8") as fh:
-                    committed = json.load(fh).get(
-                        "committed_at", os.path.getmtime(p)
-                    )
-                if committed <= ts:
-                    best = v  # history() is ascending: keep the newest
+                committed = self._commit_time(v)
             except OSError:
                 continue
+            if committed <= ts:
+                best = v  # history() is ascending: keep the newest
+            else:
+                # commit stamps are monotone over the ascending version
+                # walk (sequential commits, one wall clock) — nothing
+                # further can qualify, so stop instead of parsing the
+                # rest of the retained history
+                break
         if best is None:
             raise ValueError(
                 f"no retained snapshot at or before the requested "

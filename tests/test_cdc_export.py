@@ -304,12 +304,10 @@ def test_crashed_prune_leftover_invisible_and_swept(spark, tmp_path):
     w1 = export_changes(src, ex)
     src.append(_rows(spark, [(2, "b", 2, 1)]))
     w2 = export_changes(src, ex)
-    # simulate the crash: floor recorded, dir NOT deleted
-    with open(os.path.join(ex, "_anchor.json")) as fh:
-        anchor = _json.load(fh)
-    anchor["pruned_to"] = w1[1]
-    with open(os.path.join(ex, "_anchor.json"), "w") as fh:
-        _json.dump(anchor, fh)
+    # simulate the crash: floor recorded (pruner-owned file), dir NOT
+    # deleted
+    with open(os.path.join(ex, "_pruned_to.json"), "w") as fh:
+        _json.dump({"pruned_to": w1[1]}, fh)
     leftover = os.path.join(ex, f"w_{w1[0]}_{w1[1]}")
     assert os.path.exists(leftover)
     # readers ignore the leftover (no w1 rows), exports continue
@@ -418,3 +416,87 @@ def test_marker_read_serves_evolved_schema(spark, tmp_path):
     changes = read_change_export(spark, ex)
     assert changes.count() == 0
     assert "note" in changes.columns
+
+
+def test_prune_floor_survives_concurrent_schema_refresh(spark, tmp_path):
+    """Review finding (r10): the floor lives in its own pruner-owned
+    file, so an exporter's anchor-schema refresh can never clobber it.
+    An export that rewrites the anchor AFTER a prune must leave the
+    retention floor intact — chain still anchored at the floor, a
+    below-floor cursor still refused."""
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    w1 = export_changes(src, ex)
+    src.append(_rows(spark, [(2, "b", 2, 1)]))
+    w2 = export_changes(src, ex)
+    assert prune_export(ex, w1[1]) == w1[1]
+    # the exporter now refreshes the anchor (schema evolution) — the
+    # stale-anchor write-back that used to regress the floor
+    src.add_columns([T.StructField("note", T.StringType(), True)])
+    src.merge(
+        spark.createDataFrame(
+            [Row(id=3, grp="c", v=3, seq=1, note="n")], src.meta.schema
+        )
+    )
+    w3 = export_changes(src, ex)
+    assert w3[0] == w2[1]
+    # floor intact: chain reads fine, pre-floor cursor still expired
+    assert read_change_export(spark, ex).count() > 0
+    with pytest.raises(ExpiredCursorError, match="retention floor"):
+        read_change_export(spark, ex, since=0)
+    # and a stray window-like directory crashes neither prune nor read
+    os.makedirs(os.path.join(ex, "w_backup_old"))
+    assert prune_export(ex, 0) is None
+    assert read_change_export(spark, ex).count() > 0
+
+
+def test_tail_change_export_loop(spark, tmp_path):
+    """The one-call consumer step: (changes, new_cursor) per cycle,
+    cursor monotone, maintenance-only cycles advance it with an empty
+    frame, and prune behind the cursor keeps the loop running."""
+    from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
+        tail_change_export,
+    )
+
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    cur = 1
+    state = {}
+
+    def pump():
+        nonlocal cur
+        changes, new_cur = tail_change_export(spark, ex, cur)
+        for r in sorted(
+            changes.filter(
+                "_change_type in ('insert','update_postimage','delete')"
+            ).collect(),
+            key=lambda x: x._export_hi,
+        ):
+            if r._change_type == "delete":
+                state.pop(r.id, None)
+            else:
+                state[r.id] = (r.grp, r.v)
+        prune_export(ex, cur)
+        cur = new_cur
+
+    src.append(_rows(spark, [(1, "a", 1, 1), (2, "b", 2, 1)]))
+    export_changes(src, ex)
+    pump()
+    assert sorted((i, g, v) for i, (g, v) in state.items()) == _state(src.read())
+    src.compact()  # maintenance-only cycle: empty frame, cursor advances
+    export_changes(src, ex)
+    before = cur
+    pump()
+    assert cur > before
+    src.merge(_rows(spark, [(2, "b", 9, 2)]))
+    src.delete_keys(spark.createDataFrame([(1,)], "id int"))
+    export_changes(src, ex)
+    pump()
+    assert sorted((i, g, v) for i, (g, v) in state.items()) == _state(src.read())
+    # an idle cycle is a no-op with a stable cursor
+    before = cur
+    pump()
+    assert cur == before

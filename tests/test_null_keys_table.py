@@ -134,19 +134,25 @@ def test_cdf_null_key_delete_survives_entry_pruning(spark, tmp_path):
     assert (None, "insert") not in changes
 
 
-def _pin_commit_time(table_path, version, ts):
+def _pin_commit_time(table, version, ts):
     """Rewrite a manifest's stamped committed_at (the clock
     version_as_of resolves against) — lets a test pin distinct commit
-    times without sleeping through real seconds."""
+    times without sleeping through real seconds.  Accepts the table
+    HANDLE (or a path string) so the handle's per-instance stamp cache
+    — warmed during the commits themselves — is dropped along with the
+    on-disk rewrite."""
     import json as _json
     import os as _os
 
+    table_path = table if isinstance(table, str) else table.path
     p = _os.path.join(table_path, "_snapshots", f"v{version:08d}.json")
     with open(p, encoding="utf-8") as fh:
         doc = _json.load(fh)
     doc["committed_at"] = ts
     with open(p, "w", encoding="utf-8") as fh:
         _json.dump(doc, fh)
+    if not isinstance(table, str):
+        table._commit_time_cache = {}
     return p
 
 
@@ -162,9 +168,15 @@ def test_read_as_of_timestamp(spark, tmp_path):
     t.append(_rows(spark, [("b", 2, 1)]))
     v2 = t._current_version()
     # pin distinct commit times without sleeping through real seconds
+    # (every version: stamps must stay MONOTONE over the ascending
+    # version walk — version_as_of's early exit relies on it, and real
+    # commits satisfy it by construction)
     base = _time.time() - 100
-    _pin_commit_time(t.path, v1, base)
-    _pin_commit_time(t.path, v2, base + 10)
+    for v in t.history():
+        if v < v1:
+            _pin_commit_time(t, v, base - 60)
+    _pin_commit_time(t, v1, base)
+    _pin_commit_time(t, v2, base + 10)
     assert t.version_as_of(base + 5) == v1
     assert t.version_as_of(base + 10) == v2
     assert t.version_as_of(base + 999) == v2
@@ -173,7 +185,7 @@ def test_read_as_of_timestamp(spark, tmp_path):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="expired or predates"):
-        t.version_as_of(base - 50)
+        t.version_as_of(base - 70)  # predates even the create commit
     # ISO-string form resolves too
     import datetime as _dt
 
@@ -217,8 +229,11 @@ def test_version_as_of_survives_copy_restore(spark, tmp_path):
     t.append(_rows(spark, [("b", 2, 1)]))
     v2 = t._current_version()
     base = _time.time() - 100
-    _pin_commit_time(t.path, v1, base)
-    _pin_commit_time(t.path, v2, base + 10)
+    for v in t.history():
+        if v < v1:
+            _pin_commit_time(t, v, base - 60)
+    _pin_commit_time(t, v1, base)
+    _pin_commit_time(t, v2, base + 10)
     # "restore": copy the directory, then perturb every mtime the way
     # a backup tool would
     dst = _os.path.join(str(tmp_path), "restored")
@@ -240,3 +255,23 @@ def test_version_as_of_survives_copy_restore(spark, tmp_path):
     assert snaps[v1] == _dt.datetime.fromtimestamp(
         base, tz=_dt.timezone.utc
     ).isoformat(timespec="seconds")
+
+
+def test_commit_stamps_strictly_monotone(spark, tmp_path):
+    """Commit wall-clock stamps are clamped strictly above the
+    previous snapshot's (Delta's rule): rapid same-second commits (and
+    NTP steps) still yield a monotone clock — version_as_of's
+    ascending early exit and snapshots() ordering rely on it."""
+    import json as _json
+    import os as _os
+
+    t = _mk(spark, tmp_path, "COW", name="mono")
+    for i in range(3):
+        t.append(_rows(spark, [(f"k{i}", i, 1)]))
+    stamps = []
+    for v in t.history():
+        p = _os.path.join(t.path, "_snapshots", f"v{v:08d}.json")
+        with open(p, encoding="utf-8") as fh:
+            stamps.append(_json.load(fh)["committed_at"])
+    assert stamps == sorted(stamps)
+    assert all(b > a for a, b in zip(stamps, stamps[1:]))
