@@ -153,13 +153,24 @@ def _published_windows(export_dir: str, floor: int) -> list[tuple[int, int]]:
     the previous ``hi`` — a gap means a window directory was lost
     (partial sync, manual cleanup) and reading past it would silently
     drop that window's changes.  Below-floor directories (a crashed
-    prune's leftovers) are invisible."""
+    prune's leftovers) are invisible, and a window fully COVERED by a
+    wider one is skipped (a crashed ``coalesce_export`` leaves its
+    merged window published alongside not-yet-deleted originals — the
+    merged window carries the same rows, so readers prefer it and the
+    next coalesce/prune sweeps the leftovers)."""
     out = [
         w
         for name in os.listdir(export_dir)
         if (w := _parse_window(name)) is not None
     ]
     out = sorted(w for w in out if w[1] > floor)
+    covered = {
+        w
+        for w in out
+        for o in out
+        if o != w and o[0] <= w[0] and w[1] <= o[1]
+    }
+    out = [w for w in out if w not in covered]
     prev = floor
     for lo, hi in out:
         if lo != prev:
@@ -327,6 +338,13 @@ def read_change_export(
             T.StructField("_export_hi", T.IntegerType(), False),
         ]
         return spark.createDataFrame([], T.StructType(fields))
+    return _read_reconciled(spark, dirs)
+
+
+def _read_reconciled(spark, dirs: list[str]) -> DataFrame:
+    """Window directories as one frame, schemas reconciled across
+    evolution boundaries (shared by the consumer read and
+    ``coalesce_export``'s rewrite)."""
     frames = [spark.read.parquet(d) for d in dirs]
     schemas = [f.schema for f in frames]
     if all(s == schemas[0] for s in schemas[1:]):
@@ -344,6 +362,66 @@ def read_change_export(
     for f in frames[1:]:
         out = out.unionByName(align_to_schema(f, target))
     return out
+
+
+def coalesce_export(spark, export_dir: str, up_to: int) -> tuple[int, int] | None:
+    """Binpack for the export: merge every retained window whose
+    ``hi`` is at or below ``up_to`` into ONE window directory — a
+    consumer bootstrapping from a long history then opens one
+    directory instead of one per historical batch (``prune_export``
+    serves tailing consumers; this serves full-read ones).  Rows keep
+    their per-SEGMENT stamps, so ``replay_to_state`` ordering is
+    byte-identical; mixed schemas across an evolution reconcile the
+    same way reads do.  Returns the merged (lo, hi), or None when
+    fewer than two windows qualify.
+
+    Crash contract: the merged window is PUBLISHED first (atomic
+    rename), the originals deleted after — a crash in between leaves
+    originals fully COVERED by the merged window, which every listing
+    skips and the next coalesce/prune sweeps.  Consumers mid-way
+    through the merged range simply re-read it (at-least-once;
+    ``replay_to_state``-style application is idempotent, and a
+    row-level ``_export_hi > cursor`` filter recovers exactly-once).
+    Single concurrent maintainer per directory, same contract as the
+    exporter."""
+    floor = _floor(export_dir, _read_anchor(export_dir))
+    for name in os.listdir(export_dir):  # crashed attempt's temp dirs
+        if name.startswith(_TMP):
+            shutil.rmtree(os.path.join(export_dir, name), ignore_errors=True)
+    # sweep a crashed coalesce's covered leftovers (invisible to reads)
+    raw = sorted(
+        w
+        for name in os.listdir(export_dir)
+        if (w := _parse_window(name)) is not None and w[1] > floor
+    )
+    live = _published_windows(export_dir, floor)
+    for w in raw:
+        if w not in live:
+            shutil.rmtree(
+                os.path.join(export_dir, f"{_PREFIX}{w[0]}_{w[1]}"),
+                ignore_errors=True,
+            )
+    merge = [w for w in live if w[1] <= int(up_to)]
+    if len(merge) < 2:
+        return None
+    lo, hi = merge[0][0], merge[-1][1]
+    paths = [
+        os.path.join(export_dir, f"{_PREFIX}{a}_{b}") for a, b in merge
+    ]
+    data_dirs = [
+        d for d in paths
+        if any(f.endswith(".parquet") for f in os.listdir(d))
+    ]
+    target = os.path.join(export_dir, f"{_PREFIX}{lo}_{hi}")
+    if data_dirs:
+        tmp = os.path.join(export_dir, f"{_TMP}c_{lo}_{hi}_{os.getpid()}")
+        _read_reconciled(spark, data_dirs).write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, target)
+    else:
+        os.makedirs(target)  # all markers: one merged marker
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return (lo, hi)
 
 
 def tail_change_export(

@@ -500,3 +500,125 @@ def test_tail_change_export_loop(spark, tmp_path):
     before = cur
     pump()
     assert cur == before
+
+
+def test_coalesce_export_merges_windows(spark, tmp_path):
+    """Binpack for the export: merged window carries the same rows
+    with the same per-segment stamps — replay identical, tail reads
+    unaffected, one directory instead of three."""
+    from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
+        coalesce_export,
+    )
+
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1), (2, "b", 2, 1)]))
+    w1 = export_changes(src, ex)
+    src.merge(_rows(spark, [(2, "b", 9, 2)]))
+    export_changes(src, ex)
+    src.delete_keys(spark.createDataFrame([(1,)], "id int"))
+    w3 = export_changes(src, ex)
+    before = _state(replay_to_state(read_change_export(spark, ex), ["id"]))
+    assert coalesce_export(spark, ex, w3[1]) == (w1[0], w3[1])
+    dirs = [n for n in os.listdir(ex) if n.startswith("w_")]
+    assert dirs == [f"w_{w1[0]}_{w3[1]}"]
+    after = _state(replay_to_state(read_change_export(spark, ex), ["id"]))
+    assert after == before == _state(src.read())
+    # fewer than two windows: no-op
+    assert coalesce_export(spark, ex, w3[1]) is None
+    # the export continues seamlessly past the merged window
+    src.append(_rows(spark, [(5, "e", 5, 1)]))
+    w4 = export_changes(src, ex)
+    assert w4[0] == w3[1]
+    assert _state(
+        replay_to_state(read_change_export(spark, ex), ["id"])
+    ) == _state(src.read())
+
+
+def test_coalesce_export_crash_leaves_covered_originals(spark, tmp_path):
+    """Publish-then-delete crash: originals fully covered by the
+    merged window are skipped by every listing and swept by the next
+    coalesce."""
+    from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
+        coalesce_export,
+    )
+
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    w1 = export_changes(src, ex)
+    src.append(_rows(spark, [(2, "b", 2, 1)]))
+    w2 = export_changes(src, ex)
+    coalesce_export(spark, ex, w2[1])
+    # manufacture the crash leftover: a covered original still on disk
+    leftover = os.path.join(ex, f"w_{w1[0]}_{w1[1]}")
+    os.makedirs(leftover)
+    # readers skip it (rows come from the merged window only)
+    assert _state(
+        replay_to_state(read_change_export(spark, ex), ["id"])
+    ) == _state(src.read())
+    assert export_changes(src, ex) is None
+    # the next coalesce sweeps it even when nothing new merges
+    assert coalesce_export(spark, ex, w2[1]) is None
+    assert not os.path.exists(leftover)
+
+
+def test_coalesce_export_markers_and_evolution(spark, tmp_path):
+    """Marker-only ranges merge to one marker; mixed schemas across an
+    evolution merge onto the reconciled shape."""
+    from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
+        coalesce_export,
+    )
+
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    export_changes(src, ex)
+    src.add_columns([T.StructField("note", T.StringType(), True)])
+    src.merge(
+        spark.createDataFrame(
+            [Row(id=2, grp="b", v=2, seq=1, note="n")], src.meta.schema
+        )
+    )
+    w2 = export_changes(src, ex)
+    # evolution boundary inside the merged range: reconciled schema
+    assert coalesce_export(spark, ex, w2[1]) is not None
+    changes = read_change_export(spark, ex)
+    assert "note" in changes.columns
+    rows = {r.id: r.note for r in changes.collect()}
+    assert rows == {1: None, 2: "n"}
+    # marker-only range merges to one marker dir
+    src.compact()
+    export_changes(src, ex)
+    src.compact()
+    w4 = export_changes(src, ex)
+    merged = coalesce_export(spark, ex, w4[1])
+    assert merged is not None
+    # full read still serves the data + an empty merged marker
+    assert _state(
+        replay_to_state(read_change_export(spark, ex), ["id"])
+    ) == _state(src.read())
+
+
+def test_coalesce_export_all_marker_range(spark, tmp_path):
+    from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
+        coalesce_export,
+    )
+
+    src = _mk_src(spark, tmp_path)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)  # anchored at current
+    src.compact()
+    w1 = export_changes(src, ex)
+    src.compact()
+    w2 = export_changes(src, ex)
+    assert coalesce_export(spark, ex, w2[1]) == (w1[0], w2[1])
+    dirs = [n for n in os.listdir(ex) if n.startswith("w_")]
+    assert dirs == [f"w_{w1[0]}_{w2[1]}"]
+    # merged marker reads as the shaped empty frame
+    changes = read_change_export(spark, ex)
+    assert changes.count() == 0 and "_change_type" in changes.columns
