@@ -2079,14 +2079,14 @@ def schema_evolution_ingest_documents(spark: SparkSession, sf: str) -> DataFrame
              (o_custkey % 50) + 1 AS o_custkey,
              price_cents + 500 AS price_cents,
              'w' || CAST((o_orderkey + 1) % 20 AS VARCHAR) AS note
-      FROM o WHERE o_orderkey % 2 = 0
+      FROM o WHERE o_orderkey % 10 = 0
     ),
     merged AS (
       SELECT * FROM b1
       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
       UNION ALL SELECT * FROM b2
     ),
-    final AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 21 <> 0),
     binned AS (
       SELECT o_orderstatus,
              CASE WHEN CAST(price_cents AS DOUBLE) < 0.0 THEN 0
@@ -2210,7 +2210,7 @@ def declarative_pipeline_orders(spark: SparkSession, sf: str) -> DataFrame:
     b1 = o.filter(F.col("o_orderkey") % 3 != 0).select(
         "*", F.lit(1).cast("long").alias("seq"), F.lit("I").alias("Op")
     )
-    b2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+    b2 = o.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey",
         F.lit("X").alias("o_orderstatus"),
         (F.col("o_custkey") % 50 + 1).alias("o_custkey"),
@@ -2220,7 +2220,7 @@ def declarative_pipeline_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(2).cast("long").alias("seq"),
         F.lit("U").alias("Op"),
     )
-    b3 = o.filter(F.col("o_orderkey") % 7 == 0).select(
+    b3 = o.filter(F.col("o_orderkey") % 21 == 0).select(
         "*", F.lit(3).cast("long").alias("seq"), F.lit("D").alias("Op")
     )
     for name, b in [("b1", b1), ("b2", b2), ("b3", b3)]:
@@ -2270,7 +2270,6 @@ def declarative_pipeline_orders(spark: SparkSession, sf: str) -> DataFrame:
                         "path": f"{base}/ix",
                         "id_column": "o_orderkey",
                         "text_column": "note",
-                        "maintenance_every": 2,
                     }
                 ],
                 "rollups": [
@@ -2288,7 +2287,6 @@ def declarative_pipeline_orders(spark: SparkSession, sf: str) -> DataFrame:
                         "path": f"{base}/jmv",
                         "right_table": f"{base}/dim",
                         "on": ["o_custkey", "c_custkey"],
-                        "maintenance_every": 2,
                     }
                 ],
                 "topk_mvs": [
@@ -2297,7 +2295,6 @@ def declarative_pipeline_orders(spark: SparkSession, sf: str) -> DataFrame:
                         "group_columns": ["o_orderstatus"],
                         "order_column": "price_cents",
                         "k": 3,
-                        "maintenance_every": 2,
                     }
                 ],
             },
