@@ -4,7 +4,9 @@ rollback) each followed by an export, BOTH consumption modes
 reconstruct the source's live state at every prefix —
 
 - the full-history law: ``replay_to_state(read_change_export(dir))``
-  == ``src.read()`` (an export directory no one prunes), and
+  == ``src.read()`` (an export directory whose windows are
+  periodically COALESCED but never pruned — window binpack must be
+  row-invisible), and
 - the incremental-consumer law: a tail reader that applies each
   ``since=cursor`` read to its own state and PRUNES consumed windows
   behind itself converges to the same state (the retention surface
@@ -21,6 +23,7 @@ from pyspark.sql import Row
 from pyspark.sql import types as T
 
 from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
+    coalesce_export,
     create_change_export,
     export_changes,
     prune_export,
@@ -130,8 +133,12 @@ def test_export_roundtrip_and_tail_under_random_ops(
                 src.append(rows_of(fresh_rows(r, 1)))
         checkpoints.append((src._current_version(), set(live)))
 
-        # full-history law
-        export_changes(src, ex_full)
+        # full-history law (with window binpack folded in: every third
+        # step coalesces the full retained history — must be
+        # row-invisible to the replay)
+        w_full = export_changes(src, ex_full)
+        if w_full is not None and seq[0] % 3 == 0:
+            coalesce_export(spark, ex_full, w_full[1])
         assert _state_of(
             replay_to_state(read_change_export(spark, ex_full), ["id"])
         ) == _state_of(src.read()), f"full replay diverged after {kind}"
