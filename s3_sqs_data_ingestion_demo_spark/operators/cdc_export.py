@@ -76,7 +76,23 @@ from .rollup import (
 _ANCHOR = "_anchor.json"
 _FLOOR = "_pruned_to.json"
 _PREFIX = "w_"
-_TMP = "_tmp_"
+# role-scoped temp prefixes: the exporter and the coalescer may
+# legitimately overlap, and each sweeps ONLY its own role's crashed
+# leftovers — a shared sweep would rmtree the other role's in-flight
+# write and could publish a partially-deleted directory
+_TMP = "_tmp_"  # exporter temp (also matches legacy crashed dirs)
+_TMP_C = "_tmp_c_"  # coalescer temp
+
+
+def _sweep_tmp(export_dir: str, role_export: bool) -> None:
+    for name in os.listdir(export_dir):
+        mine = (
+            name.startswith(_TMP) and not name.startswith(_TMP_C)
+            if role_export
+            else name.startswith(_TMP_C)
+        )
+        if mine:
+            shutil.rmtree(os.path.join(export_dir, name), ignore_errors=True)
 
 
 def _parse_window(name: str) -> tuple[int, int] | None:
@@ -158,19 +174,22 @@ def _published_windows(export_dir: str, floor: int) -> list[tuple[int, int]]:
     merged window published alongside not-yet-deleted originals — the
     merged window carries the same rows, so readers prefer it and the
     next coalesce/prune sweeps the leftovers)."""
-    out = [
+    raw = [
         w
         for name in os.listdir(export_dir)
-        if (w := _parse_window(name)) is not None
+        if (w := _parse_window(name)) is not None and w[1] > floor
     ]
-    out = sorted(w for w in out if w[1] > floor)
-    covered = {
-        w
-        for w in out
-        for o in out
-        if o != w and o[0] <= w[0] and w[1] <= o[1]
-    }
-    out = [w for w in out if w not in covered]
+    # covered-window resolution in ONE linear pass over the (lo asc,
+    # hi desc) order: every earlier window has lo <= this lo, so this
+    # window is covered iff its hi is at or below the running max hi —
+    # O(n log n), run on every listing, so no quadratic pass here
+    out = []
+    max_hi = floor
+    for w in sorted(raw, key=lambda w: (w[0], -w[1])):
+        if w[1] <= max_hi:
+            continue  # covered by a wider (or equal-lo longer) window
+        out.append(w)
+        max_hi = w[1]
     prev = floor
     for lo, hi in out:
         if lo != prev:
@@ -196,9 +215,7 @@ def export_changes(src: ManagedTable, export_dir: str) -> tuple[int, int] | None
     returns the published (lo, hi) or None when there was nothing to
     consume.  See the module docstring for the layout and the crash
     contract."""
-    for name in os.listdir(export_dir):
-        if name.startswith(_TMP):  # a crashed attempt's unpublished dir
-            shutil.rmtree(os.path.join(export_dir, name), ignore_errors=True)
+    _sweep_tmp(export_dir, role_export=True)  # own crashed leftovers only
     lo = _cursor(export_dir)
     hi = src._current_version()
     if hi <= lo:
@@ -308,6 +325,20 @@ def read_change_export(
     anchor = _read_anchor(export_dir)
     floor = _floor(export_dir, anchor)
     windows = _published_windows(export_dir, floor)
+    return _frame_for(spark, export_dir, anchor, floor, windows, since)
+
+
+def _frame_for(
+    spark,
+    export_dir: str,
+    anchor: dict,
+    floor: int,
+    windows: list[tuple[int, int]],
+    since: int | None,
+) -> DataFrame:
+    """Build the consumer frame from an ALREADY-TAKEN listing — shared
+    by ``read_change_export`` and ``tail_change_export`` so the tail
+    path lists the directory exactly once per cycle."""
     if since is not None:
         since = int(since)
         if since < floor:
@@ -385,9 +416,7 @@ def coalesce_export(spark, export_dir: str, up_to: int) -> tuple[int, int] | Non
     Single concurrent maintainer per directory, same contract as the
     exporter."""
     floor = _floor(export_dir, _read_anchor(export_dir))
-    for name in os.listdir(export_dir):  # crashed attempt's temp dirs
-        if name.startswith(_TMP):
-            shutil.rmtree(os.path.join(export_dir, name), ignore_errors=True)
+    _sweep_tmp(export_dir, role_export=False)  # own crashed leftovers only
     # sweep a crashed coalesce's covered leftovers (invisible to reads)
     raw = sorted(
         w
@@ -414,7 +443,7 @@ def coalesce_export(spark, export_dir: str, up_to: int) -> tuple[int, int] | Non
     ]
     target = os.path.join(export_dir, f"{_PREFIX}{lo}_{hi}")
     if data_dirs:
-        tmp = os.path.join(export_dir, f"{_TMP}c_{lo}_{hi}_{os.getpid()}")
+        tmp = os.path.join(export_dir, f"{_TMP_C}{lo}_{hi}_{os.getpid()}")
         _read_reconciled(spark, data_dirs).write.mode("overwrite").parquet(tmp)
         os.replace(tmp, target)
     else:
@@ -433,13 +462,15 @@ def tail_change_export(
     changes are durably applied downstream).  A maintenance-only cycle
     returns an empty frame with an advanced cursor; a cursor below the
     retention floor raises ``ExpiredCursorError`` like the underlying
-    read.  The cursor is derived from a listing taken BEFORE the read:
-    a window published between the two listings is then re-read next
-    cycle (at-least-once — replay_to_state application is idempotent
-    per key) instead of silently skipped (the cursor must never
-    advance past changes the frame did not carry)."""
-    new_cursor = max(int(cursor), _cursor(export_dir))
-    changes = read_change_export(spark, export_dir, since=cursor)
+    read.  Cursor and frame derive from ONE directory listing, so they
+    are consistent by construction (a window published after the
+    listing lands in the next cycle) and the loop pays a single
+    metadata pass per cycle."""
+    anchor = _read_anchor(export_dir)
+    floor = _floor(export_dir, anchor)
+    windows = _published_windows(export_dir, floor)
+    new_cursor = max(int(cursor), windows[-1][1] if windows else floor)
+    changes = _frame_for(spark, export_dir, anchor, floor, windows, cursor)
     return changes, new_cursor
 
 

@@ -126,12 +126,16 @@ def start_streaming_rollup(
 
         if batch_df.isEmpty():
             return
-        t0 = _time.perf_counter()
         tag = f"rollup-src-b{batch_id:020d}"
         replayed = False
         if not probe_done["done"]:
             replayed = src_table.has_commit_tag(tag)
             probe_done["done"] = True
+        # phase clock starts AFTER the once-per-run replay probe, and a
+        # replayed (skipped) append contributes no sample — the lists
+        # must pin the steady-state per-trigger constants, not probe or
+        # replay noise
+        t0 = _time.perf_counter()
         if not replayed:
             src_table.append(batch_df, tag=tag)
         t1 = _time.perf_counter()
@@ -148,9 +152,10 @@ def start_streaming_rollup(
         )
         if phase_times is not None:
             t2 = _time.perf_counter()
-            phase_times.setdefault("append_per_trigger", []).append(
-                round(t1 - t0, 3)
-            )
+            if not replayed:
+                phase_times.setdefault("append_per_trigger", []).append(
+                    round(t1 - t0, 3)
+                )
             phase_times.setdefault("refresh_per_trigger", []).append(
                 round(t2 - t1, 3)
             )

@@ -781,6 +781,14 @@ class ManagedTable:
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(f"v{v:08d}")
         os.replace(tmp, os.path.join(self.path, _CURRENT))  # atomic publish
+        # seed the handle's stamp cache (post-publish, so a failed
+        # write can never leave a stale entry): the NEXT commit's
+        # monotone clamp and any as-of resolution become a dict hit
+        # instead of a full-manifest re-parse
+        cache = getattr(self, "_commit_time_cache", None)
+        if cache is None:
+            cache = self._commit_time_cache = {}
+        cache[v] = (committed_at, True)
         return v
 
     def _reclaim_orphan_manifest(self, version: int) -> bool:
@@ -2518,11 +2526,14 @@ class ManagedTable:
             "n_tombstones int, tag string, committed_at string",
         )
 
-    def _commit_time(self, version: int) -> float:
-        """Wall-clock a snapshot committed at: the stamp written into
-        its manifest (mtime fallback for pre-stamp manifests), cached
-        per table handle — manifests are immutable once published, so
-        a timestamp-travel resolution pays one JSON parse per version
+    def _commit_time_stamped(self, version: int) -> tuple[float, bool]:
+        """(wall-clock the snapshot committed at, whether it came from
+        the manifest's stamp).  Pre-stamp manifests fall back to file
+        mtime — a clock a copy/restore rewrites and that is therefore
+        NOT trustworthy for monotonicity reasoning; callers that rely
+        on monotone commit times must check the flag.  Cached per
+        table handle — manifests are immutable once published, so a
+        timestamp-travel resolution pays one JSON parse per version
         per handle, not per call."""
         cache = getattr(self, "_commit_time_cache", None)
         if cache is None:
@@ -2532,11 +2543,17 @@ class ManagedTable:
             return got
         p = os.path.join(self.path, _SNAPDIR, f"v{version:08d}.json")
         with open(p, encoding="utf-8") as fh:
-            committed = float(
-                json.load(fh).get("committed_at", os.path.getmtime(p))
-            )
-        cache[version] = committed
-        return committed
+            stamp = json.load(fh).get("committed_at")
+        got = (
+            (float(stamp), True)
+            if stamp is not None
+            else (os.path.getmtime(p), False)
+        )
+        cache[version] = got
+        return got
+
+    def _commit_time(self, version: int) -> float:
+        return self._commit_time_stamped(version)[0]
 
     def version_as_of(self, ts) -> int:
         """Newest retained snapshot committed at or before ``ts`` —
@@ -2569,16 +2586,19 @@ class ManagedTable:
             if v > cur:
                 continue
             try:
-                committed = self._commit_time(v)
+                committed, stamped = self._commit_time_stamped(v)
             except OSError:
                 continue
             if committed <= ts:
                 best = v  # history() is ascending: keep the newest
-            else:
-                # commit stamps are monotone over the ascending version
-                # walk (sequential commits, one wall clock) — nothing
-                # further can qualify, so stop instead of parsing the
-                # rest of the retained history
+            elif stamped:
+                # commit STAMPS are monotone over the ascending version
+                # walk (clamped at commit time) — nothing further can
+                # qualify, so stop instead of parsing the rest of the
+                # retained history.  An mtime-fallback value must NOT
+                # stop the scan: a restore rewrites mtimes to restore
+                # time, which can sit ABOVE a later stamped version's
+                # genuine commit time.
                 break
         if best is None:
             raise ValueError(

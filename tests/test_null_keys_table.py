@@ -275,3 +275,38 @@ def test_commit_stamps_strictly_monotone(spark, tmp_path):
             stamps.append(_json.load(fh)["committed_at"])
     assert stamps == sorted(stamps)
     assert all(b > a for a, b in zip(stamps, stamps[1:]))
+
+
+def test_version_as_of_mixed_prestamp_manifests_after_restore(spark, tmp_path):
+    """Review finding (r10): pre-stamp manifests fall back to file
+    mtime, which a restore rewrites to restore time — the ascending
+    early exit must NOT stop on a fallback value, or a later stamped
+    version with a genuine earlier commit time is missed."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    t = _mk(spark, tmp_path, "COW", name="mix")
+    t.append(_rows(spark, [("a", 1, 1)]))
+    v1 = t._current_version()
+    t.append(_rows(spark, [("b", 2, 1)]))
+    v2 = t._current_version()
+    base = _time.time() - 100
+    # v2 keeps a genuine (pinned) stamp; v1 and the create commit
+    # become PRE-STAMP manifests whose mtime is "restore time" = now
+    for v in t.history():
+        if v < v2:
+            p = _os.path.join(t.path, "_snapshots", f"v{v:08d}.json")
+            with open(p, encoding="utf-8") as fh:
+                doc = _json.load(fh)
+            doc.pop("committed_at", None)
+            with open(p, "w", encoding="utf-8") as fh:
+                _json.dump(doc, fh)
+            now = _time.time() + 50
+            _os.utime(p, (now, now))
+    _pin_commit_time(t, v2, base + 10)
+    t._commit_time_cache = {}
+    # the fallback values (future mtimes) sit ABOVE ts; the stamped v2
+    # below it must still resolve
+    assert t.version_as_of(base + 20) == v2
+    assert v1 not in (t.version_as_of(base + 20),)
