@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from .config import JobConfig, load_text
+from .operators.rollup import ChangeWindowCache
 from .plans import apply_transform_query, execute_merge_into, is_merge_into
 from .schema import avro_to_spark_schema
 from .sources.files import read_batch, with_lineage
@@ -182,9 +183,10 @@ def process_files(
             # rollups/join MVs consume the TABLE's change feed,
             # so unlike indexes they stay coherent under the verbatim
             # MERGE
-            _maintain_rollups(spark, config, table)
-            _maintain_join_mvs(spark, config, table)
-            _maintain_topk_mvs(spark, config, table)
+            cache = ChangeWindowCache()
+            _maintain_rollups(spark, config, table, cache)
+            _maintain_join_mvs(spark, config, table, cache)
+            _maintain_topk_mvs(spark, config, table, cache)
             return _maybe_maintain(table, config) or version
         df = apply_transform_query(spark, df, text)
     if len(out.indexes) >= 2:
@@ -282,15 +284,24 @@ def process_files(
                       phases_out=index_phases)
     # refresh BEFORE the compaction cadence: the feed splits windows at
     # maintenance commits anyway, but consuming first keeps this
-    # batch's refresh on the cheapest same-manifest path
-    _maintain_rollups(spark, config, table)
-    _maintain_join_mvs(spark, config, table)
-    _maintain_topk_mvs(spark, config, table)
+    # batch's refresh on the cheapest same-manifest path.  One
+    # ChangeWindowCache per batch: every family consuming the target's
+    # feed at the same cursor shares ONE pinned window frame instead of
+    # re-deriving it per family (operators/rollup.ChangeWindowCache) —
+    # valid here because the table gains no commits between these
+    # refreshes.
+    cache = ChangeWindowCache()
+    _maintain_rollups(spark, config, table, cache)
+    _maintain_join_mvs(spark, config, table, cache)
+    _maintain_topk_mvs(spark, config, table, cache)
     return _maybe_maintain(table, config) or version
 
 
 def _maintain_rollups(
-    spark: SparkSession, config: JobConfig, table: ManagedTable
+    spark: SparkSession,
+    config: JobConfig,
+    table: ManagedTable,
+    window_cache: "ChangeWindowCache | None" = None,
 ) -> None:
     """Refresh every declared summary table (``output_config.rollups``)
     from the target table's change feed — O(batch window + affected
@@ -316,6 +327,7 @@ def _maintain_rollups(
             distinct_cols=r.distinct_columns,
             sumsq_cols=r.sumsq_columns,
             hist_cols=r.hist_columns,
+            window_cache=window_cache,
         )
         # fold accumulated MOR deltas at cadence: without it every
         # refresh's keyed merge adds delta files whose read-time
@@ -341,7 +353,10 @@ def _maintain_rollups(
 
 
 def _maintain_join_mvs(
-    spark: SparkSession, config: JobConfig, table: ManagedTable
+    spark: SparkSession,
+    config: JobConfig,
+    table: ManagedTable,
+    window_cache: "ChangeWindowCache | None" = None,
 ) -> None:
     """Refresh every declared join materialization
     (``output_config.join_mvs``): TARGET ⋈ right_table maintained by
@@ -372,7 +387,7 @@ def _maintain_join_mvs(
                 right_cols=j.right_columns or None,
                 consume_from=(1, 1),
             )
-        refresh_join_mv(table, right, mv, on=j.on)
+        refresh_join_mv(table, right, mv, on=j.on, window_cache=window_cache)
         if j.maintenance_every and (
             mv.data_commits_since_maintenance() >= j.maintenance_every
         ):
@@ -383,7 +398,10 @@ def _maintain_join_mvs(
 
 
 def _maintain_topk_mvs(
-    spark: SparkSession, config: JobConfig, table: ManagedTable
+    spark: SparkSession,
+    config: JobConfig,
+    table: ManagedTable,
+    window_cache: "ChangeWindowCache | None" = None,
 ) -> None:
     """Refresh every declared top-k materialization
     (``output_config.topk_mvs``) from the target table's change feed
@@ -415,7 +433,7 @@ def _maintain_topk_mvs(
             mv = ManagedTable.load(spark, tk.path)
         else:
             mv = create_topk_mv(table, tk.path, consume_from=1, **kw)
-        refresh_topk_mv(table, mv, **kw)
+        refresh_topk_mv(table, mv, window_cache=window_cache, **kw)
         if tk.maintenance_every and (
             mv.data_commits_since_maintenance() >= tk.maintenance_every
         ):

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..table import ManagedTable, join_nullsafe
-from .rollup import change_segments
+from .rollup import ChangeWindowCache, change_segments
 
 _LEFT_KEY = "join-mv.left-version"
 _RIGHT_KEY = "join-mv.right-version"
@@ -130,12 +130,33 @@ def create_join_mv(
 
 
 def _affected_keys(
-    src: ManagedTable, col: str, lo: int, hi: int
+    src: ManagedTable,
+    col: str,
+    lo: int,
+    hi: int,
+    window_cache: ChangeWindowCache | None = None,
 ) -> DataFrame | None:
     """Distinct join-key values whose MATCH SET may have changed in
     ``(lo, hi]`` — insert/delete rows and BOTH images of updates (a
     moved join key dirties its old and new value).  None = no data
-    segments (maintenance-only window)."""
+    segments (maintenance-only window).
+
+    With a ``window_cache`` (the declarative batch path) the values
+    project off the batch's SHARED pinned change frame instead of
+    re-reading the window's CDF: the weighted frame carries exactly
+    the same row images (inserts/post-images at +1, deletes/pre-images
+    at -1 — pure-append segments contribute their inserted rows either
+    way), so the distinct ``col`` values are identical by
+    construction."""
+    if window_cache is not None:
+        if not window_cache.segments(src, lo, hi):
+            return None
+        frame, _ = window_cache.weighted_changes(src, lo, hi)
+        return (
+            frame.select(F.col(col).alias("_jk"))
+            .filter(F.col("_jk").isNotNull())
+            .distinct()
+        )
     segments = change_segments(src, lo, hi)
     if not segments:
         return None
@@ -155,12 +176,15 @@ def refresh_join_mv(
     right: ManagedTable,
     mv: ManagedTable,
     on: tuple[str, str],
+    window_cache: ChangeWindowCache | None = None,
 ) -> int:
     """Fold both sources' changes since the last refresh into the MV;
     returns the new MV version (current version when caught up).
 
     See the module header for the affected-key-recompute strategy and
-    its idempotence-by-construction crash contract."""
+    its idempotence-by-construction crash contract.  ``window_cache``
+    (optional) shares each side's pinned change frame with the batch's
+    other maintenance families (rollup.ChangeWindowCache)."""
     lcol, rcol = on
     last_l = int(mv.meta.properties.get(_LEFT_KEY, 1))
     last_r = int(mv.meta.properties.get(_RIGHT_KEY, 1))
@@ -171,11 +195,11 @@ def refresh_join_mv(
 
     parts = []
     if cur_l > last_l:
-        p = _affected_keys(left, lcol, last_l, cur_l)
+        p = _affected_keys(left, lcol, last_l, cur_l, window_cache)
         if p is not None:
             parts.append(p)
     if cur_r > last_r:
-        p = _affected_keys(right, rcol, last_r, cur_r)
+        p = _affected_keys(right, rcol, last_r, cur_r, window_cache)
         if p is not None:
             parts.append(p)
     if not parts:  # maintenance-only windows on both sides

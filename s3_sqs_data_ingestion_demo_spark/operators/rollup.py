@@ -156,6 +156,63 @@ def window_weighted_changes(
     return delta, any_cdf
 
 
+class ChangeWindowCache:
+    """Per-batch memo of a source window's change frames, shared
+    across the maintenance families.
+
+    In a declarative job every declared rollup, join MV, and top-k MV
+    re-derives the SAME ``(lo, hi]`` window from the target table's
+    feed after each batch — without sharing, one batch pays one
+    window scan (plus the CDF classification) PER FAMILY.  The cache
+    keys on ``(source path, lo, hi)``: families whose cursors sit at
+    the same version (the steady state — they were all created in the
+    same batch and refresh every batch) share ONE pinned frame; a
+    lagging family (different ``lo``) misses and pays its own read,
+    which is exactly the correct fallback.  The pinned frame is a
+    ``localCheckpoint`` — window-bounded by contract, same pin the
+    top-k refresh already paid for its own consumers.
+
+    Lifetime is ONE batch (the source must not gain commits while the
+    cache is live — ``process_files`` runs its maintenance families
+    strictly after the batch's table commits, so the window frames
+    stay valid across them).  Purely an optimization: every consumer
+    treats the cache as optional and falls back to its own read.
+    """
+
+    def __init__(self) -> None:
+        self._segments: dict[tuple[str, int, int], list[tuple[int, int]]] = {}
+        self._weighted: dict[
+            tuple[str, int, int], tuple[DataFrame, bool]
+        ] = {}
+
+    def segments(
+        self, src: ManagedTable, lo: int, hi: int
+    ) -> list[tuple[int, int]]:
+        """Memoized ``change_segments`` (metadata-only, but one
+        history walk + per-version kind probe per family adds up)."""
+        key = (src.path, int(lo), int(hi))
+        if key not in self._segments:
+            self._segments[key] = change_segments(src, lo, hi)
+        return self._segments[key]
+
+    def weighted_changes(
+        self, src: ManagedTable, lo: int, hi: int
+    ) -> tuple[DataFrame, bool]:
+        """Memoized, PINNED ``window_weighted_changes`` for a window
+        with data segments (callers check ``segments`` first — a
+        maintenance-only window never reaches here)."""
+        key = (src.path, int(lo), int(hi))
+        if key not in self._weighted:
+            delta, any_cdf = window_weighted_changes(
+                src, self.segments(src, lo, hi)
+            )
+            self._weighted[key] = (
+                delta.localCheckpoint(eager=True),
+                any_cdf,
+            )
+        return self._weighted[key]
+
+
 def rollup_schema(
     group_fields: list[T.StructField],
     sum_cols: list[str],
@@ -723,10 +780,13 @@ def refresh_rollup(
     distinct_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
+    window_cache: "ChangeWindowCache | None" = None,
 ) -> int:
     """Fold the source changes since the last refresh into the rollup;
     returns the new rollup version (current version when there was
-    nothing to consume).
+    nothing to consume).  ``window_cache`` (optional) shares the
+    consumed window's pinned change frame with the batch's other
+    maintenance families — see ``ChangeWindowCache``.
 
     Append-only windows consume the plain change feed (one aggregate
     over the new files, weight +1 per row).  Windows containing merge
@@ -803,6 +863,7 @@ def refresh_rollup(
             distinct_cols,
             sumsq_cols,
             hist_cols,
+            window_cache,
         )
         if done:
             return out
@@ -818,6 +879,7 @@ def _refresh_rollup_window(
     distinct_cols: list[str] | None = None,
     sumsq_cols: list[str] | None = None,
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
+    window_cache: "ChangeWindowCache | None" = None,
 ) -> tuple[int, bool]:
     """One fold pass: complete a recovered crashed window, or fold a
     fresh one up to the source's current version.  Returns (rollup
@@ -896,16 +958,24 @@ def _refresh_rollup_window(
         dst.set_properties(**{_STATE_KEY: cur})
         return dst._current_version(), cur >= actual
 
-    segments = change_segments(src, last, cur)
+    segments = (
+        window_cache.segments(src, last, cur)
+        if window_cache is not None
+        else change_segments(src, last, cur)
+    )
     if not segments:  # maintenance-only window: nothing to fold
         dst.set_properties(**{_STATE_KEY: cur})
         return dst._current_version(), cur >= actual
 
-    delta, any_cdf = window_weighted_changes(src, segments)
-    if distinct_cols:
-        # the window frame is re-read once per companion fold plus the
-        # main aggregate — pin it (window-bounded by contract)
-        delta = delta.localCheckpoint(eager=True)
+    if window_cache is not None:
+        # shared-and-pinned by the cache — never re-pin
+        delta, any_cdf = window_cache.weighted_changes(src, last, cur)
+    else:
+        delta, any_cdf = window_weighted_changes(src, segments)
+        if distinct_cols:
+            # the window frame is re-read once per companion fold plus
+            # the main aggregate — pin it (window-bounded by contract)
+            delta = delta.localCheckpoint(eager=True)
     extra_aggs = [
         F.min(F.when(F.col("_w") == 1, F.col(c))).alias(f"_ins_min_{c}")
         for c in min_cols

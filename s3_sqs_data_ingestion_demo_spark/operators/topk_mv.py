@@ -48,6 +48,7 @@ from pyspark.sql import types as T
 
 from ..table import ManagedTable, join_nullsafe
 from .rollup import (
+    ChangeWindowCache,
     _rescan_base,
     change_segments,
     window_weighted_changes,
@@ -222,16 +223,19 @@ def refresh_topk_mv(
     id_cols: list[str],
     payload_cols: list[str] | None = None,
     descending: bool = True,
+    window_cache: ChangeWindowCache | None = None,
 ) -> int:
     """Fold the source changes since the last refresh into the top-k
     table; returns the new MV version (current version when there was
     nothing to consume).  See the module docstring for the fold /
-    rescan split and the crash contract."""
+    rescan split and the crash contract.  ``window_cache`` (optional)
+    shares the consumed window's pinned change frame with the batch's
+    other maintenance families (rollup.ChangeWindowCache)."""
     out = None
     while True:
         out, done = _refresh_topk_window(
             src, dst, group_cols, order_col, int(k), id_cols,
-            payload_cols, descending,
+            payload_cols, descending, window_cache,
         )
         if done:
             return out
@@ -246,6 +250,7 @@ def _refresh_topk_window(
     id_cols: list[str],
     payload_cols: list[str] | None,
     descending: bool,
+    window_cache: ChangeWindowCache | None = None,
 ) -> tuple[int, bool]:
     payload_cols = [
         c
@@ -271,21 +276,29 @@ def _refresh_topk_window(
         cur = int(recovered.rsplit("-", 1)[1])
     window_tag = f"topk-{last}-{cur}"
 
-    segments = change_segments(src, last, cur)
+    segments = (
+        window_cache.segments(src, last, cur)
+        if window_cache is not None
+        else change_segments(src, last, cur)
+    )
     if not segments:  # maintenance-only window
         dst.set_properties(**{_STATE_KEY: cur})
         return dst._current_version(), cur >= actual
 
-    delta, any_cdf = window_weighted_changes(src, segments)
-    # the window frame feeds BOTH the touched-group aggregate and the
-    # fold branch's insert selection — pin it once (window-bounded by
-    # contract) so the CDF tree computes ONCE instead of per consumer;
-    # on a rescan-only window (fold never runs) the pin's only
-    # overhead vs the single consumption is the store+read-back of a
-    # window-bounded frame, far below one CDF recompute — interleaved
-    # warm A/B at sf0.1: ~6% off the driver entry (medians 12.7 s
-    # pinned vs 13.5 s unpinned)
-    delta = delta.localCheckpoint(eager=True)
+    if window_cache is not None:
+        # shared-and-pinned by the cache — never re-pin
+        delta, any_cdf = window_cache.weighted_changes(src, last, cur)
+    else:
+        delta, any_cdf = window_weighted_changes(src, segments)
+        # the window frame feeds BOTH the touched-group aggregate and
+        # the fold branch's insert selection — pin it once
+        # (window-bounded by contract) so the CDF tree computes ONCE
+        # instead of per consumer; on a rescan-only window (fold never
+        # runs) the pin's only overhead vs the single consumption is
+        # the store+read-back of a window-bounded frame, far below one
+        # CDF recompute — interleaved warm A/B at sf0.1: ~6% off the
+        # driver entry (medians 12.7 s pinned vs 13.5 s unpinned)
+        delta = delta.localCheckpoint(eager=True)
     # group-cardinality-bounded; consumed by up to three joins below
     touched = (
         delta.groupBy(*group_cols)
