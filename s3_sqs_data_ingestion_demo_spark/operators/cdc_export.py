@@ -35,11 +35,13 @@ O(all history) — and ``prune_export(export_dir, up_to)`` deletes
 windows a downstream cursor has passed (Delta's
 ``table_changes(startingVersion=…)`` contract: incremental by
 design, with retention on the producer side).  Prune records its
-floor in the anchor BEFORE deleting (crash-safe: leftover
-below-floor directories are invisible to readers and swept by the
-next prune).  After a prune, a full read reconstructs state only
-from the retained suffix — prune strictly below every consumer's
-cursor.
+floor in the pruner-owned ``_pruned_to.json`` BEFORE deleting
+(crash-safe: leftover below-floor directories are invisible to
+readers and swept by the next prune; a legacy ``pruned_to`` inside
+the anchor is still honored for directories pruned before the
+ownership split).  After a prune, a full read reconstructs state
+only from the retained suffix — prune strictly below every
+consumer's cursor.
 
 Pure-append windows export straight off the cheap change feed (no CDF
 classification); windows with merge deltas / tombstones / rewrites
@@ -204,9 +206,28 @@ def _published_windows(export_dir: str, floor: int) -> list[tuple[int, int]]:
     return out
 
 
+def _listed(export_dir: str) -> tuple[dict, int, list[tuple[int, int]]]:
+    """One consistent ``(anchor, floor, windows)`` listing for the
+    reader paths.  The floor read and the ``os.listdir`` are not
+    atomic, so a concurrent ``prune_export`` that records a new floor
+    and deletes windows BETWEEN them makes the chain look broken at
+    the stale floor — re-read the floor and re-list ONCE when it
+    moved; a genuinely lost window leaves the floor unchanged and the
+    retry re-raises the same error."""
+    anchor = _read_anchor(export_dir)
+    floor = _floor(export_dir, anchor)
+    try:
+        return anchor, floor, _published_windows(export_dir, floor)
+    except ValueError:
+        anchor = _read_anchor(export_dir)
+        new_floor = _floor(export_dir, anchor)
+        if new_floor == floor:
+            raise
+        return anchor, new_floor, _published_windows(export_dir, new_floor)
+
+
 def _cursor(export_dir: str) -> int:
-    floor = _floor(export_dir, _read_anchor(export_dir))
-    ws = _published_windows(export_dir, floor)
+    _, floor, ws = _listed(export_dir)
     return ws[-1][1] if ws else floor
 
 
@@ -322,9 +343,7 @@ def read_change_export(
     consumer's state).  Windows written before a schema evolution are
     reconciled onto the evolved shape (``merge_types``: added columns
     null-fill, widened types promote)."""
-    anchor = _read_anchor(export_dir)
-    floor = _floor(export_dir, anchor)
-    windows = _published_windows(export_dir, floor)
+    anchor, floor, windows = _listed(export_dir)
     return _frame_for(spark, export_dir, anchor, floor, windows, since)
 
 
@@ -466,9 +485,7 @@ def tail_change_export(
     are consistent by construction (a window published after the
     listing lands in the next cycle) and the loop pays a single
     metadata pass per cycle."""
-    anchor = _read_anchor(export_dir)
-    floor = _floor(export_dir, anchor)
-    windows = _published_windows(export_dir, floor)
+    anchor, floor, windows = _listed(export_dir)
     new_cursor = max(int(cursor), windows[-1][1] if windows else floor)
     changes = _frame_for(spark, export_dir, anchor, floor, windows, cursor)
     return changes, new_cursor

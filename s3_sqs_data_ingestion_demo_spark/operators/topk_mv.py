@@ -412,14 +412,41 @@ def rebuild_topk_mv(
     cursor re-anchored — the ``ExpiredCursorError`` remedy and the
     general reset.  Same crash contract as ``rebuild_rollup``: retry
     the rebuild after a crash, don't refresh over a half-rebuilt
-    state."""
-    _check_contract(dst, group_cols, order_col, int(k), id_cols, descending)
+    state.
+
+    Unlike ``refresh_topk_mv``, a rebuild does NOT require the stored
+    contract to match (or exist): the overwrite replaces the MV's
+    entire content, so rebuilding IS the documented way to change the
+    ranking contract — and the remedy for an MV whose contract
+    properties were lost.  What cannot change is the table's
+    STRUCTURE: the MV key must equal (group, id) and every declared
+    column must exist in its schema — those are validated here, and
+    the contract properties are re-stamped to the declared values so
+    subsequent refreshes verify against what the rebuild actually
+    ranked."""
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if list(dst.meta.key_cols) != list(group_cols) + list(id_cols):
+        raise ValueError(
+            f"top-k rebuild declares key (group={list(group_cols)}, "
+            f"id={list(id_cols)}) but the MV at {dst.path} is keyed by "
+            f"{list(dst.meta.key_cols)} — the key is table structure; "
+            "recreate the MV (create_topk_mv) to change it"
+        )
     payload_cols = [
         c
         for c in (payload_cols or [])
         if c not in set(group_cols) | set(id_cols) | {order_col}
     ]
     out_cols = list(group_cols) + list(id_cols) + [order_col] + payload_cols
+    have = set(dst.meta.schema.fieldNames())
+    lacking = [c for c in out_cols if c not in have]
+    if lacking:
+        raise ValueError(
+            f"top-k rebuild declares columns {lacking} the MV schema "
+            f"lacks at {dst.path} — recreate the MV (create_topk_mv) "
+            "to change its shape"
+        )
     cur = src._current_version()
     winners = _topk_of(
         src.read_version(cur).select(*out_cols),
@@ -427,7 +454,16 @@ def rebuild_topk_mv(
         descending,
     )
     dst.overwrite(winners)
-    dst.set_properties(**{_STATE_KEY: cur})
+    dst.set_properties(
+        **{
+            _STATE_KEY: cur,
+            "topk.k": str(int(k)),
+            "topk.order-column": order_col,
+            "topk.descending": str(bool(descending)).lower(),
+            "topk.group-columns": json.dumps(list(group_cols)),
+            "topk.id-columns": json.dumps(list(id_cols)),
+        }
+    )
     return dst._current_version()
 
 

@@ -622,3 +622,64 @@ def test_coalesce_export_all_marker_range(spark, tmp_path):
     # merged marker reads as the shaped empty frame
     changes = read_change_export(spark, ex)
     assert changes.count() == 0 and "_change_type" in changes.columns
+
+
+def test_listing_retries_once_on_concurrent_prune(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: a prune that records a new floor and deletes
+    windows BETWEEN a reader's floor read and its listdir makes the
+    chain look broken at the stale floor.  The reader re-reads the
+    floor and re-lists once (transient race resolved); a genuinely
+    lost window — floor unchanged — still raises."""
+    import s3_sqs_data_ingestion_demo_spark.operators.cdc_export as CE
+
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    export_changes(src, ex)
+    src.merge(_rows(spark, [(1, "a", 2, 2)]))
+    export_changes(src, ex)
+    windows = sorted(
+        CE._parse_window(n)
+        for n in os.listdir(ex)
+        if CE._parse_window(n) is not None
+    )
+    assert len(windows) == 2
+    # prune the first window for real…
+    floor = prune_export(ex, windows[0][1])
+    assert floor == windows[0][1]
+    # …then simulate the reader having read the PRE-prune floor: the
+    # first _floor call answers stale, subsequent calls answer truth
+    real_floor = CE._floor
+    calls = {"n": 0}
+
+    def stale_once(export_dir, anchor):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return windows[0][0]  # pre-prune floor: chain looks broken
+        return real_floor(export_dir, anchor)
+
+    monkeypatch.setattr(CE, "_floor", stale_once)
+    got = read_change_export(spark, ex)  # retries once, succeeds
+    assert got.count() > 0
+    assert calls["n"] == 2
+    monkeypatch.undo()
+
+    # a GENUINE gap (floor unchanged) still raises through the retry
+    src.merge(_rows(spark, [(1, "a", 3, 3)]))
+    export_changes(src, ex)
+    src.merge(_rows(spark, [(1, "a", 4, 4)]))
+    export_changes(src, ex)
+    live = sorted(
+        CE._parse_window(n)
+        for n in os.listdir(ex)
+        if CE._parse_window(n) is not None
+    )
+    victim = live[0]
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(ex, f"w_{victim[0]}_{victim[1]}"))
+    with pytest.raises(ValueError, match="window chain broken"):
+        read_change_export(spark, ex)

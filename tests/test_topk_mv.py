@@ -333,3 +333,58 @@ def test_missing_contract_properties_refused(spark, tmp_path):
     src.append(_rows(spark, [(1, "a", 1, "n", 1)]))
     with pytest.raises(ValueError, match="contract missing"):
         refresh_topk_mv(src, fake, **_kw())
+
+
+def test_rebuild_restamps_contract(spark, tmp_path):
+    """ADVICE r10: a rebuild overwrites the MV's entire content, so it
+    is the documented remedy for BOTH a deliberate contract change and
+    lost contract properties — it re-ranks under the declared contract
+    and re-stamps the properties, rather than refusing like refresh.
+    Only table STRUCTURE (the (group, id) key, the schema) is
+    immutable."""
+    from s3_sqs_data_ingestion_demo_spark.operators.topk_mv import (
+        rebuild_topk_mv,
+    )
+
+    src = _mk_src(spark, tmp_path)
+    dst = create_topk_mv(src, f"{tmp_path}/mv", **_kw())
+    src.append(_rows(spark, [(i, "a", i, f"n{i}", 1) for i in range(6)]))
+    refresh_topk_mv(src, dst, **_kw())
+    assert _mv(dst) == _oracle(src)
+
+    # deliberate contract change: k 3 -> 2, ascending — rebuild under
+    # the new contract succeeds and re-stamps it
+    new = dict(_kw(), k=2, descending=False)
+    rebuild_topk_mv(src, dst, **new)
+    assert dst.meta.properties["topk.k"] == "2"
+    assert dst.meta.properties["topk.descending"] == "false"
+    got = {(r.grp, r.id) for r in dst.read().collect()}
+    assert got == {("a", 0), ("a", 1)}  # bottom-2 ascending
+
+    # subsequent REFRESH under the re-stamped contract works; the old
+    # contract now drifts
+    src.append(_rows(spark, [(10, "a", -5, "low", 1)]))
+    refresh_topk_mv(src, dst, **new)
+    got = {(r.grp, r.id) for r in dst.read().collect()}
+    assert got == {("a", 10), ("a", 0)}
+    with pytest.raises(ValueError, match="contract drift"):
+        src.append(_rows(spark, [(11, "a", 99, "hi", 1)]))
+        refresh_topk_mv(src, dst, **_kw())
+
+    # lost-properties remedy: a bare table shaped like an MV rebuilds
+    # (refresh refuses it — test_missing_contract_properties_refused)
+    fake = ManagedTable.create(
+        spark, f"{tmp_path}/fake", SCHEMA, key_cols=["grp", "id"],
+        order_column="v", table_type="MOR",
+    )
+    rebuild_topk_mv(src, fake, **_kw())
+    assert fake.meta.properties["topk.k"] == "3"
+    assert _mv(fake) == _oracle(src)
+    # structure stays immutable: a rebuild declaring a different key
+    # split refuses
+    with pytest.raises(ValueError, match="keyed by"):
+        rebuild_topk_mv(src, fake, group_cols=["note"], order_col="v",
+                        k=3, id_cols=["id"])
+    with pytest.raises(ValueError, match="schema lacks"):
+        rebuild_topk_mv(src, fake, group_cols=["grp"], order_col="seq",
+                        k=3, id_cols=["id"], payload_cols=["missing"])
