@@ -437,6 +437,61 @@ class TopKMVConfig:
 
 
 @dataclass
+class CdcExportConfig:
+    """One declaratively-maintained outbound CDC export
+    (``output_config.cdc_exports``): after every ingested batch the
+    target table's new change window is published to ``path`` as an
+    immutable ``w_<lo>_<hi>/`` parquet directory a downstream system
+    tails without linking against this library
+    (operators/cdc_export.py).  Provisioned lazily on the first batch
+    with ``consume_from=1``, so table content that predates the
+    declaration exports as inserts (the same bootstrap contract as
+    declared rollups/MVs).
+
+    Retention/binpack cadences are derived from the export directory's
+    own listing — stateless, like the listing-is-the-cursor design:
+
+    - ``keep_last_windows`` > 0: after each export, prune all but the
+      most recent N windows (producer-side retention).  Only safe once
+      every downstream consumer tails faster than N batches — a slower
+      consumer's next read raises ``ExpiredCursorError`` instead of
+      silently serving a gapped history.
+    - ``coalesce_after`` > 0: when MORE than N window directories are
+      retained, binpack all but the newest into one, so a
+      bootstrapping consumer opens O(1) directories.  Each coalesce
+      rewrites the retained prefix — pair with ``keep_last_windows``
+      (or periodic explicit prunes) to bound that rewrite on
+      long-lived exports.
+    """
+
+    path: str = ""
+    keep_last_windows: int = 0
+    coalesce_after: int = 0
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "CdcExportConfig":
+        if not d.get("path"):
+            raise ValueError("output_config.cdc_exports entries need a path")
+        keep = int(d.get("keep_last_windows") or 0)
+        if keep < 0:
+            raise ValueError(
+                "output_config.cdc_exports keep_last_windows must be "
+                f">= 0, got {keep}"
+            )
+        co = int(d.get("coalesce_after") or 0)
+        if co < 0:
+            raise ValueError(
+                "output_config.cdc_exports coalesce_after must be "
+                f">= 0, got {co}"
+            )
+        return cls(
+            path=str(d["path"]),
+            keep_last_windows=keep,
+            coalesce_after=co,
+        )
+
+
+@dataclass
 class OutputConfig:
     """Sink half of the job spec (reference: spark-job/job.json:28-39)."""
 
@@ -461,6 +516,7 @@ class OutputConfig:
     rollups: list["RollupConfig"] = field(default_factory=list)
     join_mvs: list["JoinMVConfig"] = field(default_factory=list)
     topk_mvs: list["TopKMVConfig"] = field(default_factory=list)
+    cdc_exports: list["CdcExportConfig"] = field(default_factory=list)
     # CDC delete handling: rows whose op column carries one of these
     # values DELETE their keys instead of upserting (DMS-style feeds).
     # Empty list = reference behavior (deletes upsert like any row).
@@ -512,6 +568,10 @@ class OutputConfig:
             topk_mvs=[
                 TopKMVConfig.from_dict(tk)
                 for tk in (d.get("topk_mvs") or [])
+            ],
+            cdc_exports=[
+                CdcExportConfig.from_dict(e)
+                for e in (d.get("cdc_exports") or [])
             ],
             cdc_op_column=d.get("cdc_op_column", "Op"),
             cdc_delete_values=[str(v) for v in (d.get("cdc_delete_values") or [])],

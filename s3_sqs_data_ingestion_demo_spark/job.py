@@ -187,6 +187,7 @@ def process_files(
             _maintain_rollups(spark, config, table, cache)
             _maintain_join_mvs(spark, config, table, cache)
             _maintain_topk_mvs(spark, config, table, cache)
+            _maintain_cdc_exports(spark, config, table)
             return _maybe_maintain(table, config) or version
         df = apply_transform_query(spark, df, text)
     if len(out.indexes) >= 2:
@@ -294,7 +295,59 @@ def process_files(
     _maintain_rollups(spark, config, table, cache)
     _maintain_join_mvs(spark, config, table, cache)
     _maintain_topk_mvs(spark, config, table, cache)
+    _maintain_cdc_exports(spark, config, table)
     return _maybe_maintain(table, config) or version
+
+
+def _maintain_cdc_exports(
+    spark: SparkSession, config: JobConfig, table: ManagedTable
+) -> None:
+    """Publish every declared outbound CDC export
+    (``output_config.cdc_exports``) from the target table's change
+    feed (operators/cdc_export.py) — the declarative form of the
+    export connector, so a downstream consumer can be fed by the same
+    job spec that maintains every other derived surface (the
+    reference's whole surface is one declarative job file,
+    spark-job/job.json).  Provisioned lazily on the first batch with
+    ``consume_from=1`` (pre-existing table content exports as
+    inserts); replay-safe by the exporter's own contract (a
+    redelivered batch's window is already published and skips).
+
+    Cadences (both derived from the directory listing — stateless):
+    ``keep_last_windows`` prunes all but the most recent N windows
+    after each export; ``coalesce_after`` binpacks all but the newest
+    window into one once more than N are retained.  Prune runs first
+    so a coalesce never rewrites windows retention is about to
+    delete."""
+    out = config.output_config
+    if not out.cdc_exports:
+        return
+    from .operators.cdc_export import (  # noqa: PLC0415
+        coalesce_export,
+        create_change_export,
+        export_changes,
+        export_exists,
+        list_export_windows,
+        prune_export,
+    )
+
+    for e in out.cdc_exports:
+        if not export_exists(e.path):
+            create_change_export(table, e.path, consume_from=1)
+        export_changes(table, e.path)
+        if e.keep_last_windows:
+            windows = list_export_windows(e.path)
+            if len(windows) > e.keep_last_windows:
+                # windows are contiguous: the lo of the oldest KEPT
+                # window is the boundary everything older sits at or
+                # below
+                prune_export(e.path, windows[-e.keep_last_windows][0])
+        if e.coalesce_after:
+            windows = list_export_windows(e.path)
+            if len(windows) > e.coalesce_after:
+                # binpack everything below the newest window, so the
+                # tail the next batch appends to stays untouched
+                coalesce_export(spark, e.path, up_to=windows[-2][1])
 
 
 def _maintain_rollups(

@@ -231,6 +231,20 @@ def _cursor(export_dir: str) -> int:
     return ws[-1][1] if ws else floor
 
 
+def export_exists(export_dir: str) -> bool:
+    """Is ``export_dir`` a provisioned change export (anchor present)?
+    The declarative job path uses this to provision lazily on the
+    first batch, mirroring how declared MVs create themselves."""
+    return os.path.exists(os.path.join(export_dir, _ANCHOR))
+
+
+def list_export_windows(export_dir: str) -> list[tuple[int, int]]:
+    """The retained published windows, ascending — the public listing
+    (contiguity-verified, covered windows resolved, prune races
+    retried) for cadence decisions and monitoring."""
+    return _listed(export_dir)[2]
+
+
 def export_changes(src: ManagedTable, export_dir: str) -> tuple[int, int] | None:
     """Export the source changes since the last published window;
     returns the published (lo, hi) or None when there was nothing to

@@ -1,3 +1,3 @@
-from .ingest import start_file_ingest_stream
+from .ingest import start_file_ingest_stream, start_streaming_cdc_export
 
-__all__ = ["start_file_ingest_stream"]
+__all__ = ["start_file_ingest_stream", "start_streaming_cdc_export"]

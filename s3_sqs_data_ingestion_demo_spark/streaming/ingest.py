@@ -288,3 +288,81 @@ def start_streaming_topk(
     elif poll_interval:
         writer = writer.trigger(processingTime=f"{poll_interval} seconds")
     return writer.start()
+
+
+def start_streaming_cdc_export(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    src_table: ManagedTable,
+    export_dir: str,
+    mode: str = "merge",
+    fmt: str = "json",
+    options: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    poll_interval: int | None = None,
+    keep_last_windows: int = 0,
+    coalesce_after: int = 0,
+) -> StreamingQuery:
+    """Continuous outbound CDC: file-landing stream → write into the
+    source ``ManagedTable`` (``mode``: merge upserts on its keys,
+    append for insert-only feeds) → publish the resulting change
+    window to ``export_dir`` (operators/cdc_export.py) — the streaming
+    twin of the declarative ``output_config.cdc_exports`` hook, so a
+    downstream consumer's tail trails the stream by one trigger.
+
+    Restart safety mirrors the rollup stream: the source write is
+    stamped with the micro-batch id (once-per-run replay probe), and
+    the exporter is replay-safe by its own contract — a re-exported
+    window whose directory already exists skips, so a crash anywhere
+    between the write and the checkpoint never double-publishes.
+    ``keep_last_windows`` / ``coalesce_after`` apply the same
+    listing-derived retention/binpack cadences as the declarative
+    hook, once per trigger."""
+    from ..operators.cdc_export import (  # noqa: PLC0415
+        coalesce_export,
+        create_change_export,
+        export_changes,
+        export_exists,
+        list_export_windows,
+        prune_export,
+    )
+
+    if not export_exists(export_dir):
+        create_change_export(src_table, export_dir, consume_from=1)
+    reader = spark.readStream.schema(schema).options(**(options or {}))
+    stream = reader.format(fmt).load(landing_dir)
+    probe_done = {"done": False}
+
+    def sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tag = f"cdcex-src-b{batch_id:020d}"
+        replayed = False
+        if not probe_done["done"]:
+            replayed = src_table.has_commit_tag(tag)
+            probe_done["done"] = True
+        if not replayed:
+            if mode == "merge":
+                src_table.merge(batch_df, tag=tag)
+            else:
+                src_table.append(batch_df, tag=tag)
+        export_changes(src_table, export_dir)
+        if keep_last_windows:
+            windows = list_export_windows(export_dir)
+            if len(windows) > keep_last_windows:
+                prune_export(export_dir, windows[-keep_last_windows][0])
+        if coalesce_after:
+            windows = list_export_windows(export_dir)
+            if len(windows) > coalesce_after:
+                coalesce_export(spark, export_dir, up_to=windows[-2][1])
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif poll_interval:
+        writer = writer.trigger(processingTime=f"{poll_interval} seconds")
+    return writer.start()
