@@ -2020,7 +2020,7 @@ def q_multiset_set_ops(spark: SparkSession, sf: str) -> DataFrame:
            strftime(date_trunc('week', ts), '%Y-%m-%d')     AS week_start
     FROM events WHERE user_id < 5
     """,
-    driver=True,  # r07: rotated into the driver gate (final never-gated batch)
+    driver=False,  # r11: rotated out (long-green r8-r10; pytest parity + bench)
 )
 def q_datetime_function_surface(spark: SparkSession, sf: str) -> DataFrame:
     """The datetime scalar surface in one query: quarter/hour/minute/

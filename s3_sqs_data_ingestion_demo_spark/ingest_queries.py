@@ -821,6 +821,104 @@ def cdc_export_roundtrip_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "cdc_replica_sync_orders",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000 AS vb
+      FROM orders
+    ),
+    b1 AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
+    b2 AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, vb + 500 AS vb
+      FROM o WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    )
+    SELECT o_orderkey, o_orderstatus, vb
+    FROM merged WHERE o_orderkey % 21 <> 0
+    """,
+    rank=20,
+)
+def cdc_replica_sync_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-table replication over the outbound connector
+    (operators/cdc_export.py): a source table ingests a CDC stream —
+    insert batch, bounded group-moving upsert (10% of keys), bounded
+    delete (~5%) — exporting each window; a REPLICA table is kept in
+    sync by the production consumer loop (``sync_from_export``: tail
+    from the replica's durable ``cdc-apply.cursor``, latest-per-key
+    keyed merge + delete, cursor write last), with producer-side
+    retention (``prune_export``) run below the replica's cursor
+    between cycles so the tail genuinely consumes a pruned export,
+    never full history.  The final REPLICA state must equal the
+    relational restatement of the stream — value-checking the whole
+    sync path: at-least-once tail → exactly-once application, cursor
+    durability, and retention interop.  Scale shape: each cycle is
+    O(tail) — directory-name pruning before Spark lists a file, one
+    key-partitioned rank over the tail, one keyed MOR merge +
+    tombstone delete on the replica; never O(history) or O(replica).
+    Reference semantics: Delta's MERGE-from-CDF replication recipe;
+    the reference itself replays full batches (spark-job/read.py:274),
+    which cannot express incremental sync."""
+    from .operators.cdc_export import (  # noqa: PLC0415
+        create_change_export,
+        export_changes,
+        prune_export,
+        sync_from_export,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_cdcrep_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    replica = ManagedTable.create(
+        spark, os.path.join(base, "replica"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    ex = os.path.join(base, "export")
+    create_change_export(src, ex)
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 100000)
+        .alias("price_cents"),
+    )
+    src.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    export_changes(src, ex)
+    cursor = sync_from_export(spark, ex, replica)
+    prune_export(ex, cursor)
+    src.merge(
+        o.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+    )
+    export_changes(src, ex)
+    cursor = sync_from_export(spark, ex, replica)
+    prune_export(ex, cursor)
+    src.delete_keys(
+        o.filter(F.col("o_orderkey") % 21 == 0).select("o_orderkey")
+    )
+    export_changes(src, ex)
+    sync_from_export(spark, ex, replica)
+    return replica.read().select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("price_cents").alias("vb"),
+    )
+
+
+@query(
     "incremental_topk_orders",
     """
     WITH b1 AS (

@@ -505,6 +505,110 @@ def tail_change_export(
     return changes, new_cursor
 
 
+_APPLY_KEY = "cdc-apply.cursor"
+
+
+def apply_changes(
+    changes: DataFrame, target: ManagedTable, new_cursor: int
+) -> int:
+    """Apply a tail read into a downstream ``ManagedTable`` — the
+    production consumer for ``tail_change_export``, turning the tail's
+    at-least-once delivery into exactly-once application (Delta's
+    MERGE-from-CDF replication recipe, expressed on this table layer).
+
+    Per key, the tail's latest state-setting change wins (the
+    ``replay_to_state`` rank over per-segment stamps); post-images and
+    inserts MERGE on the target's keys, deletes delete.  Two guards
+    make re-delivery safe:
+
+    - rows at or below the replica's durable ``cdc-apply.cursor``
+      property are filtered out BEFORE the rank — a coalesced window
+      spanning the cursor (or a re-read after a crash) never rewrites
+      keys with changes the replica already absorbed;
+    - a call whose ``new_cursor`` does not advance the stored cursor
+      is a pure no-op (the whole tail was already applied).
+
+    Crash contract: merge → delete → cursor write, in that order.  A
+    crash before the cursor write replays the same tail next cycle;
+    re-merging identical latest-per-key rows and re-deleting absent
+    keys are idempotent, so the replica converges and the cursor only
+    advances once the changes are durably applied.  Returns the
+    target's version.
+
+    Scale shape: one key-partitioned rank over the tail (O(tail)),
+    one keyed MOR merge + tombstone delete on the target — never
+    O(replica)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    keys = list(target.meta.key_cols)
+    if not keys:
+        raise ValueError(
+            f"apply_changes target {target.path} has no key columns — "
+            "a keyed replica is required to apply keyed changes"
+        )
+    applied = int(target.meta.properties.get(_APPLY_KEY, 0))
+    new_cursor = int(new_cursor)
+    if new_cursor <= applied:
+        return target._current_version()
+    setting = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage", "delete")
+        & (F.col("_export_hi") > applied)
+    )
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        F.col("_export_hi").desc()
+    )
+    latest = (
+        setting.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_export_lo")
+        # read twice (upsert branch + delete branch, each with an
+        # emptiness probe) — pin once; bounded by the tail's keys
+        .localCheckpoint(eager=True)
+    )
+    ups = latest.filter(F.col("_change_type") != "delete").drop(
+        "_change_type", "_export_hi"
+    )
+    dels = latest.filter(F.col("_change_type") == "delete").select(*keys)
+    version = target._current_version()
+    if not ups.isEmpty():
+        version = target.merge(ups)
+    if not dels.isEmpty():
+        version = target.delete_keys(dels)
+    target.set_properties(**{_APPLY_KEY: new_cursor})
+    return version
+
+
+def sync_from_export(spark, export_dir: str, target: ManagedTable) -> int:
+    """One replica-sync step: tail the export from the replica's own
+    durable cursor (``cdc-apply.cursor``) and apply exactly-once —
+    the loop body a downstream sync job runs per cycle.  Returns the
+    new cursor (pass it to ``prune_export`` once every consumer has
+    passed it).
+
+    Bootstrap: a replica that has never applied (no stored cursor)
+    starts at the export's provision point and absorbs the full
+    retained history — refused with ``ExpiredCursorError`` when the
+    export was ALREADY pruned (the suffix alone cannot reconstruct
+    full state; re-provision the export with ``consume_from=1`` or
+    seed the replica another way)."""
+    applied = int(target.meta.properties.get(_APPLY_KEY, 0))
+    if applied == 0:
+        anchor = _read_anchor(export_dir)
+        provisioned = int(anchor["from_version"])
+        if _floor(export_dir, anchor) > provisioned:
+            raise ExpiredCursorError(
+                f"replica bootstrap from {export_dir} is impossible: "
+                "windows below the retention floor were pruned, so the "
+                "retained suffix cannot reconstruct full state — "
+                "re-provision the export with consume_from=1 or seed "
+                "the replica from a table snapshot"
+            )
+        applied = provisioned
+    changes, new_cursor = tail_change_export(spark, export_dir, applied)
+    apply_changes(changes, target, new_cursor)
+    return new_cursor
+
+
 def replay_to_state(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     """Reconstruct the source's final live state from an export alone
     — the downstream-sync semantics (and the round-trip check): per

@@ -1,0 +1,195 @@
+"""Downstream applier (operators/cdc_export.apply_changes /
+sync_from_export): a replica ManagedTable kept in sync by tailing a
+change export — the at-least-once tail made exactly-once by the
+replica's durable ``cdc-apply.cursor`` property and a row-level
+``_export_hi > cursor`` guard.
+
+Pinned: two-table sync across insert/upsert/delete equals the source;
+re-applied tails are no-ops; below-cursor rows never rewrite applied
+keys (the coalesced-window case); prune below the replica cursor
+keeps the loop working; a fresh replica refuses to bootstrap from a
+pruned export."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
+    _APPLY_KEY,
+    apply_changes,
+    create_change_export,
+    export_changes,
+    prune_export,
+    sync_from_export,
+    tail_change_export,
+)
+from s3_sqs_data_ingestion_demo_spark.operators.rollup import (
+    ExpiredCursorError,
+)
+from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+        T.StructField("seq", T.IntegerType()),
+    ]
+)
+
+
+def _mk(spark, tmp, name):
+    return ManagedTable.create(
+        spark, f"{tmp}/{name}", SCHEMA, key_cols=["id"],
+        order_column="seq", table_type="MOR",
+    )
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=i, grp=g, v=v, seq=s) for i, g, v, s in rows], SCHEMA
+    )
+
+
+def _state(tbl):
+    return sorted(
+        (r.id, r.grp, r.v) for r in tbl.read().select("id", "grp", "v").collect()
+    )
+
+
+def test_two_table_sync_tracks_source(spark, tmp_path):
+    d = str(tmp_path)
+    src, rep = _mk(spark, d, "src"), _mk(spark, d, "rep")
+    ex = f"{d}/export"
+    create_change_export(src, ex)
+    batches = [
+        ("append", [(1, "a", 1, 1), (2, "a", 2, 1), (3, "b", 3, 1)]),
+        ("merge", [(1, "b", 10, 2), (4, "c", 4, 2)]),
+        ("delete", [(2, "", 0, 0)]),
+    ]
+    for kind, rows in batches:
+        if kind == "append":
+            src.append(_rows(spark, rows))
+        elif kind == "merge":
+            src.merge(_rows(spark, rows))
+        else:
+            src.delete_keys(
+                spark.createDataFrame([(r[0],) for r in rows], "id int")
+            )
+        export_changes(src, ex)
+        cursor = sync_from_export(spark, ex, rep)
+        assert _state(rep) == _state(src)
+        assert int(rep.meta.properties[_APPLY_KEY]) == cursor
+
+    # a maintenance-only cycle (nothing new) advances nothing, breaks
+    # nothing
+    v = rep._current_version()
+    sync_from_export(spark, ex, rep)
+    assert rep._current_version() == v
+    assert _state(rep) == _state(src)
+
+
+def test_reapplied_tail_is_noop_and_idempotent(spark, tmp_path):
+    d = str(tmp_path)
+    src, rep = _mk(spark, d, "src"), _mk(spark, d, "rep")
+    ex = f"{d}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    export_changes(src, ex)
+    changes, cur = tail_change_export(spark, ex, 1)
+    apply_changes(changes, rep, cur)
+    assert _state(rep) == _state(src)
+    v = rep._current_version()
+    # same tail again (crash after cursor write): cursor guard no-ops
+    # without a single new commit
+    apply_changes(changes, rep, cur)
+    assert rep._current_version() == v
+    # crash BEFORE the cursor write: simulate by resetting the cursor
+    # and re-applying — idempotent merge, state converges
+    rep.set_properties(**{_APPLY_KEY: 0})
+    apply_changes(changes, rep, cur)
+    assert _state(rep) == _state(src)
+
+
+def test_below_cursor_rows_never_rewrite_applied_keys(spark, tmp_path):
+    """The coalesced-window case: a merged window spanning the
+    replica's cursor re-delivers rows the replica already absorbed —
+    they must be filtered BEFORE the rank, not re-merged."""
+    d = str(tmp_path)
+    rep = _mk(spark, d, "rep")
+    rep.merge(_rows(spark, [(1, "a", 5, 9)]))
+    rep.set_properties(**{_APPLY_KEY: 10})
+    meta = [
+        T.StructField("_change_type", T.StringType()),
+        T.StructField("_export_lo", T.IntegerType()),
+        T.StructField("_export_hi", T.IntegerType()),
+    ]
+    ch_schema = T.StructType(list(SCHEMA.fields) + meta)
+    changes = spark.createDataFrame(
+        [
+            # id=1's STALE post-image from below the cursor: must not
+            # overwrite the replica's newer value
+            (1, "a", 1, 1, "update_postimage", 5, 7),
+            # id=2's fresh insert above the cursor: must apply
+            (2, "b", 2, 1, "insert", 10, 12),
+        ],
+        ch_schema,
+    )
+    apply_changes(changes, rep, 12)
+    assert _state(rep) == [(1, "a", 5), (2, "b", 2)]
+    assert int(rep.meta.properties[_APPLY_KEY]) == 12
+
+
+def test_prune_below_replica_cursor_keeps_loop_working(spark, tmp_path):
+    d = str(tmp_path)
+    src, rep = _mk(spark, d, "src"), _mk(spark, d, "rep")
+    ex = f"{d}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    export_changes(src, ex)
+    cursor = sync_from_export(spark, ex, rep)
+    # producer-side retention below the consumer's cursor
+    assert prune_export(ex, cursor) == cursor
+    src.merge(_rows(spark, [(1, "a", 2, 2), (2, "b", 1, 1)]))
+    export_changes(src, ex)
+    sync_from_export(spark, ex, rep)
+    assert _state(rep) == _state(src) == [(1, "a", 2), (2, "b", 1)]
+
+
+def test_fresh_replica_refuses_pruned_export(spark, tmp_path):
+    d = str(tmp_path)
+    src, rep = _mk(spark, d, "src"), _mk(spark, d, "rep")
+    ex = f"{d}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    export_changes(src, ex)
+    src.merge(_rows(spark, [(1, "a", 2, 2)]))
+    export_changes(src, ex)
+    # prune the first window: the suffix alone cannot reconstruct state
+    first_hi = sorted(
+        int(n.split("_")[2])
+        for n in __import__("os").listdir(ex)
+        if n.startswith("w_")
+    )[0]
+    prune_export(ex, first_hi)
+    with pytest.raises(ExpiredCursorError, match="bootstrap"):
+        sync_from_export(spark, ex, rep)
+
+
+def test_apply_requires_keyed_target(spark, tmp_path):
+    d = str(tmp_path)
+    rep = ManagedTable.create(spark, f"{d}/rep", SCHEMA, table_type="MOR")
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            list(SCHEMA.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_export_lo", T.IntegerType()),
+                T.StructField("_export_hi", T.IntegerType()),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="no key columns"):
+        apply_changes(empty, rep, 5)
