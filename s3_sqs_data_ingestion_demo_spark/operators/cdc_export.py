@@ -54,9 +54,14 @@ Schema evolution: each window's parquet carries the source schema AT
 EXPORT TIME, and the anchor schema is refreshed whenever the source
 evolves — ``read_change_export`` reconciles per-window schemas
 through ``merge_types`` (added columns null-fill for old windows,
-widened types promote), so a consumer reading across an
-``add_columns``/``widen_column`` boundary sees one coherent evolved
-shape; an irreconcilable mix is refused loudly.
+widened types promote), then serves the result UNDER THE EXPORT'S
+CURRENT SCHEMA: a column dropped since stops being served even from
+old windows — the table layer's own rule ("history is served under
+the CURRENT schema", table.drop_column), so replaying a post-drop
+export matches the live table's shape exactly.  An irreconcilable
+mix is refused loudly before any projection could mask it.
+``coalesce_export`` rewrites losslessly (the reconciled union, no
+projection) — reads keep projecting.
 """
 
 from __future__ import annotations
@@ -402,26 +407,87 @@ def _frame_for(
             T.StructField("_export_hi", T.IntegerType(), False),
         ]
         return spark.createDataFrame([], T.StructType(fields))
-    return _read_reconciled(spark, dirs)
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return _read_reconciled(
+        spark, dirs, current_schema=T.StructType.fromJson(anchor["schema"])
+    )
 
 
-def _read_reconciled(spark, dirs: list[str]) -> DataFrame:
+_META_COLS = ("_change_type", "_export_lo", "_export_hi")
+
+
+def _read_reconciled(
+    spark, dirs: list[str], current_schema=None
+) -> DataFrame:
     """Window directories as one frame, schemas reconciled across
     evolution boundaries (shared by the consumer read and
-    ``coalesce_export``'s rewrite)."""
+    ``coalesce_export``'s rewrite).
+
+    ``current_schema`` (the anchor's source schema — passed by the
+    CONSUMER read paths, not by coalesce) additionally projects the
+    reconciled union onto the export's current shape: columns present
+    only in old windows (dropped since) stop being served, columns
+    added since null-fill old windows — the table layer's own
+    evolution rule ("history is served under the CURRENT schema",
+    table.drop_column), so ``replay_to_state`` over a post-drop read
+    matches the live table's shape exactly.  The cross-window
+    ``merge_types`` reconciliation still runs FIRST, so an
+    irreconcilable mix raises loudly before any projection could mask
+    it.  ``coalesce_export`` deliberately omits the projection: a
+    binpack rewrite stays lossless (the union shape), and reads keep
+    projecting."""
     frames = [spark.read.parquet(d) for d in dirs]
     schemas = [f.schema for f in frames]
-    if all(s == schemas[0] for s in schemas[1:]):
+    single = all(s == schemas[0] for s in schemas[1:])
+    if single and current_schema is None:
         # single-shape fast path: one multi-path relation, one footer
         # schema — the common case between evolutions
         return spark.read.parquet(*dirs)
-    # mixed shapes across an evolution boundary: reconcile through the
-    # same lossless rules the table itself evolves under; anything
-    # irreconcilable raises (merge_types) instead of silently taking
-    # one file's schema and dropping the evolved columns
-    target = schemas[0]
-    for s in schemas[1:]:
-        target = merge_types(target, s)
+    if single:
+        target = schemas[0]
+    else:
+        # mixed shapes across an evolution boundary: reconcile through
+        # the same lossless rules the table itself evolves under;
+        # anything irreconcilable raises (merge_types) instead of
+        # silently taking one file's schema and dropping the evolved
+        # columns
+        target = schemas[0]
+        for s in schemas[1:]:
+            target = merge_types(target, s)
+    if current_schema is not None:
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        merged = {f.name: f for f in target.fields}
+        fields = []
+        for f in current_schema.fields:
+            if f.name in merged:
+                # monotone widenings make these equal in practice;
+                # merge keeps the read loud if they ever are not
+                fields.append(
+                    T.StructField(
+                        f.name,
+                        merge_types(merged[f.name].dataType, f.dataType),
+                        True,
+                    )
+                )
+            else:
+                # anchor-only column (added after every retained data
+                # window): serve it null-filled like the table does
+                fields.append(T.StructField(f.name, f.dataType, True))
+        fields += [merged[n] for n in _META_COLS]
+        target = T.StructType(fields)
+    if single:
+        # one multi-path relation even when a projection applies: a
+        # single shared shape that ALREADY matches the current
+        # projection (the steady state — anchor == window schema)
+        # skips the select entirely; a coalesced union-shaped window
+        # after a drop pays one projection, never a per-window union
+        fast = spark.read.parquet(*dirs)
+        shape = [(f.name, f.dataType) for f in schemas[0].fields]
+        if shape == [(f.name, f.dataType) for f in target.fields]:
+            return fast
+        return align_to_schema(fast, target)
     out = align_to_schema(frames[0], target)
     for f in frames[1:]:
         out = out.unionByName(align_to_schema(f, target))

@@ -683,3 +683,143 @@ def test_listing_retries_once_on_concurrent_prune(
     _sh.rmtree(os.path.join(ex, f"w_{victim[0]}_{victim[1]}"))
     with pytest.raises(ValueError, match="window chain broken"):
         read_change_export(spark, ex)
+
+
+def test_export_across_drop_column(spark, tmp_path):
+    """Windows written before a drop_column evolution stop serving the
+    dropped column: the read projects the reconciled union onto the
+    export's CURRENT schema — the table layer's own rule ("history is
+    served under the CURRENT schema"), so replay matches the live
+    table's shape exactly instead of resurrecting the column
+    null-filled."""
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1), (2, "b", 2, 1)]))
+    export_changes(src, ex)
+    src.drop_column("grp")
+    src.merge(
+        spark.createDataFrame(
+            [Row(id=2, v=20, seq=2), Row(id=3, v=3, seq=1)],
+            src.meta.schema,
+        )
+    )
+    export_changes(src, ex)
+    changes = read_change_export(spark, ex)
+    assert "grp" not in changes.columns
+    replayed = replay_to_state(changes, ["id"])
+    assert sorted(replayed.columns) == sorted(src.read().columns)
+    assert sorted((r.id, r.v) for r in replayed.collect()) == sorted(
+        (r.id, r.v) for r in src.read().collect()
+    )
+    # the pre-drop window's OTHER values still serve (id=1 is an
+    # old-window survivor)
+    assert (1, 1) in [(r.id, r.v) for r in replayed.collect()]
+
+
+def test_export_add_widen_add_chain_with_coalesce(spark, tmp_path):
+    """A multi-step evolution chain (add -> widen -> add) with
+    coalesce_export run across BOTH boundaries: the binpack rewrite
+    reconciles losslessly and replay stays byte-identical to the live
+    table at every step."""
+    from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
+        coalesce_export,
+        list_export_windows,
+    )
+
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    export_changes(src, ex)
+
+    src.add_columns([T.StructField("note", T.StringType(), True)])
+    src.merge(spark.createDataFrame(
+        [Row(id=2, grp="b", v=2, seq=1, note="x")], src.meta.schema))
+    export_changes(src, ex)
+
+    src.widen_column("v", T.LongType())
+    big = 2**40
+    src.merge(spark.createDataFrame(
+        [Row(id=3, grp="c", v=big, seq=1, note=None)], src.meta.schema))
+    w3 = export_changes(src, ex)
+
+    # binpack across the add AND widen boundaries
+    assert coalesce_export(spark, ex, w3[1]) is not None
+    assert len(list_export_windows(ex)) == 1
+
+    def check():
+        changes = read_change_export(spark, ex)
+        assert dict(changes.dtypes)["v"] == "bigint"
+        got = sorted(
+            (r.id, r.grp, r.v, r.note)
+            for r in replay_to_state(changes, ["id"]).collect()
+        )
+        want = sorted(
+            (r.id, r.grp, r.v, r.note) for r in src.read().collect()
+        )
+        assert got == want
+
+    check()
+
+    # second add AFTER the coalesce, then coalesce across that
+    # boundary too (merged window ∪ post-evolution window)
+    src.add_columns([T.StructField("tag", T.IntegerType(), True)])
+    src.merge(spark.createDataFrame(
+        [Row(id=1, grp="a", v=10, seq=2, note=None, tag=7)],
+        src.meta.schema))
+    w4 = export_changes(src, ex)
+    changes = read_change_export(spark, ex)
+    assert "tag" in changes.columns
+    assert coalesce_export(spark, ex, w4[1]) is not None
+    assert len(list_export_windows(ex)) == 1
+    got = sorted(
+        (r.id, r.grp, r.v, r.note, r.tag)
+        for r in replay_to_state(read_change_export(spark, ex), ["id"])
+        .collect()
+    )
+    want = sorted(
+        (r.id, r.grp, r.v, r.note, r.tag) for r in src.read().collect()
+    )
+    assert got == want
+
+
+def test_coalesce_across_drop_boundary_stays_lossless(spark, tmp_path):
+    """coalesce_export across a drop_column boundary rewrites the
+    UNION shape (lossless — the dropped column's old values survive
+    the binpack), while consumer reads keep projecting it away."""
+    import pyarrow.parquet as pq
+
+    from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
+        coalesce_export,
+        list_export_windows,
+    )
+
+    src = _mk_src(spark, tmp_path)
+    ex = f"{tmp_path}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    export_changes(src, ex)
+    src.drop_column("grp")
+    src.merge(spark.createDataFrame(
+        [Row(id=2, v=2, seq=1)], src.meta.schema))
+    w2 = export_changes(src, ex)
+    assert coalesce_export(spark, ex, w2[1]) is not None
+    ws = list_export_windows(ex)
+    assert len(ws) == 1
+    # physical files keep the union shape (grp survives the rewrite)
+    merged_dir = os.path.join(ex, f"w_{ws[0][0]}_{ws[0][1]}")
+    pfile = next(
+        os.path.join(merged_dir, f)
+        for f in os.listdir(merged_dir)
+        if f.endswith(".parquet")
+    )
+    assert "grp" in pq.read_schema(pfile).names
+    # the consumer read projects it away and replay matches the table
+    changes = read_change_export(spark, ex)
+    assert "grp" not in changes.columns
+    got = sorted(
+        (r.id, r.v)
+        for r in replay_to_state(changes, ["id"]).collect()
+    )
+    assert got == sorted((r.id, r.v) for r in src.read().collect())

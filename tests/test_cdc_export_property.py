@@ -44,7 +44,9 @@ SCHEMA = T.StructType(
 GROUPS = ["a", "b", "c"]
 
 _OP = st.tuples(
-    st.sampled_from(["append", "upsert", "delete", "compact", "rollback"]),
+    st.sampled_from(
+        ["append", "upsert", "delete", "compact", "rollback", "evolve"]
+    ),
     st.integers(min_value=0, max_value=10**6),
 )
 
@@ -122,6 +124,22 @@ def test_export_roundtrip_and_tail_under_random_ops(
                 src.append(rows_of(fresh_rows(r, 1)))
         elif kind == "compact":
             src.compact()
+        elif kind == "evolve":
+            # schema evolution mid-sequence: add a fresh nullable
+            # column (or widen v once), then land a small batch so the
+            # evolved shape reaches the export — both laws must hold
+            # across the reconciliation boundary (old-SCHEMA batches
+            # keep appending; align null-fills the added columns)
+            can_widen = not isinstance(
+                src.meta.schema["v"].dataType, T.LongType
+            )
+            if r % 2 == 1 and can_widen:
+                src.widen_column("v", T.LongType())
+            else:
+                src.add_columns(
+                    [T.StructField(f"x{seq[0]}", T.IntegerType(), True)]
+                )
+            src.append(rows_of(fresh_rows(r, 1)))
         elif kind == "rollback":
             if checkpoints:
                 v, saved = checkpoints[r % len(checkpoints)]
