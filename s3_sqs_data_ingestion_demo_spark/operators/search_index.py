@@ -199,30 +199,49 @@ def append_to_search_index(
         pt.merge(postings)
         st.append(stats, tag=batch_tag)
         return
-    keys = (
-        docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
-    )
-    # victims: every live posting of the batch's ids, as of NOW.  On a
-    # redelivery this can include rows the crashed attempt merged —
-    # tombstoning them is safe because the merge below re-lands them
-    # with a newer commit seq (re-inserts survive tombstones).
-    victims = _victim_postings(pt, keys)
+    # batch ids off the PINNED postings frame, not the source docs:
+    # the sentinel rows make postings total over the batch's docs, so
+    # the id sets are identical — and the victim scan below then costs
+    # two jobs over a checkpoint instead of two re-scans of the raw
+    # batch (measured ~2× the whole victim step on a parquet batch)
+    keys = postings.select("doc_id").distinct()
+    if not pt._manifest_at(pt._current_version()):
+        # bootstrap fast path (metadata-only probe): nothing is indexed
+        # yet, so there are no victims by construction — skip the
+        # victim scan/pin, the net-stats crossJoin, and the tombstone
+        # commit entirely.  The crash contract is unchanged: stats
+        # commit first (tagged), then the merge.
+        victims = None
+    else:
+        # victims: every live posting of the batch's ids, as of NOW.
+        # On a redelivery this can include rows the crashed attempt
+        # merged — tombstoning them is safe because the merge below
+        # re-lands them with a newer commit seq (re-inserts survive
+        # tombstones).
+        victims = _victim_postings(pt, keys)
     if not tag_done:
-        # tag not committed => no prior attempt reached the merge (the
-        # stats row commits before it), so the victims are purely
-        # pre-batch rows and their per-doc dl is the dl the stats
-        # counted when they were indexed.  The net row is a crossJoin
-        # of two 1-row aggregates over already-materialized frames —
-        # no driver collect.
-        vagg = _doc_stats(victims).select(
-            F.col("n_docs").alias("_vn"), F.col("total_dl").alias("_vdl")
-        )
-        net = stats.crossJoin(vagg).select(
-            (F.col("n_docs") - F.col("_vn")).cast("long").alias("n_docs"),
-            (F.col("total_dl") - F.col("_vdl")).cast("long").alias("total_dl"),
-        )
-        st.append(net, tag=batch_tag)
-    pt.delete_keys(victims.select("term", "doc_id"))
+        if victims is None:
+            st.append(stats, tag=batch_tag)
+        else:
+            # tag not committed => no prior attempt reached the merge
+            # (the stats row commits before it), so the victims are
+            # purely pre-batch rows and their per-doc dl is the dl the
+            # stats counted when they were indexed.  The net row is a
+            # crossJoin of two 1-row aggregates over
+            # already-materialized frames — no driver collect.
+            vagg = _doc_stats(victims).select(
+                F.col("n_docs").alias("_vn"),
+                F.col("total_dl").alias("_vdl"),
+            )
+            net = stats.crossJoin(vagg).select(
+                (F.col("n_docs") - F.col("_vn")).cast("long")
+                .alias("n_docs"),
+                (F.col("total_dl") - F.col("_vdl")).cast("long")
+                .alias("total_dl"),
+            )
+            st.append(net, tag=batch_tag)
+    if victims is not None:
+        pt.delete_keys(victims.select("term", "doc_id"))
     pt.merge(postings)
 
 
