@@ -323,31 +323,21 @@ def _maintain_cdc_exports(
     if not out.cdc_exports:
         return
     from .operators.cdc_export import (  # noqa: PLC0415
-        coalesce_export,
         create_change_export,
         export_changes,
         export_exists,
-        list_export_windows,
-        prune_export,
+        maintain_export_cadences,
     )
 
     for e in out.cdc_exports:
         if not export_exists(e.path):
             create_change_export(table, e.path, consume_from=1)
         export_changes(table, e.path)
-        if e.keep_last_windows:
-            windows = list_export_windows(e.path)
-            if len(windows) > e.keep_last_windows:
-                # windows are contiguous: the lo of the oldest KEPT
-                # window is the boundary everything older sits at or
-                # below
-                prune_export(e.path, windows[-e.keep_last_windows][0])
-        if e.coalesce_after:
-            windows = list_export_windows(e.path)
-            if len(windows) > e.coalesce_after:
-                # binpack everything below the newest window, so the
-                # tail the next batch appends to stays untouched
-                coalesce_export(spark, e.path, up_to=windows[-2][1])
+        maintain_export_cadences(
+            spark, e.path,
+            keep_last_windows=e.keep_last_windows,
+            coalesce_after=e.coalesce_after,
+        )
 
 
 def _maintain_rollups(

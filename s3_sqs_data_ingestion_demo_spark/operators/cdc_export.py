@@ -250,6 +250,35 @@ def list_export_windows(export_dir: str) -> list[tuple[int, int]]:
     return _listed(export_dir)[2]
 
 
+def maintain_export_cadences(
+    spark,
+    export_dir: str,
+    keep_last_windows: int = 0,
+    coalesce_after: int = 0,
+) -> None:
+    """The listing-derived retention/binpack cadences shared by the
+    declarative batch hook (job._maintain_cdc_exports) and the
+    streaming twin (streaming.start_streaming_cdc_export) — ONE place
+    for the boundary arithmetic and the prune-before-coalesce order
+    (a binpack must never rewrite windows retention is about to
+    delete).
+
+    ``keep_last_windows`` > 0: prune all but the most recent N windows
+    (windows are contiguous, so the lo of the oldest KEPT window is
+    the boundary everything older sits at or below).
+    ``coalesce_after`` > 0: once MORE than N windows are retained,
+    binpack everything below the newest window — the tail the next
+    export appends to stays untouched."""
+    if keep_last_windows:
+        windows = list_export_windows(export_dir)
+        if len(windows) > keep_last_windows:
+            prune_export(export_dir, windows[-keep_last_windows][0])
+    if coalesce_after:
+        windows = list_export_windows(export_dir)
+        if len(windows) > coalesce_after:
+            coalesce_export(spark, export_dir, up_to=windows[-2][1])
+
+
 def export_changes(src: ManagedTable, export_dir: str) -> tuple[int, int] | None:
     """Export the source changes since the last published window;
     returns the published (lo, hi) or None when there was nothing to
@@ -584,8 +613,19 @@ def apply_changes(
 
     Per key, the tail's latest state-setting change wins (the
     ``replay_to_state`` rank over per-segment stamps); post-images and
-    inserts MERGE on the target's keys, deletes delete.  Two guards
-    make re-delivery safe:
+    inserts MERGE on the target's keys.  Deletes are applied for
+    EVERY key that carries one anywhere in the tail — not just keys
+    whose latest change is a delete — and they are applied BEFORE the
+    merge: a delete-then-reinsert sequence within one tail must
+    tombstone the replica's prior row so the re-inserted row wins
+    under ANY merge policy.  (Under ``latest_wins`` the source's
+    tombstone physically removed a row whose order value may EXCEED
+    the re-insert's; merging the re-insert without the tombstone
+    would leave the stale higher-ordered replica row winning reads
+    forever.)  Keys whose latest change is a delete contribute no
+    merge row, so the tombstone stands.
+
+    Two guards make re-delivery safe:
 
     - rows at or below the replica's durable ``cdc-apply.cursor``
       property are filtered out BEFORE the rank — a coalesced window
@@ -594,17 +634,29 @@ def apply_changes(
     - a call whose ``new_cursor`` does not advance the stored cursor
       is a pure no-op (the whole tail was already applied).
 
-    Crash contract: merge → delete → cursor write, in that order.  A
-    crash before the cursor write replays the same tail next cycle;
-    re-merging identical latest-per-key rows and re-deleting absent
-    keys are idempotent, so the replica converges and the cursor only
-    advances once the changes are durably applied.  Returns the
+    Source schema evolution PROPAGATES: the replica's contract is
+    reconciled with the tail's shape (``evolve_schema`` — added
+    columns add, lossless widenings widen, both metadata-only and
+    idempotent) before the merge, so evolved values land instead of
+    being silently projected away.  A column the source DROPPED stays
+    on the replica (the export read already stopped serving it;
+    applied post-images null-fill it) — drop it on the replica
+    deliberately if desired.
+
+    Crash contract: evolve → delete → merge → cursor write, in that
+    order.  A crash mid-way replays the same tail next cycle;
+    re-tombstoning and re-merging the same latest-per-key rows are
+    idempotent, so the replica converges and the cursor only advances
+    once the changes are durably applied.  Between the delete and the
+    merge, readers transiently miss re-inserted keys — the same
+    transient class as the join MV's stale-row window.  Returns the
     target's version.
 
-    Scale shape: one key-partitioned rank over the tail (O(tail)),
-    one keyed MOR merge + tombstone delete on the target — never
-    O(replica)."""
+    Scale shape: one key-partitioned rank over the pinned tail
+    (O(tail)), one tombstone delete + one keyed MOR merge on the
+    target — never O(replica)."""
     from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
 
     keys = list(target.meta.key_cols)
     if not keys:
@@ -616,30 +668,38 @@ def apply_changes(
     new_cursor = int(new_cursor)
     if new_cursor <= applied:
         return target._current_version()
-    setting = changes.filter(
-        F.col("_change_type").isin("insert", "update_postimage", "delete")
-        & (F.col("_export_hi") > applied)
+    setting = (
+        changes.filter(
+            F.col("_change_type").isin(
+                "insert", "update_postimage", "delete"
+            )
+            & (F.col("_export_hi") > applied)
+        )
+        # consumed by the rank (twice: emptiness probe + merge) and the
+        # any-delete key set — pin once; bounded by the tail
+        .localCheckpoint(eager=True)
     )
+    base_schema = T.StructType(
+        [f for f in setting.schema.fields if f.name not in _META_COLS]
+    )
+    # metadata-only and idempotent — same rule as the ingest path
+    target.evolve_schema(base_schema)
     w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
         F.col("_export_hi").desc()
     )
-    latest = (
-        setting.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_export_lo")
-        # read twice (upsert branch + delete branch, each with an
-        # emptiness probe) — pin once; bounded by the tail's keys
-        .localCheckpoint(eager=True)
+    latest = setting.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
     )
     ups = latest.filter(F.col("_change_type") != "delete").drop(
-        "_change_type", "_export_hi"
+        "_rn", "_change_type", "_export_lo", "_export_hi"
     )
-    dels = latest.filter(F.col("_change_type") == "delete").select(*keys)
-    version = target._current_version()
+    # ANY delete in the tail tombstones its key (see docstring);
+    # delete_keys dedups and no-ops on an empty set internally
+    dels = setting.filter(F.col("_change_type") == "delete").select(*keys)
+    version = target.delete_keys(dels)
     if not ups.isEmpty():
-        version = target.merge(ups)
-    if not dels.isEmpty():
-        version = target.delete_keys(dels)
+        # non-emptiness just proven — skip merge's internal probe
+        version = target.merge(ups, assume_nonempty=True)
     target.set_properties(**{_APPLY_KEY: new_cursor})
     return version
 

@@ -321,14 +321,20 @@ def start_streaming_cdc_export(
     listing-derived retention/binpack cadences as the declarative
     hook, once per trigger."""
     from ..operators.cdc_export import (  # noqa: PLC0415
-        coalesce_export,
         create_change_export,
         export_changes,
         export_exists,
-        list_export_windows,
-        prune_export,
+        maintain_export_cadences,
     )
 
+    if mode not in ("merge", "append"):
+        # a typo'd mode silently appending a CDC upsert feed would
+        # duplicate live rows AND misclassify the export's windows as
+        # pure inserts — refuse before the stream starts
+        raise ValueError(
+            f"start_streaming_cdc_export mode must be 'merge' or "
+            f"'append', got {mode!r}"
+        )
     if not export_exists(export_dir):
         create_change_export(src_table, export_dir, consume_from=1)
     reader = spark.readStream.schema(schema).options(**(options or {}))
@@ -349,14 +355,11 @@ def start_streaming_cdc_export(
             else:
                 src_table.append(batch_df, tag=tag)
         export_changes(src_table, export_dir)
-        if keep_last_windows:
-            windows = list_export_windows(export_dir)
-            if len(windows) > keep_last_windows:
-                prune_export(export_dir, windows[-keep_last_windows][0])
-        if coalesce_after:
-            windows = list_export_windows(export_dir)
-            if len(windows) > coalesce_after:
-                coalesce_export(spark, export_dir, up_to=windows[-2][1])
+        maintain_export_cadences(
+            spark, export_dir,
+            keep_last_windows=keep_last_windows,
+            coalesce_after=coalesce_after,
+        )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:

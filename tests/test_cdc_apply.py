@@ -193,3 +193,93 @@ def test_apply_requires_keyed_target(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no key columns"):
         apply_changes(empty, rep, 5)
+
+
+def test_delete_then_reinsert_in_one_tail_under_latest_wins(
+    spark, tmp_path
+):
+    """Review finding (r11): a tail containing delete(k) and a
+    re-insert of k must TOMBSTONE the replica's prior row before
+    merging.  Under latest_wins a tombstone defeats lower-ordered
+    late rows (re-inserting k with a LOWER seq does not resurrect it
+    on the source — probed table semantics), so a replica holding
+    k at seq=9 that merely merged the seq=2 re-insert would keep the
+    stale seq=9 row winning reads forever; applying the delete first
+    makes the replica resolve exactly like the source at every
+    step."""
+    d = str(tmp_path)
+    src = ManagedTable.create(
+        spark, f"{d}/src", SCHEMA, key_cols=["id"], order_column="seq",
+        table_type="MOR", merge_policy="latest_wins",
+    )
+    rep = ManagedTable.create(
+        spark, f"{d}/rep", SCHEMA, key_cols=["id"], order_column="seq",
+        table_type="MOR", merge_policy="latest_wins",
+    )
+    ex = f"{d}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 9)]))  # high seq
+    export_changes(src, ex)
+    sync_from_export(spark, ex, rep)
+    assert _state(rep) == [(1, "a", 1)]
+    # now, WITHOUT a sync in between: delete then re-insert with a
+    # LOWER seq — both land in the replica's next tail.  The source
+    # resolves to EMPTY (the tombstone defeats the lower-seq late
+    # row); without the tombstone the replica would still serve the
+    # seq=9 row.
+    src.delete_keys(spark.createDataFrame([(1,)], "id int"))
+    export_changes(src, ex)
+    src.merge(_rows(spark, [(1, "b", 7, 2)]))  # lower seq than 9
+    export_changes(src, ex)
+    sync_from_export(spark, ex, rep)
+    assert _state(src) == []
+    assert _state(rep) == []
+    # a HIGHER-seq re-insert resurrects the key on both sides
+    src.merge(_rows(spark, [(1, "c", 5, 10)]))
+    export_changes(src, ex)
+    sync_from_export(spark, ex, rep)
+    assert _state(src) == [(1, "c", 5)]
+    assert _state(rep) == [(1, "c", 5)]
+
+
+def test_apply_propagates_source_schema_evolution(spark, tmp_path):
+    """Review finding (r11): evolved columns land on the replica
+    (evolve_schema before the merge) instead of being silently
+    projected away by the merge's align step."""
+    d = str(tmp_path)
+    src, rep = _mk(spark, d, "src"), _mk(spark, d, "rep")
+    ex = f"{d}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    export_changes(src, ex)
+    sync_from_export(spark, ex, rep)
+    src.add_columns([T.StructField("note", T.StringType(), True)])
+    src.merge(
+        spark.createDataFrame(
+            [(2, "b", 2, 1, "hello")],
+            T.StructType(
+                list(SCHEMA.fields)
+                + [T.StructField("note", T.StringType(), True)]
+            ),
+        )
+    )
+    export_changes(src, ex)
+    sync_from_export(spark, ex, rep)
+    assert "note" in rep.meta.schema.fieldNames()
+    got = {r.id: r.note for r in rep.read().collect()}
+    assert got == {1: None, 2: "hello"}
+
+
+def test_streaming_cdc_export_refuses_bad_mode(spark, tmp_path):
+    from s3_sqs_data_ingestion_demo_spark.streaming import (
+        start_streaming_cdc_export,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode must be"):
+        start_streaming_cdc_export(
+            spark, str(tmp_path), SCHEMA,
+            ManagedTable.create(spark, f"{tmp_path}/t", SCHEMA,
+                                key_cols=["id"], table_type="MOR"),
+            f"{tmp_path}/ex", mode="upsert",
+        )
