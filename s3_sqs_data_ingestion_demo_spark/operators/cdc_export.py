@@ -616,14 +616,27 @@ def apply_changes(
     inserts MERGE on the target's keys.  Deletes are applied for
     EVERY key that carries one anywhere in the tail — not just keys
     whose latest change is a delete — and they are applied BEFORE the
-    merge: a delete-then-reinsert sequence within one tail must
-    tombstone the replica's prior row so the re-inserted row wins
-    under ANY merge policy.  (Under ``latest_wins`` the source's
-    tombstone physically removed a row whose order value may EXCEED
-    the re-insert's; merging the re-insert without the tombstone
-    would leave the stale higher-ordered replica row winning reads
-    forever.)  Keys whose latest change is a delete contribute no
-    merge row, so the tombstone stands.
+    merge, so a row the source deleted can never outlive its delete
+    on the replica: a tail carrying delete(k) plus a LOWER-ordered
+    re-insert of k would otherwise leave a ``latest_wins`` replica's
+    stale higher-ordered copy winning reads forever.  Keys whose
+    latest change is a delete contribute no merge row, so the
+    tombstone stands.
+
+    EXACTNESS CONTRACT: a replica with ``merge_policy='unconditional'``
+    (the default) mirrors the source exactly — application order IS
+    export order, and the export already encodes each source's own
+    read resolution into net-effect changes (the round-trip law).  A
+    ``latest_wins`` replica resolves reads by its order column on top
+    of that, which matches a ``latest_wins`` MOR source (identical
+    resolution on both sides) but can diverge from a COW source: a
+    COW delete physically erases its row's order value, so the source
+    can serve a later LOWER-ordered re-insert that a MOR replica's
+    tombstone mask rejects.  Prefer unconditional replicas; pair
+    ``latest_wins`` replicas only with ``latest_wins`` MOR sources.
+    (Appending previously-deleted keys is outside the engine's append
+    contract — append is for new keys; route re-inserts through
+    merge.)
 
     Two guards make re-delivery safe:
 
@@ -687,8 +700,13 @@ def apply_changes(
     w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
         F.col("_export_hi").desc()
     )
-    latest = setting.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") == 1
+    latest = (
+        setting.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        # consumed twice (emptiness probe + the merge) — pin the rank
+        # OUTPUT too, so the key-partitioned shuffle runs once per
+        # cycle and the stored frame is O(latest-per-key)
+        .localCheckpoint(eager=True)
     )
     ups = latest.filter(F.col("_change_type") != "delete").drop(
         "_rn", "_change_type", "_export_lo", "_export_hi"

@@ -270,13 +270,72 @@ def test_apply_propagates_source_schema_evolution(spark, tmp_path):
     assert got == {1: None, 2: "hello"}
 
 
+def _synth_tail(spark, rows):
+    """A hand-built tail frame (the COW-source shape: a delete AND a
+    later lower-ordered re-insert of the same key are both visible)."""
+    meta = [
+        T.StructField("_change_type", T.StringType()),
+        T.StructField("_export_lo", T.IntegerType()),
+        T.StructField("_export_hi", T.IntegerType()),
+    ]
+    return spark.createDataFrame(
+        rows, T.StructType(list(SCHEMA.fields) + meta)
+    )
+
+
+def test_deleted_row_never_outlives_its_delete(spark, tmp_path):
+    """Pins the any-delete-BEFORE-merge ordering (r11 review): a tail
+    carrying delete(k) plus a later LOWER-ordered re-insert of k —
+    the shape a COW source exports, synthesized here because a MOR
+    source's own resolution never publishes the losing re-insert.
+    Without the tombstone, a latest_wins replica's stale seq=9 copy
+    would win reads forever; with it, the deleted row is gone (the
+    replica then resolves the re-insert under its own policy)."""
+    d = str(tmp_path)
+    rep = ManagedTable.create(
+        spark, f"{d}/rep", SCHEMA, key_cols=["id"], order_column="seq",
+        table_type="MOR", merge_policy="latest_wins",
+    )
+    rep.merge(_rows(spark, [(1, "a", 1, 9)]))
+    rep.set_properties(**{_APPLY_KEY: 10})
+    tail = _synth_tail(spark, [
+        (1, None, None, None, "delete", 10, 11),
+        (1, "b", 7, 2, "insert", 11, 12),
+    ])
+    apply_changes(tail, rep, 12)
+    # the deleted seq=9 row must NOT survive.  (A latest_wins MOR
+    # tombstone also rejects the lower-seq re-insert — the documented
+    # COW→MOR divergence; the exact-mirror case is the unconditional
+    # replica below.)
+    got = [(r.id, r.seq) for r in rep.read().collect()]
+    assert (1, 9) not in got
+    assert got == []
+
+
+def test_unconditional_replica_mirrors_cow_shaped_tail(spark, tmp_path):
+    """The exactness contract: an unconditional replica applies in
+    export order, so the COW-shaped delete-then-lower-ordered-reinsert
+    tail lands the re-insert — exactly what the COW source serves."""
+    d = str(tmp_path)
+    rep = _mk(spark, d, "rep")  # default policy: unconditional
+    rep.merge(_rows(spark, [(1, "a", 1, 9)]))
+    rep.set_properties(**{_APPLY_KEY: 10})
+    tail = _synth_tail(spark, [
+        (1, None, None, None, "delete", 10, 11),
+        (1, "b", 7, 2, "insert", 11, 12),
+    ])
+    apply_changes(tail, rep, 12)
+    assert [(r.id, r.grp, r.v, r.seq) for r in rep.read().collect()] == [
+        (1, "b", 7, 2)
+    ]
+
+
 def test_streaming_cdc_export_refuses_bad_mode(spark, tmp_path):
     from s3_sqs_data_ingestion_demo_spark.streaming import (
         start_streaming_cdc_export,
     )
-    import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="mode must be"):
+    with pytest.raises(ValueError, match="mode must be"):
         start_streaming_cdc_export(
             spark, str(tmp_path), SCHEMA,
             ManagedTable.create(spark, f"{tmp_path}/t", SCHEMA,
