@@ -1054,13 +1054,32 @@ def _refresh_rollup_window(
                 )
                 .localCheckpoint(eager=True)
             )
-            if not newc.isEmpty():
-                comp.merge(newc, tag=window_tag)
-            czero = newc.filter(F.col("n_rows") <= 0).select(*ckeys)
+            # ONE driver action off the pinned frame answers both
+            # branch questions (any rows to merge? any zeroed values
+            # to sweep?) — previously two isEmpty() probes, each its
+            # own job (the same shave as the top-k refresh)
+            cc = newc.agg(
+                F.count(F.lit(1)).alias("nt"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("n_rows") <= 0, 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("nz"),
+            ).first()
+            if cc.nt:
+                # non-emptiness just proven — skip merge's own probe
+                comp.merge(newc, tag=window_tag, assume_nonempty=True)
+            if cc.nz:
+                comp.delete_keys(
+                    newc.filter(F.col("n_rows") <= 0).select(*ckeys)
+                )
         else:
+            # replay path (rare): the companion already absorbed the
+            # window — only the idempotent sweep remains
             czero = comp.read().filter(F.col("n_rows") <= 0).select(*ckeys)
-        if not czero.isEmpty():
-            comp.delete_keys(czero)
+            if not czero.isEmpty():
+                comp.delete_keys(czero)
         dcount_frames[c] = (
             join_nullsafe(
                 comp.read().filter(F.col("n_rows") > 0),
@@ -1206,13 +1225,28 @@ def _refresh_rollup_window(
     # group-cardinality-bounded frame read twice (upsert + the
     # emptied-group delete) — pin it once
     combined = combined.localCheckpoint(eager=True)
+    # ONE driver action off the pinned frame answers both branch
+    # questions (any groups at all? any emptied to sweep?) instead of
+    # merge's internal probe + a separate emptied isEmpty() job
+    mc = combined.agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_rows") <= 0, 1).otherwise(0)), F.lit(0)
+        ).alias("nz"),
+    ).first()
     # Emptied groups (count 0) are INCLUDED in the tagged merge so a
     # crash before their delete leaves a visible marker the replay
     # sweep can finish from — excluding them would strand their stale
     # pre-fold rows if the delete never ran.
-    version = dst.merge(combined, tag=window_tag)
-    emptied = combined.filter(F.col("n_rows") <= 0).select(*group_cols)
-    if not emptied.isEmpty():
-        version = dst.delete_keys(emptied)
+    version = dst._current_version()
+    if mc.nt:
+        # non-emptiness just proven — skip merge's own probe.  (An
+        # all-retraction window can net to ZERO combined rows; like
+        # the old empty merge, skipping commits no tag.)
+        version = dst.merge(combined, tag=window_tag, assume_nonempty=True)
+    if mc.nz:
+        version = dst.delete_keys(
+            combined.filter(F.col("n_rows") <= 0).select(*group_cols)
+        )
     dst.set_properties(**{_STATE_KEY: cur})
     return version, cur >= actual
