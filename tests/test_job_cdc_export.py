@@ -245,3 +245,39 @@ def test_streaming_cdc_export_roundtrip_and_restart(spark, tmp_path):
     before = list_export_windows(ex)
     drain()
     assert list_export_windows(ex) == before
+
+
+def test_streaming_cdc_export_cadences(spark, tmp_path):
+    """The streaming twin applies the same listing-derived retention
+    cadence per trigger as the declarative batch hook (shared
+    maintain_export_cadences)."""
+    from s3_sqs_data_ingestion_demo_spark.streaming import (
+        start_streaming_cdc_export,
+    )
+
+    d = str(tmp_path)
+    land = f"{d}/landing"
+    os.makedirs(land)
+    src = ManagedTable.create(
+        spark, f"{d}/src", STREAM_SCHEMA, key_cols=["id"],
+        order_column="seq", table_type="MOR",
+    )
+    ex = f"{d}/export"
+
+    def drain():
+        q = start_streaming_cdc_export(
+            spark, land, STREAM_SCHEMA, src, ex,
+            fmt="csv", options={"header": "true"},
+            checkpoint_dir=f"{d}/ckpt", available_now=True,
+            keep_last_windows=2,
+        )
+        q.awaitTermination(120)
+
+    for i in range(4):
+        _write_stream_csv(f"{land}/f{i}.csv", [(i, "a", i, 1)])
+        drain()
+    ws = list_export_windows(ex)
+    assert len(ws) <= 2
+    # the retained tail still replays coherently against live state
+    tail = read_change_export(spark, ex, since=ws[0][1])
+    assert tail.count() >= 1
