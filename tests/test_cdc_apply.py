@@ -342,3 +342,33 @@ def test_streaming_cdc_export_refuses_bad_mode(spark, tmp_path):
                                 key_cols=["id"], table_type="MOR"),
             f"{tmp_path}/ex", mode="upsert",
         )
+
+
+def test_apply_across_source_drop_column(spark, tmp_path):
+    """Apply after the source DROPPED a column: the export read stops
+    serving it, so applied post-images null-fill it on the replica
+    (the replica keeps the column — documented)."""
+    d = str(tmp_path)
+    src, rep = _mk(spark, d, "src"), _mk(spark, d, "rep")
+    ex = f"{d}/export"
+    create_change_export(src, ex)
+    src.append(_rows(spark, [(1, "a", 1, 1)]))
+    export_changes(src, ex)
+    sync_from_export(spark, ex, rep)
+    assert _state(rep) == [(1, "a", 1)]
+    src.drop_column("grp")
+    src.merge(
+        spark.createDataFrame(
+            [(1, 10, 2), (2, 2, 1)],
+            T.StructType([f for f in SCHEMA.fields if f.name != "grp"]),
+        )
+    )
+    export_changes(src, ex)
+    sync_from_export(spark, ex, rep)
+    # the replica keeps grp (its own contract); updated/new rows
+    # null-fill it; values otherwise match the source
+    got = {(r.id): (r.grp, r.v) for r in rep.read().collect()}
+    assert got == {1: (None, 10), 2: (None, 2)}
+    assert sorted((r.id, r.v) for r in src.read().collect()) == sorted(
+        (i, v) for i, (g, v) in got.items()
+    )

@@ -190,3 +190,33 @@ def test_matched_guard_requires_latest_wins_table(spark, job):
     # table is merge_policy=unconditional -> must refuse, naming the need
     with pytest.raises(MergeSqlError, match="latest_wins"):
         process_files(spark, cfg, [os.path.join(d, "b1.csv")])
+
+
+def test_verbatim_merge_with_declared_cdc_export(spark, job, tmp_path):
+    """A declared cdc_export works under a verbatim MERGE INTO merge
+    query too — the export consumes the TABLE's change feed, so (like
+    rollups/MVs) it stays coherent with whatever the statement
+    committed.  Replay of the export must equal the table after both
+    golden batches."""
+    from s3_sqs_data_ingestion_demo_spark.config import CdcExportConfig
+    from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
+        read_change_export,
+        replay_to_state,
+    )
+
+    d, cfg = job
+    ex = os.path.join(d, "export")
+    cfg.output_config.cdc_exports = [CdcExportConfig(path=ex)]
+    process_files(spark, cfg, [os.path.join(d, "b1.csv")])
+    process_files(spark, cfg, [os.path.join(d, "b2.csv")])
+    t = ManagedTable.load(spark, cfg.output_config.table_path)
+    replayed = replay_to_state(
+        read_change_export(spark, ex), ["invoiceid", "itemid"]
+    )
+    want = sorted(
+        (r.invoiceid, r.itemid, r.category) for r in t.read().collect()
+    )
+    got = sorted(
+        (r.invoiceid, r.itemid, r.category) for r in replayed.collect()
+    )
+    assert got == want and len(got) == 5
