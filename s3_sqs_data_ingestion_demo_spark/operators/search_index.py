@@ -194,6 +194,15 @@ def append_to_search_index(
     # (the sentinel rows make it total: each doc has ≥1 posting)
     postings, _ = _doc_postings(docs, text_col, id_col)
     postings = postings.localCheckpoint(eager=True)
+    if postings.isEmpty():
+        # zero docs (e.g. a pure-delete CDC batch whose upsert side is
+        # empty): no postings, no victims, a (0, 0) stats delta — the
+        # old path still COMMITTED that zero stats row (one junk row +
+        # one commit per delete-only batch).  Nothing to protect with
+        # the tag either: a redelivered empty batch changes nothing.
+        # (Sentinel rows make postings non-empty for any real doc, so
+        # empty postings ⇔ empty batch.)
+        return
     stats = _doc_stats(postings)
     if not replace:
         pt.merge(postings)
