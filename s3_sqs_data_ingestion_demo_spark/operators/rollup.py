@@ -306,6 +306,21 @@ def _hist_zeros(nb: int) -> F.Column:
     return F.array(*[F.lit(0).cast("long") for _ in range(nb + 2)])
 
 
+def _probe_total_and_zero(df: DataFrame) -> tuple[int, int]:
+    """ONE driver action over a pinned frame answering the fold's two
+    branch questions: (total rows, rows with ``n_rows <= 0``) — the
+    merge guard and the zero-row sweep guard, previously two
+    isEmpty() jobs (same shave as the top-k refresh's touched-frame
+    probe)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_rows") <= 0, 1).otherwise(0)), F.lit(0)
+        ).alias("nz"),
+    ).first()
+    return int(row.nt), int(row.nz)
+
+
 def companion_path(rollup_path: str, col: str) -> str:
     """Location of the per-value counts table backing an exact
     COUNT(DISTINCT col) — a sibling of the rollup, not nested inside
@@ -1054,23 +1069,11 @@ def _refresh_rollup_window(
                 )
                 .localCheckpoint(eager=True)
             )
-            # ONE driver action off the pinned frame answers both
-            # branch questions (any rows to merge? any zeroed values
-            # to sweep?) — previously two isEmpty() probes, each its
-            # own job (the same shave as the top-k refresh)
-            cc = newc.agg(
-                F.count(F.lit(1)).alias("nt"),
-                F.coalesce(
-                    F.sum(
-                        F.when(F.col("n_rows") <= 0, 1).otherwise(0)
-                    ),
-                    F.lit(0),
-                ).alias("nz"),
-            ).first()
-            if cc.nt:
+            cnt, czn = _probe_total_and_zero(newc)
+            if cnt:
                 # non-emptiness just proven — skip merge's own probe
                 comp.merge(newc, tag=window_tag, assume_nonempty=True)
-            if cc.nz:
+            if czn:
                 comp.delete_keys(
                     newc.filter(F.col("n_rows") <= 0).select(*ckeys)
                 )
@@ -1225,26 +1228,21 @@ def _refresh_rollup_window(
     # group-cardinality-bounded frame read twice (upsert + the
     # emptied-group delete) — pin it once
     combined = combined.localCheckpoint(eager=True)
-    # ONE driver action off the pinned frame answers both branch
-    # questions (any groups at all? any emptied to sweep?) instead of
-    # merge's internal probe + a separate emptied isEmpty() job
-    mc = combined.agg(
-        F.count(F.lit(1)).alias("nt"),
-        F.coalesce(
-            F.sum(F.when(F.col("n_rows") <= 0, 1).otherwise(0)), F.lit(0)
-        ).alias("nz"),
-    ).first()
+    mnt, mnz = _probe_total_and_zero(combined)
     # Emptied groups (count 0) are INCLUDED in the tagged merge so a
     # crash before their delete leaves a visible marker the replay
     # sweep can finish from — excluding them would strand their stale
     # pre-fold rows if the delete never ran.
     version = dst._current_version()
-    if mc.nt:
+    if mnt:
         # non-emptiness just proven — skip merge's own probe.  (An
-        # all-retraction window can net to ZERO combined rows; like
-        # the old empty merge, skipping commits no tag.)
+        # all-retraction window still yields zero-MARKER rows per
+        # affected group, so the merge and its tag DO run; zero
+        # combined rows — and a skipped tag, like the old empty-merge
+        # no-op — occur only when the weighted-change frame itself is
+        # empty, e.g. a window of no-op delete commits.)
         version = dst.merge(combined, tag=window_tag, assume_nonempty=True)
-    if mc.nz:
+    if mnz:
         version = dst.delete_keys(
             combined.filter(F.col("n_rows") <= 0).select(*group_cols)
         )

@@ -225,7 +225,9 @@ def test_streaming_cdc_export_roundtrip_and_restart(spark, tmp_path):
             fmt="csv", options={"header": "true"},
             checkpoint_dir=f"{d}/ckpt", available_now=True,
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise AssertionError("availableNow trigger timed out")
 
     _write_stream_csv(f"{land}/f1.csv", [(1, "a", 1, 1), (2, "b", 2, 1)])
     drain()
@@ -271,7 +273,9 @@ def test_streaming_cdc_export_cadences(spark, tmp_path):
             checkpoint_dir=f"{d}/ckpt", available_now=True,
             keep_last_windows=2,
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise AssertionError("availableNow trigger timed out")
 
     for i in range(4):
         _write_stream_csv(f"{land}/f{i}.csv", [(i, "a", i, 1)])
