@@ -36,9 +36,20 @@ def _read_text(path_or_uri: str) -> str:
 
 @dataclass
 class InputConfig:
-    """Source half of the job spec (reference: spark-job/job.json:13-26)."""
+    """Source half of the job spec (reference: spark-job/job.json:13-26).
 
-    type: str = "files"  # "files" | "sqs" | "stream"
+    ``type: "cdc_export"`` declares a REPLICATION CONSUMER job: ``path``
+    is a change-export directory published by another job's
+    ``output_config.cdc_exports`` (operators/cdc_export.py), and the
+    output half describes the replica table kept in exact sync by
+    ``job.run_replica_sync`` / ``streaming.start_streaming_replica_sync``
+    — the consumer-side mirror of the reference's declarative job file
+    (spark-job/job.json:1-39).  ``consumer_id`` registers the replica's
+    cursor with the export for fan-out-safe producer retention;
+    ``allow_partial_bootstrap`` opts into syncing from an export that
+    was provisioned mid-history (post-provision changes only)."""
+
+    type: str = "files"  # "files" | "sqs" | "stream" | "cdc_export"
     format: str = "csv"
     path: str | None = None
     queue_url: str | None = None
@@ -48,6 +59,8 @@ class InputConfig:
     options: dict[str, str] = field(default_factory=dict)  # csv_options etc.
     schema_file: str | None = None  # explicit source schema (streaming needs one)
     transform_query: str = ""  # pre-sink SQL over view `batch` (wires job.json:19)
+    consumer_id: str | None = None  # cdc_export only: fan-out registration
+    allow_partial_bootstrap: bool = False  # cdc_export only
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "InputConfig":
@@ -63,6 +76,10 @@ class InputConfig:
             options={str(k): str(v) for k, v in opts.items()},
             schema_file=d.get("schema_file"),
             transform_query=d.get("transform_query", "") or "",
+            consumer_id=d.get("consumer_id"),
+            allow_partial_bootstrap=bool(
+                d.get("allow_partial_bootstrap", False)
+            ),
         )
 
 
@@ -455,14 +472,21 @@ class CdcExportConfig:
       most recent N windows (producer-side retention).  Only safe once
       every downstream consumer tails faster than N batches — a slower
       consumer's next read raises ``ExpiredCursorError`` instead of
-      silently serving a gapped history.
+      silently serving a gapped history — UNLESS consumers register
+      their cursors (``sync_from_export(..., consumer_id=...)``): the
+      prune boundary is then capped at the slowest registered cursor.
     - ``coalesce_after`` > 0: when MORE than N window directories are
       retained, binpack all but the newest into one, so a
       bootstrapping consumer opens O(1) directories.  Each coalesce
-      rewrites the retained prefix — pair with ``keep_last_windows``
-      (or periodic explicit prunes) to bound that rewrite on
-      long-lived exports.
-    """
+      rewrites the retained prefix, bounded only by periodic explicit
+      ``prune_export`` calls on long-lived exports.
+
+    MUTUALLY EXCLUSIVE: both cadences trigger on the directory count,
+    so setting both always leaves one silently dead — and with
+    ``keep_last_windows > coalesce_after``, retention never fires while
+    each coalesce rewrites ever-growing history
+    (operators/cdc_export.validate_export_cadences).  Refused at parse
+    time."""
 
     path: str = ""
     keep_last_windows: int = 0
@@ -484,6 +508,11 @@ class CdcExportConfig:
                 "output_config.cdc_exports coalesce_after must be "
                 f">= 0, got {co}"
             )
+        from .operators.cdc_export import (  # noqa: PLC0415
+            validate_export_cadences,
+        )
+
+        validate_export_cadences(keep, co)
         return cls(
             path=str(d["path"]),
             keep_last_windows=keep,
@@ -722,7 +751,60 @@ class JobConfig:
             spark={str(k): str(v) for k, v in (d.get("spark") or {}).items()},
             input_config=InputConfig.from_dict(d.get("input_config") or {}),
             output_config=OutputConfig.from_dict(d.get("output_config") or {}),
-        )
+        )._validated()
+
+    def _validated(self) -> "JobConfig":
+        """Cross-half coherence for replication-consumer jobs
+        (``input_config.type: "cdc_export"``) — parse-time, same
+        poison-redelivery rationale as OutputConfig._validated.  The
+        replica's write path is ``apply_changes`` (exact mirroring),
+        so every ingest-shaping knob is meaningless there and a set
+        one is a config error, not a silent no-op.  Derived families
+        (rollups/join_mvs/topk_mvs/cdc_exports + maintenance) ARE
+        allowed — they consume the replica's change feed, which
+        apply_changes commits like any writer (cascading replication
+        and replica-local aggregates compose for free)."""
+        inp, out = self.input_config, self.output_config
+        if inp.type != "cdc_export":
+            return self
+        if not inp.path:
+            raise ValueError(
+                "input_config.type='cdc_export' requires path: the "
+                "change-export directory to tail"
+            )
+        if not out.key_columns:
+            raise ValueError(
+                "a cdc_export consumer job requires output_config."
+                "key_columns: apply_changes merges on the replica's keys"
+            )
+        for bad, what in (
+            (out.merge_query, "output_config.merge_query"),
+            (out.indexes, "output_config.indexes"),
+            (out.audit.rules, "output_config.audit"),
+            (out.cdc_delete_values, "output_config.cdc_delete_values"),
+            (out.schema_evolution, "output_config.schema_evolution"),
+            (inp.transform_query, "input_config.transform_query"),
+        ):
+            if bad:
+                raise ValueError(
+                    f"{what} is not supported on a cdc_export consumer "
+                    "job: the replica mirrors the source exactly "
+                    "(apply_changes — deletes propagate from the "
+                    "export, evolution propagates automatically, and "
+                    "indexes need the raw batch frame the consumer "
+                    "never sees); declare these on the PRODUCER job"
+                )
+        if (
+            out.rollups or out.join_mvs or out.topk_mvs
+        ) and out.table_type.upper() != "MOR":
+            raise ValueError(
+                "rollups/join_mvs/topk_mvs on a cdc_export consumer "
+                "job require table_type='MOR': apply_changes is a "
+                "rewriting write (keyed merge + deletes), which on a "
+                "COW replica degrades every family refresh to a "
+                "full-table diff (same rule as the producer side)"
+            )
+        return self
 
     @classmethod
     def load(cls, path_or_uri: str) -> "JobConfig":

@@ -70,27 +70,133 @@ def ensure_target(spark: SparkSession, config: JobConfig) -> ManagedTable:
             properties=out.table_properties,
             partition_transforms=out.partition_transforms,
         )
-    if out.rollups:
-        from .operators.rollup import create_rollup  # noqa: PLC0415
-
-        for r in out.rollups:
-            if not ManagedTable.exists(r.path):
-                # consume_from=1: the first refresh folds the table's
-                # EXISTING content through the change feed, so a rollup
-                # declared on a populated table starts correct
-                create_rollup(
-                    table,
-                    r.path,
-                    r.group_columns,
-                    r.sum_columns,
-                    consume_from=1,
-                    min_cols=r.min_columns,
-                    max_cols=r.max_columns,
-                    distinct_cols=r.distinct_columns,
-                    sumsq_cols=r.sumsq_columns,
-                    hist_cols=r.hist_columns,
-                )
+    _bootstrap_rollups(table, config)
     return table
+
+
+def _bootstrap_rollups(table: ManagedTable, config: JobConfig) -> None:
+    """Create any declared-but-absent rollup tables (shared by the
+    producer and replica-consumer bootstrap paths).  consume_from=1:
+    the first refresh folds the table's EXISTING content through the
+    change feed, so a rollup declared on a populated table starts
+    correct."""
+    out = config.output_config
+    if not out.rollups:
+        return
+    from .operators.rollup import create_rollup  # noqa: PLC0415
+
+    for r in out.rollups:
+        if not ManagedTable.exists(r.path):
+            create_rollup(
+                table,
+                r.path,
+                r.group_columns,
+                r.sum_columns,
+                consume_from=1,
+                min_cols=r.min_columns,
+                max_cols=r.max_columns,
+                distinct_cols=r.distinct_columns,
+                sumsq_cols=r.sumsq_columns,
+                hist_cols=r.hist_columns,
+            )
+
+
+def ensure_replica_target(spark: SparkSession, config: JobConfig) -> ManagedTable:
+    """Bootstrap the REPLICA table of a cdc_export consumer job
+    (``input_config.type: "cdc_export"``).  The schema comes from the
+    Avro contract when ``output_config.schema`` is given, else from
+    the export's own anchor — a replica on another cluster needs no
+    artifact beyond the export directory itself.  Declared rollups
+    bootstrap here too, same rationale as ``ensure_target``."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from .operators.cdc_export import _read_anchor  # noqa: PLC0415
+
+    inp, out = config.input_config, config.output_config
+    if ManagedTable.exists(out.table_path):
+        table = ManagedTable.load(spark, out.table_path)
+    else:
+        if out.schema:
+            schema = avro_to_spark_schema(load_text(out.schema))
+        else:
+            schema = T.StructType.fromJson(
+                _read_anchor(inp.path or "")["schema"]
+            )
+        table = ManagedTable.create(
+            spark,
+            out.table_path,
+            schema,
+            partition_cols=out.partition,
+            key_cols=out.key_columns,
+            order_column=out.order_column,
+            merge_policy=out.merge_policy,
+            table_type=out.table_type,
+            compression=out.compression,
+            properties=out.table_properties,
+            partition_transforms=out.partition_transforms,
+        )
+    _bootstrap_rollups(table, config)
+    return table
+
+
+def run_replica_sync(
+    spark: SparkSession,
+    config: JobConfig,
+    max_cycles: int | None = None,
+) -> int:
+    """Replication-consumer loop: the declarative driver for
+    ``sync_from_export`` (operators/cdc_export.py), mirroring
+    ``run_sqs_loop``'s shape — one job JSON declares the whole
+    consumer, the true downstream twin of the reference's declarative
+    surface (spark-job/job.json:1-39).  Per cycle: tail the export
+    from the replica's durable cursor, apply exactly-once, then (only
+    when the cursor advanced) refresh every declared derived family
+    off the replica's own change feed — replica-local rollups, join
+    MVs, top-k MVs, cascaded re-exports — and run the maintenance
+    cadence.  ``max_cycles`` bounds the loop for tests; ``None`` runs
+    forever.  Crash-safe end to end: the apply's
+    evolve→delete→merge→cursor contract plus every family's own
+    version cursor make a replayed cycle a no-op.
+
+    Scale shape: each cycle is O(new windows + affected groups) —
+    the tail subsets window directories by name before Spark lists a
+    file, and a quiet cycle costs one directory listing."""
+    from .operators.cdc_export import (  # noqa: PLC0415
+        _APPLY_KEY,
+        sync_from_export,
+    )
+
+    inp = config.input_config
+    if inp.type != "cdc_export":
+        raise ValueError(
+            f"run_replica_sync requires input_config.type='cdc_export',"
+            f" got {inp.type!r}"
+        )
+    table = ensure_replica_target(spark, config)
+    cycles = 0
+    while max_cycles is None or cycles < max_cycles:
+        cycles += 1
+        before = int(table.meta.properties.get(_APPLY_KEY, 0))
+        cursor = sync_from_export(
+            spark,
+            inp.path or "",
+            table,
+            consumer_id=inp.consumer_id,
+            allow_partial_bootstrap=inp.allow_partial_bootstrap,
+        )
+        if cursor > before:
+            # one pinned change-window frame shared by every family at
+            # this cursor — the replica gains no commits between these
+            # refreshes (same contract as process_files)
+            cache = ChangeWindowCache()
+            _maintain_rollups(spark, config, table, cache)
+            _maintain_join_mvs(spark, config, table, cache)
+            _maintain_topk_mvs(spark, config, table, cache)
+            _maintain_cdc_exports(spark, config, table)
+            _maybe_maintain(table, config)
+        if max_cycles is None or cycles < max_cycles:
+            time.sleep(inp.poll_interval if cursor == before else 0)
+    return cycles
 
 
 def process_files(

@@ -67,11 +67,14 @@ projection) — reads keep projecting.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 from ..table import ManagedTable, align_to_schema, merge_types
 from .rollup import (
@@ -122,7 +125,14 @@ def create_change_export(
     """Provision the export directory and anchor its cursor: default =
     the source's CURRENT version (export new changes only); pass ``1``
     to have the first export carry the source's existing content as
-    inserts (bootstrap)."""
+    inserts (bootstrap).
+
+    The anchor also records the source's merge policy and table type:
+    a downstream replica may live on another cluster where the source
+    table path is unreachable, so the export directory itself must
+    carry what ``sync_from_export`` needs to enforce the
+    ``apply_changes`` exactness contract (a ``latest_wins`` replica
+    pairs only with a ``latest_wins`` MOR source)."""
     os.makedirs(export_dir, exist_ok=True)
     if os.path.exists(os.path.join(export_dir, _ANCHOR)):
         raise ValueError(f"change export already provisioned at {export_dir}")
@@ -132,6 +142,9 @@ def create_change_export(
         {
             "from_version": lo,
             "source": src.path,
+            # both fixed at table create — safe to pin at provision
+            "source_merge_policy": src.meta.merge_policy,
+            "source_table_type": src.meta.table_type.upper(),
             # lets a reader construct an EMPTY changes frame when
             # only maintenance markers have been published yet;
             # refreshed by export_changes when the source evolves
@@ -250,6 +263,33 @@ def list_export_windows(export_dir: str) -> list[tuple[int, int]]:
     return _listed(export_dir)[2]
 
 
+def validate_export_cadences(
+    keep_last_windows: int, coalesce_after: int
+) -> None:
+    """Refuse the retention + binpack combination: both cadences
+    trigger on the DIRECTORY COUNT, so setting both always degenerates.
+    With ``keep_last_windows > coalesce_after``, coalesce caps the
+    listing at ``coalesce_after + 1`` directories before retention's
+    threshold is ever crossed — the prune never fires, the export
+    retains full history forever, and every coalesce rewrites an
+    ever-growing O(history) window.  With ``keep_last_windows <=
+    coalesce_after``, the prune (which runs first) caps the listing at
+    ``keep_last_windows`` directories, so the coalesce never fires —
+    silently dead config.  The knobs serve different consumers: set
+    ``keep_last_windows`` for tailing consumers (retention already
+    bounds the directory count), or ``coalesce_after`` for
+    full-history exports (bootstrap cost), never both."""
+    if keep_last_windows > 0 and coalesce_after > 0:
+        raise ValueError(
+            "keep_last_windows and coalesce_after cannot both be set: "
+            "both cadences trigger on the window-directory count, so "
+            "one of them silently never fires (and with "
+            "keep_last_windows > coalesce_after, retention is disabled "
+            "while each coalesce rewrites ever-growing history) — "
+            "retention already bounds the directory count, so pick one"
+        )
+
+
 def maintain_export_cadences(
     spark,
     export_dir: str,
@@ -268,15 +308,85 @@ def maintain_export_cadences(
     the boundary everything older sits at or below).
     ``coalesce_after`` > 0: once MORE than N windows are retained,
     binpack everything below the newest window — the tail the next
-    export appends to stays untouched."""
+    export appends to stays untouched.  Mutually exclusive
+    (``validate_export_cadences``).
+
+    Producer-side retention respects registered consumers: the prune
+    boundary is additionally capped at the minimum registered consumer
+    cursor (``_consumer_floor``), so a lagging replica that records
+    its progress via ``sync_from_export(..., consumer_id=...)`` never
+    finds windows it still needs deleted out from under it."""
+    validate_export_cadences(keep_last_windows, coalesce_after)
     if keep_last_windows:
         windows = list_export_windows(export_dir)
         if len(windows) > keep_last_windows:
-            prune_export(export_dir, windows[-keep_last_windows][0])
+            up_to = windows[-keep_last_windows][0]
+            floor = _consumer_floor(export_dir)
+            if floor is not None:
+                up_to = min(up_to, floor)
+            prune_export(export_dir, up_to)
     if coalesce_after:
         windows = list_export_windows(export_dir)
         if len(windows) > coalesce_after:
             coalesce_export(spark, export_dir, up_to=windows[-2][1])
+
+
+_CONSUMERS = "_consumers"
+
+
+def record_consumer_cursor(
+    export_dir: str, consumer_id: str, cursor: int
+) -> None:
+    """Register/advance a named consumer's durably-applied cursor in
+    the export directory's ``_consumers/`` registry (one JSON file per
+    consumer, atomic replace) — the fan-out contract: producer-side
+    retention (``maintain_export_cadences``) prunes at
+    min(count-based boundary, min registered cursor), so N replicas
+    can tail one export and the slowest never hits
+    ``ExpiredCursorError``.  Consumers that never register are
+    invisible to retention (the documented keep-up-or-expire trade of
+    bare ``keep_last_windows``)."""
+    if not consumer_id or "/" in consumer_id or consumer_id.startswith("."):
+        raise ValueError(
+            f"consumer_id must be a plain name, got {consumer_id!r}"
+        )
+    reg = os.path.join(export_dir, _CONSUMERS)
+    os.makedirs(reg, exist_ok=True)
+    tmp = os.path.join(reg, f"{consumer_id}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"cursor": int(cursor)}, fh)
+    os.replace(tmp, os.path.join(reg, f"{consumer_id}.json"))
+
+
+def _consumer_floor(export_dir: str) -> int | None:
+    """min registered consumer cursor, or None when no consumer has
+    registered (retention then falls back to pure count-based pruning).
+    A half-written registry entry is impossible (atomic replace); a
+    stale one is the operator's to delete — a decommissioned consumer
+    that never unregisters pins retention forever, by design (losing a
+    live replica's windows is the worse failure)."""
+    reg = os.path.join(export_dir, _CONSUMERS)
+    try:
+        names = [n for n in os.listdir(reg) if n.endswith(".json")]
+    except FileNotFoundError:
+        return None
+    floor = None
+    for n in names:
+        with open(os.path.join(reg, n)) as fh:
+            c = int(json.load(fh)["cursor"])
+        floor = c if floor is None else min(floor, c)
+    return floor
+
+
+def drop_consumer(export_dir: str, consumer_id: str) -> None:
+    """Unregister a decommissioned consumer so its frozen cursor stops
+    pinning producer-side retention."""
+    try:
+        os.remove(
+            os.path.join(export_dir, _CONSUMERS, f"{consumer_id}.json")
+        )
+    except FileNotFoundError:
+        pass
 
 
 def export_changes(src: ManagedTable, export_dir: str) -> tuple[int, int] | None:
@@ -603,8 +713,46 @@ def tail_change_export(
 _APPLY_KEY = "cdc-apply.cursor"
 
 
+def _check_policy_pairing(
+    target: ManagedTable, source_policy: tuple[str, str] | None
+) -> None:
+    """Enforce the apply_changes exactness contract for ``latest_wins``
+    replicas (ADVICE r11): with the source's (merge_policy, table_type)
+    known — ``sync_from_export`` reads it off the export anchor — a
+    mispaired replica RAISES instead of silently drifting (the
+    tombstone mask rejects lower-ordered re-inserts a COW or
+    unconditional source serves).  Without it (bare ``apply_changes``
+    on a hand-built tail, or a pre-r12 anchor missing the fields), a
+    latest_wins target gets a warning: the pairing cannot be verified."""
+    if target.meta.merge_policy != "latest_wins":
+        return  # unconditional replicas mirror ANY source
+    if source_policy is None:
+        log.warning(
+            "apply_changes onto a latest_wins replica (%s) without a "
+            "known source policy: exact mirroring holds only when the "
+            "source is a latest_wins MOR table — a COW or "
+            "unconditional source's delete-then-lower-ordered-reinsert "
+            "sequences will diverge (see the exactness contract)",
+            target.path,
+        )
+        return
+    policy, ttype = source_policy
+    if policy != "latest_wins" or ttype.upper() != "MOR":
+        raise ValueError(
+            f"latest_wins replica {target.path} cannot mirror a "
+            f"source with merge_policy={policy!r} table_type={ttype!r}:"
+            " only a latest_wins MOR source resolves reads identically"
+            " (a COW delete erases order memory the replica's "
+            "tombstone keeps) — recreate the replica with the default "
+            "unconditional policy, which mirrors any source exactly"
+        )
+
+
 def apply_changes(
-    changes: DataFrame, target: ManagedTable, new_cursor: int
+    changes: DataFrame,
+    target: ManagedTable,
+    new_cursor: int,
+    source_policy: tuple[str, str] | None = None,
 ) -> int:
     """Apply a tail read into a downstream ``ManagedTable`` — the
     production consumer for ``tail_change_export``, turning the tail's
@@ -634,6 +782,10 @@ def apply_changes(
     can serve a later LOWER-ordered re-insert that a MOR replica's
     tombstone mask rejects.  Prefer unconditional replicas; pair
     ``latest_wins`` replicas only with ``latest_wins`` MOR sources.
+    ENFORCED when ``source_policy`` (the source's (merge_policy,
+    table_type) — ``sync_from_export`` reads it off the export anchor)
+    is given: a mispaired latest_wins replica raises; without it a
+    latest_wins target gets a warning (the pairing is unverifiable).
     (Appending previously-deleted keys is outside the engine's append
     contract — append is for new keys; route re-inserts through
     merge.)
@@ -677,6 +829,7 @@ def apply_changes(
             f"apply_changes target {target.path} has no key columns — "
             "a keyed replica is required to apply keyed changes"
         )
+    _check_policy_pairing(target, source_policy)
     applied = int(target.meta.properties.get(_APPLY_KEY, 0))
     new_cursor = int(new_cursor)
     if new_cursor <= applied:
@@ -722,22 +875,47 @@ def apply_changes(
     return version
 
 
-def sync_from_export(spark, export_dir: str, target: ManagedTable) -> int:
+def sync_from_export(
+    spark,
+    export_dir: str,
+    target: ManagedTable,
+    consumer_id: str | None = None,
+    allow_partial_bootstrap: bool = False,
+) -> int:
     """One replica-sync step: tail the export from the replica's own
     durable cursor (``cdc-apply.cursor``) and apply exactly-once —
     the loop body a downstream sync job runs per cycle.  Returns the
     new cursor (pass it to ``prune_export`` once every consumer has
     passed it).
 
+    ``consumer_id`` (fan-out): after the apply, record the cursor in
+    the export's ``_consumers/`` registry so producer-side retention
+    (``maintain_export_cadences``) never prunes windows this replica
+    still needs — required when N replicas tail one export at
+    different speeds.  Registration happens AFTER the apply commits,
+    so a crash between them merely under-reports progress (retention
+    keeps one extra window — safe side).
+
     Bootstrap: a replica that has never applied (no stored cursor)
     starts at the export's provision point and absorbs the full
     retained history — refused with ``ExpiredCursorError`` when the
-    export was ALREADY pruned (the suffix alone cannot reconstruct
-    full state; re-provision the export with ``consume_from=1`` or
-    seed the replica another way)."""
+    export was ALREADY pruned, AND when the export was provisioned
+    mid-history (``from_version > 1``, the ``consume_from=None``
+    default): either way the retained windows lack pre-provision rows,
+    so the replica would silently present a partial table as full
+    state.  Re-provision the export with ``consume_from=1``, seed the
+    replica from a table snapshot, or pass
+    ``allow_partial_bootstrap=True`` to deliberately absorb only
+    post-provision changes.
+
+    The exactness contract is ENFORCED here: the anchor records the
+    source's merge policy and table type at provision, so a
+    ``latest_wins`` replica tailing anything but a ``latest_wins`` MOR
+    source raises before the first apply (pre-r12 anchors without the
+    fields degrade to ``apply_changes``'s warning)."""
+    anchor = _read_anchor(export_dir)
     applied = int(target.meta.properties.get(_APPLY_KEY, 0))
     if applied == 0:
-        anchor = _read_anchor(export_dir)
         provisioned = int(anchor["from_version"])
         if _floor(export_dir, anchor) > provisioned:
             raise ExpiredCursorError(
@@ -747,9 +925,28 @@ def sync_from_export(spark, export_dir: str, target: ManagedTable) -> int:
                 "re-provision the export with consume_from=1 or seed "
                 "the replica from a table snapshot"
             )
+        if provisioned > 1 and not allow_partial_bootstrap:
+            raise ExpiredCursorError(
+                f"replica bootstrap from {export_dir} would be PARTIAL:"
+                f" the export was provisioned at source version "
+                f"{provisioned} (consume_from=None anchors at the "
+                "source's then-current version), so rows that predate "
+                "the provision were never exported — re-provision the "
+                "export with consume_from=1, seed the replica from a "
+                "table snapshot, or pass allow_partial_bootstrap=True "
+                "to deliberately absorb post-provision changes only"
+            )
         applied = provisioned
+    policy = None
+    if "source_merge_policy" in anchor:
+        policy = (
+            str(anchor["source_merge_policy"]),
+            str(anchor.get("source_table_type", "")),
+        )
     changes, new_cursor = tail_change_export(spark, export_dir, applied)
-    apply_changes(changes, target, new_cursor)
+    apply_changes(changes, target, new_cursor, source_policy=policy)
+    if consumer_id is not None:
+        record_consumer_cursor(export_dir, consumer_id, new_cursor)
     return new_cursor
 
 

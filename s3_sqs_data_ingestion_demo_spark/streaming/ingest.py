@@ -290,6 +290,91 @@ def start_streaming_topk(
     return writer.start()
 
 
+def start_streaming_replica_sync(
+    spark: SparkSession,
+    export_dir: str,
+    target: ManagedTable,
+    poll_interval: int | None = None,
+    consumer_id: str | None = None,
+    allow_partial_bootstrap: bool = False,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous replication consumer: a trigger loop around
+    ``sync_from_export`` (operators/cdc_export.py) keeping ``target``
+    an exact mirror of the export's source — the streaming twin of
+    ``job.run_replica_sync``, completing the consumer-side surface the
+    same way ``start_streaming_cdc_export`` completes the producer's.
+
+    The stream source is a 1-row-per-second ``rate`` clock: the export
+    directory is not a Spark streaming source (windows are immutable
+    renamed DIRECTORIES, not appended files), and the sync step needs
+    no batch data — only a trigger.  ALL delivery state lives in the
+    replica's own durable ``cdc-apply.cursor`` property, so the
+    checkpoint (optional, clock offsets only) is irrelevant to
+    exactly-once: kill the query anywhere and a restart re-tails from
+    the cursor — re-delivered windows below it are filtered before the
+    rank, an interrupted apply replays idempotently, and the cursor
+    only advances after the merge commits (apply_changes's crash
+    contract).  ``consumer_id`` registers progress for fan-out-safe
+    producer retention, same as the batch loop.
+
+    A quiet trigger costs one directory listing (the tail subsets
+    window directories by name before Spark lists a file) plus a
+    cursor no-op — cheap enough for a 1 s clock; set ``poll_interval``
+    to the producer's batch cadence in production."""
+    from ..operators.cdc_export import sync_from_export  # noqa: PLC0415
+
+    # fail fast on a doomed bootstrap (pruned or mid-history export)
+    # BEFORE the stream starts: inside foreachBatch the refusal would
+    # kill the query on its first trigger with a buried exception
+    if int(target.meta.properties.get("cdc-apply.cursor", 0)) == 0:
+        from ..operators.cdc_export import (  # noqa: PLC0415
+            _floor,
+            _read_anchor,
+        )
+        from ..operators.rollup import ExpiredCursorError  # noqa: PLC0415
+
+        anchor = _read_anchor(export_dir)
+        provisioned = int(anchor["from_version"])
+        if _floor(export_dir, anchor) > provisioned:
+            raise ExpiredCursorError(
+                f"replica bootstrap from {export_dir} is impossible: "
+                "windows below the retention floor were pruned — "
+                "re-provision the export with consume_from=1 or seed "
+                "the replica from a table snapshot"
+            )
+        if provisioned > 1 and not allow_partial_bootstrap:
+            raise ExpiredCursorError(
+                f"replica bootstrap from {export_dir} would be PARTIAL "
+                f"(export provisioned at source version {provisioned}) "
+                "— re-provision with consume_from=1 or pass "
+                "allow_partial_bootstrap=True"
+            )
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        # the batch frame is just the clock tick — never read
+        sync_from_export(
+            spark,
+            export_dir,
+            target,
+            consumer_id=consumer_id,
+            allow_partial_bootstrap=allow_partial_bootstrap,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif poll_interval:
+        writer = writer.trigger(processingTime=f"{poll_interval} seconds")
+    return writer.start()
+
+
 def start_streaming_cdc_export(
     spark: SparkSession,
     landing_dir: str,
@@ -325,8 +410,13 @@ def start_streaming_cdc_export(
         export_changes,
         export_exists,
         maintain_export_cadences,
+        validate_export_cadences,
     )
 
+    # a degenerate cadence pairing must refuse BEFORE the stream starts,
+    # not on the first trigger (same fail-fast rationale as the mode
+    # check below)
+    validate_export_cadences(keep_last_windows, coalesce_after)
     if mode not in ("merge", "append"):
         # a typo'd mode silently appending a CDC upsert feed would
         # duplicate live rows AND misclassify the export's windows as
