@@ -1011,12 +1011,25 @@ def forget_keys(spark, config: JobConfig, ids) -> int:
       that references disappear too, not only the document row (the
       normal delete path deliberately leaves the detection log
       intact; see _maintain_minhash_index).
+    - declared CDC exports (``output_config.cdc_exports``): the
+      takedown's delete window is PUBLISHED first — so tailing
+      replicas receive the removal — then every retained window is
+      scrubbed (``scrub_export_windows``): the forgotten keys'
+      insert/pre/post rows are dropped and their delete rows' payloads
+      nulled, leaving no forgotten payload anywhere under the export
+      directory while window names, stamps, and all other rows stay
+      identical.  NOTE the propagation boundary: the delete window
+      propagates LIVE state, not history — a replica synced BEFORE
+      the takedown holds the rows until it tails that window, and a
+      replica that never tails again (or was decommissioned) needs its
+      own ``forget_keys`` run.
 
     Everything lands as keyed MOR tombstones / tagged appends, so a
     crashed or re-run forget converges (re-deletes are no-ops, the
-    stats decrement is tag-guarded).  Cost is O(ids + matching pairs),
-    never an O(table) rewrite on MOR surfaces; ``compact()`` at the
-    next maintenance folds the tombstones away.  Re-ingesting a
+    stats decrement is tag-guarded, the export scrub journals each
+    window swap).  Cost is O(ids + matching pairs + hit export
+    windows), never an O(table) rewrite on MOR surfaces; ``compact()``
+    at the next maintenance folds the tombstones away.  Re-ingesting a
     forgotten id later revives it everywhere (newer commit seq), which
     is the documented semantic of every removal path here.
     """
@@ -1070,6 +1083,21 @@ def forget_keys(spark, config: JobConfig, ids) -> int:
                     .select("doc_id_a", "doc_id_b")
                 )
                 pt.delete_keys(hit)
+    if out.cdc_exports:
+        from .operators.cdc_export import (  # noqa: PLC0415
+            export_changes,
+            export_exists,
+            scrub_export_windows,
+        )
+
+        for e in out.cdc_exports:
+            if export_exists(e.path):
+                # publish the takedown's delete window BEFORE the scrub
+                # (tailing replicas must receive the removal); the
+                # scrub then nulls the fresh delete rows' pre-image
+                # payloads along with all retained history
+                export_changes(table, e.path)
+                scrub_export_windows(spark, e.path, ids.select(*keys), keys)
     return version
 
 

@@ -92,17 +92,54 @@ _PREFIX = "w_"
 # write and could publish a partially-deleted directory
 _TMP = "_tmp_"  # exporter temp (also matches legacy crashed dirs)
 _TMP_C = "_tmp_c_"  # coalescer temp
+_TMP_F = "_tmp_f_"  # forget-scrubber temp (scrub_export_windows)
+_TRASH_F = "_trash_f_"  # forget-scrubber displaced original
+_FORGET_JOURNAL = "_forget_inflight.json"  # scrubber swap journal
 
 
 def _sweep_tmp(export_dir: str, role_export: bool) -> None:
     for name in os.listdir(export_dir):
         mine = (
-            name.startswith(_TMP) and not name.startswith(_TMP_C)
+            name.startswith(_TMP)
+            and not name.startswith(_TMP_C)
+            and not name.startswith(_TMP_F)
             if role_export
             else name.startswith(_TMP_C)
         )
         if mine:
             shutil.rmtree(os.path.join(export_dir, name), ignore_errors=True)
+
+
+def _recover_forget(export_dir: str) -> bool:
+    """Complete or roll back a window swap ``scrub_export_windows``
+    left mid-flight (see its crash contract).  Returns True when
+    anything was repaired.  Safe from any caller: the journal fully
+    determines the correct direction — if the window directory exists
+    it is either the untouched original (roll back: drop the tmp) or
+    the already-swapped rewrite (finish: drop the trash); if it is
+    missing, the crash hit between the two renames and either the
+    rewrite (tmp) rolls forward or the displaced original (trash)
+    rolls back — the next ``forget_keys`` re-run redoes a rolled-back
+    window idempotently."""
+    jp = os.path.join(export_dir, _FORGET_JOURNAL)
+    try:
+        with open(jp) as fh:
+            doc = json.load(fh)
+    except FileNotFoundError:
+        return False
+    target = os.path.join(export_dir, doc["name"])
+    tmp = os.path.join(export_dir, doc["tmp"])
+    trash = os.path.join(export_dir, doc["trash"])
+    if os.path.exists(target):
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+    elif os.path.exists(tmp):
+        os.rename(tmp, target)  # roll the rewrite forward
+        shutil.rmtree(trash, ignore_errors=True)
+    elif os.path.exists(trash):
+        os.rename(trash, target)  # roll the original back
+    os.remove(jp)
+    return True
 
 
 def _parse_window(name: str) -> tuple[int, int] | None:
@@ -237,9 +274,15 @@ def _listed(export_dir: str) -> tuple[dict, int, list[tuple[int, int]]]:
     try:
         return anchor, floor, _published_windows(export_dir, floor)
     except ValueError:
+        # two transient causes look like a broken chain: a concurrent
+        # prune that moved the floor between our floor read and the
+        # listing, and a forget-scrub crash between its two renames
+        # (journal present) — repair/re-read ONCE; a genuinely lost
+        # window changes neither and the retry re-raises
+        recovered = _recover_forget(export_dir)
         anchor = _read_anchor(export_dir)
         new_floor = _floor(export_dir, anchor)
-        if new_floor == floor:
+        if new_floor == floor and not recovered:
             raise
         return anchor, new_floor, _published_windows(export_dir, new_floor)
 
@@ -689,6 +732,140 @@ def coalesce_export(spark, export_dir: str, up_to: int) -> tuple[int, int] | Non
     for p in paths:
         shutil.rmtree(p, ignore_errors=True)
     return (lo, hi)
+
+
+def scrub_export_windows(
+    spark, export_dir: str, ids: DataFrame, key_cols: list[str]
+) -> int:
+    """Takedown cascade for the export (the compliance flow's outbound
+    half, job.forget_keys): rewrite every retained window that carries
+    a forgotten key's rows so NO payload survives under the export
+    directory — published CDC windows hold full insert/pre/post/delete
+    images that ``keep_last_windows`` may never prune, and every
+    replica bootstrap re-materializes them.  Returns the number of
+    windows rewritten.
+
+    What survives, precisely: insert / update_preimage /
+    update_postimage rows of forgotten keys are DROPPED; their
+    ``delete`` rows are KEPT with every non-key data column nulled
+    (the CDF serves deletes with full pre-images).  Keeping the nulled
+    tombstone is load-bearing: a lagging replica that absorbed the
+    key's insert before the takedown still receives the delete and
+    removes the row — scrubbing the delete too would strand the
+    payload on every slow replica forever.  The key value itself
+    remains, as in Delta/Iceberg delete files: it is the address of
+    the removal, not the content.  Replay stays coherent:
+    ``replay_to_state`` over a scrubbed export equals the live table
+    (the forgotten keys' latest change is the kept delete, or nothing
+    at all — absent either way).
+
+    Window identity is untouched — names, bounds, and every other
+    row's ``_export_lo``/``_export_hi`` stamps are preserved, so
+    consumer cursors and the contiguity chain never notice.
+
+    Crash contract (per window, sequential): write the filtered rows
+    to a role-scoped temp, journal {window, tmp, trash}
+    (``_forget_inflight.json``, atomic replace), rename the original
+    window to the trash name, rename the temp into place, then remove
+    the journal and the trash.  A crash anywhere leaves a journal that
+    fully determines recovery (``_recover_forget``): readers hitting
+    the transient one-window gap between the renames repair it inline
+    (the ``_listed`` retry), and a rolled-back window is redone by
+    re-running the forget — idempotent throughout.  The scrubber is a
+    MAINTAINER role (same single-maintainer contract as
+    ``coalesce_export``): don't run it concurrently with a coalesce;
+    the exporter may overlap (disjoint directories, role-scoped temp
+    sweeps).
+
+    Scale shape: ONE reconciled scan of the retained data windows
+    (bounded by retention) broadcast-semi-joined against the forgotten
+    keys finds the hit windows by their segment stamps; only hit
+    windows are rewritten, each a window-bounded scan + broadcast
+    join.  Never O(history) when retention is configured, and a miss
+    costs one probe scan."""
+    _recover_forget(export_dir)
+    # a crashed scrub's unjournaled leftovers (temp written, journal
+    # not yet) are safe to sweep — the swap never started
+    for name in os.listdir(export_dir):
+        if name.startswith(_TMP_F) or name.startswith(_TRASH_F):
+            shutil.rmtree(os.path.join(export_dir, name), ignore_errors=True)
+    _, _, windows = _listed(export_dir)
+    paths = {
+        w: os.path.join(export_dir, f"{_PREFIX}{w[0]}_{w[1]}")
+        for w in windows
+    }
+    data = [
+        w
+        for w in windows
+        if any(f.endswith(".parquet") for f in os.listdir(paths[w]))
+    ]
+    if not data:
+        return 0
+    # null-keyed ids cannot address a subject (and would break the
+    # equality joins below): refuse loudly rather than silently
+    # scrubbing nothing for them
+    ids = ids.select(*key_cols).distinct().localCheckpoint(eager=True)
+    any_null = F.lit(False)
+    for k in key_cols:
+        any_null = any_null | F.col(k).isNull()
+    if ids.filter(any_null).limit(1).count():
+        raise ValueError(
+            "scrub_export_windows: forgotten ids contain a null key — "
+            "null keys cannot address a row for removal"
+        )
+    # probe pass: segment stamps identify each hit row's window
+    # (every segment hi lies inside its window's (lo, hi])
+    hits = {
+        r["_export_hi"]
+        for r in _read_reconciled(spark, [paths[w] for w in data])
+        .join(F.broadcast(ids), on=key_cols, how="left_semi")
+        .select("_export_hi")
+        .distinct()
+        .collect()
+    }
+    hit_windows = [w for w in data if any(w[0] < h <= w[1] for h in hits)]
+    marked_ids = ids.withColumn("_forget", F.lit(True))
+    for lo, hi in hit_windows:
+        target = paths[(lo, hi)]
+        df = spark.read.parquet(target)
+        missing = [k for k in key_cols if k not in df.columns]
+        if missing:
+            raise ValueError(
+                f"scrub_export_windows: window w_{lo}_{hi} lacks key "
+                f"column(s) {missing} — cannot address its rows"
+            )
+        types = {f.name: f.dataType for f in df.schema.fields}
+        kept = df.join(F.broadcast(marked_ids), on=key_cols, how="left").filter(
+            F.col("_forget").isNull()
+            | (F.col("_change_type") == F.lit("delete"))
+        )
+        out = kept.select(
+            *[
+                F.when(
+                    F.col("_forget").isNotNull(),
+                    F.lit(None).cast(types[c]),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                if c not in key_cols and c not in _META_COLS
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        name = f"{_PREFIX}{lo}_{hi}"
+        tmp_name = f"{_TMP_F}{lo}_{hi}_{os.getpid()}"
+        trash_name = f"{_TRASH_F}{lo}_{hi}_{os.getpid()}"
+        tmp = os.path.join(export_dir, tmp_name)
+        out.write.mode("overwrite").parquet(tmp)
+        jp = os.path.join(export_dir, _FORGET_JOURNAL)
+        with open(jp + ".tmp", "w") as fh:
+            json.dump({"name": name, "tmp": tmp_name, "trash": trash_name}, fh)
+        os.replace(jp + ".tmp", jp)
+        os.rename(target, os.path.join(export_dir, trash_name))
+        os.rename(tmp, target)
+        os.remove(jp)
+        shutil.rmtree(os.path.join(export_dir, trash_name), ignore_errors=True)
+    return len(hit_windows)
 
 
 def tail_change_export(

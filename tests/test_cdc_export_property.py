@@ -15,6 +15,8 @@ reconstruct the source's live state at every prefix —
 Hypothesis drives the op sequence (derandomized + bounded examples so
 the Spark suite stays deterministic and fast)."""
 
+import pytest
+
 import os
 
 from hypothesis import HealthCheck, given, settings
@@ -31,6 +33,8 @@ from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
     replay_to_state,
 )
 from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+pytestmark = pytest.mark.slow  # multi-minute law: smoke tier skips (pytest.ini)
 
 SCHEMA = T.StructType(
     [

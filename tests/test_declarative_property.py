@@ -2,15 +2,24 @@
 declaring a rollup (sum + exact distinct + histogram) + a join MV +
 a top-k MV + a CDC export + table compaction cadence, driven through
 ``process_files`` over RANDOM bounded CDC op sequences (insert /
-group-moving upsert / delete batches).  After every batch, EVERY
-declared family is value-checked against a recomputation of the live
-table — so cadence interleavings (the mid-stream compaction splitting
-every family's change window, the export publishing marker windows,
-the shared ChangeWindowCache) are exercised in orders the fixed
-kitchen-sink driver entry cannot reach.
+group-moving upsert / delete / FORGET batches).  After every batch,
+EVERY declared family is value-checked against a recomputation of the
+live table — so cadence interleavings (the mid-stream compaction
+splitting every family's change window, the export publishing marker
+windows, the shared ChangeWindowCache) are exercised in orders the
+fixed kitchen-sink driver entry cannot reach.
 
-Hypothesis is derandomized + bounded (5 examples) so the Spark suite
-stays deterministic; runtime is comparable to the join-MV law."""
+The ``forget`` op (r12) runs the takedown flow mid-stream
+(``job.forget_keys``: table delete + delete-window publish + retained-
+window scrub) followed by a fresh batch whose refresh folds the
+takedown's delete into every family — replay == live table must hold
+THROUGH a scrub, and at the end of each example no forgotten payload
+may survive anywhere under the export directory.
+
+Hypothesis is derandomized + bounded so the Spark suite stays
+deterministic; runtime is comparable to the join-MV law."""
+
+import pytest
 
 import glob
 import os
@@ -29,6 +38,8 @@ from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
 )
 from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
 
+pytestmark = pytest.mark.slow  # multi-minute law: smoke tier skips (pytest.ini)
+
 SCHEMA = T.StructType(
     [
         T.StructField("id", T.IntegerType(), False),
@@ -42,7 +53,7 @@ SCHEMA = T.StructType(
 GROUPS = ["a", "b", "c"]
 
 _OP = st.tuples(
-    st.sampled_from(["insert", "upsert", "delete"]),
+    st.sampled_from(["insert", "upsert", "delete", "forget"]),
     st.integers(min_value=0, max_value=10**6),
 )
 
@@ -158,10 +169,24 @@ def test_declared_families_track_random_cdc_streams(
             model[i] = (g, v)
         return out
 
+    forgotten = set()
     for kind, r in ops:
         seq[0] += 1
         if kind == "insert":
             batch = fresh(r, 1 + r % 3)
+        elif kind == "forget":
+            # takedown mid-stream: scrub the export, then land a fresh
+            # batch — its refresh folds the takedown's delete window
+            # into every family before the per-op value checks below
+            if model:
+                victim = sorted(model)[r % len(model)]
+                J.forget_keys(
+                    spark, cfg,
+                    spark.createDataFrame([(victim,)], "id int"),
+                )
+                model.pop(victim)
+                forgotten.add(victim)
+            batch = fresh(r, 1)
         elif kind == "upsert":
             batch = fresh(r, 1)
             for i in sorted(model)[: 1 + r % 2]:
@@ -254,3 +279,22 @@ def test_declared_families_track_random_cdc_streams(
             .collect()
         )
         assert got_replay == want_tbl, f"export replay diverged after {kind}"
+
+    # takedown audit at example end: across EVERY window directory,
+    # forgotten keys survive only as fully-nulled delete tombstones
+    if forgotten:
+        ex = f"{tmp}/export"
+        for name in sorted(os.listdir(ex)):
+            d = os.path.join(ex, name)
+            if not name.startswith("w_") or not any(
+                f.endswith(".parquet") for f in os.listdir(d)
+            ):
+                continue
+            for x in spark.read.parquet(d).collect():
+                if x.id in forgotten:
+                    assert x._change_type == "delete", (
+                        f"forgotten payload row survived in {name}"
+                    )
+                    assert (
+                        x.grp is None and x.v is None and x.seq is None
+                    ), f"forgotten payload values survived in {name}"

@@ -6,6 +6,8 @@ recompute across both change feeds, CDF pre-images dirtying moved
 keys' old AND new values, vanished-pair deletes, and maintenance
 commits splitting consume windows."""
 
+import pytest
+
 import os
 
 from hypothesis import HealthCheck, given, settings
@@ -18,6 +20,8 @@ from s3_sqs_data_ingestion_demo_spark.operators.join_mv import (
     refresh_join_mv,
 )
 from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+pytestmark = pytest.mark.slow  # multi-minute law: smoke tier skips (pytest.ini)
 
 L_SCHEMA = T.StructType(
     [

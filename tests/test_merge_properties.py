@@ -6,10 +6,14 @@ commit order with within-batch latest-ts-wins; ``latest_wins`` keeps
 the globally newest ts (commit order breaks ts ties in batch order).
 """
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from s3_sqs_data_ingestion_demo_spark.operators.merge import dedup_latest, merge_upsert
+
+pytestmark = pytest.mark.slow  # multi-minute law: smoke tier skips (pytest.ini)
 
 ROWS = st.lists(
     st.tuples(

@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__  # noqa: E402,F401  (fills the registry)
 from s3_sqs_data_ingestion_demo_spark.queries import REGISTRY  # noqa: E402
 
+pytestmark = pytest.mark.slow  # multi-minute law: smoke tier skips (pytest.ini)
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -10,6 +10,8 @@ the Spark suite stays deterministic and fast); values are small
 integers so double arithmetic is exact and the comparison is
 bit-for-bit."""
 
+import pytest
+
 import os
 
 from hypothesis import HealthCheck, given, settings
@@ -24,6 +26,8 @@ from s3_sqs_data_ingestion_demo_spark.operators.rollup import (
     refresh_rollup,
 )
 from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+pytestmark = pytest.mark.slow  # multi-minute law: smoke tier skips (pytest.ini)
 
 SCHEMA = T.StructType(
     [

@@ -3,6 +3,8 @@ random corpora, batch splits, and removal sets must always agree
 byte-for-byte with the single-pass ad-hoc scorer over the live corpus
 — the composition law the index's exactness claims rest on."""
 
+import pytest
+
 import os
 
 from hypothesis import HealthCheck, given, settings
@@ -15,6 +17,8 @@ from s3_sqs_data_ingestion_demo_spark.operators.search_index import (
     bm25_index_topk,
     remove_documents_bulk,
 )
+
+pytestmark = pytest.mark.slow  # multi-minute law: smoke tier skips (pytest.ini)
 
 WORDS = ["data", "model", "spark", "merge", "window", "train", "x"]
 

@@ -9,6 +9,8 @@ the subset argument in operators/topk_mv.py).
 Hypothesis drives the op sequence (derandomized + bounded examples so
 the suite stays deterministic and fast)."""
 
+import pytest
+
 import os
 
 from hypothesis import HealthCheck, given, settings
@@ -23,6 +25,8 @@ from s3_sqs_data_ingestion_demo_spark.operators.topk_mv import (
     refresh_topk_mv,
 )
 from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+pytestmark = pytest.mark.slow  # multi-minute law: smoke tier skips (pytest.ini)
 
 SCHEMA = T.StructType(
     [
