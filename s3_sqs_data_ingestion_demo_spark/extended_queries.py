@@ -219,7 +219,7 @@ def q_cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
       UNION ALL SELECT 'tax', l_tax FROM lineitem
     ) GROUP BY measure
     """,
-    driver=True,  # r07: rotated into the driver gate
+    driver=False,  # r12: rotated out (green r9-r11; pytest parity + bench)
 )
 def q_unpivot_lineitem_charges(spark: SparkSession, sf: str) -> DataFrame:
     """UNPIVOT (wide → long) via ``stack``: one generator projection,

@@ -919,6 +919,120 @@ def cdc_replica_sync_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "cdc_takedown_cascade_orders",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100000 AS vb
+      FROM orders
+    ),
+    b1 AS (SELECT * FROM o WHERE o_orderkey % 3 <> 0),
+    b2 AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, vb + 500 AS vb
+      FROM o WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT * FROM b1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      UNION ALL SELECT * FROM b2
+    ),
+    final AS (SELECT * FROM merged WHERE o_orderkey % 17 <> 0)
+    SELECT f.o_orderkey, f.o_orderstatus, f.vb, s.src
+    FROM final f
+    CROSS JOIN (VALUES ('boot'), ('synced')) AS s(src)
+    """,
+    rank=22,
+)
+def cdc_takedown_cascade_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-be-forgotten cascade through the replication pipeline
+    (operators/cdc_export.py scrub_export_windows, r12): a source table
+    ingests insert + 10%-upsert CDC batches, each exported and synced
+    to a registered replica; a takedown then deletes ~6% of keys,
+    publishes the delete window (so the tailing replica receives the
+    removal), and SCRUBS every retained window — payload rows of the
+    forgotten keys dropped, their delete rows nulled, window stamps
+    untouched.  Two replicas are then value-checked against ONE
+    relational restatement of the surviving state: the LAGGING replica
+    (synced pre-takedown, catches up through the delete window) and a
+    FRESH replica bootstrapped from the scrubbed export alone — the
+    compliance claims in one query: the removal propagates forward,
+    and scrubbed history still reconstructs exactly (modulo the
+    forgotten keys, which appear nowhere).  Scale shape: the scrub is
+    one reconciled probe scan over retained windows + a rewrite of
+    only the hit windows (broadcast key join); syncs stay O(tail).
+    Reference anchor: the reference has no compliance surface at all
+    (spark-job/read.py); this cascade is what its MERGE-based pipeline
+    (mergeSQL.sql) would need before serving takedown requests."""
+    from .operators.cdc_export import (  # noqa: PLC0415
+        create_change_export,
+        export_changes,
+        scrub_export_windows,
+        sync_from_export,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_driver_cdctd_{app_id}_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = ManagedTable.create(
+        spark, os.path.join(base, "src"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    replica = ManagedTable.create(
+        spark, os.path.join(base, "replica"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    ex = os.path.join(base, "export")
+    create_change_export(src, ex)
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 100000)
+        .alias("price_cents"),
+    )
+    src.append(o.filter(F.col("o_orderkey") % 3 != 0))
+    export_changes(src, ex)
+    sync_from_export(spark, ex, replica, consumer_id="synced")
+    src.merge(
+        o.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("price_cents") + 500).alias("price_cents"),
+        )
+    )
+    export_changes(src, ex)
+    sync_from_export(spark, ex, replica, consumer_id="synced")
+    # takedown: delete on the source, publish the delete window FIRST
+    # (the tailing replica must receive the removal), then scrub all
+    # retained history — the same order job.forget_keys uses
+    forgotten = o.filter(F.col("o_orderkey") % 17 == 0).select("o_orderkey")
+    src.delete_keys(forgotten)
+    export_changes(src, ex)
+    scrub_export_windows(spark, ex, forgotten, ["o_orderkey"])
+    # the lagging replica catches up THROUGH the scrubbed history
+    sync_from_export(spark, ex, replica, consumer_id="synced")
+    # a fresh replica reconstructs state from the scrubbed export alone
+    boot = ManagedTable.create(
+        spark, os.path.join(base, "boot"), _ROLLUP_SRC_SCHEMA,
+        key_cols=["o_orderkey"], table_type="MOR",
+    )
+    sync_from_export(spark, ex, boot, consumer_id="boot")
+    out_cols = [
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("price_cents").alias("vb"),
+    ]
+    return (
+        boot.read().select(*out_cols, F.lit("boot").alias("src"))
+        .unionByName(
+            replica.read().select(*out_cols, F.lit("synced").alias("src"))
+        )
+    )
+
+
+@query(
     "incremental_topk_orders",
     """
     WITH b1 AS (

@@ -419,12 +419,13 @@ def _maintain_cdc_exports(
     inserts); replay-safe by the exporter's own contract (a
     redelivered batch's window is already published and skips).
 
-    Cadences (both derived from the directory listing — stateless):
-    ``keep_last_windows`` prunes all but the most recent N windows
-    after each export; ``coalesce_after`` binpacks all but the newest
-    window into one once more than N are retained.  Prune runs first
-    so a coalesce never rewrites windows retention is about to
-    delete."""
+    Cadences (derived from the directory listing — stateless; mutually
+    exclusive, validated at parse time): ``keep_last_windows`` prunes
+    all but the most recent N windows after each export — capped at
+    the slowest REGISTERED consumer cursor (``_consumers/``), so
+    replicas that sync with a ``consumer_id`` are never pruned past;
+    ``coalesce_after`` binpacks all but the newest window into one
+    once more than N are retained."""
     out = config.output_config
     if not out.cdc_exports:
         return

@@ -986,11 +986,11 @@ def _refresh_rollup_window(
         # shared-and-pinned by the cache — never re-pin
         delta, any_cdf = window_cache.weighted_changes(src, last, cur)
     else:
+        # no pin: the grouping-sets pass below is the window frame's
+        # ONLY consumer (companion deltas are slices of its output),
+        # so the old per-companion re-read that justified pinning here
+        # is gone
         delta, any_cdf = window_weighted_changes(src, segments)
-        if distinct_cols:
-            # the window frame is re-read once per companion fold plus
-            # the main aggregate — pin it (window-bounded by contract)
-            delta = delta.localCheckpoint(eager=True)
     extra_aggs = [
         F.min(F.when(F.col("_w") == 1, F.col(c))).alias(f"_ins_min_{c}")
         for c in min_cols
@@ -1007,7 +1007,7 @@ def _refresh_rollup_window(
             F.max(F.when(F.col("_w") == -1, F.lit(1)).otherwise(F.lit(0)))
             .alias("_retract")
         )
-    agg = delta.groupBy(*group_cols).agg(
+    main_aggs = [
         F.sum("_w").alias("_d_n"),
         *[
             F.sum(F.col("_w") * F.col(c).cast("double")).alias(f"_d_{c}")
@@ -1030,11 +1030,52 @@ def _refresh_rollup_window(
             for c, spec in hist_cols.items()
         ],
         *extra_aggs,
-    )
-    if extremes or distinct_cols:
-        # group-cardinality-bounded and reused by the rescan / the
-        # distinct-count restriction — pin it
-        agg = agg.localCheckpoint(eager=True)
+    ]
+    dagg_slices: dict[str, DataFrame] = {}
+    if distinct_cols:
+        # ONE grouped pass feeds the main fold AND every companion
+        # fold: GROUPING SETS ((G), (G, c1), …) computes the group-
+        # level delta and each per-(group, value) count delta in a
+        # single shuffle over the pinned window frame, where the old
+        # shape paid one aggregation job per companion PLUS the main
+        # one (measured ~1.7 s of the kitchen-sink's rollups hook).
+        # Set membership is read off F.grouping(c) — never c IS NULL,
+        # which a genuinely-null VALUE row would forge.
+        sets = [list(group_cols)] + [
+            list(group_cols) + [c] for c in distinct_cols
+        ]
+        g = (
+            delta.groupingSets(sets, *group_cols, *distinct_cols)
+            .agg(
+                *main_aggs,
+                *[F.grouping(c).alias(f"_g_{c}") for c in distinct_cols],
+            )
+            # group-cardinality + value-cardinality bounded; consumed
+            # by the main fold, the rescan filter, and every
+            # companion's merge — pin ONCE (replaces the old agg pin)
+            .localCheckpoint(eager=True)
+        )
+        coarse = F.lit(True)
+        for c in distinct_cols:
+            coarse = coarse & (F.col(f"_g_{c}") == 1)
+        agg = g.filter(coarse).drop(
+            *distinct_cols, *[f"_g_{c}" for c in distinct_cols]
+        )
+        for c in distinct_cols:
+            fine = (F.col(f"_g_{c}") == 0) & F.col(c).isNotNull()
+            for other in distinct_cols:
+                if other != c:
+                    fine = fine & (F.col(f"_g_{other}") == 1)
+            # the (G, c)-level _d_n IS the companion's count delta
+            # (nulls excluded above, matching COUNT(DISTINCT)'s rule)
+            dagg_slices[c] = g.filter(fine).select(
+                *group_cols, c, F.col("_d_n").alias("_d")
+            )
+    else:
+        agg = delta.groupBy(*group_cols).agg(*main_aggs)
+        if extremes:
+            # group-cardinality-bounded and reused by the rescan — pin
+            agg = agg.localCheckpoint(eager=True)
 
     # COUNT(DISTINCT) companions: fold the per-(group, value) count
     # delta into each companion (exactly-once on ITS table via the
@@ -1050,11 +1091,7 @@ def _refresh_rollup_window(
         # the recovery probe already scanned this companion; a match
         # means the (recovered) window is exactly what it absorbed
         if comp_tags.get(c) != window_tag:
-            dagg = (
-                delta.filter(F.col(c).isNotNull())
-                .groupBy(*ckeys)
-                .agg(F.sum("_w").alias("_d"))
-            )
+            dagg = dagg_slices[c]  # the shared grouped pass's slice
             cexist = join_nullsafe(
                 comp.read(), dagg.select(*ckeys), ckeys, "left_semi"
             )
