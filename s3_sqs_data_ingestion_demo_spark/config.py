@@ -777,6 +777,13 @@ class JobConfig:
                 "a cdc_export consumer job requires output_config."
                 "key_columns: apply_changes merges on the replica's keys"
             )
+        if out.mode != "merge":
+            raise ValueError(
+                f"output_config.mode {out.mode!r} is not supported on a "
+                "cdc_export consumer job: apply_changes always applies "
+                "the tail as keyed merges + deletes — leave mode unset "
+                "(a configured append/overwrite would be a silent no-op)"
+            )
         for bad, what in (
             (out.merge_query, "output_config.merge_query"),
             (out.indexes, "output_config.indexes"),
@@ -784,6 +791,9 @@ class JobConfig:
             (out.cdc_delete_values, "output_config.cdc_delete_values"),
             (out.schema_evolution, "output_config.schema_evolution"),
             (inp.transform_query, "input_config.transform_query"),
+            (inp.schema_file, "input_config.schema_file"),
+            (inp.queue_url, "input_config.queue_url"),
+            (inp.options, "input_config.options"),
         ):
             if bad:
                 raise ValueError(

@@ -119,6 +119,22 @@ def ensure_replica_target(spark: SparkSession, config: JobConfig) -> ManagedTabl
         if out.schema:
             schema = avro_to_spark_schema(load_text(out.schema))
         else:
+            from .operators.cdc_export import export_exists  # noqa: PLC0415
+
+            if not export_exists(inp.path or ""):
+                # a raw FileNotFoundError on _anchor.json would not
+                # name the real problem: the consumer started before
+                # the producer provisioned the export (or the path is
+                # a typo) — the module's loud-refusal standard applies
+                raise ValueError(
+                    f"cannot bootstrap replica {out.table_path}: "
+                    f"input_config.path {inp.path!r} is not a "
+                    "provisioned change export (no _anchor.json) — "
+                    "start the producer job first (output_config."
+                    "cdc_exports provisions lazily on its first "
+                    "batch), or fix the path, or give the consumer "
+                    "its own output_config.schema contract"
+                )
             schema = T.StructType.fromJson(
                 _read_anchor(inp.path or "")["schema"]
             )
@@ -149,14 +165,16 @@ def run_replica_sync(
     ``run_sqs_loop``'s shape — one job JSON declares the whole
     consumer, the true downstream twin of the reference's declarative
     surface (spark-job/job.json:1-39).  Per cycle: tail the export
-    from the replica's durable cursor, apply exactly-once, then (only
-    when the cursor advanced) refresh every declared derived family
-    off the replica's own change feed — replica-local rollups, join
-    MVs, top-k MVs, cascaded re-exports — and run the maintenance
-    cadence.  ``max_cycles`` bounds the loop for tests; ``None`` runs
-    forever.  Crash-safe end to end: the apply's
-    evolve→delete→merge→cursor contract plus every family's own
-    version cursor make a replayed cycle a no-op.
+    from the replica's durable cursor, apply exactly-once, then
+    refresh every declared derived family off the replica's own change
+    feed — replica-local rollups, join MVs, top-k MVs, cascaded
+    re-exports — and run the maintenance cadence.  Quiet cycles skip
+    the refreshes, except the first of a run (crash recovery: a prior
+    run may have died between the apply and its refreshes).
+    ``max_cycles`` bounds the loop for tests; ``None`` runs forever.
+    Crash-safe end to end: the apply's evolve→delete→merge→cursor
+    contract plus every family's own version cursor make a replayed
+    cycle a no-op.
 
     Scale shape: each cycle is O(new windows + affected groups) —
     the tail subsets window directories by name before Spark lists a
@@ -174,6 +192,7 @@ def run_replica_sync(
         )
     table = ensure_replica_target(spark, config)
     cycles = 0
+    first_cycle = True
     while max_cycles is None or cycles < max_cycles:
         cycles += 1
         before = int(table.meta.properties.get(_APPLY_KEY, 0))
@@ -184,16 +203,16 @@ def run_replica_sync(
             consumer_id=inp.consumer_id,
             allow_partial_bootstrap=inp.allow_partial_bootstrap,
         )
-        if cursor > before:
-            # one pinned change-window frame shared by every family at
-            # this cursor — the replica gains no commits between these
-            # refreshes (same contract as process_files)
-            cache = ChangeWindowCache()
-            _maintain_rollups(spark, config, table, cache)
-            _maintain_join_mvs(spark, config, table, cache)
-            _maintain_topk_mvs(spark, config, table, cache)
-            _maintain_cdc_exports(spark, config, table)
-            _maybe_maintain(table, config)
+        if cursor > before or first_cycle:
+            # quiet cycles skip the family refreshes — EXCEPT the
+            # first of a run: a crash between a previous run's apply
+            # (cursor durably advanced) and its refreshes would
+            # otherwise leave the families stale for as long as the
+            # producer stays quiet.  The refreshes are idempotent via
+            # their own version cursors, so the recovery pass is a
+            # cheap no-op when nothing was pending.
+            _maintain_derived(spark, config, table)
+        first_cycle = False
         if max_cycles is None or cycles < max_cycles:
             time.sleep(inp.poll_interval if cursor == before else 0)
     return cycles
@@ -289,12 +308,7 @@ def process_files(
             # rollups/join MVs consume the TABLE's change feed,
             # so unlike indexes they stay coherent under the verbatim
             # MERGE
-            cache = ChangeWindowCache()
-            _maintain_rollups(spark, config, table, cache)
-            _maintain_join_mvs(spark, config, table, cache)
-            _maintain_topk_mvs(spark, config, table, cache)
-            _maintain_cdc_exports(spark, config, table)
-            return _maybe_maintain(table, config) or version
+            return _maintain_derived(spark, config, table) or version
         df = apply_transform_query(spark, df, text)
     if len(out.indexes) >= 2:
         # ONE source materialization per batch: without it, the table
@@ -389,20 +403,30 @@ def process_files(
         version = table.delete_keys(deletes)
     _maintain_indexes(spark, config, df, files, deletes,
                       phases_out=index_phases)
-    # refresh BEFORE the compaction cadence: the feed splits windows at
-    # maintenance commits anyway, but consuming first keeps this
-    # batch's refresh on the cheapest same-manifest path.  One
-    # ChangeWindowCache per batch: every family consuming the target's
-    # feed at the same cursor shares ONE pinned window frame instead of
-    # re-deriving it per family (operators/rollup.ChangeWindowCache) —
-    # valid here because the table gains no commits between these
-    # refreshes.
+    return _maintain_derived(spark, config, table) or version
+
+
+def _maintain_derived(
+    spark: SparkSession, config: JobConfig, table: ManagedTable
+) -> int | None:
+    """Refresh every declared feed-driven family off ``table``'s
+    change feed, then run the table-maintenance cadence — the ONE
+    sequence every write path ends with (batch ingest, the verbatim
+    MERGE INTO path, and the replica-sync loop).  Family refreshes run
+    BEFORE the compaction cadence: the feed splits windows at
+    maintenance commits anyway, but consuming first keeps this cycle's
+    refresh on the cheapest same-manifest path.  One ChangeWindowCache
+    per call: every family consuming the feed at the same cursor
+    shares ONE pinned window frame instead of re-deriving it per
+    family (operators/rollup.ChangeWindowCache) — valid because the
+    table gains no commits between these refreshes.  Returns the
+    post-maintenance version when the cadence ran, else None."""
     cache = ChangeWindowCache()
     _maintain_rollups(spark, config, table, cache)
     _maintain_join_mvs(spark, config, table, cache)
     _maintain_topk_mvs(spark, config, table, cache)
     _maintain_cdc_exports(spark, config, table)
-    return _maybe_maintain(table, config) or version
+    return _maybe_maintain(table, config)
 
 
 def _maintain_cdc_exports(

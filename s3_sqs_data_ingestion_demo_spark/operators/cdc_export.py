@@ -113,14 +113,18 @@ def _sweep_tmp(export_dir: str, role_export: bool) -> None:
 def _recover_forget(export_dir: str) -> bool:
     """Complete or roll back a window swap ``scrub_export_windows``
     left mid-flight (see its crash contract).  Returns True when
-    anything was repaired.  Safe from any caller: the journal fully
-    determines the correct direction — if the window directory exists
-    it is either the untouched original (roll back: drop the tmp) or
-    the already-swapped rewrite (finish: drop the trash); if it is
-    missing, the crash hit between the two renames and either the
-    rewrite (tmp) rolls forward or the displaced original (trash)
-    rolls back — the next ``forget_keys`` re-run redoes a rolled-back
-    window idempotently."""
+    anything was repaired.  SCRUBBER-ROLE ONLY: the journal is owned
+    by the single-maintainer scrub role, and only the next scrub (or
+    ``forget_keys`` re-run) may recover it — a READER that "healed" a
+    journal could be racing a LIVE scrubber mid-swap and would delete
+    its in-flight temp or steal its rename (readers instead retry the
+    listing and then raise with the re-run remedy; ``_listed``).  The
+    journal fully determines the direction: if the window directory
+    exists it is either the untouched original (roll back: drop the
+    tmp) or the already-swapped rewrite (finish: drop the trash); if
+    it is missing, the crash hit between the two renames and either
+    the rewrite (tmp) rolls forward or the displaced original (trash)
+    rolls back — a re-run redoes a rolled-back window idempotently."""
     jp = os.path.join(export_dir, _FORGET_JOURNAL)
     try:
         with open(jp) as fh:
@@ -138,7 +142,10 @@ def _recover_forget(export_dir: str) -> bool:
         shutil.rmtree(trash, ignore_errors=True)
     elif os.path.exists(trash):
         os.rename(trash, target)  # roll the original back
-    os.remove(jp)
+    try:
+        os.remove(jp)
+    except FileNotFoundError:
+        pass  # a concurrent re-run finished first — same end state
     return True
 
 
@@ -276,15 +283,39 @@ def _listed(export_dir: str) -> tuple[dict, int, list[tuple[int, int]]]:
     except ValueError:
         # two transient causes look like a broken chain: a concurrent
         # prune that moved the floor between our floor read and the
-        # listing, and a forget-scrub crash between its two renames
-        # (journal present) — repair/re-read ONCE; a genuinely lost
-        # window changes neither and the retry re-raises
-        recovered = _recover_forget(export_dir)
+        # listing, and a LIVE forget-scrub inside its two-rename swap
+        # gap (journal present).  Re-read/retry — but NEVER recover
+        # the journal from a reader: a live scrubber mid-swap is
+        # indistinguishable from a crashed one, and a reader-side
+        # repair would delete its in-flight temp or steal its rename
+        # (the scrub role alone recovers, at its own entry).
         anchor = _read_anchor(export_dir)
         new_floor = _floor(export_dir, anchor)
-        if new_floor == floor and not recovered:
+        if new_floor != floor:
+            return anchor, new_floor, _published_windows(
+                export_dir, new_floor
+            )
+        jp = os.path.join(export_dir, _FORGET_JOURNAL)
+        if not os.path.exists(jp):
             raise
-        return anchor, new_floor, _published_windows(export_dir, new_floor)
+        # a healthy swap's gap is two back-to-back renames — wait it
+        # out briefly; a genuinely crashed scrub stays broken and
+        # raises with the re-run remedy
+        import time  # noqa: PLC0415
+
+        for _ in range(10):
+            time.sleep(0.05)
+            try:
+                return anchor, floor, _published_windows(export_dir, floor)
+            except ValueError:
+                continue
+        raise ValueError(
+            f"change-export window chain at {export_dir} is broken "
+            "while a takedown scrub journal (_forget_inflight.json) "
+            "is present — a scrub is mid-swap or crashed there; if no "
+            "scrub is running, re-run scrub_export_windows (or the "
+            "forget_keys that launched it) to recover the swap"
+        )
 
 
 def _cursor(export_dir: str) -> int:
@@ -768,14 +799,18 @@ def scrub_export_windows(
     (``_forget_inflight.json``, atomic replace), rename the original
     window to the trash name, rename the temp into place, then remove
     the journal and the trash.  A crash anywhere leaves a journal that
-    fully determines recovery (``_recover_forget``): readers hitting
-    the transient one-window gap between the renames repair it inline
-    (the ``_listed`` retry), and a rolled-back window is redone by
-    re-running the forget — idempotent throughout.  The scrubber is a
-    MAINTAINER role (same single-maintainer contract as
-    ``coalesce_export``): don't run it concurrently with a coalesce;
-    the exporter may overlap (disjoint directories, role-scoped temp
-    sweeps).
+    fully determines recovery (``_recover_forget``) — run by the NEXT
+    scrub/forget invocation, never by readers: a reader cannot tell a
+    crashed swap from a live one, so reader-side repair would race the
+    scrubber's own renames.  Readers hitting the swap's transient
+    one-window gap retry the listing briefly (the gap is two
+    back-to-back renames) and, when the journal persists past the
+    retries, raise naming the re-run remedy.  A rolled-back window is
+    redone by re-running the forget — idempotent throughout.  The
+    scrubber is a MAINTAINER role (same single-maintainer contract as
+    ``coalesce_export``): don't run two scrubs or a scrub + coalesce
+    concurrently; the exporter may overlap (disjoint directories,
+    role-scoped temp sweeps).
 
     Scale shape: ONE reconciled scan of the retained data windows
     (bounded by retention) broadcast-semi-joined against the forgotten
@@ -1052,6 +1087,61 @@ def apply_changes(
     return version
 
 
+def validate_sync_preconditions(
+    export_dir: str,
+    target: ManagedTable,
+    allow_partial_bootstrap: bool = False,
+) -> tuple[int, tuple[str, str] | None]:
+    """The raise-early checks every replica-sync entry point shares —
+    ``sync_from_export`` runs them per cycle; the streaming twin
+    (``start_streaming_replica_sync``) runs them BEFORE the stream
+    starts so a doomed consumer fails fast instead of burying the
+    refusal in the first trigger's exception.  Returns ``(applied,
+    source_policy)``: the cursor to tail from (the provision point on
+    a fresh replica) and the anchor-recorded source policy (None on
+    pre-r12 anchors — the pairing then degrades to ``apply_changes``'s
+    warning).  Raises: ``ExpiredCursorError`` when a fresh replica
+    cannot reconstruct full state (pruned export, or an export
+    provisioned mid-history without ``allow_partial_bootstrap``);
+    ``ValueError`` when a ``latest_wins`` replica is paired with
+    anything but a ``latest_wins`` MOR source."""
+    anchor = _read_anchor(export_dir)
+    applied = int(target.meta.properties.get(_APPLY_KEY, 0))
+    if applied == 0:
+        provisioned = int(anchor["from_version"])
+        if _floor(export_dir, anchor) > provisioned:
+            raise ExpiredCursorError(
+                f"replica bootstrap from {export_dir} is impossible: "
+                "windows below the retention floor were pruned, so the "
+                "retained suffix cannot reconstruct full state — "
+                "re-provision the export with consume_from=1 or seed "
+                "the replica from a table snapshot"
+            )
+        if provisioned > 1 and not allow_partial_bootstrap:
+            raise ExpiredCursorError(
+                f"replica bootstrap from {export_dir} would be PARTIAL:"
+                f" the export was provisioned at source version "
+                f"{provisioned} (consume_from=None anchors at the "
+                "source's then-current version), so rows that predate "
+                "the provision were never exported — re-provision the "
+                "export with consume_from=1, seed the replica from a "
+                "table snapshot, or pass allow_partial_bootstrap=True "
+                "to deliberately absorb post-provision changes only"
+            )
+        applied = provisioned
+    policy = None
+    if "source_merge_policy" in anchor:
+        policy = (
+            str(anchor["source_merge_policy"]),
+            str(anchor.get("source_table_type", "")),
+        )
+        # known policy: a mispairing raises HERE (fail-fast on every
+        # entry path); the unverifiable case stays apply_changes's
+        # warning so it fires exactly once per apply
+        _check_policy_pairing(target, policy)
+    return applied, policy
+
+
 def sync_from_export(
     spark,
     export_dir: str,
@@ -1089,37 +1179,12 @@ def sync_from_export(
     source's merge policy and table type at provision, so a
     ``latest_wins`` replica tailing anything but a ``latest_wins`` MOR
     source raises before the first apply (pre-r12 anchors without the
-    fields degrade to ``apply_changes``'s warning)."""
-    anchor = _read_anchor(export_dir)
-    applied = int(target.meta.properties.get(_APPLY_KEY, 0))
-    if applied == 0:
-        provisioned = int(anchor["from_version"])
-        if _floor(export_dir, anchor) > provisioned:
-            raise ExpiredCursorError(
-                f"replica bootstrap from {export_dir} is impossible: "
-                "windows below the retention floor were pruned, so the "
-                "retained suffix cannot reconstruct full state — "
-                "re-provision the export with consume_from=1 or seed "
-                "the replica from a table snapshot"
-            )
-        if provisioned > 1 and not allow_partial_bootstrap:
-            raise ExpiredCursorError(
-                f"replica bootstrap from {export_dir} would be PARTIAL:"
-                f" the export was provisioned at source version "
-                f"{provisioned} (consume_from=None anchors at the "
-                "source's then-current version), so rows that predate "
-                "the provision were never exported — re-provision the "
-                "export with consume_from=1, seed the replica from a "
-                "table snapshot, or pass allow_partial_bootstrap=True "
-                "to deliberately absorb post-provision changes only"
-            )
-        applied = provisioned
-    policy = None
-    if "source_merge_policy" in anchor:
-        policy = (
-            str(anchor["source_merge_policy"]),
-            str(anchor.get("source_table_type", "")),
-        )
+    fields degrade to ``apply_changes``'s warning).  All raise-early
+    checks live in ``validate_sync_preconditions`` (shared with the
+    streaming twin's pre-start fail-fast)."""
+    applied, policy = validate_sync_preconditions(
+        export_dir, target, allow_partial_bootstrap
+    )
     changes, new_cursor = tail_change_export(spark, export_dir, applied)
     apply_changes(changes, target, new_cursor, source_policy=policy)
     if consumer_id is not None:

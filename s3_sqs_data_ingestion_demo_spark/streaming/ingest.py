@@ -323,34 +323,17 @@ def start_streaming_replica_sync(
     window directories by name before Spark lists a file) plus a
     cursor no-op — cheap enough for a 1 s clock; set ``poll_interval``
     to the producer's batch cadence in production."""
-    from ..operators.cdc_export import sync_from_export  # noqa: PLC0415
+    from ..operators.cdc_export import (  # noqa: PLC0415
+        sync_from_export,
+        validate_sync_preconditions,
+    )
 
-    # fail fast on a doomed bootstrap (pruned or mid-history export)
-    # BEFORE the stream starts: inside foreachBatch the refusal would
-    # kill the query on its first trigger with a buried exception
-    if int(target.meta.properties.get("cdc-apply.cursor", 0)) == 0:
-        from ..operators.cdc_export import (  # noqa: PLC0415
-            _floor,
-            _read_anchor,
-        )
-        from ..operators.rollup import ExpiredCursorError  # noqa: PLC0415
-
-        anchor = _read_anchor(export_dir)
-        provisioned = int(anchor["from_version"])
-        if _floor(export_dir, anchor) > provisioned:
-            raise ExpiredCursorError(
-                f"replica bootstrap from {export_dir} is impossible: "
-                "windows below the retention floor were pruned — "
-                "re-provision the export with consume_from=1 or seed "
-                "the replica from a table snapshot"
-            )
-        if provisioned > 1 and not allow_partial_bootstrap:
-            raise ExpiredCursorError(
-                f"replica bootstrap from {export_dir} would be PARTIAL "
-                f"(export provisioned at source version {provisioned}) "
-                "— re-provision with consume_from=1 or pass "
-                "allow_partial_bootstrap=True"
-            )
+    # fail fast on a doomed consumer (pruned/mid-history bootstrap, or
+    # a mispaired latest_wins replica) BEFORE the stream starts:
+    # inside foreachBatch the refusal would kill the query on its
+    # first trigger with a buried exception.  Same checks the sync
+    # step itself re-runs per cycle — one shared implementation.
+    validate_sync_preconditions(export_dir, target, allow_partial_bootstrap)
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     )

@@ -234,9 +234,12 @@ def test_scrub_refuses_null_ids(spark, tmp_path):
 def test_scrub_crash_recovery_roll_forward_and_back(spark, tmp_path):
     """Simulated crashes at both vulnerable points of the window swap:
     (a) between the two renames (target missing, tmp holds the
-    rewrite) — any reader heals it forward via the _listed retry;
-    (b) after the journal but before the first rename (target intact)
-    — recovery rolls back, and a re-run scrub redoes the window."""
+    rewrite) — a READER must NOT repair it (it cannot tell a crashed
+    swap from a live one); it retries briefly, then raises naming the
+    re-run remedy, and the next scrub invocation rolls the swap
+    forward; (b) after the journal but before the first rename
+    (target intact) — recovery rolls back, and a re-run scrub redoes
+    the window."""
     d = str(tmp_path)
     _, ex = _mk_export(spark, d)
     ws = list_export_windows(ex)
@@ -252,9 +255,17 @@ def test_scrub_crash_recovery_roll_forward_and_back(spark, tmp_path):
             fh,
         )
     os.rename(target, os.path.join(ex, trash_name))
-    # the chain is broken right now; a plain read must heal it inline
-    got = read_change_export(spark, ex)
-    assert got.count() > 0
+    # the chain is broken: readers refuse LOUDLY (with the remedy),
+    # never repair — a live scrubber mid-swap would be racing them
+    with pytest.raises(ValueError, match="takedown scrub"):
+        read_change_export(spark, ex)
+    assert os.path.exists(os.path.join(ex, _FORGET_JOURNAL))
+    # the scrub role's next invocation recovers (roll forward), then
+    # proceeds with its own work
+    scrub_export_windows(
+        spark, ex, spark.createDataFrame([(99,)], "id int"), ["id"]
+    )
+    assert read_change_export(spark, ex).count() > 0
     assert os.path.exists(target)
     assert not os.path.exists(os.path.join(ex, _FORGET_JOURNAL))
     assert not os.path.exists(os.path.join(ex, trash_name))

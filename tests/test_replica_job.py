@@ -180,6 +180,88 @@ def test_replica_job_maintains_local_rollup(spark, tmp_path):
     assert got == expect
 
 
+def test_run_replica_sync_first_cycle_recovers_stale_families(
+    spark, tmp_path
+):
+    """Review finding (r12): a crash between the apply (cursor durably
+    advanced) and the family refreshes must not leave replica-local
+    rollups stale for as long as the producer stays quiet — the first
+    cycle of a run refreshes unconditionally (idempotent via the
+    families' own cursors)."""
+    from s3_sqs_data_ingestion_demo_spark.operators.cdc_export import (
+        sync_from_export,
+    )
+
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    pcfg = _producer_cfg(d)
+    ccfg = _consumer_cfg(
+        d,
+        output_extra={
+            "rollups": [
+                {
+                    "path": f"{d}/rep_rollup",
+                    "group_columns": ["grp"],
+                    "sum_columns": ["v"],
+                }
+            ]
+        },
+    )
+    _write_csv(f"{d}/b0.csv", [(1, "a", 10, 1, "I"), (2, "b", 5, 1, "I")])
+    J.process_files(spark, pcfg, [f"{d}/b0.csv"])
+    # bootstrap the replica + rollup tables, then simulate the crash:
+    # apply a window DIRECTLY (cursor advances) with no family refresh
+    J.run_replica_sync(spark, ccfg, max_cycles=1)
+    _write_csv(f"{d}/b1.csv", [(3, "a", 7, 2, "I")])
+    J.process_files(spark, pcfg, [f"{d}/b1.csv"])
+    rep = ManagedTable.load(spark, f"{d}/replica")
+    sync_from_export(spark, f"{d}/export", rep)  # the "crashed" cycle
+    stale = {
+        r.grp: r.sum_v
+        for r in ManagedTable.load(spark, f"{d}/rep_rollup").read().collect()
+    }
+    assert stale == {"a": 10.0, "b": 5.0}  # rollup missed the window
+    # restart: the producer is QUIET, yet the first cycle must heal
+    J.run_replica_sync(spark, ccfg, max_cycles=1)
+    got = {
+        r.grp: r.sum_v
+        for r in ManagedTable.load(spark, f"{d}/rep_rollup").read().collect()
+    }
+    assert got == {"a": 17.0, "b": 5.0}
+
+
+def test_replica_job_missing_export_is_loud(spark, tmp_path):
+    ccfg = _consumer_cfg(str(tmp_path))
+    with pytest.raises(ValueError, match="not a provisioned change export"):
+        J.run_replica_sync(spark, ccfg, max_cycles=1)
+
+
+def test_streaming_replica_sync_fails_fast_on_mispaired_policy(
+    spark, tmp_path
+):
+    """Review finding (r12): the pre-start fail-fast must include the
+    policy-pairing check, not just the bootstrap refusals — a
+    mispaired latest_wins replica would otherwise die with a buried
+    first-trigger exception."""
+    from s3_sqs_data_ingestion_demo_spark.streaming import (
+        start_streaming_replica_sync,
+    )
+
+    d = str(tmp_path)
+    src = ManagedTable.create(  # unconditional source
+        spark, f"{d}/src", STREAM_SCHEMA, key_cols=["id"],
+        order_column="seq", table_type="MOR",
+    )
+    rep = ManagedTable.create(
+        spark, f"{d}/rep", STREAM_SCHEMA, key_cols=["id"],
+        order_column="seq", table_type="MOR", merge_policy="latest_wins",
+    )
+    ex = f"{d}/export"
+    create_change_export(src, ex)
+    with pytest.raises(ValueError, match="latest_wins replica"):
+        start_streaming_replica_sync(spark, ex, rep)
+
+
 def test_consumer_job_config_validation():
     base = {
         "input_config": {"type": "cdc_export", "path": "/e"},
@@ -200,8 +282,22 @@ def test_consumer_job_config_validation():
                 "output_config": {"table_path": "/r"},
             }
         )
+    with pytest.raises(ValueError, match="mode"):
+        JobConfig.from_dict(
+            {
+                "input_config": {"type": "cdc_export", "path": "/e"},
+                "output_config": {
+                    "table_path": "/r",
+                    "mode": "append",
+                    "key_columns": ["id"],
+                },
+            }
+        )
     for bad in (
         {"input_config": {"transform_query": "SELECT 1"}},
+        {"input_config": {"schema_file": "/s.avsc"}},
+        {"input_config": {"queue_url": "q"}},
+        {"input_config": {"options": {"header": "true"}}},
         {"output_config": {"cdc_delete_values": ["D"]}},
         {"output_config": {"schema_evolution": True}},
         {
@@ -223,24 +319,21 @@ def test_consumer_job_config_validation():
         }
         with pytest.raises(ValueError, match="not supported on a cdc_export"):
             JobConfig.from_dict(doc)
-    # families on a COW replica refuse — whichever guard fires first
-    # (the producer-side mode='merge' default, or the replica-specific
-    # one under mode='append', where apply_changes still rewrites)
-    for mode in ("merge", "append"):
-        with pytest.raises(ValueError, match="table_type='MOR'"):
-            JobConfig.from_dict(
-                {
-                    "input_config": {"type": "cdc_export", "path": "/e"},
-                    "output_config": {
-                        "table_path": "/r",
-                        "mode": mode,
-                        "key_columns": ["id"],
-                        "rollups": [
-                            {"path": "/ru", "group_columns": ["g"]}
-                        ],
-                    },
-                }
-            )
+    # families on a COW replica refuse (mode != 'merge' is refused
+    # outright above, so only the default-mode path remains reachable)
+    with pytest.raises(ValueError, match="table_type='MOR'"):
+        JobConfig.from_dict(
+            {
+                "input_config": {"type": "cdc_export", "path": "/e"},
+                "output_config": {
+                    "table_path": "/r",
+                    "key_columns": ["id"],
+                    "rollups": [
+                        {"path": "/ru", "group_columns": ["g"]}
+                    ],
+                },
+            }
+        )
     with pytest.raises(ValueError, match="run_replica_sync requires"):
         J.run_replica_sync(
             None,
