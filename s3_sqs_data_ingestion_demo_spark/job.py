@@ -1110,6 +1110,7 @@ def forget_keys(spark, config: JobConfig, ids) -> int:
                 pt.delete_keys(hit)
     if out.cdc_exports:
         from .operators.cdc_export import (  # noqa: PLC0415
+            _recover_forget,
             export_changes,
             export_exists,
             scrub_export_windows,
@@ -1117,6 +1118,13 @@ def forget_keys(spark, config: JobConfig, ids) -> int:
 
         for e in out.cdc_exports:
             if export_exists(e.path):
+                # forget_keys IS the scrub launcher (single-maintainer
+                # scrub role), so a PRIOR run's crashed window swap is
+                # recovered here FIRST — export_changes below is a
+                # reader-path cursor probe that would otherwise refuse
+                # on the broken chain, deadlocking the documented
+                # "re-run forget_keys" remedy on itself
+                _recover_forget(e.path)
                 # publish the takedown's delete window BEFORE the scrub
                 # (tailing replicas must receive the removal); the
                 # scrub then nulls the fresh delete rows' pre-image

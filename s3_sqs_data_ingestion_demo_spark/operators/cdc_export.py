@@ -145,7 +145,10 @@ def _recover_forget(export_dir: str) -> bool:
     try:
         os.remove(jp)
     except FileNotFoundError:
-        pass  # a concurrent re-run finished first — same end state
+        # belt-and-braces for a manually-cleaned journal; recovery is
+        # single-maintainer by contract (concurrent scrubs are NOT
+        # supported — the exists-then-rename pairs above would race)
+        pass
     return True
 
 
@@ -281,34 +284,37 @@ def _listed(export_dir: str) -> tuple[dict, int, list[tuple[int, int]]]:
     try:
         return anchor, floor, _published_windows(export_dir, floor)
     except ValueError:
-        # two transient causes look like a broken chain: a concurrent
+        # transient causes that look like a broken chain: a concurrent
         # prune that moved the floor between our floor read and the
         # listing, and a LIVE forget-scrub inside its two-rename swap
-        # gap (journal present).  Re-read/retry — but NEVER recover
-        # the journal from a reader: a live scrubber mid-swap is
-        # indistinguishable from a crashed one, and a reader-side
-        # repair would delete its in-flight temp or steal its rename
-        # (the scrub role alone recovers, at its own entry).
-        anchor = _read_anchor(export_dir)
-        new_floor = _floor(export_dir, anchor)
-        if new_floor != floor:
-            return anchor, new_floor, _published_windows(
-                export_dir, new_floor
-            )
-        jp = os.path.join(export_dir, _FORGET_JOURNAL)
-        if not os.path.exists(jp):
-            raise
-        # a healthy swap's gap is two back-to-back renames — wait it
-        # out briefly; a genuinely crashed scrub stays broken and
-        # raises with the re-run remedy
+        # gap (journal present — possibly removed again by the time we
+        # look, if the swap just completed).  Re-read/retry — but
+        # NEVER recover the journal from a reader: a live scrubber
+        # mid-swap is indistinguishable from a crashed one, and a
+        # reader-side repair would delete its in-flight temp or steal
+        # its rename (the scrub role alone recovers, at its own
+        # entry).  Every retry re-reads the floor first, so a prune
+        # race and a scrub race resolve through the same loop.
         import time  # noqa: PLC0415
 
-        for _ in range(10):
-            time.sleep(0.05)
+        jp = os.path.join(export_dir, _FORGET_JOURNAL)
+        for attempt in range(10):
+            anchor = _read_anchor(export_dir)
+            floor = _floor(export_dir, anchor)
             try:
                 return anchor, floor, _published_windows(export_dir, floor)
             except ValueError:
-                continue
+                if not os.path.exists(jp):
+                    if attempt == 0:
+                        # the swap may have COMPLETED between our
+                        # failed listing and this check — one clean
+                        # re-list before concluding the window is
+                        # genuinely lost
+                        continue
+                    raise
+                # a healthy swap's gap is two back-to-back renames —
+                # wait it out briefly; a crashed scrub stays broken
+                time.sleep(0.05)
         raise ValueError(
             f"change-export window chain at {export_dir} is broken "
             "while a takedown scrub journal (_forget_inflight.json) "
@@ -1104,8 +1110,19 @@ def validate_sync_preconditions(
     cannot reconstruct full state (pruned export, or an export
     provisioned mid-history without ``allow_partial_bootstrap``);
     ``ValueError`` when a ``latest_wins`` replica is paired with
-    anything but a ``latest_wins`` MOR source."""
-    anchor = _read_anchor(export_dir)
+    anything but a ``latest_wins`` MOR source, and when ``export_dir``
+    is not a provisioned export at all (the producer has not started,
+    or the path is a typo — every consumer entry point shares this
+    loud refusal instead of a raw missing-file error)."""
+    try:
+        anchor = _read_anchor(export_dir)
+    except FileNotFoundError as exc:
+        raise ValueError(
+            f"{export_dir!r} is not a provisioned change export (no "
+            "_anchor.json) — start the producer job first "
+            "(output_config.cdc_exports provisions lazily on its "
+            "first batch), or fix the path"
+        ) from exc
     applied = int(target.meta.properties.get(_APPLY_KEY, 0))
     if applied == 0:
         provisioned = int(anchor["from_version"])

@@ -9,7 +9,10 @@ Pinned: no forgotten payload survives anywhere under the export dir
 replay == live table after the scrub; untouched windows are not
 rewritten; the delete window published by the takedown propagates the
 removal to a previously-synced replica; journaled window-swap crash
-recovery (roll forward AND roll back) heals from any reader."""
+recovery (roll forward AND roll back) is SCRUB-ROLE-ONLY — readers
+refuse loudly with the re-run remedy (they cannot tell a crashed swap
+from a live one), and re-running forget_keys/scrub_export_windows
+heals it."""
 
 import json
 import os
@@ -286,6 +289,40 @@ def test_scrub_crash_recovery_roll_forward_and_back(spark, tmp_path):
     for r in spark.read.parquet(target).collect():
         if r.id == 1:
             assert r._change_type == "delete" and r.v is None
+
+
+def test_forget_rerun_recovers_crashed_scrub(spark, tmp_path):
+    """Review finding (r12 pass 2): forget_keys re-run must recover a
+    prior run's crashed window swap BEFORE its export_changes cursor
+    probe — which is a reader and would otherwise refuse on the broken
+    chain, deadlocking the documented remedy on itself."""
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    cfg = _cfg(d)
+    _write_csv(f"{d}/b0.csv", [(1, "a", 10, 1, "I"), (2, "b", 5, 1, "I")])
+    J.process_files(spark, cfg, [f"{d}/b0.csv"])
+    ex = f"{d}/export"
+    ws = list_export_windows(ex)
+    lo, hi = ws[0]
+    target = os.path.join(ex, f"w_{lo}_{hi}")
+    # simulate a scrub crashed between its two renames
+    tmp_name, trash_name = f"_tmp_f_{lo}_{hi}_t", f"_trash_f_{lo}_{hi}_t"
+    shutil.copytree(target, os.path.join(ex, tmp_name))
+    with open(os.path.join(ex, _FORGET_JOURNAL), "w") as fh:
+        json.dump(
+            {"name": f"w_{lo}_{hi}", "tmp": tmp_name, "trash": trash_name},
+            fh,
+        )
+    os.rename(target, os.path.join(ex, trash_name))
+    # the documented remedy: re-run the forget — it must heal the
+    # swap, publish its delete window, and scrub
+    J.forget_keys(spark, cfg, spark.createDataFrame([(1,)], "id int"))
+    assert not os.path.exists(os.path.join(ex, _FORGET_JOURNAL))
+    for r in _raw_rows(spark, ex):
+        if r.id == 1:
+            assert r._change_type == "delete" and r.v is None
+    replayed = replay_to_state(read_change_export(spark, ex), ["id"])
+    assert sorted((r.id, r.v) for r in replayed.collect()) == [(2, 5)]
 
 
 def test_scrub_drops_whole_window_to_marker(spark, tmp_path):
