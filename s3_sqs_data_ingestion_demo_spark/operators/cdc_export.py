@@ -298,20 +298,25 @@ def _listed(export_dir: str) -> tuple[dict, int, list[tuple[int, int]]]:
         import time  # noqa: PLC0415
 
         jp = os.path.join(export_dir, _FORGET_JOURNAL)
-        for attempt in range(10):
+        # one clean re-list is owed whenever the journal may have just
+        # vanished under us: initially (the original listing could have
+        # raced a swap that then completed), and again after EVERY
+        # journal sighting (a multi-window scrub removes and re-writes
+        # the journal between windows — any failed listing may be
+        # followed by the journal disappearing before our check)
+        grace = 1
+        for _ in range(10):
             anchor = _read_anchor(export_dir)
             floor = _floor(export_dir, anchor)
             try:
                 return anchor, floor, _published_windows(export_dir, floor)
             except ValueError:
                 if not os.path.exists(jp):
-                    if attempt == 0:
-                        # the swap may have COMPLETED between our
-                        # failed listing and this check — one clean
-                        # re-list before concluding the window is
-                        # genuinely lost
+                    if grace:
+                        grace -= 1
                         continue
                     raise
+                grace = 1
                 # a healthy swap's gap is two back-to-back renames —
                 # wait it out briefly; a crashed scrub stays broken
                 time.sleep(0.05)
