@@ -420,12 +420,79 @@ def _maintain_derived(
     shares ONE pinned window frame instead of re-deriving it per
     family (operators/rollup.ChangeWindowCache) — valid because the
     table gains no commits between these refreshes.  Returns the
-    post-maintenance version when the cadence ran, else None."""
+    post-maintenance version when the cadence ran, else None.
+
+    Independent families overlap from driver threads (the same
+    back-fill pattern as ``_maintain_indexes``): each family commits
+    only to its OWN derived tables and reads immutable published
+    snapshots of the source, so with 4 declared families the serial
+    critical path (~sum of four refresh+merge cycles, each leaving
+    most of local[N] idle on its commit constants) collapses to
+    ~max().  Parallel only when every write target is distinct AND no
+    family's target doubles as another family's read dependency (a
+    join MV whose right table is this job's own rollup must see the
+    rollup's fold first, exactly as the serial order guaranteed);
+    errors surface after ALL families settle — every refresh is
+    version-cursor idempotent, so the redelivery that follows re-runs
+    completed families harmlessly.  The shared ChangeWindowCache is
+    lock-serialized on population, so the window frame is still
+    derived and pinned exactly once."""
     cache = ChangeWindowCache()
-    _maintain_rollups(spark, config, table, cache)
-    _maintain_join_mvs(spark, config, table, cache)
-    _maintain_topk_mvs(spark, config, table, cache)
-    _maintain_cdc_exports(spark, config, table)
+    out = config.output_config
+    families = []
+    if out.rollups:
+        families.append(
+            ("rollups", lambda: _maintain_rollups(spark, config, table, cache))
+        )
+    if out.join_mvs:
+        families.append(
+            ("join_mvs",
+             lambda: _maintain_join_mvs(spark, config, table, cache))
+        )
+    if out.topk_mvs:
+        families.append(
+            ("topk_mvs",
+             lambda: _maintain_topk_mvs(spark, config, table, cache))
+        )
+    if out.cdc_exports:
+        families.append(
+            ("cdc_exports", lambda: _maintain_cdc_exports(spark, config, table))
+        )
+    targets = (
+        [r.path for r in out.rollups]
+        + [j.path for j in out.join_mvs]
+        + [tk.path for tk in out.topk_mvs]
+        + [e.path for e in out.cdc_exports]
+    )
+    reads = {table.path} | {j.right_table for j in out.join_mvs}
+    if (
+        len(families) >= 2
+        and len(set(targets)) == len(targets)
+        and not (set(targets) & reads)
+    ):
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(
+            max_workers=len(families), thread_name_prefix="derived-family"
+        ) as pool:
+            futs = [(name, pool.submit(fn)) for name, fn in families]
+            first_err: Exception | None = None
+            for name, fut in futs:
+                try:
+                    fut.result()
+                except Exception as e:  # noqa: BLE001
+                    if first_err is None:
+                        first_err = e
+                    else:
+                        log.warning(
+                            "additional derived-family failure (%s): %s",
+                            name, e,
+                        )
+        if first_err is not None:
+            raise first_err
+    else:
+        for _, fn in families:
+            fn()
     return _maybe_maintain(table, config)
 
 

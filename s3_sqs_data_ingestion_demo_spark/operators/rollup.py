@@ -177,9 +177,19 @@ class ChangeWindowCache:
     strictly after the batch's table commits, so the window frames
     stay valid across them).  Purely an optimization: every consumer
     treats the cache as optional and falls back to its own read.
+
+    THREAD-SAFE: the maintenance families now refresh CONCURRENTLY
+    from separate driver threads (job._maintain_derived), all hitting
+    the same window — population is serialized under one lock so the
+    window frame is derived and pinned exactly once (the first caller
+    pays the pin job, the rest block briefly and reuse it; DataFrames
+    themselves are immutable and safe to share across driver threads).
     """
 
     def __init__(self) -> None:
+        import threading  # noqa: PLC0415
+
+        self._lock = threading.Lock()
         self._segments: dict[tuple[str, int, int], list[tuple[int, int]]] = {}
         self._weighted: dict[
             tuple[str, int, int], tuple[DataFrame, bool]
@@ -191,9 +201,10 @@ class ChangeWindowCache:
         """Memoized ``change_segments`` (metadata-only, but one
         history walk + per-version kind probe per family adds up)."""
         key = (src.path, int(lo), int(hi))
-        if key not in self._segments:
-            self._segments[key] = change_segments(src, lo, hi)
-        return self._segments[key]
+        with self._lock:
+            if key not in self._segments:
+                self._segments[key] = change_segments(src, lo, hi)
+            return self._segments[key]
 
     def weighted_changes(
         self, src: ManagedTable, lo: int, hi: int
@@ -202,15 +213,25 @@ class ChangeWindowCache:
         with data segments (callers check ``segments`` first — a
         maintenance-only window never reaches here)."""
         key = (src.path, int(lo), int(hi))
-        if key not in self._weighted:
-            delta, any_cdf = window_weighted_changes(
-                src, self.segments(src, lo, hi)
-            )
-            self._weighted[key] = (
-                delta.localCheckpoint(eager=True),
-                any_cdf,
-            )
-        return self._weighted[key]
+        with self._lock:
+            if key not in self._weighted:
+                delta, any_cdf = window_weighted_changes(
+                    src, self.segments_locked(key, src)
+                )
+                self._weighted[key] = (
+                    delta.localCheckpoint(eager=True),
+                    any_cdf,
+                )
+            return self._weighted[key]
+
+    def segments_locked(
+        self, key: tuple[str, int, int], src: ManagedTable
+    ) -> list[tuple[int, int]]:
+        """``segments`` for a caller already holding ``_lock`` (the
+        lock is not reentrant)."""
+        if key not in self._segments:
+            self._segments[key] = change_segments(src, key[1], key[2])
+        return self._segments[key]
 
 
 def rollup_schema(
