@@ -401,6 +401,59 @@ def process_files(
         version = table.write(df, out.mode)
     if deletes is not None:
         version = table.delete_keys(deletes)
+    # Index folds and derived-family refreshes are independent (folds
+    # consume the BATCH into index tables; families consume the
+    # TABLE's published change feed into their own MVs), so they
+    # overlap from driver threads too — the table and delete commits
+    # above happened-before both.  Same contract as within each pool:
+    # errors surface after both settle, and the batch redelivery that
+    # follows re-runs either side idempotently (tag-guarded folds,
+    # version-cursor refreshes).  Serial when any declared index path
+    # collides with a family target (one table must not take commits
+    # from two threads).
+    fam_declared = bool(
+        out.rollups or out.join_mvs or out.topk_mvs or out.cdc_exports
+    )
+    fam_paths = (
+        {r.path for r in out.rollups}
+        | {j.path for j in out.join_mvs}
+        | {tk.path for tk in out.topk_mvs}
+        | {e.path for e in out.cdc_exports}
+    )
+    if (
+        out.indexes
+        and fam_declared
+        and not ({ix.path for ix in out.indexes} & fam_paths)
+    ):
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="post-commit"
+        ) as pool:
+            f_ix = pool.submit(
+                _maintain_indexes, spark, config, df, files, deletes,
+                phases_out=index_phases,
+            )
+            f_fam = pool.submit(_maintain_derived, spark, config, table)
+            ix_err: Exception | None = None
+            maintained = None
+            try:
+                f_ix.result()
+            except Exception as e:  # noqa: BLE001
+                ix_err = e
+            try:
+                maintained = f_fam.result()
+            except Exception as e:  # noqa: BLE001
+                if ix_err is not None:
+                    log.warning(
+                        "additional derived-maintenance failure after an "
+                        "index-fold failure: %s", e,
+                    )
+                else:
+                    raise
+        if ix_err is not None:
+            raise ix_err
+        return maintained or version
     _maintain_indexes(spark, config, df, files, deletes,
                       phases_out=index_phases)
     return _maintain_derived(spark, config, table) or version
