@@ -68,7 +68,12 @@ def pagerank(
     # both returns n and warms the cache for the iteration joins.
     linked = e.join(deg, "src").persist()
     try:
-        nodes = linked.select(F.col("src").alias("node")).distinct()
+        # node-sized and consumed once for init plus once per
+        # iteration (the re-anchor join) — pin it or every use pays
+        # the distinct shuffle over the cached edges again
+        nodes = (
+            linked.select(F.col("src").alias("node")).distinct().persist()
+        )
         n = nodes.count()  # the one driver action: a single scalar
         if n == 0:
             raise ValueError("pagerank: empty edge list")
@@ -106,6 +111,10 @@ def pagerank(
         ranks = ranks.localCheckpoint(eager=True)
     finally:
         linked.unpersist()
+        try:
+            nodes.unpersist()
+        except NameError:
+            pass  # n == 0 raise happened before nodes bound — nothing cached
     return ranks
 
 
@@ -133,12 +142,22 @@ def triangle_stats(
     Global CC = 3·triangles / wedges, fixed-point ppm (integer ops
     both engines).
     """
-    e = pairs.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    # The edge list is consumed twice (degree pass + orientation
+    # join) and the degree table three times (both orientation sides
+    # + the wedge total) — and the upstream ``pairs`` pipeline is
+    # typically the expensive part (a basket self-join + distinct).
+    # The alias renames below defeat exchange reuse (0 ReusedExchange
+    # in the unpinned plan; the pairs subtree re-executed ~4x), so pin
+    # both: edges once at O(m), degrees at O(n).
+    e = pairs.select(F.col(a).alias("a"), F.col(b).alias("b")).persist()
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    deg = sym.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed(
-        "a", "v"
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count("*").alias("deg"))
+        .withColumnRenamed("a", "v")
+        .persist()
     )
     # orientation key: (deg, id) — total order, breaks degree ties
     da = deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "deg_a")
@@ -199,10 +218,12 @@ def triangle_stats(
         .cast("bigint")
         .alias("global_cc_ppm"),
     )
-    # materialize the one-row census, then release the cached oriented
-    # edge frame (no per-invocation persist leak in long sessions)
+    # materialize the one-row census, then release every cached frame
+    # (no per-invocation persist leak in long sessions)
     out = out.localCheckpoint(eager=True)
     oriented.unpersist()
+    deg.unpersist()
+    e.unpersist()
     return out
 
 
