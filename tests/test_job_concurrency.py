@@ -1,0 +1,207 @@
+"""Post-commit concurrency in the batch path (r12 optimization):
+derived families refresh from a thread pool, and index folds overlap
+the family block.  These tests pin the contracts the overlap relies
+on: errors surface only after every unit settles (so completed units
+are left in their idempotent post-fold state for the redelivery that
+follows), and the shared ChangeWindowCache derives + pins its window
+frame exactly once however many threads race for it."""
+
+import threading
+
+import pytest
+from pyspark.sql import types as T
+
+from s3_sqs_data_ingestion_demo_spark import job as J
+from s3_sqs_data_ingestion_demo_spark.config import JobConfig
+from s3_sqs_data_ingestion_demo_spark.operators import rollup as R
+from s3_sqs_data_ingestion_demo_spark.table import ManagedTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("Op", T.StringType()),
+    ]
+)
+
+
+def _write_csv(path, rows):
+    with open(path, "w") as fh:
+        fh.write("id\tgrp\tv\tseq\tOp\n")
+        for r in rows:
+            fh.write("\t".join(str(x) for x in r) + "\n")
+
+
+def _cfg(tmp, **out_extra):
+    out = {
+        "table_path": f"{tmp}/tbl",
+        "mode": "merge",
+        "table_type": "MOR",
+        "key_columns": ["id"],
+        "order_column": "seq",
+        "rollups": [
+            {
+                "path": f"{tmp}/roll",
+                "group_columns": ["grp"],
+                "sum_columns": ["v"],
+            }
+        ],
+        "topk_mvs": [
+            {
+                "path": f"{tmp}/topk",
+                "group_columns": ["grp"],
+                "order_column": "v",
+                "k": 2,
+            }
+        ],
+    }
+    out.update(out_extra)
+    return JobConfig.from_dict(
+        {
+            "input_config": {
+                "format": "csv",
+                "options": {
+                    "header": "true",
+                    "sep": "\t",
+                    "inferSchema": "true",
+                },
+            },
+            "output_config": out,
+        }
+    )
+
+
+def _mk_table(spark, tmp):
+    return ManagedTable.create(
+        spark, f"{tmp}/tbl", SCHEMA,
+        key_cols=["id"], order_column="seq", table_type="MOR",
+    )
+
+
+def _roll(spark, tmp):
+    t = ManagedTable.load(spark, f"{tmp}/roll")
+    return {r.grp: (r.n_rows, r.sum_v) for r in t.read().collect()}
+
+
+def test_family_failure_surfaces_after_all_settle(
+    spark, tmp_path, monkeypatch
+):
+    """With >=2 declared families the refreshes run in a thread pool
+    (job._maintain_derived): one failing family must not strand the
+    others mid-flight — the error surfaces AFTER every family settles,
+    the surviving family's refresh has committed, and the batch
+    redelivery that follows heals the failed family without
+    double-counting the one that succeeded (version-cursor no-op)."""
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    cfg = _cfg(d)
+    b1 = f"{d}/b1.csv"
+    _write_csv(b1, [(1, "a", 10, 1, "I"), (2, "b", 5, 1, "I")])
+
+    orig = J._maintain_topk_mvs
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("synthetic top-k failure")
+
+    monkeypatch.setattr(J, "_maintain_topk_mvs", boom)
+    with pytest.raises(RuntimeError, match="synthetic top-k failure"):
+        J.process_files(spark, cfg, [b1])
+    assert calls["n"] == 1
+    # the rollup family settled (and committed) despite the failure
+    assert _roll(spark, d) == {"a": (1, 10.0), "b": (1, 5.0)}
+    # redelivery heals: the top-k bootstraps, the rollup's re-fold is
+    # a feed no-op (identical rows net to zero / cursor already there)
+    monkeypatch.setattr(J, "_maintain_topk_mvs", orig)
+    J.process_files(spark, cfg, [b1])
+    assert _roll(spark, d) == {"a": (1, 10.0), "b": (1, 5.0)}
+    tk = ManagedTable.load(spark, f"{d}/topk")
+    got = {(r.grp, r.id) for r in tk.read().collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+
+def test_index_failure_leaves_families_settled(
+    spark, tmp_path, monkeypatch
+):
+    """Index folds overlap the family block in the batch path: an
+    index-fold failure surfaces after the families settle, leaving the
+    family state committed for the idempotent redelivery."""
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    cfg = _cfg(
+        d,
+        indexes=[{
+            "type": "bm25",
+            "path": f"{d}/ix",
+            "id_column": "id",
+            "text_column": "grp",
+        }],
+    )
+    b1 = f"{d}/b1.csv"
+    _write_csv(b1, [(1, "a", 10, 1, "I"), (2, "b", 5, 1, "I")])
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic index failure")
+
+    monkeypatch.setattr(J, "_maintain_indexes", boom)
+    with pytest.raises(RuntimeError, match="synthetic index failure"):
+        J.process_files(spark, cfg, [b1])
+    # families settled and committed despite the index failure
+    assert _roll(spark, d) == {"a": (1, 10.0), "b": (1, 5.0)}
+
+
+def test_window_cache_pins_once_under_concurrent_callers(spark, tmp_path):
+    """ChangeWindowCache population is lock-serialized: N threads
+    racing for the same (src, lo, hi) window derive + pin the weighted
+    frame exactly once and all read the same pinned rows."""
+    d = str(tmp_path)
+    src = ManagedTable.create(
+        spark, f"{d}/src",
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]),
+        key_cols=["id"], table_type="MOR",
+    )
+    src.append(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    src.merge(spark.createDataFrame([(2, 25), (3, 30)], "id long, v long"))
+    lo, hi = 1, src._current_version()
+
+    cache = R.ChangeWindowCache()
+    derivations = []
+    orig = R.window_weighted_changes
+
+    def counting(*a, **k):
+        derivations.append(threading.get_ident())
+        return orig(*a, **k)
+
+    R.window_weighted_changes = counting
+    try:
+        results = []
+        errs = []
+
+        def worker():
+            try:
+                delta, any_cdf = cache.weighted_changes(src, lo, hi)
+                results.append(
+                    tuple(sorted(
+                        (r.id, r.v, r._w) for r in delta.collect()
+                    ))
+                )
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        R.window_weighted_changes = orig
+    assert not errs
+    assert len(derivations) == 1  # derived (and pinned) exactly once
+    assert len(set(results)) == 1  # every thread read the same frame
+    assert len(results) == 4
