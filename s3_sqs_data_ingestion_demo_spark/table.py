@@ -1714,6 +1714,46 @@ class ManagedTable:
         pattern = os.path.join(root, *["*=*"] * len(self.meta.partition_cols))
         return sorted(os.path.relpath(p, root) for p in glob.glob(pattern))
 
+    def _write_data_probed(
+        self, df: DataFrame, root: str, apply_sort_property: bool = True
+    ) -> tuple[dict, bool]:
+        """``_write_data`` + emptiness verdict in ONE plan execution.
+
+        The hot write paths (MOR merge deltas, tombstones, appends)
+        used to run the source plan twice per commit: once for the
+        upfront ``isEmpty()`` probe, once for the write itself —
+        ~0.2–0.4 s of duplicated work per commit at sf0.1, one of the
+        two dominant per-commit constants in the job-driven entries.
+        The driver-side footer harvest already counts the written rows
+        (``__rows``), so the write IS the probe.  An empty write's
+        root is removed before returning and the caller no-ops without
+        committing — exactly the contract the probe enforced (no
+        rowless snapshot, no tag on an empty batch).
+
+        Emptiness source, cheapest-first: partitioned tables prove it
+        structurally (zero rows ⇒ zero hive dirs ⇒ empty ``parts``);
+        unpartitioned tables read the harvested ``__rows``; if stats
+        were skipped (pyarrow missing / ``write.collect-stats=false``)
+        a schema-pinned read of the just-written root decides — still
+        one execution of the SOURCE plan either way."""
+        entry = self._write_data(df, root, apply_sort_property)
+        stats = entry.get("stats")
+        if self.meta.partition_cols:
+            empty = not entry.get("parts")
+        elif stats is not None:
+            empty = int(stats.get("__rows", 0)) == 0
+        else:
+            empty = (
+                self.spark.read.schema(self.meta.schema)
+                .parquet(root)
+                .isEmpty()
+            )
+        if empty:
+            import shutil  # noqa: PLC0415
+
+            shutil.rmtree(root, ignore_errors=True)
+        return entry, empty
+
     def append(self, df: DataFrame, tag: str | None = None) -> int:
         """Append sink (reference: spark-job/read.py:231-233).
 
@@ -1721,11 +1761,13 @@ class ManagedTable:
         partitioned write of zero rows would commit a rootless entry
         (no hive subdirs), and version churn for nothing.  ``tag``
         stamps the snapshot for ``has_commit_tag`` idempotency probes
-        (replayed streaming batches)."""
+        (replayed streaming batches).  Emptiness is decided BY the
+        write (``_write_data_probed``), not an upfront ``isEmpty()``
+        — one execution of the batch plan per commit instead of two."""
         src = align_to_schema(df, self.meta.schema)
-        if src.isEmpty():
+        entry, empty = self._write_data_probed(src, self._new_root())
+        if empty:
             return self._current_version()
-        entry = self._write_data(src, self._new_root())
         return self._commit_entry_with_retry(entry, tag=tag)
 
     def overwrite(self, df: DataFrame) -> int:
@@ -1764,32 +1806,36 @@ class ManagedTable:
         if order_col and order_col in source.columns:
             source = dedup_latest(source, keys, order_col)
         src = align_to_schema(source, self.meta.schema)
-        # Empty CDC batch (header-only files, transform_query filtering
-        # everything) → no-op; never commit a rowless snapshot.
-        # ``assume_nonempty`` skips the probe when the caller already
-        # proved the batch non-empty (e.g. a streaming sink that
-        # gates on batch_df.isEmpty()) — one fewer Spark job on a
-        # per-micro-batch hot path; a wrong promise only costs one
-        # rowless (but harmless) snapshot.
-        if not assume_nonempty and src.isEmpty():
-            return self._current_version()
         merge_order = order_col if (policy == "latest_wins") else None
         if merge_order and merge_order not in self.meta.schema.fieldNames():
             raise ValueError(
                 f"latest_wins merge needs order column {merge_order!r} in the table schema"
             )
 
-        base = self._current_version()
-        entries = self._manifest_at(base)
-
         # Merge-on-read (reference table_type MOR, spark-job/read.py:
         # 208-216): the merge is an O(batch) delta append tagged with
         # the commit sequence; reads resolve, compact() folds deltas
         # into the base.  Copy-on-write pays at write time instead.
+        # Empty CDC batch (header-only files, transform_query filtering
+        # everything) → no-op; never commit a rowless snapshot or its
+        # tag.  Emptiness is decided BY the delta write itself
+        # (``_write_data_probed``) — the old upfront ``isEmpty()``
+        # re-executed the whole batch plan per merge; ``assume_nonempty``
+        # is kept for API compatibility (the verdict is now free).
         if self.meta.table_type.upper() == "MOR":
-            entry = self._write_data(src, self._new_root())
+            entry, empty = self._write_data_probed(src, self._new_root())
+            if empty:
+                return self._current_version()
             entry["kind"] = "delta"
             return self._commit_entry_with_retry(entry, tag=tag, delta_seq=True)
+
+        # COW: the probe stays upfront — it gates a full-table rewrite
+        # (and its partition-prune collect), not just a delta append.
+        if not assume_nonempty and src.isEmpty():
+            return self._current_version()
+
+        base = self._current_version()
+        entries = self._manifest_at(base)
 
         parts_cols = self.meta.partition_cols
         # Mixed partition specs (after set_partition_spec): the batch's
@@ -1909,11 +1955,12 @@ class ManagedTable:
             if not keys:
                 raise ValueError("MOR delete requires key columns")
             victims = self.read().filter(match).select(*keys)
-            if victims.isEmpty():
-                return self._current_version()
             # tombstone rows carry only the keys; attribute columns are
             # null BY CONSTRUCTION (nullability of the contract doesn't
-            # apply — these rows mark absence, they never surface)
+            # apply — these rows mark absence, they never surface).
+            # No-match no-op decided by the write itself
+            # (``_write_data_probed``) — one execution of the filtered
+            # scan instead of probe + write.
             key_set = set(keys)
             tomb = victims.select(
                 *[
@@ -1923,7 +1970,9 @@ class ManagedTable:
                     for f in self.meta.schema.fields
                 ]
             )
-            entry = self._write_data(tomb, self._new_root())
+            entry, empty = self._write_data_probed(tomb, self._new_root())
+            if empty:
+                return self._current_version()
             entry["kind"] = "tombstone"
             return self._commit_entry_with_retry(entry, delta_seq=True)
 
@@ -2017,9 +2066,11 @@ class ManagedTable:
         victims = keys_df.select(
             *[F.col(k).cast(types[k]).alias(k) for k in keys]
         ).distinct()
-        if victims.isEmpty():
-            return self._current_version()
         if self.meta.table_type.upper() == "MOR":
+            # an empty key set no-ops without committing its tag — the
+            # verdict comes from the tombstone write itself
+            # (``_write_data_probed``), not an upfront ``isEmpty()``
+            # that re-ran the victims' distinct shuffle per call
             key_set = set(keys)
             tomb = victims.select(
                 *[
@@ -2029,9 +2080,14 @@ class ManagedTable:
                     for f in self.meta.schema.fields
                 ]
             )
-            entry = self._write_data(tomb, self._new_root())
+            entry, empty = self._write_data_probed(tomb, self._new_root())
+            if empty:
+                return self._current_version()
             entry["kind"] = "tombstone"
             return self._commit_entry_with_retry(entry, tag=tag, delta_seq=True)
+        # COW: the probe stays — it gates the anti-join rewrite below
+        if victims.isEmpty():
+            return self._current_version()
         base = self._current_version()
         # null-safe anti: a victim naming a null key must remove the
         # null-keyed row (plain equality would silently keep it)
@@ -2121,9 +2177,9 @@ class ManagedTable:
             src = align_to_schema(df, self.meta.schema)
         staged_id = uuid.uuid4().hex[:12]
         entries: list[dict] = []
-        if not src.isEmpty():
-            root = os.path.join(self.path, "data", f"stg-{staged_id}")
-            entry = self._write_data(src, root)
+        root = os.path.join(self.path, "data", f"stg-{staged_id}")
+        entry, empty = self._write_data_probed(src, root)
+        if not empty:
             if mode == "merge":
                 entry["kind"] = "delta"
             entries.append(entry)
