@@ -178,22 +178,36 @@ class ChangeWindowCache:
     stay valid across them).  Purely an optimization: every consumer
     treats the cache as optional and falls back to its own read.
 
-    THREAD-SAFE: the maintenance families now refresh CONCURRENTLY
-    from separate driver threads (job._maintain_derived), all hitting
-    the same window — population is serialized under one lock so the
-    window frame is derived and pinned exactly once (the first caller
-    pays the pin job, the rest block briefly and reuse it; DataFrames
-    themselves are immutable and safe to share across driver threads).
+    THREAD-SAFE: the maintenance families refresh CONCURRENTLY from
+    separate driver threads (job._maintain_derived), all hitting the
+    same window in the common case — population is serialized PER KEY
+    so each window frame is derived and pinned exactly once (the first
+    caller of a key pays its pin job, same-key callers block briefly
+    and reuse it; DataFrames themselves are immutable and safe to
+    share across driver threads).  Locks are per ``(source, lo, hi)``
+    key, held via a short meta-lock: families at DIFFERENT cursors
+    (a bootstrapping MV vs an established rollup, or a join MV's
+    right-table window) pin their windows concurrently instead of
+    serializing on one cache-wide lock across a Spark job.
     """
 
     def __init__(self) -> None:
         import threading  # noqa: PLC0415
 
-        self._lock = threading.Lock()
+        self._meta_lock = threading.Lock()  # guards the dicts only
+        self._key_locks: dict[tuple[str, int, int], "threading.Lock"] = {}
+        self._threading = threading
         self._segments: dict[tuple[str, int, int], list[tuple[int, int]]] = {}
         self._weighted: dict[
             tuple[str, int, int], tuple[DataFrame, bool]
         ] = {}
+
+    def _key_lock(self, key: tuple[str, int, int]) -> "threading.Lock":
+        with self._meta_lock:
+            lock = self._key_locks.get(key)
+            if lock is None:
+                lock = self._key_locks[key] = self._threading.Lock()
+            return lock
 
     def segments(
         self, src: ManagedTable, lo: int, hi: int
@@ -201,37 +215,44 @@ class ChangeWindowCache:
         """Memoized ``change_segments`` (metadata-only, but one
         history walk + per-version kind probe per family adds up)."""
         key = (src.path, int(lo), int(hi))
-        with self._lock:
-            if key not in self._segments:
-                self._segments[key] = change_segments(src, lo, hi)
-            return self._segments[key]
+        with self._key_lock(key):
+            return self._segments_for(key, src)
+
+    def _segments_for(
+        self, key: tuple[str, int, int], src: ManagedTable
+    ) -> list[tuple[int, int]]:
+        """Segment lookup for a caller already holding ``key``'s lock
+        (per-key locks are not reentrant).  Dict reads/writes are
+        meta-locked so concurrent DIFFERENT-key callers never race the
+        dict itself."""
+        with self._meta_lock:
+            got = self._segments.get(key)
+        if got is None:
+            got = change_segments(src, key[1], key[2])
+            with self._meta_lock:
+                self._segments[key] = got
+        return got
 
     def weighted_changes(
         self, src: ManagedTable, lo: int, hi: int
     ) -> tuple[DataFrame, bool]:
         """Memoized, PINNED ``window_weighted_changes`` for a window
         with data segments (callers check ``segments`` first — a
-        maintenance-only window never reaches here)."""
+        maintenance-only window never reaches here).  The derive +
+        eager pin job runs under the KEY's lock only — a concurrent
+        family pinning a DIFFERENT window proceeds in parallel."""
         key = (src.path, int(lo), int(hi))
-        with self._lock:
-            if key not in self._weighted:
+        with self._key_lock(key):
+            with self._meta_lock:
+                got = self._weighted.get(key)
+            if got is None:
                 delta, any_cdf = window_weighted_changes(
-                    src, self.segments_locked(key, src)
+                    src, self._segments_for(key, src)
                 )
-                self._weighted[key] = (
-                    delta.localCheckpoint(eager=True),
-                    any_cdf,
-                )
-            return self._weighted[key]
-
-    def segments_locked(
-        self, key: tuple[str, int, int], src: ManagedTable
-    ) -> list[tuple[int, int]]:
-        """``segments`` for a caller already holding ``_lock`` (the
-        lock is not reentrant)."""
-        if key not in self._segments:
-            self._segments[key] = change_segments(src, key[1], key[2])
-        return self._segments[key]
+                got = (delta.localCheckpoint(eager=True), any_cdf)
+                with self._meta_lock:
+                    self._weighted[key] = got
+            return got
 
 
 def rollup_schema(

@@ -205,3 +205,70 @@ def test_window_cache_pins_once_under_concurrent_callers(spark, tmp_path):
     assert len(derivations) == 1  # derived (and pinned) exactly once
     assert len(set(results)) == 1  # every thread read the same frame
     assert len(results) == 4
+
+
+def test_window_cache_distinct_cursors_pin_concurrently(spark, tmp_path):
+    """Per-key cache locks (r13): two families pinning DIFFERENT
+    windows must not serialize on each other's derive+pin job.  The
+    window-A derivation BLOCKS until window B's derivation has started
+    — under the old cache-wide lock B's caller would wait on the lock
+    A holds across its pin and the test would time out; with per-key
+    locks both derive exactly once and both callers complete."""
+    d = str(tmp_path)
+    src = ManagedTable.create(
+        spark, f"{d}/src",
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]),
+        key_cols=["id"], table_type="MOR",
+    )
+    src.append(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    src.merge(spark.createDataFrame([(2, 25), (3, 30)], "id long, v long"))
+    hi = src._current_version()
+    key_a, key_b = (1, hi), (2, hi)  # distinct lo cursors
+
+    cache = R.ChangeWindowCache()
+    b_started = threading.Event()
+    derivations = []
+    orig = R.window_weighted_changes
+
+    def gated(table, segments, *a, **k):
+        lo = segments[0][0]
+        derivations.append(lo)
+        if lo == key_a[0]:
+            # A's derive waits for B's to begin — impossible if B's
+            # caller is queued behind a cache-wide lock A holds
+            assert b_started.wait(timeout=60), (
+                "window B's derivation never started while A held its "
+                "pin lock — per-key locking regressed to a global lock"
+            )
+        else:
+            b_started.set()
+        return orig(table, segments, *a, **k)
+
+    R.window_weighted_changes = gated
+    try:
+        results, errs = [], []
+
+        def worker(lo_hi):
+            try:
+                delta, _ = cache.weighted_changes(src, *lo_hi)
+                results.append((lo_hi, len(delta.collect())))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=(key_a,)),
+            threading.Thread(target=worker, args=(key_b,)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not any(t.is_alive() for t in threads)
+    finally:
+        R.window_weighted_changes = orig
+    assert not errs
+    assert sorted(derivations) == [1, 2]  # each window derived once
+    assert len(results) == 2
