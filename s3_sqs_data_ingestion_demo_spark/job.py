@@ -27,6 +27,50 @@ from .table import ManagedTable
 log = logging.getLogger(__name__)
 
 
+def _norm_path(p: str) -> str:
+    """Canonical path for the post-commit collision guards: two
+    spellings of one location (trailing slash, relative vs absolute)
+    must not defeat the serial fallback whose purpose is keeping one
+    table from taking commits from two threads."""
+    return os.path.abspath(p).rstrip("/")
+
+
+def _run_units(
+    units: list[tuple[str, "callable"]], pool_name: str, parallel: bool
+) -> None:
+    """Run named work units, from a thread pool when ``parallel`` —
+    the ONE post-commit overlap contract (guide §2.6) every
+    maintenance loop shares: units write only to their own tables and
+    read immutable published snapshots, errors surface only after ALL
+    units settle (completed units stay in their idempotent post-fold
+    state for the batch redelivery that follows), and the first error
+    wins with the rest logged."""
+    if parallel and len(units) >= 2:
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(
+            max_workers=len(units), thread_name_prefix=pool_name
+        ) as pool:
+            futs = [(name, pool.submit(fn)) for name, fn in units]
+            first_err: Exception | None = None
+            for name, fut in futs:
+                try:
+                    fut.result()
+                except Exception as e:  # noqa: BLE001
+                    if first_err is None:
+                        first_err = e
+                    else:
+                        log.warning(
+                            "additional %s unit failure (%s): %s",
+                            pool_name, name, e,
+                        )
+        if first_err is not None:
+            raise first_err
+    else:
+        for _, fn in units:
+            fn()
+
+
 def build_spark(config: JobConfig, app_name: str = "s3-sqs-ingestion-spark") -> SparkSession:
     from .session import build_session  # noqa: PLC0415
 
@@ -414,16 +458,22 @@ def process_files(
     fam_declared = bool(
         out.rollups or out.join_mvs or out.topk_mvs or out.cdc_exports
     )
+    # collision surface: family WRITE targets and family READ
+    # dependencies (a join MV whose right table is one of this job's
+    # index tables must see the index fold land first, exactly as the
+    # serial order guaranteed) — paths normalized so two spellings of
+    # one location can't defeat the serial fallback
     fam_paths = (
-        {r.path for r in out.rollups}
-        | {j.path for j in out.join_mvs}
-        | {tk.path for tk in out.topk_mvs}
-        | {e.path for e in out.cdc_exports}
+        {_norm_path(r.path) for r in out.rollups}
+        | {_norm_path(j.path) for j in out.join_mvs}
+        | {_norm_path(j.right_table) for j in out.join_mvs}
+        | {_norm_path(tk.path) for tk in out.topk_mvs}
+        | {_norm_path(e.path) for e in out.cdc_exports}
     )
     if (
         out.indexes
         and fam_declared
-        and not ({ix.path for ix in out.indexes} & fam_paths)
+        and not ({_norm_path(ix.path) for ix in out.indexes} & fam_paths)
     ):
         from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
@@ -523,41 +573,34 @@ def _maintain_derived(
         families.append(
             ("cdc_exports", lambda: _maintain_cdc_exports(spark, config, table))
         )
-    targets = (
-        [r.path for r in out.rollups]
-        + [j.path for j in out.join_mvs]
-        + [tk.path for tk in out.topk_mvs]
-        + [e.path for e in out.cdc_exports]
-    )
-    reads = {table.path} | {j.right_table for j in out.join_mvs}
-    if (
-        len(families) >= 2
-        and len(set(targets)) == len(targets)
-        and not (set(targets) & reads)
-    ):
-        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+    from .operators.rollup import companion_path  # noqa: PLC0415
 
-        with ThreadPoolExecutor(
-            max_workers=len(families), thread_name_prefix="derived-family"
-        ) as pool:
-            futs = [(name, pool.submit(fn)) for name, fn in families]
-            first_err: Exception | None = None
-            for name, fut in futs:
-                try:
-                    fut.result()
-                except Exception as e:  # noqa: BLE001
-                    if first_err is None:
-                        first_err = e
-                    else:
-                        log.warning(
-                            "additional derived-family failure (%s): %s",
-                            name, e,
-                        )
-        if first_err is not None:
-            raise first_err
-    else:
-        for _, fn in families:
-            fn()
+    # paths normalized (trailing slash / relative spellings must not
+    # defeat the serial fallback); rollup COMPANION tables are write
+    # targets too — a pathological config naming one as another
+    # family's path or read dependency must stay serial
+    targets = (
+        [_norm_path(r.path) for r in out.rollups]
+        + [
+            _norm_path(companion_path(r.path, c))
+            for r in out.rollups
+            for c in r.distinct_columns
+        ]
+        + [_norm_path(j.path) for j in out.join_mvs]
+        + [_norm_path(tk.path) for tk in out.topk_mvs]
+        + [_norm_path(e.path) for e in out.cdc_exports]
+    )
+    reads = {_norm_path(table.path)} | {
+        _norm_path(j.right_table) for j in out.join_mvs
+    }
+    _run_units(
+        families,
+        "derived-family",
+        parallel=(
+            len(set(targets)) == len(targets)
+            and not (set(targets) & reads)
+        ),
+    )
     return _maybe_maintain(table, config)
 
 
@@ -592,15 +635,27 @@ def _maintain_cdc_exports(
         maintain_export_cadences,
     )
 
-    for e in out.cdc_exports:
-        if not export_exists(e.path):
-            create_change_export(table, e.path, consume_from=1)
-        export_changes(table, e.path)
-        maintain_export_cadences(
-            spark, e.path,
-            keep_last_windows=e.keep_last_windows,
-            coalesce_after=e.coalesce_after,
-        )
+    def _one(e):
+        def run():
+            if not export_exists(e.path):
+                create_change_export(table, e.path, consume_from=1)
+            export_changes(table, e.path)
+            maintain_export_cadences(
+                spark, e.path,
+                keep_last_windows=e.keep_last_windows,
+                coalesce_after=e.coalesce_after,
+            )
+        return run
+
+    # N declared exports each publish to their OWN directory from the
+    # same immutable feed — overlap them (guide §2.6) under the usual
+    # distinct-target guard
+    paths = [_norm_path(e.path) for e in out.cdc_exports]
+    _run_units(
+        [(e.path, _one(e)) for e in out.cdc_exports],
+        "cdc-export",
+        parallel=len(set(paths)) == len(paths),
+    )
 
 
 def _maintain_rollups(
@@ -621,41 +676,64 @@ def _maintain_rollups(
 
     from .operators.rollup import companion_path  # noqa: PLC0415
 
-    for r in out.rollups:
-        dst = ManagedTable.load(spark, r.path)
-        refresh_rollup(
-            table,
-            dst,
-            r.group_columns,
-            r.sum_columns,
-            min_cols=r.min_columns,
-            max_cols=r.max_columns,
-            distinct_cols=r.distinct_columns,
-            sumsq_cols=r.sumsq_columns,
-            hist_cols=r.hist_columns,
-            window_cache=window_cache,
+    def _one(r):
+        def run():
+            dst = ManagedTable.load(spark, r.path)
+            refresh_rollup(
+                table,
+                dst,
+                r.group_columns,
+                r.sum_columns,
+                min_cols=r.min_columns,
+                max_cols=r.max_columns,
+                distinct_cols=r.distinct_columns,
+                sumsq_cols=r.sumsq_columns,
+                hist_cols=r.hist_columns,
+                window_cache=window_cache,
+            )
+            # fold accumulated MOR deltas at cadence: without it every
+            # refresh's keyed merge adds delta files whose read-time
+            # resolution the NEXT refresh (and every rollup reader) pays
+            if r.maintenance_every:
+                if dst.data_commits_since_maintenance() >= r.maintenance_every:
+                    dst.compact()
+                    # history past the tag-replay window funds nothing
+                    # here: the fold-tag probe stops at the previous
+                    # fold's tag, and the rollup consumes the SOURCE's
+                    # feed, never its own — same reasoning as the
+                    # search-index expiry
+                    dst.expire_snapshots(keep_last=32)
+                # companions run their OWN cadence, not nested inside the
+                # rollup's: a high-churn distinct column accumulates
+                # deltas (one keyed merge per batch) even across batches
+                # where the rollup itself stayed quiet
+                for c in r.distinct_columns:
+                    comp = ManagedTable.load(spark, companion_path(r.path, c))
+                    if comp.data_commits_since_maintenance() >= r.maintenance_every:
+                        comp.compact()
+                        comp.expire_snapshots(keep_last=32)
+        return run
+
+    # N declared rollups each fold into their OWN summary table (and
+    # its companions) from the same immutable feed — overlap them
+    # (guide §2.6) when every write target, companions included, is
+    # distinct
+    targets = [
+        p
+        for r in out.rollups
+        for p in (
+            [_norm_path(r.path)]
+            + [
+                _norm_path(companion_path(r.path, c))
+                for c in r.distinct_columns
+            ]
         )
-        # fold accumulated MOR deltas at cadence: without it every
-        # refresh's keyed merge adds delta files whose read-time
-        # resolution the NEXT refresh (and every rollup reader) pays
-        if r.maintenance_every:
-            if dst.data_commits_since_maintenance() >= r.maintenance_every:
-                dst.compact()
-                # history past the tag-replay window funds nothing
-                # here: the fold-tag probe stops at the previous
-                # fold's tag, and the rollup consumes the SOURCE's
-                # feed, never its own — same reasoning as the
-                # search-index expiry
-                dst.expire_snapshots(keep_last=32)
-            # companions run their OWN cadence, not nested inside the
-            # rollup's: a high-churn distinct column accumulates
-            # deltas (one keyed merge per batch) even across batches
-            # where the rollup itself stayed quiet
-            for c in r.distinct_columns:
-                comp = ManagedTable.load(spark, companion_path(r.path, c))
-                if comp.data_commits_since_maintenance() >= r.maintenance_every:
-                    comp.compact()
-                    comp.expire_snapshots(keep_last=32)
+    ]
+    _run_units(
+        [(r.path, _one(r)) for r in out.rollups],
+        "rollup-refresh",
+        parallel=len(set(targets)) == len(targets),
+    )
 
 
 def _maintain_join_mvs(
@@ -682,25 +760,43 @@ def _maintain_join_mvs(
         refresh_join_mv,
     )
 
-    for j in out.join_mvs:
-        right = ManagedTable.load(spark, j.right_table)
-        if ManagedTable.exists(j.path):
-            mv = ManagedTable.load(spark, j.path)
-        else:
-            mv = create_join_mv(
-                table, right, j.path, on=j.on,
-                left_cols=j.left_columns or None,
-                right_cols=j.right_columns or None,
-                consume_from=(1, 1),
+    def _one(j):
+        def run():
+            right = ManagedTable.load(spark, j.right_table)
+            if ManagedTable.exists(j.path):
+                mv = ManagedTable.load(spark, j.path)
+            else:
+                mv = create_join_mv(
+                    table, right, j.path, on=j.on,
+                    left_cols=j.left_columns or None,
+                    right_cols=j.right_columns or None,
+                    consume_from=(1, 1),
+                )
+            refresh_join_mv(
+                table, right, mv, on=j.on, window_cache=window_cache
             )
-        refresh_join_mv(table, right, mv, on=j.on, window_cache=window_cache)
-        if j.maintenance_every and (
-            mv.data_commits_since_maintenance() >= j.maintenance_every
-        ):
-            mv.compact()
-            # the MV consumes its SOURCES' feeds and carries no tags —
-            # only recent history matters (crash diagnostics)
-            mv.expire_snapshots(keep_last=32)
+            if j.maintenance_every and (
+                mv.data_commits_since_maintenance() >= j.maintenance_every
+            ):
+                mv.compact()
+                # the MV consumes its SOURCES' feeds and carries no
+                # tags — only recent history matters (crash diagnostics)
+                mv.expire_snapshots(keep_last=32)
+        return run
+
+    # N declared MVs each write their OWN table — overlap them (guide
+    # §2.6) when targets are distinct AND no MV's target doubles as
+    # another MV's right-table read (that MV must see the fold land
+    # first, exactly as the serial order guaranteed)
+    paths = [_norm_path(j.path) for j in out.join_mvs]
+    rights = {_norm_path(j.right_table) for j in out.join_mvs}
+    _run_units(
+        [(j.path, _one(j)) for j in out.join_mvs],
+        "join-mv-refresh",
+        parallel=(
+            len(set(paths)) == len(paths) and not (set(paths) & rights)
+        ),
+    )
 
 
 def _maintain_topk_mvs(
@@ -723,29 +819,40 @@ def _maintain_topk_mvs(
         refresh_topk_mv,
     )
 
-    for tk in out.topk_mvs:
-        ids = tk.id_columns or [
-            c for c in out.key_columns if c not in tk.group_columns
-        ]
-        kw = dict(
-            group_cols=tk.group_columns,
-            order_col=tk.order_column,
-            k=tk.k,
-            id_cols=ids,
-            payload_cols=tk.payload_columns or None,
-            descending=tk.descending,
-        )
-        if ManagedTable.exists(tk.path):
-            mv = ManagedTable.load(spark, tk.path)
-        else:
-            mv = create_topk_mv(table, tk.path, consume_from=1, **kw)
-        refresh_topk_mv(table, mv, window_cache=window_cache, **kw)
-        if tk.maintenance_every and (
-            mv.data_commits_since_maintenance() >= tk.maintenance_every
-        ):
-            mv.compact()
-            # keep the tag-replay window's witnesses, like rollups
-            mv.expire_snapshots(keep_last=32)
+    def _one(tk):
+        def run():
+            ids = tk.id_columns or [
+                c for c in out.key_columns if c not in tk.group_columns
+            ]
+            kw = dict(
+                group_cols=tk.group_columns,
+                order_col=tk.order_column,
+                k=tk.k,
+                id_cols=ids,
+                payload_cols=tk.payload_columns or None,
+                descending=tk.descending,
+            )
+            if ManagedTable.exists(tk.path):
+                mv = ManagedTable.load(spark, tk.path)
+            else:
+                mv = create_topk_mv(table, tk.path, consume_from=1, **kw)
+            refresh_topk_mv(table, mv, window_cache=window_cache, **kw)
+            if tk.maintenance_every and (
+                mv.data_commits_since_maintenance() >= tk.maintenance_every
+            ):
+                mv.compact()
+                # keep the tag-replay window's witnesses, like rollups
+                mv.expire_snapshots(keep_last=32)
+        return run
+
+    # N declared top-k MVs each write their OWN table — overlap them
+    # (guide §2.6) under the distinct-target guard
+    paths = [_norm_path(tk.path) for tk in out.topk_mvs]
+    _run_units(
+        [(tk.path, _one(tk)) for tk in out.topk_mvs],
+        "topk-refresh",
+        parallel=len(set(paths)) == len(paths),
+    )
 
 
 def _audited_write(

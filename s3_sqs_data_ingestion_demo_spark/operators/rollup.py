@@ -1127,7 +1127,8 @@ def _refresh_rollup_window(
     # deterministic whether this call did the fold or a replay skipped
     # it.
     dcount_frames: dict[str, DataFrame] = {}
-    for c in distinct_cols:
+
+    def _fold_companion(c: str) -> None:
         comp = comps[c]
         ckeys = list(group_cols) + [c]
         # the recovery probe already scanned this companion; a match
@@ -1158,10 +1159,11 @@ def _refresh_rollup_window(
                 )
         else:
             # replay path (rare): the companion already absorbed the
-            # window — only the idempotent sweep remains
-            czero = comp.read().filter(F.col("n_rows") <= 0).select(*ckeys)
-            if not czero.isEmpty():
-                comp.delete_keys(czero)
+            # window — only the idempotent sweep remains (delete_keys
+            # itself no-ops on an empty victim set)
+            comp.delete_keys(
+                comp.read().filter(F.col("n_rows") <= 0).select(*ckeys)
+            )
         dcount_frames[c] = (
             join_nullsafe(
                 comp.read().filter(F.col("n_rows") > 0),
@@ -1172,6 +1174,34 @@ def _refresh_rollup_window(
             .groupBy(*group_cols)
             .agg(F.count(F.lit(1)).alias(f"n_distinct_{c}"))
         )
+
+    if len(distinct_cols) >= 2:
+        # the companion chains are independent per column — each folds
+        # into its OWN table off shared read-only pinned frames (the
+        # grouping-sets checkpoint), so overlap them (guide §2.6): the
+        # serial shape paid one merge→sweep→read-back chain per column.
+        # Same settle-then-raise contract as the family pools; each
+        # companion's fold is tagged on ITS table, so a redelivery
+        # re-runs completed companions idempotently.
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(
+            max_workers=len(distinct_cols),
+            thread_name_prefix="rollup-companion",
+        ) as pool:
+            futs = [(c, pool.submit(_fold_companion, c)) for c in distinct_cols]
+            first_err: Exception | None = None
+            for c, fut in futs:
+                try:
+                    fut.result()
+                except Exception as e:  # noqa: BLE001
+                    if first_err is None:
+                        first_err = e
+        if first_err is not None:
+            raise first_err
+    else:
+        for c in distinct_cols:
+            _fold_companion(c)
 
     # current values of ONLY the affected groups (rollup tables are
     # group-cardinality-sized; the join is on the rollup's key)

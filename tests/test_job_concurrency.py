@@ -272,3 +272,87 @@ def test_window_cache_distinct_cursors_pin_concurrently(spark, tmp_path):
     assert not errs
     assert sorted(derivations) == [1, 2]  # each window derived once
     assert len(results) == 2
+
+
+def test_two_rollups_refresh_concurrently_and_land_exact(spark, tmp_path):
+    """Intra-family parallelism (r13): N declared rollups refresh from
+    a pool inside the rollups family — both land the same state the
+    serial order produced, across an insert batch and a delete batch,
+    and the pool actually overlaps (observed via thread names in the
+    refresh entry points)."""
+    import s3_sqs_data_ingestion_demo_spark.operators.rollup as R_
+
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    cfg = _cfg(
+        d,
+        rollups=[
+            {"path": f"{d}/roll", "group_columns": ["grp"],
+             "sum_columns": ["v"]},
+            {"path": f"{d}/roll2", "group_columns": ["grp"],
+             "sum_columns": [], "distinct_columns": ["v"]},
+        ],
+        topk_mvs=[],
+        cdc_delete_values=["D"],
+    )
+    seen_threads = set()
+    orig = R_.refresh_rollup
+
+    def spying(*a, **k):
+        seen_threads.add(threading.current_thread().name)
+        return orig(*a, **k)
+
+    # job.py imports refresh_rollup lazily inside _maintain_rollups,
+    # so patching the module attribute is seen at call time
+    R_.refresh_rollup = spying
+    b1, b2 = f"{d}/b1.csv", f"{d}/b2.csv"
+    _write_csv(b1, [(1, "a", 7, 1, "I"), (2, "a", 7, 1, "I"),
+                    (3, "b", 9, 1, "I")])
+    _write_csv(b2, [(2, "a", 7, 2, "D")])
+    try:
+        J.process_files(spark, cfg, [b1])
+        J.process_files(spark, cfg, [b2])
+    finally:
+        R_.refresh_rollup = orig
+    r1 = {r.grp: (r.n_rows, r.sum_v)
+          for r in ManagedTable.load(spark, f"{d}/roll").read().collect()}
+    assert r1 == {"a": (1, 7.0), "b": (1, 9.0)}
+    r2 = {r.grp: (r.n_rows, r.n_distinct_v)
+          for r in ManagedTable.load(spark, f"{d}/roll2").read().collect()}
+    assert r2 == {"a": (1, 1), "b": (1, 1)}
+    assert any(t.startswith("rollup-refresh") for t in seen_threads), (
+        f"expected pooled rollup refreshes, saw threads {seen_threads}"
+    )
+
+
+def test_rollup_two_distinct_columns_fold_concurrently(spark, tmp_path):
+    """Companion-chain overlap (r13): a rollup with TWO distinct
+    columns folds both companions from a pool and keeps each
+    COUNT(DISTINCT) exact through deletes that empty one value of each
+    column."""
+    d = str(tmp_path)
+    _mk_table(spark, d)
+    cfg = _cfg(
+        d,
+        rollups=[
+            {"path": f"{d}/roll", "group_columns": ["grp"],
+             "sum_columns": [], "distinct_columns": ["v", "seq"]},
+        ],
+        topk_mvs=[],
+        cdc_delete_values=["D"],
+    )
+    b1, b2 = f"{d}/b1.csv", f"{d}/b2.csv"
+    # grp a: v values {7, 9}, seq values {1, 2}; delete id=3 (sole
+    # holder of v=9; seq=2's sole holder) → v distinct 2→1, seq 2→1
+    _write_csv(b1, [(1, "a", 7, 1, "I"), (2, "a", 7, 1, "I"),
+                    (3, "a", 9, 2, "I")])
+    _write_csv(b2, [(3, "a", 9, 3, "D")])
+    J.process_files(spark, cfg, [b1])
+    t = ManagedTable.load(spark, f"{d}/roll")
+    st = {r.grp: (r.n_rows, r.n_distinct_v, r.n_distinct_seq)
+          for r in t.read().collect()}
+    assert st == {"a": (3, 2, 2)}
+    J.process_files(spark, cfg, [b2])
+    st = {r.grp: (r.n_rows, r.n_distinct_v, r.n_distinct_seq)
+          for r in t.read().collect()}
+    assert st == {"a": (2, 1, 1)}
