@@ -114,7 +114,10 @@ def pagerank(
         try:
             nodes.unpersist()
         except NameError:
-            pass  # n == 0 raise happened before nodes bound — nothing cached
+            # only reachable if the nodes select/persist line itself
+            # raised before binding the name (the n == 0 path binds
+            # nodes normally and unpersists here like any other exit)
+            pass
     return ranks
 
 
@@ -150,80 +153,85 @@ def triangle_stats(
     # in the unpinned plan; the pairs subtree re-executed ~4x), so pin
     # both: edges once at O(m), degrees at O(n).
     e = pairs.select(F.col(a).alias("a"), F.col(b).alias("b")).persist()
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    deg = (
-        sym.groupBy("a")
-        .agg(F.count("*").alias("deg"))
-        .withColumnRenamed("a", "v")
-        .persist()
-    )
-    # orientation key: (deg, id) — total order, breaks degree ties
-    da = deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "deg_a")
-    db = deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "deg_b")
-    ranked = e.join(da, "a").join(db, "b")
-    oriented = ranked.select(
-        F.when(
-            (F.col("deg_a") < F.col("deg_b"))
-            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
-            F.struct(F.col("a").alias("src"), F.col("b").alias("dst"),
-                     F.col("deg_b").alias("deg_dst")),
+    oriented = None
+    deg = None
+    try:
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        .otherwise(
-            F.struct(F.col("b").alias("src"), F.col("a").alias("dst"),
-                     F.col("deg_a").alias("deg_dst"))
+        deg = (
+            sym.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .withColumnRenamed("a", "v")
+            .persist()
         )
-        .alias("o")
-    ).select("o.src", "o.dst", "o.deg_dst").persist()
-    w1 = oriented.select(
-        F.col("src").alias("u"),
-        F.col("dst").alias("v"),
-        F.col("deg_dst").alias("dv"),
-    )
-    w2 = oriented.select(
-        F.col("src").alias("u"),
-        F.col("dst").alias("w"),
-        F.col("deg_dst").alias("dw"),
-    )
-    # wedge (v, w) ordered by the same (deg, id) key as the orientation,
-    # so the closing edge — if present — is oriented exactly v -> w
-    wedges = w1.join(w2, "u").filter(
-        (F.col("dv") < F.col("dw"))
-        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
-    )
-    closing = oriented.select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
-    )
-    tri = wedges.join(closing, ["v", "w"]).agg(
-        F.count("*").alias("n_triangles")
-    )
-    totals = deg.agg(
-        F.count("*").cast("bigint").alias("n_nodes"),
-        F.expr("sum(deg) div 2").cast("bigint").alias("n_edges"),
-        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges"),
-    )
-    out = totals.crossJoin(tri).select(
-        "n_nodes",
-        "n_edges",
-        "n_wedges",
-        F.col("n_triangles").cast("bigint"),
-        # zero guard: a wedge-free graph yields cc = 0 identically in
-        # both engines (Spark's non-ANSI div would yield NULL while
-        # DuckDB's // throws — neither is the defined answer)
-        F.expr(
-            f"CASE WHEN n_wedges = 0 THEN 0L "
-            f"ELSE (3 * n_triangles * {scale}) div n_wedges END"
+        # orientation key: (deg, id) — total order, breaks degree ties
+        da = deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "deg_a")
+        db = deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "deg_b")
+        ranked = e.join(da, "a").join(db, "b")
+        oriented = ranked.select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst"),
+                         F.col("deg_b").alias("deg_dst")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"),
+                         F.col("deg_a").alias("deg_dst"))
+            )
+            .alias("o")
+        ).select("o.src", "o.dst", "o.deg_dst").persist()
+        w1 = oriented.select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.col("deg_dst").alias("dv"),
         )
-        .cast("bigint")
-        .alias("global_cc_ppm"),
-    )
-    # materialize the one-row census, then release every cached frame
-    # (no per-invocation persist leak in long sessions)
-    out = out.localCheckpoint(eager=True)
-    oriented.unpersist()
-    deg.unpersist()
-    e.unpersist()
+        w2 = oriented.select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("w"),
+            F.col("deg_dst").alias("dw"),
+        )
+        # wedge (v, w) ordered by the same (deg, id) key as the orientation,
+        # so the closing edge — if present — is oriented exactly v -> w
+        wedges = w1.join(w2, "u").filter(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        )
+        closing = oriented.select(
+            F.col("src").alias("v"), F.col("dst").alias("w")
+        )
+        tri = wedges.join(closing, ["v", "w"]).agg(
+            F.count("*").alias("n_triangles")
+        )
+        totals = deg.agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.expr("sum(deg) div 2").cast("bigint").alias("n_edges"),
+            F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges"),
+        )
+        out = totals.crossJoin(tri).select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("n_triangles").cast("bigint"),
+            # zero guard: a wedge-free graph yields cc = 0 identically in
+            # both engines (Spark's non-ANSI div would yield NULL while
+            # DuckDB's // throws — neither is the defined answer)
+            F.expr(
+                f"CASE WHEN n_wedges = 0 THEN 0L "
+                f"ELSE (3 * n_triangles * {scale}) div n_wedges END"
+            )
+            .cast("bigint")
+            .alias("global_cc_ppm"),
+        )
+        # materialize the one-row census inside the try, then release
+        # every cached frame in the finally — an exception anywhere
+        # above must not leak three session-lifetime pins
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for pinned in (oriented, deg, e):
+            if pinned is not None:
+                pinned.unpersist()
     return out
 
 
@@ -248,10 +256,25 @@ def cooccurrence_similarity(
     skew hazard; real deployments cap basket size upstream (the same
     hot-bucket cap the LSH operators use).  Degrees join in as two
     broadcast-sized aggregates; everything stays integer.
+
+    The distinct membership frame is consumed four times (the degree
+    pass and both sides of the basket self-join), and the alias
+    renames defeat exchange reuse — the unpinned plan re-ran the
+    upstream scan + distinct shuffle 4×.  It is pinned with an eager
+    ``localCheckpoint`` rather than persist(): the operator returns a
+    LAZY frame (callers rank/filter on top — a full-eager contract was
+    measured SLOWER at sf0.1, the pair materialization costs more than
+    the saved rescans), so there is no in-operator point to unpersist;
+    checkpoint blocks are released by the ContextCleaner when the
+    returned frame is collected, not leaked for the session.
     """
-    m = baskets.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-    ).distinct()
+    m = (
+        baskets.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = m.groupBy("it").agg(F.count("*").alias("n_baskets"))
     a_side = m.select("bk", F.col("it").alias("item_a"))
     b_side = m.select("bk", F.col("it").alias("item_b"))
