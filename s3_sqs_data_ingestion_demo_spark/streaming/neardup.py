@@ -71,6 +71,10 @@ from ..operators.dedup import (
     _shingle_hash_col,
 )
 
+import logging
+
+log = logging.getLogger(__name__)
+
 _NUM_HASHES = 16
 _BANDS = 4
 
@@ -273,9 +277,7 @@ def process_near_dup_batch_table(
         # contract); a retried merge or a revived document overlaps
         # ranges and falls back to the seq path below.
         old = table.read_unresolved(with_seq=False, apply_tombstones=True)
-        pairs = _near_dup_pairs(
-            new, old, num_hashes, bands, threshold, max_band_freq
-        )
+        old_keys = None
     else:
         # Two projections of the same unresolved index: the band-key
         # side needs only (id, n_sh, bk*) — the per-row commit-seq
@@ -283,20 +285,70 @@ def process_near_dup_batch_table(
         # that scan for nothing — while the verification side needs
         # the seq to resolve duplicate ids (retried merges,
         # re-ingested docs) latest-wins.
-        pairs = _near_dup_pairs(
-            new, table.read_unresolved(with_seq=True, apply_tombstones=True),
-            num_hashes, bands, threshold, max_band_freq,
-            old_keys=table.read_unresolved(
-                with_seq=False, apply_tombstones=True
-            ),
+        old = table.read_unresolved(with_seq=True, apply_tombstones=True)
+        old_keys = table.read_unresolved(
+            with_seq=False, apply_tombstones=True
         )
-    t2 = _time.perf_counter()
-    # per-commit file count bounded by the table's
+    # The signature merge OVERLAPS the eager pairs job (guide §2.6):
+    # both consume the pinned batch frame, and the pairs input is
+    # BOUND above — read_unresolved resolves the manifest's root dirs
+    # at call time and a merge only ADDS a new version-keyed root, so
+    # the already-planned scans can never see the merge's rows; the
+    # disjointness classification was likewise taken pre-merge.  That
+    # makes the overlap result-identical to the old serial order
+    # (pairs-then-merge).  Both settle before return, so maintenance /
+    # compaction (which DELETES folded roots) still runs strictly
+    # after the pairs are physical.  Crash anywhere here and the
+    # redelivered batch heals: the merge is a keyed idempotent upsert,
+    # and pairs recompute with the batch's own ids anti-joined out of
+    # the index side.
+    #
+    # Per-commit file count bounded by the table's
     # write.max-delta-files property (see _index table creation);
     # emptiness probe skipped — the sink gates on batch_df.isEmpty()
-    # and a non-empty batch always yields signature rows
-    table.merge(new, assume_nonempty=True)
-    _phase_add(timings, t0, t1, t2, _time.perf_counter())
+    # and a non-empty batch always yields signature rows.
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    merge_wall = [0.0]
+
+    def _merge_sigs() -> None:
+        m0 = _time.perf_counter()
+        table.merge(new, assume_nonempty=True)
+        merge_wall[0] = _time.perf_counter() - m0
+
+    with ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="sig-merge"
+    ) as pool:
+        fut = pool.submit(_merge_sigs)
+        pairs_err: Exception | None = None
+        pairs = None
+        try:
+            pairs = _near_dup_pairs(
+                new, old, num_hashes, bands, threshold, max_band_freq,
+                old_keys=old_keys,
+            )
+        except Exception as e:  # noqa: BLE001
+            pairs_err = e
+        merge_err: Exception | None = None
+        try:
+            fut.result()
+        except Exception as e:  # noqa: BLE001
+            merge_err = e
+    if pairs_err is not None:
+        if merge_err is not None:
+            log.warning(
+                "signature merge also failed after a pairs failure: %s",
+                merge_err,
+            )
+        raise pairs_err
+    if merge_err is not None:
+        raise merge_err
+    t2 = _time.perf_counter()
+    # phase convention under overlap: "pairs" is the main-thread wall
+    # of the pairs job, "index_write" the merge thread's own wall —
+    # they overlap, so their sum exceeds the step's elapsed by design
+    # (same convention as the with_indexes entry's per-index phases)
+    _phase_add(timings, t0, t1, t2, t2 + merge_wall[0])
     return pairs
 
 
