@@ -663,6 +663,26 @@ def main() -> None:
     except OSError:
         pass  # a read-only checkout must not fail the bench
     print(json.dumps(doc))
+    # COMPACT adjudication line, printed LAST (VERDICT r12 item #2):
+    # the round driver records only the final 2000 chars of stdout, and
+    # r11's ~15 KB contract line lost its head to that window —
+    # `parsed: null`, and the whole round-over-round per-query
+    # comparison with it.  The full contract line above is UNCHANGED
+    # (same fields, same methodology — the compact line is an
+    # addition); this one-liner always fits the tail window whole, so
+    # the headline numbers and the ambient-pressure probe are
+    # recoverable from any capture.  Full per-query numbers live in
+    # the committed bench_full.json either way.
+    print(json.dumps({
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "total": total,
+        "n_queries": len(timings),
+        "q01_probe": timings.get("q01_pricing_summary"),
+    }))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
