@@ -1064,8 +1064,9 @@ def apply_changes(
             )
             & (F.col("_export_hi") > applied)
         )
-        # consumed by the rank (twice: emptiness probe + merge) and the
-        # any-delete key set — pin once; bounded by the tail
+        # consumed by the rank feeding the merge's write AND the
+        # any-delete key set's tombstone write — pin once; bounded by
+        # the tail
         .localCheckpoint(eager=True)
     )
     base_schema = T.StructType(
@@ -1079,10 +1080,6 @@ def apply_changes(
     latest = (
         setting.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        # consumed twice (emptiness probe + the merge) — pin the rank
-        # OUTPUT too, so the key-partitioned shuffle runs once per
-        # cycle and the stored frame is O(latest-per-key)
-        .localCheckpoint(eager=True)
     )
     ups = latest.filter(F.col("_change_type") != "delete").drop(
         "_rn", "_change_type", "_export_lo", "_export_hi"
@@ -1091,9 +1088,14 @@ def apply_changes(
     # delete_keys dedups and no-ops on an empty set internally
     dels = setting.filter(F.col("_change_type") == "delete").select(*keys)
     version = target.delete_keys(dels)
-    if not ups.isEmpty():
-        # non-emptiness just proven — skip merge's internal probe
-        version = target.merge(ups, assume_nonempty=True)
+    # emptiness is decided by the merge's own write (r13): the old
+    # shape pinned `latest` and probed isEmpty to feed
+    # assume_nonempty — with the write-as-probe that pair is two
+    # extra jobs, and `latest`'s rank shuffle now has exactly one
+    # consumer (the merge's write), so the pin goes too
+    vmerge = target.merge(ups)
+    if vmerge > version:
+        version = vmerge
     target.set_properties(**{_APPLY_KEY: new_cursor})
     return version
 

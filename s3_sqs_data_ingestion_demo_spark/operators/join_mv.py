@@ -274,12 +274,12 @@ def refresh_join_mv(
             mv_touched.select(*keys), slice_df.select(*keys), keys,
             "left_anti",
         )
-        # evaluated twice (emptiness probe + the delete) and its
-        # subtree re-reads the pre-merge MV state — pin it once;
-        # bounded by the touched keys
-        .localCheckpoint(eager=True)
     )
-    if not vanished.isEmpty():
-        version = mv.delete_keys(vanished)
+    # one consumer since delete_keys probes emptiness via its own
+    # tombstone write (r13): the old pin + isEmpty pair here was two
+    # extra jobs per refresh.  mv_touched was bound (manifest roots
+    # resolved) BEFORE the merge above, so the lazy anti-join still
+    # reads the pre-merge MV state inside the delete's write job.
+    version = mv.delete_keys(vanished)  # empty set → current version
     mv.set_properties(**{_LEFT_KEY: cur_l, _RIGHT_KEY: cur_r})
     return version

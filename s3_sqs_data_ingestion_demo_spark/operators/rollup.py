@@ -1002,16 +1002,16 @@ def _refresh_rollup_window(
     # write): the delta is already in the rollup.  Finish the
     # idempotent sweeps (rollup AND companions) and advance.
     if recovered[0] == window_tag:
+        # delete_keys probes emptiness via its own tombstone write
+        # (r13) — no isEmpty pre-probes on the replay sweeps
         for c in distinct_cols:
             comp = comps[c]
-            czero = (
+            comp.delete_keys(
                 comp.read().filter(F.col("n_rows") <= 0).select(*group_cols, c)
             )
-            if not czero.isEmpty():
-                comp.delete_keys(czero)
-        zero = dst.read().filter(F.col("n_rows") <= 0).select(*group_cols)
-        if not zero.isEmpty():
-            dst.delete_keys(zero)
+        dst.delete_keys(
+            dst.read().filter(F.col("n_rows") <= 0).select(*group_cols)
+        )
         dst.set_properties(**{_STATE_KEY: cur})
         return dst._current_version(), cur >= actual
 

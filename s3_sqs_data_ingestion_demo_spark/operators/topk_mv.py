@@ -373,13 +373,12 @@ def _refresh_topk_window(
         # read twice (merge + the stale sweep's anti side) — pin once
         winners = winners.localCheckpoint(eager=True)
         # at most one window per low cursor ever commits, so the
-        # recovery probe doubles as the replay check.  When the fold
-        # branch ran its winners are provably non-empty (a fold group
-        # has ≥1 insert by the _retract=0 definition, and top-k of a
-        # non-empty candidate set is non-empty), so the emptiness
-        # probe only pays on rescan-only windows, where vanished
-        # groups genuinely can leave zero winners.
-        if recovered is None and (fold_ran or not winners.isEmpty()):
+        # recovery probe doubles as the replay check.  Emptiness (a
+        # rescan-only window whose vanished groups left zero winners)
+        # is decided by the merge's own tombstone-free write (r13):
+        # an empty winners frame no-ops WITHOUT committing the tag —
+        # exactly what the old pre-probe enforced, minus its job.
+        if recovered is None:
             version = dst.merge(winners, tag=window_tag)
         # stale sweep (idempotent): affected-group MV rows that are
         # not among the window's winners — pushed out of the top-k by
@@ -392,8 +391,9 @@ def _refresh_topk_window(
             key_cols,
             "left_anti",
         )
-        if not stale.isEmpty():
-            version = dst.delete_keys(stale)
+        # delete_keys probes emptiness via its own tombstone write
+        # (r13) — the old isEmpty pre-probe was an extra job
+        version = dst.delete_keys(stale)
     dst.set_properties(**{_STATE_KEY: cur})
     return version, cur >= actual
 
